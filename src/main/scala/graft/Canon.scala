@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonicalization helpers for oracle-comparable results.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * same SQL, so floating-point aggregates must be *bit-identical* across
+  * engines. Double summation is order-dependent (Spark's partial/final
+  * aggregation and DuckDB's scan order differ), so every SUM over doubles
+  * is routed through a DECIMAL cast: the cast is deterministic (both
+  * engines round the exact binary value of the double to scale 6, and no
+  * IEEE double falls exactly on a half-boundary at scale 6), the decimal
+  * sum is exact (order-independent), and the final DECIMAL→DOUBLE cast is
+  * correctly rounded in both engines. DuckDB mirror:
+  * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)`.
+  */
+object Canon {
+  val Dec: DecimalType = DecimalType(30, 6)
+
+  def dec(c: Column): Column = c.cast(Dec)
+
+  /** Exact, order-independent sum of a double expression → double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** avg as exact-sum / count — DuckDB mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x)`. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Deterministic 2-decimal rounding via decimal cast (Spark `round` and
+    * DuckDB `round` disagree on some doubles; casts don't). DuckDB mirror:
+    * `CAST(CAST(x AS DECIMAL(30,2)) AS DOUBLE)`. */
+  def round2(c: Column): Column = c.cast(DecimalType(30, 2)).cast(DoubleType)
+
+  /** 4-decimal variant for ratios/similarities. */
+  def round4(c: Column): Column = c.cast(DecimalType(30, 4)).cast(DoubleType)
+
+  /** Timestamps leave query outputs as formatted strings so parquet
+    * physical type / timezone annotations can't break the compare. DuckDB
+    * mirror: `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}

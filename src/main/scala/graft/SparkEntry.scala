@@ -1,13 +1,240 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is deterministic (explicit total order with a
+  * unique tie-break) and every float aggregate is canonicalized (see
+  * [[Canon]]) so the DuckDB oracle in [[oracleSql]] hash-matches exactly.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — the reference's own three queries (SURVEY §2.2) —
+    "q_wordcount" -> ((s, _) => RefQueries.wordCount(s)),
+    "q_topk" -> ((s, _) => RefQueries.topK(s, 50)),
+    "q_inverted_index" -> ((s, _) => RefQueries.invertedIndex(s)),
+    // — relational surface (SURVEY §2.4) —
+    "e01_scan_filter" -> (Relational.scanFilter _),
+    "e02_broadcast_join" -> (Relational.broadcastJoin _),
+    "e03_shuffle_join_agg" -> (Relational.shuffleJoinAgg _),
+    "e04_left_outer_join" -> (Relational.leftOuterJoin _),
+    "e05_full_outer_join" -> (Relational.fullOuterJoin _),
+    "e06_semi_anti_join" -> (Relational.semiAntiJoin _),
+    "e07_range_join" -> (Relational.rangeJoin _),
+    "e08_pricing_summary" -> (Relational.pricingSummary _),
+    "e09_distinct_agg" -> (Relational.distinctAgg _),
+    "e09b_approx_distinct" -> (Relational.approxDistinct _),
+    "e10_rollup_agg" -> (Relational.rollupAgg _),
+    "e11_cube_agg" -> (Relational.cubeAgg _),
+    "e12_rank_window" -> (Relational.rankWindow _),
+    "e13_analytic_window" -> (Relational.analyticWindow _),
+    "e14_topk_orders" -> (Relational.topkOrders _),
+    "e15_set_ops" -> (Relational.setOps _),
+    "e16_scalar_funcs" -> (Relational.scalarFuncs _),
+    "e17_date_funcs" -> (Relational.dateFuncs _),
+    "e18_json_events" -> (Relational.jsonEvents _),
+  )
+
+  // DuckDB-side canonicalization mirrors (see Canon.scala):
+  //   dsum(x)  → CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+  //   davg(x)  → dsum(x) / COUNT(x)
+  //   round2/4 → CAST(CAST(x AS DECIMAL(30,{2|4})) AS DOUBLE)
+  //   tsStr    → strftime(ts, '%Y-%m-%d %H:%M:%S')
+  private def dsum(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(30,6))) AS DOUBLE)"
+  private def davg(x: String) = s"${dsum(x)} / COUNT($x)"
+
+  private val refDir = "/root/reference/phoenixLab"
+  private val textCtes =
+    s"""toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(content), '[a-z][a-z'']*')) AS word
+       |  FROM read_text('$refDir/Dracula.txt')),
+       |stop AS (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split_regex(trim(content), '\\s+')) AS w
+       |    FROM read_text('$refDir/Stop_Words.txt')) WHERE w <> '')""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_wordcount" ->
+      s"""WITH $textCtes
+         |SELECT word, count(*) AS cnt FROM toks
+         |WHERE word NOT IN (SELECT word FROM stop)
+         |GROUP BY word ORDER BY cnt ASC, word DESC""".stripMargin,
+    "q_topk" ->
+      s"""WITH $textCtes
+         |SELECT word, count(*) AS cnt FROM toks
+         |WHERE word NOT IN (SELECT word FROM stop)
+         |GROUP BY word ORDER BY cnt DESC, word DESC LIMIT 50""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH f AS (SELECT string_split(content, chr(10)) AS ls
+         |           FROM read_text('$refDir/Dracula.txt')),
+         |lines AS (SELECT unnest(range(len(ls))) AS line, unnest(ls) AS text FROM f),
+         |toks AS (SELECT line, unnest(regexp_extract_all(lower(text), '[a-z][a-z'']*')) AS word
+         |         FROM lines),
+         |stop AS (
+         |  SELECT DISTINCT w AS word FROM (
+         |    SELECT unnest(string_split_regex(trim(content), '\\s+')) AS w
+         |    FROM read_text('$refDir/Stop_Words.txt')) WHERE w <> '')
+         |SELECT word,
+         |  array_to_string(list_sort(list_distinct(list(line))), ',') AS postings,
+         |  count(DISTINCT line) AS n_lines
+         |FROM toks WHERE word NOT IN (SELECT word FROM stop)
+         |GROUP BY word ORDER BY word""".stripMargin,
+    "e01_scan_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "e02_broadcast_join" ->
+      """SELECT o.o_orderkey, c.c_name, n.n_name, o.o_totalprice
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "e03_shuffle_join_agg" ->
+      s"""SELECT o.o_orderpriority, count(*) AS n_items,
+         |  ${dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    "e04_left_outer_join" ->
+      s"""SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_big_orders,
+         |  ${dsum("coalesce(o.o_totalprice, 0.0)")} AS big_total
+         |FROM customer c
+         |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+         |  ON c.c_custkey = o.o_custkey
+         |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "e05_full_outer_join" ->
+      """SELECT coalesce(f.k, p.k) AS k,
+        |  coalesce(f.n_f, 0) AS n_f, coalesce(p.n_o, 0) AS n_o
+        |FROM (SELECT o_custkey AS k, count(*) AS n_f FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+        |FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n_o FROM orders
+        |      WHERE o_orderstatus = 'O' GROUP BY o_custkey) p
+        |  ON f.k = p.k
+        |ORDER BY k""".stripMargin,
+    "e06_semi_anti_join" ->
+      """SELECT c_custkey, 'semi' AS op FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0)
+        |UNION ALL
+        |SELECT c_custkey, 'anti' AS op FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0)
+        |ORDER BY op, c_custkey""".stripMargin,
+    "e07_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs, count(DISTINCT a.event_id) AS n_heads
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "e08_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${davg("l_discount")} AS avg_disc,
+         |  min(l_quantity) AS min_qty,
+         |  max(l_extendedprice) AS max_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "e09_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e10_rollup_agg" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name, CAST(year(o_orderdate) AS BIGINT))
+         |ORDER BY n_name NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "e11_cube_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "e12_rank_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "e13_analytic_window" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e14_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "e15_set_ops" ->
+      """SELECT k, op FROM (
+        |  SELECT k, 'intersect' AS op FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT k, 'except' AS op FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |    EXCEPT
+        |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT DISTINCT o_custkey AS k, 'union' AS op FROM orders
+        |  WHERE o_orderstatus IN ('F', 'O'))
+        |ORDER BY op, k""".stripMargin,
+    "e16_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_name LIKE '%steel%' AS is_steel,
+        |  regexp_extract(p_name, '[aeiou]+') AS first_vowels,
+        |  CAST(CAST(p_retailprice * 1.1 AS DECIMAL(30,2)) AS DOUBLE) AS bumped_price,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_name_tokens,
+        |  array_to_string(list_sort(list_distinct(string_split(p_name, ' ')))[1:3], ',')
+        |    AS first_tokens
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "e17_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS BIGINT)
+        |    AS days_to_2001,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e18_json_events" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(year(CAST(ts AS TIMESTAMP)) AS BIGINT) AS yr,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS event_hour,
+        |  value
+        |FROM events WHERE event_type IN ('error', 'purchase')
+        |ORDER BY event_id""".stripMargin,
+  )
 }

@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.4 E1–E15): scans with
+  * pushdown, every join shape, hash aggregation, grouping sets, windows,
+  * top-k, set ops, scalar functions.
+  *
+  * Scale posture: no collects, dimension tables broadcast explicitly,
+  * fact-fact joins shuffle on their keys (AQE re-plans at runtime), every
+  * query ends in an explicit total order (unique tie-break) purely for the
+  * deterministic oracle hash — the orders are on already-reduced outputs,
+  * never on the raw fact table (except e01, which is a row-level scan
+  * whose sort is the query's own semantics).
+  */
+object Relational {
+  import Canon._
+
+  /** E1 — parquet scan + projection + predicate. Both the shipdate range
+    * and the discount predicate reach the parquet reader (PushedFilters),
+    * and only 5 of 11 columns are read (ReadSchema). */
+  def scanFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"),
+        dateStr(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** E2 — dim⋈fact broadcast hash joins: orders ⋈ customer ⋈ nation.
+    * Both dims are broadcast explicitly — zero shuffle of the fact side
+    * until the final order. */
+  def broadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** E3 — large-key shuffle join lineitem ⋈ orders + aggregation.
+    * Both sides shuffle on the order key; AQE picks SMJ/SHJ. */
+  def shuffleJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** E4 — left outer join: order counts per customer including zeroes. */
+  def leftOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("big_total"))
+      .orderBy("c_custkey")
+  }
+
+  /** E5 — full outer join of two disjoint-filtered aggregates. */
+  def fullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_f"))
+    val p = o.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_o"))
+    f.join(p, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("n_f"), lit(0L)).as("n_f"),
+        coalesce(col("n_o"), lit(0L)).as("n_o"))
+      .orderBy("k")
+  }
+
+  /** E5b — left semi + left anti (the stop-word pattern generalized):
+    * customers with / without a high-value order, tagged and unioned. */
+  def semiAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val hi = Tables.orders(s, d).filter(col("o_totalprice") > 350000.0)
+    val semi = c.join(hi, c("c_custkey") === hi("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("semi").as("op"))
+    val anti = c.join(hi, c("c_custkey") === hi("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("anti").as("op"))
+    semi.unionAll(anti).orderBy("op", "c_custkey")
+  }
+
+  /** E6 — non-equi range join: event pairs of the same user within a
+    * 10-minute window. The user_id equality keeps this an equi-join with
+    * a range residual — NOT a cartesian product — so it shuffles on
+    * user_id and scales linearly in users. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("a_id")).as("n_heads"))
+      .orderBy("user_id")
+  }
+
+  /** E7 — pricing summary (TPC-H Q1 shape): multi-key hash aggregation
+    * with sum/avg/min/max/count. Partial aggregation runs map-side
+    * (HashAggregate Partial→Final), so the shuffle carries ≤ #groups×
+    * #partitions rows regardless of input size. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** E8 — distinct aggregation (exact). */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** E8b — approx_count_distinct (HLL++). No SQL oracle (estimator is
+    * engine-specific); the ScalaTest spec asserts tolerance vs exact. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** E9 — rollup over nation × order-year. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_totalprice"))
+      .rollup(col("n_name"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("yr"))
+  }
+
+  /** E9b — cube over returnflag × linestatus. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** E10 — ranking windows: top-3 orders per customer. */
+  def rankWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rnk"), col("drnk"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** E11 — analytic windows: lag/lead + running revenue per customer. */
+  def analyticWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dateStr(col("o_orderdate")).as("order_date"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** E12 — total sort + limit: Catalyst plans TakeOrderedAndProject
+    * (per-partition top-k + driver merge of k×partitions rows — never a
+    * full global sort). */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** E13 — set operations on the F/O customer key sets, tagged+unioned
+    * into one deterministic result. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val fk = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    val ok = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+    val both = fk.intersect(ok).select(col("k"), lit("intersect").as("op"))
+    val fOnly = fk.except(ok).select(col("k"), lit("except").as("op"))
+    val all = fk.union(ok).distinct().select(col("k"), lit("union").as("op"))
+    both.unionAll(fOnly).unionAll(all).orderBy("op", "k")
+  }
+
+  /** E14 — scalar function sweep: string / date / math / array. */
+  def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        col("p_name").like("%steel%").as("is_steel"),
+        regexp_extract(col("p_name"), "[aeiou]+", 0).as("first_vowels"),
+        round2(col("p_retailprice") * 1.1).as("bumped_price"),
+        abs(col("p_size") - 25).cast("long").as("size_dist"),
+        size(split(col("p_name"), " ")).cast("long").as("n_name_tokens"),
+        array_join(slice(sort_array(array_distinct(split(col("p_name"), " "))), 1, 3), ",")
+          .as("first_tokens"))
+      .orderBy("p_partkey")
+
+  /** E14b — date functions on orders. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        datediff(lit("2001-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2001"),
+        dateStr(date_trunc("month", col("o_orderdate"))).as("month_start"))
+      .orderBy("o_orderkey")
+
+  /** E14c — JSON extraction over events.props + timestamp scalars. */
+  def jsonEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        year(col("ts")).cast("long").as("yr"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("event_hour"),
+        col("value"))
+      .orderBy("event_id")
+}
