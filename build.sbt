@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked `run` output goes straight to our stdout — without this, sbt
+// prefixes every line with [info]/[error], which breaks the driver's
+// parse of Bench's single JSON line (BENCH_r01.json: "parsed": null).
+run / outputStrategy := Some(StdoutOutput)

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * same SQL, so floating-point aggregates must be *bit-identical* across
   * engines. Double summation is order-dependent (Spark's partial/final
   * aggregation and DuckDB's scan order differ), so every SUM over doubles
-  * is routed through a DECIMAL cast: the cast is deterministic (both
-  * engines round the exact binary value of the double to scale 6, and no
-  * IEEE double falls exactly on a half-boundary at scale 6), the decimal
-  * sum is exact (order-independent), and the final DECIMAL→DOUBLE cast is
-  * correctly rounded in both engines. DuckDB mirror:
+  * is routed through a DECIMAL cast: the cast is deterministic — both
+  * engines round the exact binary value of the double to scale 6 with the
+  * same HALF_UP (round-half-away-from-zero) rule, so even doubles that DO
+  * fall exactly on a half-boundary at scale 6 (e.g. 2^-7 = 0.0078125)
+  * round identically — the decimal sum is exact (order-independent), and
+  * the final DECIMAL→DOUBLE cast is correctly rounded in both engines.
+  * CanonSpec pins the 2^-k boundary case. DuckDB mirror:
   * `CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)`.
   */
 object Canon {

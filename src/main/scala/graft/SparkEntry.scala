@@ -16,10 +16,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // — the reference's own three queries (SURVEY §2.2) —
+    // — the reference's own three queries (SURVEY §2.2), on both corpora
+    //   per the reference README:15-39; K is a real parameter (the
+    //   reference takes it as argv — top50/top50.cpp:117) —
     "q_wordcount" -> ((s, _) => RefQueries.wordCount(s)),
     "q_topk" -> ((s, _) => RefQueries.topK(s, 50)),
     "q_inverted_index" -> ((s, _) => RefQueries.invertedIndex(s)),
+    "q_wordcount_republic" -> ((s, _) => RefQueries.wordCount(s, RefQueries.Republic)),
+    "q_topk_republic" -> ((s, _) => RefQueries.topK(s, 100, RefQueries.Republic)),
+    "q_inverted_index_republic" -> ((s, _) => RefQueries.invertedIndex(s, RefQueries.Republic)),
     // — relational surface (SURVEY §2.4) —
     "e01_scan_filter" -> (Relational.scanFilter _),
     "e02_broadcast_join" -> (Relational.broadcastJoin _),
@@ -40,6 +45,7 @@ object SparkEntry {
     "e16_scalar_funcs" -> (Relational.scalarFuncs _),
     "e17_date_funcs" -> (Relational.dateFuncs _),
     "e18_json_events" -> (Relational.jsonEvents _),
+    "e19_region_supplier" -> (Relational.regionSupplier _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -51,43 +57,52 @@ object SparkEntry {
   private def davg(x: String) = s"${dsum(x)} / COUNT($x)"
 
   private val refDir = "/root/reference/phoenixLab"
-  private val textCtes =
+  private def textCtes(file: String) =
     s"""toks AS (
        |  SELECT unnest(regexp_extract_all(lower(content), '[a-z][a-z'']*')) AS word
-       |  FROM read_text('$refDir/Dracula.txt')),
+       |  FROM read_text('$refDir/$file')),
        |stop AS (
        |  SELECT DISTINCT w AS word FROM (
        |    SELECT unnest(string_split_regex(trim(content), '\\s+')) AS w
        |    FROM read_text('$refDir/Stop_Words.txt')) WHERE w <> '')""".stripMargin
 
+  private def wordCountSql(file: String) =
+    s"""WITH ${textCtes(file)}
+       |SELECT word, count(*) AS cnt FROM toks
+       |WHERE word NOT IN (SELECT word FROM stop)
+       |GROUP BY word ORDER BY cnt ASC, word DESC""".stripMargin
+
+  private def topkSql(file: String, k: Int) =
+    s"""WITH ${textCtes(file)}
+       |SELECT word, count(*) AS cnt FROM toks
+       |WHERE word NOT IN (SELECT word FROM stop)
+       |GROUP BY word ORDER BY cnt DESC, word DESC LIMIT $k""".stripMargin
+
+  private def invertedIndexSql(file: String) =
+    s"""WITH f AS (SELECT string_split(content, chr(10)) AS ls
+       |           FROM read_text('$refDir/$file')),
+       |lines AS (SELECT unnest(range(len(ls))) AS line, unnest(ls) AS text FROM f),
+       |toks AS (SELECT line, unnest(regexp_extract_all(lower(text), '[a-z][a-z'']*')) AS word
+       |         FROM lines),
+       |stop AS (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split_regex(trim(content), '\\s+')) AS w
+       |    FROM read_text('$refDir/Stop_Words.txt')) WHERE w <> '')
+       |SELECT word,
+       |  array_to_string(list_sort(list_distinct(list(line))), ',') AS postings,
+       |  count(DISTINCT line) AS n_lines
+       |FROM toks WHERE word NOT IN (SELECT word FROM stop)
+       |GROUP BY word ORDER BY word""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_wordcount" ->
-      s"""WITH $textCtes
-         |SELECT word, count(*) AS cnt FROM toks
-         |WHERE word NOT IN (SELECT word FROM stop)
-         |GROUP BY word ORDER BY cnt ASC, word DESC""".stripMargin,
-    "q_topk" ->
-      s"""WITH $textCtes
-         |SELECT word, count(*) AS cnt FROM toks
-         |WHERE word NOT IN (SELECT word FROM stop)
-         |GROUP BY word ORDER BY cnt DESC, word DESC LIMIT 50""".stripMargin,
-    "q_inverted_index" ->
-      s"""WITH f AS (SELECT string_split(content, chr(10)) AS ls
-         |           FROM read_text('$refDir/Dracula.txt')),
-         |lines AS (SELECT unnest(range(len(ls))) AS line, unnest(ls) AS text FROM f),
-         |toks AS (SELECT line, unnest(regexp_extract_all(lower(text), '[a-z][a-z'']*')) AS word
-         |         FROM lines),
-         |stop AS (
-         |  SELECT DISTINCT w AS word FROM (
-         |    SELECT unnest(string_split_regex(trim(content), '\\s+')) AS w
-         |    FROM read_text('$refDir/Stop_Words.txt')) WHERE w <> '')
-         |SELECT word,
-         |  array_to_string(list_sort(list_distinct(list(line))), ',') AS postings,
-         |  count(DISTINCT line) AS n_lines
-         |FROM toks WHERE word NOT IN (SELECT word FROM stop)
-         |GROUP BY word ORDER BY word""".stripMargin,
+    "q_wordcount" -> wordCountSql("Dracula.txt"),
+    "q_topk" -> topkSql("Dracula.txt", 50),
+    "q_inverted_index" -> invertedIndexSql("Dracula.txt"),
+    "q_wordcount_republic" -> wordCountSql("File2ForLab3.txt"),
+    "q_topk_republic" -> topkSql("File2ForLab3.txt", 100),
+    "q_inverted_index_republic" -> invertedIndexSql("File2ForLab3.txt"),
     "e01_scan_filter" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  l_quantity, l_extendedprice, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
@@ -123,11 +138,15 @@ object SparkEntry {
         |  ON f.k = p.k
         |ORDER BY k""".stripMargin,
     "e06_semi_anti_join" ->
+      // NOT EXISTS (not NOT IN): mirrors left-anti-join semantics exactly
+      // even if o_custkey were ever NULL.
       """SELECT c_custkey, 'semi' AS op FROM customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0)
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
         |UNION ALL
         |SELECT c_custkey, 'anti' AS op FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
         |ORDER BY op, c_custkey""".stripMargin,
     "e07_range_join" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
@@ -236,5 +255,14 @@ object SparkEntry {
         |  value
         |FROM events WHERE event_type IN ('error', 'purchase')
         |ORDER BY event_id""".stripMargin,
+    "e19_region_supplier" ->
+      // min() mirrors Spark's any_value: r_regionkey is functionally
+      // dependent on r_name, so every choice is the same value.
+      s"""SELECT r_name, n_name, CAST(min(r_regionkey) AS BIGINT) AS region_key,
+         |  count(*) AS n_suppliers, ${dsum("s_acctbal")} AS total_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
   )
 }

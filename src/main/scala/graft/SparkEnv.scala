@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single SparkSession factory so every entry point (Verify, Bench, tests)
+  * runs under identical session semantics.
+  *
+  * Session-wide confs that matter for correctness live here, not inside
+  * operators, so no query mutates shared session state as a side effect:
+  *  - UTC timezone: the oracle compare formats timestamps as strings.
+  *  - `nanosAsLong`: `events.ts` is parquet timestamp[ns], which Spark only
+  *    reads via this legacy conf (as a LONG of epoch nanos). Setting it
+  *    once here means every parquet read in the session sees the same
+  *    behavior (the previous design set it inside Tables.events mid-query).
+  *    No other test table carries nanos timestamps, so the conf is inert
+  *    for them ([[Tables]] converts the nanos LONG explicitly).
+  *  - AQE + shuffle partitions sized for the local[N] box: at cluster
+  *    scale, shuffle partitions come from cluster config and AQE coalesces;
+  *    locally 200 partitions over ~32 cores is pure scheduling overhead.
+  */
+object SparkEnv {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -27,12 +27,13 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** `events.ts` is written as parquet `timestamp[ns]`, which Spark cannot
-    * read as a timestamp (DuckDB can). We read the raw nanos as LONG via the
-    * legacy conf and truncate to microseconds — the same value DuckDB's
+    * read as a timestamp (DuckDB can). With
+    * `spark.sql.legacy.parquet.nanosAsLong` (set session-wide in
+    * [[SparkEnv]] — never mutated here) the raw nanos arrive as LONG and we
+    * truncate to microseconds — the same value DuckDB's
     * `CAST(ts AS TIMESTAMP)` produces — so both sides of the oracle agree.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
