@@ -46,6 +46,23 @@ object SparkEntry {
     "e17_date_funcs" -> (Relational.dateFuncs _),
     "e18_json_events" -> (Relational.jsonEvents _),
     "e19_region_supplier" -> (Relational.regionSupplier _),
+    // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
+    "d01_exact_dedup" -> (LlmOps.exactDedup _),
+    "d02_ngram_jaccard" -> (LlmOps.ngramJaccard _),
+    "d03_minhash_lsh" -> (LlmOps.minhashNearDup _),   // no SQL oracle: spec-checked vs d02
+    "d04_cosine_topk" -> (LlmOps.cosineTopK _),
+    "d05_embed_neardup" -> (LlmOps.embedNearDup _),
+    "d06_ann_lsh" -> (LlmOps.annLsh _),               // no SQL oracle: spec-checked vs brute force
+    "d07_tfidf" -> (LlmOps.tfidf _),
+    "d08_text_stats" -> (LlmOps.textStats _),
+    "d09_lang_profile" -> (LlmOps.langProfile _),
+    "d10_lang_id" -> (LlmOps.langId _),
+    "d11_fingerprint" -> (LlmOps.fingerprint _),
+    "d12_simhash" -> (LlmOps.simhash _),
+    "d13_simhash_pairs" -> (LlmOps.simhashPairs _),
+    // — multimodal binary-column plumbing —
+    "m01_binary_meta" -> (Multimodal.binaryMeta _),
+    "m02_frame_features" -> (Multimodal.frameFeatures _), // no SQL oracle: stub decode, spec-checked
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -264,5 +281,149 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(length(norm) AS BIGINT) AS norm_len
+        |FROM (SELECT doc_id,
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM documents)
+        |GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "d02_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j,
+         |  ${round4("n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common)")} AS jac
+         |FROM common
+         |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8
+         |ORDER BY i, j""".stripMargin,
+    "d04_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, ${round4(cosSql("v", "qv"))} AS sim
+         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "d05_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS i, b.vec_id AS j, CAST(a.label AS BIGINT) AS label,
+         |  ${round4(cosSql("a.v", "b.v"))} AS sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |ORDER BY sim DESC, i, j LIMIT 20""".stripMargin,
+    "d07_tfidf" ->
+      s"""WITH $tokCte,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, word, tf, df,
+         |         ${round4("tf * ln(n_docs::DOUBLE / df)")} AS score
+         |       FROM tf JOIN df USING (word), n),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, tf, df, score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "d08_text_stats" ->
+      s"""WITH s AS (SELECT doc_id, lang, text, n_chars,
+         |             string_split(text, ' ') AS t FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |        CAST(len(t) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |        CAST(length(text) AS BIGINT) AS text_len,
+         |        n_chars = length(text) AS chars_match,
+         |        ${round4("len(list_distinct(t))::DOUBLE / len(t)")} AS distinct_ratio,
+         |        ${round4("(length(text) - (len(t) - 1))::DOUBLE / len(t)")} AS avg_token_len,
+         |        ${round4("len(list_filter(t, w -> length(w) >= 6))::DOUBLE / len(t)")} AS long_token_ratio
+         |      FROM s)
+         |SELECT *, ${round4("ln(1.0 + n_tokens) * distinct_ratio")} AS quality_score
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "d09_lang_profile" ->
+      s"""WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word
+         |             FROM documents),
+         |pw AS (SELECT lang, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |top AS (SELECT lang, word AS top_word, cnt AS top_word_cnt FROM (
+         |          SELECT *, row_number() OVER
+         |            (PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM pw)
+         |        WHERE rn = 1),
+         |st AS (SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+         |         count(DISTINCT word) AS n_distinct_words FROM tok GROUP BY lang)
+         |SELECT st.lang, n_docs, n_tokens, n_distinct_words, top_word, top_word_cnt,
+         |  ${round4("n_tokens::DOUBLE / n_docs")} AS avg_tokens_per_doc
+         |FROM st JOIN top ON st.lang = top.lang ORDER BY st.lang""".stripMargin,
+    "d10_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+         |             FROM documents),
+         |lt AS (SELECT lang AS l, count(*) AS total FROM tok GROUP BY 1),
+         |vocab AS (SELECT DISTINCT word FROM tok),
+         |v AS (SELECT count(*) AS v FROM vocab),
+         |cnt AS (SELECT lang AS l, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |grid AS (SELECT lt.l, vocab.word,
+         |           CAST(ln((coalesce(cnt.cnt, 0) + 1)::DOUBLE / (lt.total + v.v))
+         |                AS DECIMAL(30,6)) AS logp
+         |         FROM lt CROSS JOIN vocab
+         |         LEFT JOIN cnt ON cnt.l = lt.l AND cnt.word = vocab.word, v),
+         |sc AS (SELECT tok.doc_id, tok.lang, grid.l,
+         |         CAST(sum(grid.logp) AS DOUBLE) AS score
+         |       FROM tok JOIN grid ON tok.word = grid.word GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, l) AS rn FROM sc)
+         |SELECT doc_id, lang, l AS pred, ${round4("score")} AS score,
+         |  l = lang AS correct
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d11_fingerprint" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, min(md5(shingle)) AS fp, count(*) AS n_shingles
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d12_simhash" -> simhashSql,
+    "d13_simhash_pairs" ->
+      s"""WITH s AS ($simhashSql)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY i, j""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST(ceil(octet_length(encode(text))::DOUBLE / 64) AS BIGINT) AS n_frames,
+        |  upper(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  // ——— shared DuckDB fragments for the d* oracles ———
+
+  private def round4(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,4)) AS DOUBLE)"
+
+  /** In-order cosine; DuckDB's list_inner_product folds left-to-right,
+    * matching Spark's `aggregate` fold (verified empirically by
+    * tools/compare.py). */
+  private def cosSql(a: String, b: String) =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  /** Distinct 3-token shingles per doc — mirrors LlmOps.shingles (DuckDB
+    * list slices are 1-based inclusive: t[i:i+2] is 3 tokens). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  private val tokCte =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)""".stripMargin
+
+  private val simhashSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |             FROM documents),
+      |th AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h FROM tok),
+      |votes AS (SELECT doc_id, bit,
+      |            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |          FROM th, (SELECT unnest(range(32)) AS bit) bits GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+      |           ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `BINARY` payloads with
+  * typed metadata, frame sampling, and a feature-extraction stage.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[stubDecodeFeatures]]); everything
+  * around it — binary schema, frame slicing, per-partition batch shape,
+  * the distributed plan — is real and tested (MultimodalSpec). The test
+  * payload is the `documents.text` bytes standing in for media bytes
+  * (driver tables are the only sanctioned inputs); a real deployment
+  * swaps [[stubDecodeFeatures]] for a codec call with the same
+  * signature. */
+object Multimodal {
+  val FrameBytes = 64
+
+  /** documents with an opaque binary payload column, as a media table
+    * would look: (id, payload BINARY, media metadata). */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      col("lang").as("meta_lang"),
+      col("source").as("meta_source"))
+
+  /** Binary metadata extraction — byte length, content hash, frame
+    * count at [[FrameBytes]]-byte frames, head-of-payload hex. Pure
+    * scalar plumbing over BINARY, fully oracle-checkable. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      // payload is the UTF-8 bytes of text, so md5(payload) ≡ md5(text);
+      // DuckDB's md5 is VARCHAR-only, which the oracle mirrors directly.
+      md5(col("payload")).as("payload_md5"),
+      ceil(length(col("payload")).cast("double") / FrameBytes).cast("long")
+        .as("n_frames"),
+      upper(hex(substring(col("payload"), 1, 8))).as("head_hex"))
+      .orderBy("doc_id")
+
+  /** Frame sampling: slice the payload into [[FrameBytes]]-byte frames
+    * (the video-frame / audio-window analog), one row per frame —
+    * scan-parallel, no shuffle. */
+  def frames(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("n_frames",
+        ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_id"))
+      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+        expr(s"substring(payload, frame_id * $FrameBytes + 1, $FrameBytes)")
+          .as("frame_bytes"))
+
+  /** Frame features via the STUB decoder.
+    *
+    * STUB DECODE — the container has no codecs, so the "decoded feature
+    * vector" is a deterministic fake: 4 floats derived from the frame's
+    * md5 (byte-content-dependent, reproducible everywhere). A real
+    * pipeline replaces exactly the `features` expression with a codec
+    * UDF / mapPartitions batch call of the same ARRAY<FLOAT> shape;
+    * schema, partitioning, and everything downstream stay unchanged. */
+  def frameFeatures(s: SparkSession, d: String): DataFrame =
+    frames(s, d)
+      .withColumn("h", md5(col("frame_bytes")))
+      .select(
+        col("doc_id"), col("frame_id"),
+        length(col("frame_bytes")).cast("long").as("frame_len"),
+        transform(sequence(lit(0), lit(3)),
+          i => (conv(col("h").substr(i * 2 + 1, lit(2)), 16, 10) / 255.0)
+            .cast("float")).as("features"))
+      .orderBy("doc_id", "frame_id")
+}
