@@ -33,3 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // prefixes every line with [info]/[error], which breaks the driver's
 // parse of Bench's single JSON line (BENCH_r01.json: "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+
+// One shared local SparkSession across suites — parallel suite execution
+// in a single JVM just thrashes the scheduler.
+Test / parallelExecution := false

@@ -63,6 +63,13 @@ object SparkEntry {
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     "m02_frame_features" -> (Multimodal.frameFeatures _), // no SQL oracle: stub decode, spec-checked
+    // — streaming surface (E16–E17), batch form of the shared
+    //   transformations; StreamingSpec runs the same transformations as
+    //   real streams and asserts streaming ≡ batch —
+    "s01_tumbling_window" -> (Streaming.tumbling _),
+    "s02_sliding_window" -> (Streaming.sliding _),
+    "s03_session_window" -> (Streaming.sessions _),
+    "s04_dedup_first" -> (Streaming.dedupFirst _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -390,6 +397,49 @@ object SparkEntry {
         |  CAST(ceil(octet_length(encode(text))::DOUBLE / 64) AS BIGINT) AS n_frames,
         |  upper(hex(encode(substr(text, 1, 8)))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s01_tumbling_window" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+         |         '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s02_sliding_window" ->
+      // 1h windows sliding by 30min: an event at t is in exactly the two
+      // windows starting at floor30(t) and floor30(t) − 30min.
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+         |x AS (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+         |                     time_bucket(INTERVAL '30 minutes', ts)
+         |                       - INTERVAL '30 minutes']) AS ws,
+         |        user_id, value
+         |      FROM e)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  count(*) AS n_events, max(value) AS max_value,
+         |  ${dsum("value")} AS sum_value
+         |FROM x GROUP BY ws ORDER BY window_start""".stripMargin,
+    "s03_session_window" ->
+      // gap-based sessionization: new session when the gap since the
+      // previous event is >= 30min (mirrors Spark session_window, whose
+      // reported end is last event + gap).
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         |      FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |                       OR ts - prev >= INTERVAL '30 minutes'
+         |                     THEN 1 ELSE 0 END AS flag FROM l),
+         |s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "s04_dedup_first" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts, event_id) AS rn FROM e)
+        |SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 
   // ——— shared DuckDB fragments for the d* oracles ———

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.4 E16–E17): event-time
+  * windowed aggregation with watermarks, session windows, and stateful
+  * deduplication over the `events` table.
+  *
+  * Each operator is ONE transformation (`DataFrame => DataFrame`) applied
+  * to either source:
+  *  - batch: `Tables.events` — this is what `SparkEntry.queries` runs and
+  *    the DuckDB oracle checks (streaming≡batch on bounded input is the
+  *    correctness contract, SURVEY §2.4 E16);
+  *  - streaming: a `MemoryStream`/file source in StreamingSpec, executed
+  *    with `processAllAvailable` and compared row-for-row to the batch
+  *    result.
+  *
+  * `withWatermark` is part of the shared transformation: on the batch
+  * path Spark ignores it, on the streaming path it bounds state. The
+  * 2-hour watermark exceeds the corpus's max event-time disorder, so no
+  * row is dropped as late and streaming output equals batch output.
+  */
+object Streaming {
+  import Canon._
+
+  // ——————————————— shared event-time transformations ———————————————
+
+  /** E16a — tumbling 1-hour windows per event type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(tsStr(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** E16b — sliding 1-hour windows every 30 minutes (each event lands in
+    * exactly 2 windows). No distinct aggregates here: the transformation
+    * must stay valid under streaming execution, which forbids
+    * `countDistinct` (use approx_count_distinct in a real pipeline). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("value")).as("max_value"),
+        dsum(col("value")).as("sum_value"))
+      .select(tsStr(col("window.start")).as("window_start"),
+        col("n_events"), col("max_value"), col("sum_value"))
+
+  /** E17a — session windows per user with a 30-minute inactivity gap.
+    * Spark session semantics: an event at `t` extends the session to
+    * `t + gap`; the session closes when the next event's time is ≥ the
+    * current end. Reported `session_end` is last event + gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        tsStr(col("session_window.start")).as("session_start"),
+        tsStr(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  // ————————————————————— batch query entries —————————————————————
+
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    tumblingAgg(Tables.events(s, d)).orderBy("window_start", "event_type")
+
+  def sliding(s: SparkSession, d: String): DataFrame =
+    slidingAgg(Tables.events(s, d)).orderBy("window_start")
+
+  def sessions(s: SparkSession, d: String): DataFrame =
+    sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_start")
+
+  /** E17b — stateful dedup, batch form: keep the first event per
+    * (user_id, event_type) by event time (unique tie-break on event_id).
+    * The streaming form is `dropDuplicatesWithinWatermark` /
+    * `dropDuplicates` keyed the same way (StreamingSpec feeds events in
+    * event-time order so "first arrived" ≡ "first by event time"). */
+  def dedupFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        tsStr(col("ts")).as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Streaming GLOBAL dedup (used by StreamingSpec): first-arrived row
+    * per key, state never evicted — exactly equivalent to the batch
+    * [[dedupFirst]] when events arrive in event-time order. Unbounded
+    * state: fine for bounded replays/tests, not for a forever-stream. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type")
+
+  /** Streaming WITHIN-WATERMARK dedup: the production shape at 100 TB —
+    * state is evicted once the watermark passes, so a key's duplicates
+    * are suppressed only while it is in state and may re-emit later.
+    * Output is therefore a superset of [[dedupFirst]] and a subset of
+    * the input (StreamingSpec pins exactly that contract). */
+  def streamingDedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.LlmOps
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Materialize a tiny documents table with REAL duplicates (the driver
+    * corpus has none) so the dedup keep-rule is actually exercised. */
+  private lazy val dupDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    Seq(
+      (10L, "a b c", "en", "s0", 5L),
+      (3L, "a  B c ", "en", "s1", 7L),   // same after normalization
+      (7L, "a b c", "en", "s2", 5L),     // exact dup
+      (5L, "x y z", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups normalized text and keeps min doc_id") {
+    val out = LlmOps.exactDedup(spark, dupDir)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((3L, 3L), (5L, 1L)))
+  }
+
+  test("banded MinHash LSH reproduces the exact Jaccard pairs") {
+    val exact = LlmOps.ngramJaccard(spark, Sf).collect().toSeq
+    val lsh = LlmOps.minhashNearDup(spark, Sf).collect().toSeq
+    assert(exact.nonEmpty, "corpus should contain planted near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("ANN-LSH reported neighbors carry the true cosine similarity") {
+    val ann = LlmOps.annLsh(spark, Sf)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    // brute-force recompute each reported pair's cosine
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    ann.foreach { case (q, n, sim) =>
+      assert(q != n)
+      val (a, b) = (vecs(q), vecs(n))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - sim) < 1e-3, s"pair ($q,$n): $cos vs $sim")
+    }
+  }
+
+  test("cosine top-k: vec 0 is its own nearest neighbor with sim 1.0") {
+    val top = LlmOps.cosineTopK(spark, Sf)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(top.length === 20)
+    assert(top.head === ((0L, 1.0)))
+    assert(top.map(_._2).toSeq === top.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("simhash is deterministic and hamming pairs are within threshold") {
+    val a = LlmOps.simhash(spark, Sf).collect().toSeq
+    val b = LlmOps.simhash(spark, Sf).collect().toSeq
+    assert(a === b)
+    val pairs = LlmOps.simhashPairs(spark, Sf)
+      .select("hamming").as[Long].collect()
+    assert(pairs.forall(_ <= 2))
+  }
+
+  test("tf-idf scores are positive for corpus-rare terms and ranked per doc") {
+    val rows = LlmOps.tfidf(spark, Sf)
+      .select("doc_id", "rnk", "score").as[(Long, Long, Double)].collect()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size > 400)
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      // scores non-increasing with rank
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Streaming
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double, props: String)
+
+/** Streaming ≡ batch on bounded input (SURVEY §2.4 E16/E17): each shared
+  * transformation is executed once as a real Structured Streaming query
+  * over a MemoryStream replay of `events` (multiple micro-batches, append
+  * mode, watermark advanced past all real data by a far-future sentinel
+  * event) and compared row-for-row to the batch result the DuckDB oracle
+  * checks. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SentinelId = 999999L
+
+  /** events rows in event-time order + the watermark-advancing sentinel. */
+  private lazy val replay: Seq[Ev] = {
+    val evs = Tables.events(spark, Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    evs :+ Ev(SentinelId, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000),
+      0L, "sentinel", 0.0, "{}")
+  }
+
+  /** Run `transform` as a streaming query over the replay (4 chunks, each
+    * its own micro-batch) and return the appended sink rows. */
+  private def runStream(name: String, transform: DataFrame => DataFrame): DataFrame = {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = transform(src.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      replay.grouped(math.max(1, replay.size / 4 + 1)).foreach { chunk =>
+        src.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("tumbling window: streaming output equals batch output") {
+    val streamed = runStream("t_tumbling", Streaming.tumblingAgg)
+      .filter(col("event_type") =!= "sentinel")
+    val batch = Streaming.tumbling(spark, Sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("sliding window: streaming output equals batch output") {
+    val batch = Streaming.sliding(spark, Sf)
+    val batchWindows = batch.select("window_start").as[String].collect().toSet
+    val streamed = runStream("t_sliding", Streaming.slidingAgg)
+      .filter(col("window_start").isin(batchWindows.toSeq: _*)) // drop sentinel-only windows
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("session window: streaming output equals batch output") {
+    val streamed = runStream("t_session", Streaming.sessionAgg)
+      .filter(col("n_events") > 0) // no-op projection guard
+    val batch = Streaming.sessions(spark, Sf)
+    // the sentinel's own single-event session is never emitted (its end
+    // is beyond the final watermark), so no filtering is needed beyond
+    // asserting it is absent:
+    assert(!sortedRows(streamed).exists(_.contains("sentinel")))
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("stateful dedup keeps the first-arrived row per key (≡ batch first-by-ts)") {
+    val streamed = runStream("t_dedup", Streaming.streamingDedup)
+      .filter(col("event_id") =!= SentinelId)
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Streaming.dedupFirst(spark, Sf)
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("within-watermark dedup: firsts ⊆ emitted ⊊ input (state eviction re-emits)") {
+    val emitted = runStream("t_dedup_wm", Streaming.streamingDedupWithinWatermark)
+      .filter(col("event_id") =!= SentinelId)
+      .select("event_id").as[Long].collect().toSet
+    val firsts = Streaming.dedupFirst(spark, Sf)
+      .select("event_id").as[Long].collect().toSet
+    val all = Tables.events(spark, Sf).select("event_id").as[Long].collect().toSet
+    assert(firsts.subsetOf(emitted), "every first-by-ts event must be emitted")
+    assert(emitted.subsetOf(all))
+    assert(emitted.size < all.size, "some duplicates must be suppressed while in state")
+  }
+}
