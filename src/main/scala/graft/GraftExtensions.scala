@@ -1,0 +1,18 @@
+package graft
+
+import graft.functions.{ArrayDotProduct, CosineSimilarity}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Library extension point: `spark.sql.extensions=graft.GraftExtensions`
+  * registers the engine's native functions in any SparkSession — the
+  * standard way a user adopts this library on an existing cluster
+  * ([[SparkEnv]] sets it for all our own entry points). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier(CosineSimilarity.Name),
+      CosineSimilarity.info, CosineSimilarity.builder))
+    ext.injectFunction((FunctionIdentifier(ArrayDotProduct.Name),
+      ArrayDotProduct.info, ArrayDotProduct.builder))
+  }
+}

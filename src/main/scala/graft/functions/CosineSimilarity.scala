@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two ARRAY<DOUBLE>
+  * columns, with whole-stage codegen.
+  *
+  * Why an Expression and not `aggregate(zip_with(...))`: higher-order
+  * functions execute interpreted (one closure call per element), which
+  * measured ~3× slower on the embedding self-join hot path (SURVEY §7.3
+  * reserved native expressions for exactly this case). The accumulation
+  * order is the same in-order left-to-right fold as the SQL-function
+  * formulation and DuckDB's `list_inner_product`, so results stay
+  * bit-identical and the DuckDB oracle is unaffected.
+  *
+  * Semantics: sim = Σxᵢyᵢ / (√Σxᵢ² · √Σyᵢ²) over the common prefix of
+  * the two arrays; NULL in → NULL out; zero-norm input → NaN (matches
+  * the division semantics of the SQL form).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // manual type check (ExpectsInputTypes' AbstractDataType is
+  // private[sql] in Spark 4): both inputs must be ARRAY<DOUBLE> —
+  // callers cast (e.g. `transform(e, _.cast("double"))`) explicitly.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  val Name = "cosine_sim"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, null, Name,
+    "_FUNC_(a, b) - cosine similarity of two double arrays", "", "", "",
+    "math_funcs", "4.0.0", "", "built-in")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$Name takes exactly 2 arguments, got ${exprs.size}")
+  }
+
+  /** Idempotent imperative registration of ALL graft native functions —
+    * belt-and-braces for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions` (e.g. a
+    * harness-provided session). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    Seq((FunctionIdentifier(Name), info, builder),
+      (FunctionIdentifier(ArrayDotProduct.Name), ArrayDotProduct.info,
+        ArrayDotProduct.builder))
+      .foreach { case (id, inf, b) =>
+        if (!registry.functionExists(id)) registry.registerFunction(id, inf, b)
+      }
+  }
+}

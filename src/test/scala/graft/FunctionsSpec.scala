@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native codegen expressions registered by GraftExtensions. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pairs = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+    (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+    (Seq(0.5, -0.5, 2.0), Seq(-1.0, 4.0, 0.25))
+  ).toDF("a", "b")
+
+  test("cosine_sim/array_dot resolve through SQL (extension-registered)") {
+    pairs.createOrReplaceTempView("fn_pairs")
+    val rows = spark.sql(
+      "SELECT cosine_sim(a, b) AS c, array_dot(a, b) AS d FROM fn_pairs")
+      .as[(Double, Double)].collect()
+    assert(rows(0)._1 === 1.0 && rows(1)._1 === 0.0)
+    assert(rows(0)._2 === 14.0 && rows(1)._2 === 0.0 && rows(2)._2 === -2.0)
+  }
+
+  test("codegen and interpreted paths agree bit-for-bit with the HOF fold") {
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val both = pairs.select(
+      call_function("cosine_sim", col("a"), col("b")).as("native"),
+      (hofDot(col("a"), col("b")) /
+        (sqrt(hofDot(col("a"), col("a"))) * sqrt(hofDot(col("b"), col("b"))))).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("null and type handling") {
+    val withNull = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    val r = withNull.select(call_function("cosine_sim", col("a"), col("b")))
+      .collect().head
+    assert(r.isNullAt(0))
+    // wrong element type is an analysis-time error, not a wrong answer
+    val bad = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(call_function("cosine_sim", col("a"), col("b"))).collect()
+    }
+  }
+}
