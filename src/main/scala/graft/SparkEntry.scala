@@ -46,6 +46,9 @@ object SparkEntry {
     "e17_date_funcs" -> (Relational.dateFuncs _),
     "e18_json_events" -> (Relational.jsonEvents _),
     "e19_region_supplier" -> (Relational.regionSupplier _),
+    "e20_asof_join" -> (AsofJoin.errorAsofPurchase _),
+    // typed Dataset + custom Aggregator surface (same contract as q_topk)
+    "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
     "d01_exact_dedup" -> (LlmOps.exactDedup _),
     "d02_ngram_jaccard" -> (LlmOps.ngramJaccard _),
@@ -288,6 +291,25 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "e20_asof_join" ->
+      // DuckDB's native ASOF LEFT JOIN is the oracle for our union-tag +
+      // window carry-forward plan; purchases deduped per (user, ts) to
+      // max event_id so the as-of pick is unique in both engines.
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |             event_type, value FROM events),
+        |p0 AS (SELECT user_id, ts, max(event_id) AS p_event_id FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p AS (SELECT p0.user_id, p0.ts, p0.p_event_id, e.value AS p_value
+        |      FROM p0 JOIN e ON e.event_id = p0.p_event_id),
+        |err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error')
+        |SELECT err.event_id, err.user_id,
+        |  strftime(err.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value,
+        |  CAST(date_diff('second', p.ts, err.ts) AS BIGINT) AS lag_seconds
+        |FROM err ASOF LEFT JOIN p
+        |  ON err.user_id = p.user_id AND err.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "t01_typed_topk" -> topkSql("Dracula.txt", 50),
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |  CAST(length(norm) AS BIGINT) AS norm_len
