@@ -47,6 +47,7 @@ object SparkEntry {
     "e18_json_events" -> (Relational.jsonEvents _),
     "e19_region_supplier" -> (Relational.regionSupplier _),
     "e20_asof_join" -> (AsofJoin.errorAsofPurchase _),
+    "e21_salted_agg" -> (Relational.saltedAgg _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
@@ -73,6 +74,7 @@ object SparkEntry {
     "s02_sliding_window" -> (Streaming.sliding _),
     "s03_session_window" -> (Streaming.sessions _),
     "s04_dedup_first" -> (Streaming.dedupFirst _),
+    "s05_stateful_ordinal" -> (Streaming.stateOrdinal _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -310,6 +312,16 @@ object SparkEntry {
         |  ON err.user_id = p.user_id AND err.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
     "t01_typed_topk" -> topkSql("Dracula.txt", 50),
+    "e21_salted_agg" ->
+      s"""SELECT user_id, count(*) AS n_events, ${dsum("value")} AS sum_value,
+         |  max(value) AS max_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s05_stateful_ordinal" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       AS BIGINT) AS ordinal
+        |FROM e ORDER BY user_id, ordinal""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |  CAST(length(norm) AS BIGINT) AS norm_len

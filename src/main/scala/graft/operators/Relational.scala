@@ -292,6 +292,27 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** E7b — skew-safe two-stage salted aggregation: per-user event stats
+    * computed as (user, salt)-partial aggregates then combined per user.
+    *
+    * `user_id` has cardinality ~tens, so a single groupBy concentrates
+    * the whole table on ~30 shuffle keys (same hazard as E6); the salt
+    * (16 buckets from xxhash64(event_id)) fans each hot key across 16
+    * reducers in stage 1, and stage 2 combines 16 tiny partials per key.
+    * Exact-decimal sums compose across stages, so the result is
+    * bit-identical to the direct GROUP BY the oracle runs. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"),
+        max(col("value")).as("mx"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"),
+        max(col("mx")).as("max_value"))
+      .orderBy("user_id")
+
   /** E14c — JSON extraction over events.props + timestamp scalars. */
   def jsonEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

@@ -104,4 +104,44 @@ object Streaming {
   def streamingDedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** E17c — custom keyed state via `flatMapGroupsWithState`: each event's
+    * per-user arrival ordinal (1-based by event time, event_id
+    * tie-break). State is one Long per user (the count so far), so the
+    * operator's state size is O(users) regardless of stream length.
+    *
+    * The SAME function runs as the batch query (Spark invokes it once
+    * per group with empty state — output ≡ a row_number window, which is
+    * the DuckDB oracle) and as a real stateful streaming query
+    * (StreamingSpec feeds chunks in event-time order and asserts the
+    * ordinals are identical, proving state carries across micro-batches
+    * and the result is invariant under batching). */
+  def statefulOrdinal(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    ds.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[Long]) => {
+          // micro-batch iterator order is not defined: impose the event-
+          // time order inside the group so output is batching-invariant
+          val sorted = it.toSeq.sortBy(r => (r._2.getTime, r._1))
+          val start = state.getOption.getOrElse(0L)
+          state.update(start + sorted.size)
+          sorted.iterator.zipWithIndex.map { case ((eid, ts, _), i) =>
+            (user, eid, ts, start + i + 1)
+          }
+        })
+      .toDF("user_id", "event_id", "ts", "ordinal")
+  }
+
+  /** Batch entry for [[statefulOrdinal]] (oracle: row_number window). */
+  def stateOrdinal(s: SparkSession, d: String): DataFrame =
+    statefulOrdinal(Tables.events(s, d))
+      .select(col("user_id"), col("event_id"), col("ordinal"))
+      .orderBy("user_id", "ordinal")
 }

@@ -85,6 +85,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState ordinals: streaming ≡ batch (state survives micro-batches)") {
+    val streamed = runStream("t_ordinal", Streaming.statefulOrdinal)
+      .filter(col("event_id") =!= SentinelId)
+      .select("user_id", "event_id", "ordinal")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Streaming.stateOrdinal(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    // the sentinel is the LAST event of user 0, so it cannot shift any
+    // real event's ordinal
+    assert(streamed === batch)
+  }
+
+  test("file-source stream: tumbling agg over a parquet directory ≡ batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    // replay the corpus as 4 event-time-ordered parquet files
+    val chunks = replay.filter(_.event_id != SentinelId)
+      .grouped(replay.size / 4 + 1).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.toDF().coalesce(1).write.parquet(s"$dir/part_$i")
+    }
+    val src = spark.readStream
+      .schema(chunks.head.toDF().schema)
+      .option("maxFilesPerTrigger", "2") // force multiple micro-batches
+      .parquet(s"$dir/part_*")
+    val q = Streaming.tumblingAgg(src)
+      .writeStream.format("memory").queryName("t_file_tumbling")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_file_tumbling")
+    val batch = Streaming.tumbling(spark, Sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("within-watermark dedup: firsts ⊆ emitted ⊊ input (state eviction re-emits)") {
     val emitted = runStream("t_dedup_wm", Streaming.streamingDedupWithinWatermark)
       .filter(col("event_id") =!= SentinelId)
