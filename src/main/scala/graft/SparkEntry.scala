@@ -38,6 +38,7 @@ object SparkEntry {
     "e09b_approx_distinct" -> (Relational.approxDistinct _),
     "e10_rollup_agg" -> (Relational.rollupAgg _),
     "e11_cube_agg" -> (Relational.cubeAgg _),
+    "e11b_grouping_sets" -> (Relational.groupingSets _),
     "e12_rank_window" -> (Relational.rankWindow _),
     "e13_analytic_window" -> (Relational.analyticWindow _),
     "e14_topk_orders" -> (Relational.topkOrders _),
@@ -217,6 +218,15 @@ object SparkEntry {
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "e11b_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(year(l_shipdate) AS BIGINT) AS ship_yr,
+         |  count(*) AS n_rows, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+         |                        (CAST(year(l_shipdate) AS BIGINT)))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+         |  ship_yr NULLS FIRST""".stripMargin,
     "e12_rank_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

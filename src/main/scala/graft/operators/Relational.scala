@@ -175,6 +175,20 @@ object Relational {
       .orderBy(asc_nulls_first("n_name"), asc_nulls_first("yr"))
   }
 
+  /** E9c — explicit GROUPING SETS (the third grouping-analytics shape
+    * alongside rollup/cube, which can't express this asymmetric set):
+    * totals per returnflag, per linestatus, and per ship-year — three
+    * independent groupings in one pass over the fact table. */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("ship_yr", year(col("l_shipdate")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq(col("ship_yr"))),
+        col("l_returnflag"), col("l_linestatus"), col("ship_yr"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+        asc_nulls_first("ship_yr"))
+
   /** E9b — cube over returnflag × linestatus. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
