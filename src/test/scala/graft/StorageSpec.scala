@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout scale techniques: bucketing for shuffle-free
+  * co-located joins and partitioned layouts for partition pruning —
+  * the two levers that matter most for repeated 100 TB fact-fact joins
+  * and time-sliced scans (SURVEY §2.4 scale posture). */
+class StorageSpec extends SparkSpec {
+
+  private lazy val wh = {
+    // the shared session's spark.sql.warehouse.dir is fixed at startup;
+    // saveAsTable writes there under unique table names
+    java.nio.file.Files.createTempDirectory("graft-storage").toString
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // clean slate: a previous crashed run can leave the managed-table
+    // directory behind, which saveAsTable refuses to overwrite
+    Seq("bkt_lineitem", "bkt_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    val l = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, Sf).select("o_orderkey", "o_totalprice")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("bkt_lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("bkt_orders")
+    val joined = spark.table("bkt_lineitem")
+      .join(spark.table("bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join must not re-shuffle either side:\n" + plan.take(1500))
+    // and it still computes the right thing
+    val expected = Tables.lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(joined.count() === expected)
+  }
+
+  test("partitioned parquet layout prunes partitions at the scan") {
+    val dir = s"$wh/events_by_type"
+    Tables.events(spark, Sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("event_type") === "error")
+    val scan = read.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head
+    val partFilters = scan.metadata("PartitionFilters")
+    assert(partFilters.contains("event_type"),
+      s"partition filter not pushed: $partFilters")
+    // pruned scan reads only the matching directory: after execution the
+    // scan's numFiles metric counts post-pruning files (1 of 5 dirs).
+    // NB: collect(), not count() — count() builds a NEW QueryExecution,
+    // leaving this one's metrics untouched.
+    val expected = Tables.events(spark, Sf)
+      .filter(col("event_type") === "error").count()
+    assert(read.collect().length.toLong === expected)
+    val executed = read.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+    }.headOption.getOrElse(read.queryExecution.executedPlan)
+    val execScan = executed.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(execScan.nonEmpty)
+    assert(execScan.head.metrics("numFiles").value === 1L,
+      s"expected 1 post-pruning file, got ${execScan.head.metrics("numFiles").value}")
+  }
+}
