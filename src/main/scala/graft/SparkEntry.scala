@@ -385,7 +385,9 @@ object SparkEntry {
          |        n_chars = length(text) AS chars_match,
          |        ${round4("len(list_distinct(t))::DOUBLE / len(t)")} AS distinct_ratio,
          |        ${round4("(length(text) - (len(t) - 1))::DOUBLE / len(t)")} AS avg_token_len,
-         |        ${round4("len(list_filter(t, w -> length(w) >= 6))::DOUBLE / len(t)")} AS long_token_ratio
+         |        ${round4("len(list_filter(t, w -> length(w) >= 6))::DOUBLE / len(t)")} AS long_token_ratio,
+         |        CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         |          AS n_subword_tokens
          |      FROM s)
          |SELECT *, ${round4("ln(1.0 + n_tokens) * distinct_ratio")} AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin,
