@@ -58,6 +58,7 @@ object SparkEntry {
     "d04_cosine_topk" -> (LlmOps.cosineTopK _),
     "d05_embed_neardup" -> (LlmOps.embedNearDup _),
     "d06_ann_lsh" -> (LlmOps.annLsh _),               // no SQL oracle: spec-checked vs brute force
+    "d06b_ivf_ann" -> (LlmOps.ivfAnn _),              // no SQL oracle: spec-checked vs brute force
     "d07_tfidf" -> (LlmOps.tfidf _),
     "d08_text_stats" -> (LlmOps.textStats _),
     "d09_lang_profile" -> (LlmOps.langProfile _),

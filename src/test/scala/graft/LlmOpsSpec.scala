@@ -50,6 +50,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-ANN reported neighbors share a cell and carry the true cosine") {
+    val ivf = LlmOps.ivfAnn(spark, Sf)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    ivf.foreach { case (q, n, sim) =>
+      assert(q != n)
+      val (a, b) = (vecs(q), vecs(n))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - sim) < 1e-3, s"pair ($q,$n): $cos vs $sim")
+    }
+  }
+
   test("cosine top-k: vec 0 is its own nearest neighbor with sim 1.0") {
     val top = LlmOps.cosineTopK(spark, Sf)
       .select("vec_id", "sim").as[(Long, Double)].collect()
