@@ -40,6 +40,7 @@ object SparkEntry {
     "e11_cube_agg" -> (Relational.cubeAgg _),
     "e11b_grouping_sets" -> (Relational.groupingSets _),
     "e12_rank_window" -> (Relational.rankWindow _),
+    "e15b_pivot" -> (Relational.pivotOrders _),
     "e13_analytic_window" -> (Relational.analyticWindow _),
     "e14_topk_orders" -> (Relational.topkOrders _),
     "e15_set_ops" -> (Relational.setOps _),
@@ -266,6 +267,15 @@ object SparkEntry {
         |  SELECT DISTINCT o_custkey AS k, 'union' AS op FROM orders
         |  WHERE o_orderstatus IN ('F', 'O'))
         |ORDER BY op, k""".stripMargin,
+    "e15b_pivot" -> {
+      def cell(v: String) =
+        s"""  count(*) FILTER (o_orderstatus = '$v') AS ${v}_n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+           |       FILTER (o_orderstatus = '$v') AS DOUBLE) AS ${v}_rev""".stripMargin
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |${Seq("F", "O", "P").map(cell).mkString(",\n")}
+         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+    },
     "e16_scalar_funcs" ->
       """SELECT p_partkey,
         |  upper(substr(p_name, 1, 8)) AS name_prefix,

@@ -327,6 +327,24 @@ object Relational {
         max(col("mx")).as("max_value"))
       .orderBy("user_id")
 
+  /** E15b — pivot (F15 `array_container`: dense aggregation over a fixed
+    * small key domain becomes columns): order counts and exact revenue
+    * per year × status. Explicit value list so the plan is one pass (no
+    * distinct-values pre-query) and the output schema is static. */
+  def pivotOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      // pivot yields NULL counts for absent (yr, status) cells; the
+      // oracle's count(*) FILTER yields 0 — normalize to 0 (sums stay
+      // NULL-for-absent in both engines)
+      .select(col("yr") +: Seq("F", "O", "P").flatMap(v => Seq(
+        coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"), col(s"${v}_rev"))): _*)
+      .orderBy("yr")
+
   /** E14c — JSON extraction over events.props + timestamp scalars. */
   def jsonEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
