@@ -41,6 +41,7 @@ object SparkEntry {
     "e11b_grouping_sets" -> (Relational.groupingSets _),
     "e12_rank_window" -> (Relational.rankWindow _),
     "e15b_pivot" -> (Relational.pivotOrders _),
+    "e15c_unpivot" -> (Relational.unpivotParts _),
     "e13_analytic_window" -> (Relational.analyticWindow _),
     "e14_topk_orders" -> (Relational.topkOrders _),
     "e15_set_ops" -> (Relational.setOps _),
@@ -276,6 +277,15 @@ object SparkEntry {
          |${Seq("F", "O", "P").map(cell).mkString(",\n")}
          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
     },
+    "e15c_unpivot" ->
+      // portable long-form equivalent of UNPIVOT
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retail_price', p_retailprice FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'name_len', CAST(length(p_name) AS DOUBLE) FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
     "e16_scalar_funcs" ->
       """SELECT p_partkey,
         |  upper(substr(p_name, 1, 8)) AS name_prefix,

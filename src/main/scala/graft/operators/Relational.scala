@@ -345,6 +345,20 @@ object Relational {
         coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"), col(s"${v}_rev"))): _*)
       .orderBy("yr")
 
+  /** E15c — unpivot/melt (pivot's inverse, the wide→long reshape every
+    * feature pipeline needs): part attributes to (key, metric, value)
+    * rows. One narrow Generate, no shuffle until the output sort. */
+  def unpivotParts(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail_price"),
+        length(col("p_name")).cast("double").as("name_len"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retail_price"), col("name_len")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   /** E14c — JSON extraction over events.props + timestamp scalars. */
   def jsonEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
