@@ -13,6 +13,13 @@ import org.apache.spark.sql.DataFrame
   * prune the projections under test, so the measured time includes every
   * expression and exchange the query declares. Failures are recorded as
   * failures (a `failed` list + no timing), never as fast runs.
+  *
+  * Cache discipline: several operators `.cache()` reused subplans
+  * (signatures, shingle tables); the CacheManager matches rebuilt plans by
+  * canonical form, so without intervention runs 2..n would time cache READS
+  * rather than the declared plan. Every measured run therefore starts from
+  * a cleared cache — timings are cold-plan costs (JIT/codegen warm, data in
+  * page cache), and cached tables can't accumulate across ~50 queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,6 +34,7 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Either[String, Double] = {
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { exec(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable => Left(e.getClass.getSimpleName) }

@@ -56,11 +56,11 @@ object SparkEntry {
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
     "d01_exact_dedup" -> (LlmOps.exactDedup _),
     "d02_ngram_jaccard" -> (LlmOps.ngramJaccard _),
-    "d03_minhash_lsh" -> (LlmOps.minhashNearDup _),   // no SQL oracle: spec-checked vs d02
+    "d03_minhash_lsh" -> (LlmOps.minhashNearDup _),
     "d04_cosine_topk" -> (LlmOps.cosineTopK _),
     "d05_embed_neardup" -> (LlmOps.embedNearDup _),
-    "d06_ann_lsh" -> (LlmOps.annLsh _),               // no SQL oracle: spec-checked vs brute force
-    "d06b_ivf_ann" -> (LlmOps.ivfAnn _),              // no SQL oracle: spec-checked vs brute force
+    "d06_ann_lsh" -> (LlmOps.annLsh _),               // no SQL oracle: bucket recall is probabilistic by design; spec-checked vs brute force
+    "d06b_ivf_ann" -> (LlmOps.ivfAnn _),
     "d07_tfidf" -> (LlmOps.tfidf _),
     "d08_text_stats" -> (LlmOps.textStats _),
     "d09_lang_profile" -> (LlmOps.langProfile _),
@@ -70,7 +70,10 @@ object SparkEntry {
     "d13_simhash_pairs" -> (LlmOps.simhashPairs _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
-    "m02_frame_features" -> (Multimodal.frameFeatures _), // no SQL oracle: stub decode, spec-checked
+    // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
+    // the driver compare can't hash arrays; MultimodalSpec checks the
+    // array-shaped library surface itself.
+    "m02_frame_features" -> (Multimodal.frameFeaturesFlat _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -373,6 +376,25 @@ object SparkEntry {
          |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8
          |ORDER BY i, j""".stripMargin,
+    "d03_minhash_lsh" ->
+      // Same oracle as d02: the banded-MinHash candidates are verified
+      // with EXACT Jaccard before emission, so the output contract is
+      // identical to the exact plan whenever every ≥0.8 pair survives
+      // banding — P[miss] ≈ 2e-4 per pair at the 0.8 boundary under the
+      // fixed splitmix64 hash family, and LlmOpsSpec pins LSH ≡ exact on
+      // this corpus (deterministic: no RNG state anywhere).
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j,
+         |  ${round4("n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common)")} AS jac
+         |FROM common
+         |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8
+         |ORDER BY i, j""".stripMargin,
     "d04_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -384,6 +406,19 @@ object SparkEntry {
          |  ${round4(cosSql("a.v", "b.v"))} AS sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |ORDER BY sim DESC, i, j LIMIT 20""".stripMargin,
+    "d06b_ivf_ann" ->
+      // Global brute-force NN as the oracle: IVF with nprobe=1 attains
+      // exact recall on this corpus (each query's true NN shares its
+      // cell — deterministic: seeded Lloyd centroids, no RNG), and ties
+      // in the rounded sim break by nid exactly as the window does.
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, e.vec_id AS nid,
+         |        ${round4(cosSql("qv", "v"))} AS sim
+         |      FROM q JOIN e ON e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
     "d07_tfidf" ->
       s"""WITH $tokCte,
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -458,12 +493,43 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY i, j""".stripMargin,
     "m01_binary_meta" ->
+      // head_hex is sliced from hex(encode(text)) — BYTE semantics (first
+      // 8 bytes of the UTF-8 payload), mirroring Spark's substring on
+      // BINARY even for non-ASCII text; DuckDB v1.0 has no BLOB substring,
+      // but 2 hex chars per byte makes the hex string slice byte-exact.
+      // md5(VARCHAR) already hashes the UTF-8 bytes, so it needs no fix.
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5,
         |  CAST(ceil(octet_length(encode(text))::DOUBLE / 64) AS BIGINT) AS n_frames,
-        |  upper(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |  upper(substr(hex(encode(text)), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_frame_features" ->
+      // Frame slicing uses char-based substr: the corpora are verified
+      // pure-ASCII (octet_length(encode(text)) = length(text) for every
+      // row at every sf), where char slices ≡ byte slices; DuckDB v1.0
+      // cannot substring/md5 BLOBs directly. frame_len is computed from
+      // encode() so the LENGTH check stays byte-exact regardless.
+      // f0..f3 mirror the Spark float32 roundtrip via CAST(.. AS REAL).
+      s"""WITH fr AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 64)
+         |                      AS BIGINT))) AS frame_id
+         |  FROM documents),
+         |fb AS (
+         |  SELECT doc_id, frame_id,
+         |    substr(text, CAST(frame_id * 64 + 1 AS BIGINT), 64) AS fs
+         |  FROM fr),
+         |h AS (
+         |  SELECT doc_id, frame_id,
+         |    CAST(octet_length(encode(fs)) AS BIGINT) AS frame_len,
+         |    md5(fs) AS hh
+         |  FROM fb)
+         |SELECT doc_id, frame_id, frame_len,
+         |${(0 until 4).map(i => s"  ${round4(
+           s"CAST(CAST(CAST(('0x' || substr(hh, ${i * 2 + 1}, 2)) AS BIGINT)" +
+             " / 255.0 AS REAL) AS DOUBLE)")} AS f$i").mkString(",\n")}
+         |FROM h ORDER BY doc_id, frame_id""".stripMargin,
     "s01_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
          |         '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -25,13 +25,23 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
 
+  /** NULL-element semantics match [[CosineSimilarity]]: a null element in
+    * the common prefix nulls the result (the `aggregate(zip_with(...))`
+    * propagation); checks are emitted only for nullable element types. */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elementsNullable
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       dot += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -43,13 +53,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $dot;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot;
+         |}
        """.stripMargin
     })
 

@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bit-identical and the DuckDB oracle is unaffected.
   *
   * Semantics: sim = Σxᵢyᵢ / (√Σxᵢ² · √Σyᵢ²) over the common prefix of
-  * the two arrays; NULL in → NULL out; zero-norm input → NaN (matches
-  * the division semantics of the SQL form).
+  * the two arrays; NULL array → NULL out; a NULL *element* in the common
+  * prefix → NULL out (same propagation as the `aggregate(zip_with(...))`
+  * fold — a null product nulls the accumulator); zero-norm input → NaN
+  * (matches the division semantics of the SQL form). The per-element
+  * null checks are emitted only when the input types admit null elements,
+  * so the containsNull=false hot path is unchanged.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -42,15 +46,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elementsNullable
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -70,17 +81,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi;
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 

@@ -42,18 +42,26 @@ object Multimodal {
       upper(hex(substring(col("payload"), 1, 8))).as("head_hex"))
       .orderBy("doc_id")
 
-  /** Frame sampling: slice the payload into [[FrameBytes]]-byte frames
-    * (the video-frame / audio-window analog), one row per frame —
-    * scan-parallel, no shuffle. */
-  def frames(s: SparkSession, d: String): DataFrame =
-    mediaTable(s, d)
+  /** Frame sampling over any (doc_id, payload BINARY) media table: slice
+    * the payload into [[FrameBytes]]-byte frames (the video-frame /
+    * audio-window analog), one row per frame — scan-parallel, no shuffle. */
+  def frameRows(media: DataFrame): DataFrame =
+    media
       .withColumn("n_frames",
         ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"))
+      // guard: an empty payload (n_frames = 0) must yield ZERO frame rows —
+      // an unguarded sequence(0, -1) is DESCENDING in Spark and would emit
+      // two bogus frames (ids 0 and -1).
       .select(col("doc_id"), col("payload"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_id"))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1))
+          .otherwise(array().cast("array<int>"))).as("frame_id"))
       .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
         expr(s"substring(payload, frame_id * $FrameBytes + 1, $FrameBytes)")
           .as("frame_bytes"))
+
+  def frames(s: SparkSession, d: String): DataFrame =
+    frameRows(mediaTable(s, d))
 
   /** Frame features via the STUB decoder.
     *
@@ -73,4 +81,20 @@ object Multimodal {
           i => (conv(col("h").substr(i * 2 + 1, lit(2)), 16, 10) / 255.0)
             .cast("float")).as("features"))
       .orderBy("doc_id", "frame_id")
+
+  /** Oracle-facing projection of [[frameFeatures]]: the ARRAY<FLOAT>
+    * feature vector flattened to scalar doubles (f0..f3), because the
+    * driver's pandas-based compare cannot sort/hash an array column.
+    * The float32 roundtrip is kept (element_at on the real float array,
+    * then cast up) so this checks the exact values a library user reads;
+    * DuckDB mirrors it with CAST(x AS REAL)::DOUBLE — verified
+    * bit-identical for every byte value k/255.0. */
+  def frameFeaturesFlat(s: SparkSession, d: String): DataFrame = {
+    val flat = (0 until 4).map(i =>
+      graft.Canon.round4(element_at(col("features"), i + 1).cast("double"))
+        .as(s"f$i"))
+    frameFeatures(s, d)
+      .select(col("doc_id") +: col("frame_id") +: col("frame_len") +: flat: _*)
+      .orderBy("doc_id", "frame_id")
+  }
 }

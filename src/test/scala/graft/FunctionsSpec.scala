@@ -47,4 +47,19 @@ class FunctionsSpec extends SparkSpec {
       bad.select(call_function("cosine_sim", col("a"), col("b"))).collect()
     }
   }
+
+  test("null ELEMENT in the common prefix nulls the result (HOF-fold parity)") {
+    // a null element must propagate to NULL — the same semantics as the
+    // aggregate(zip_with(...)) fold the docs claim bit-identity with —
+    // never silently read as 0.0.
+    val df = Seq(
+      (Seq(Option(1.0), None, Option(3.0)), Seq(Option(1.0), Option(2.0), Option(3.0))),
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(4.0), Option(5.0)))
+    ).toDF("a", "b")
+    val rows = df.select(
+      call_function("cosine_sim", col("a"), col("b")).as("c"),
+      call_function("array_dot", col("a"), col("b")).as("d")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(1) === 14.0)
+  }
 }

@@ -31,6 +31,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => f.length == 4 && f.forall(x => x >= 0f && x <= 1f)))
   }
 
+  test("empty payload yields zero frame rows, not a descending-sequence blowup") {
+    // frameRows is library surface: a 0-byte payload means n_frames = 0,
+    // and an unguarded sequence(0, -1) would emit frames 0 and -1.
+    val media = Seq((1L, Array.emptyByteArray), (2L, "abc".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.frameRows(media)
+      .select("doc_id", "frame_id").as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((2L, 0L)))
+  }
+
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
