@@ -68,6 +68,8 @@ object SparkEntry {
     "d11_fingerprint" -> (LlmOps.fingerprint _),
     "d12_simhash" -> (LlmOps.simhash _),
     "d13_simhash_pairs" -> (LlmOps.simhashPairs _),
+    "d14_doc_chunks" -> (LlmOps.docChunks _),
+    "d15_quantize" -> (LlmOps.quantizeEmbeddings _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -82,6 +84,10 @@ object SparkEntry {
     "s03_session_window" -> (Streaming.sessions _),
     "s04_dedup_first" -> (Streaming.dedupFirst _),
     "s05_stateful_ordinal" -> (Streaming.stateOrdinal _),
+    "s06_stream_stream_join" -> (Streaming.streamJoin _),
+    // — file-format source/sink round-trips (CSV, line-JSON) —
+    "f01_csv_roundtrip" -> (Sources.csvRoundtrip _),
+    "f02_json_roundtrip" -> (Sources.jsonRoundtrip _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -492,6 +498,60 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY i, j""".stripMargin,
+    "d14_doc_chunks" ->
+      // list slices are 1-based inclusive and clamp at the end, matching
+      // Spark's slice(); (len-1)//40 integer-div ≡ floor((n-1)/40).
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t,
+        |        unnest(range((len(t) - 1) // 40 + 1)) AS chunk_id FROM t),
+        |ch AS (SELECT doc_id, chunk_id,
+        |         t[chunk_id * 40 + 1 : chunk_id * 40 + 50] AS chunk FROM c)
+        |SELECT doc_id, chunk_id, CAST(chunk_id * 40 AS BIGINT) AS start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+        |  chunk[1] AS head_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "d15_quantize" ->
+      // DECIMAL(30,0) casts round half-away-from-zero in both engines
+      // (double `round` does not agree); the integer aggregates are exact.
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |       FROM e),
+         |q AS (SELECT vec_id, scale,
+         |        CASE WHEN scale > 0
+         |          THEN list_transform(v,
+         |                 x -> CAST(CAST(x / scale AS DECIMAL(30,0)) AS BIGINT))
+         |          ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+         |      FROM sc)
+         |SELECT vec_id, ${round4("scale")} AS scale4,
+         |  CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT)
+         |    AS q_norm2,
+         |  CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT)
+         |    AS q_l1,
+         |  CAST(list_max(q) AS BIGINT) AS q_max,
+         |  CAST(list_min(q) AS BIGINT) AS q_min
+         |FROM q ORDER BY vec_id""".stripMargin,
+    "s06_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |             event_type, value FROM events),
+        |err AS (SELECT event_id AS err_id, user_id, ts AS err_ts FROM e
+        |        WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+        |        value AS purchase_value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT err.err_id, err.user_id, p.purchase_id,
+        |  strftime(err.err_ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  p.purchase_value
+        |FROM err JOIN p ON err.user_id = p.user_id
+        |  AND p.p_ts <= err.err_ts
+        |  AND p.p_ts >= err.err_ts - INTERVAL 30 MINUTE
+        |ORDER BY err_id, purchase_id""".stripMargin,
+    // The round-trip oracles aggregate the ORIGINAL parquet — a lossy
+    // CSV/JSON write+read (type, precision, quoting) breaks the match.
+    "f01_csv_roundtrip" -> partSummarySql,
+    "f02_json_roundtrip" -> partSummarySql,
     "m01_binary_meta" ->
       // head_hex is sliced from hex(encode(text)) — BYTE semantics (first
       // 8 bytes of the UTF-8 payload), mirroring Spark's substring on
@@ -574,6 +634,13 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
+
+  private def partSummarySql: String =
+    s"""SELECT p_brand, count(*) AS n_parts,
+       |  ${dsum("p_retailprice")} AS total_retail,
+       |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+       |  min(p_name) AS min_name, max(p_name) AS max_name
+       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   // ——— shared DuckDB fragments for the d* oracles ———
 

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-format source/sink exercises beyond parquet and text: CSV and
+  * JSON (line-delimited) round-trips.
+  *
+  * Each query writes a projection of `part` to the format under test
+  * (inside the build's `target/` dir), reads it back with the ORIGINAL
+  * schema — so type fidelity is part of the check: doubles survive via
+  * shortest-roundtrip text, quoting survives names with spaces — and
+  * aggregates the re-read rows. The DuckDB oracle computes the same
+  * aggregate from the original parquet, so any loss in the round-trip
+  * (type, precision, quoting, nulls) breaks the hash match.
+  *
+  * Scale note: both sinks write one file per partition (no coalesce) —
+  * the same layout a cluster write produces; the re-read is a normal
+  * distributed scan.
+  */
+object Sources {
+  import Canon._
+
+  private def dir(name: String): String =
+    new java.io.File(s"target/roundtrip/$name").getAbsolutePath
+
+  private def partCols(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+  /** Shared post-roundtrip aggregate: per brand, count, exact
+    * revenue-ish sum, size sum, and min/max name (string fidelity). */
+  private def summarize(back: DataFrame): DataFrame =
+    back.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("total_retail"),
+        sum(col("p_size")).cast("long").as("sum_size"),
+        min(col("p_name")).as("min_name"),
+        max(col("p_name")).as("max_name"))
+      .orderBy("p_brand")
+
+  /** f01 — CSV sink + source round-trip (header, quoting, typed read). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val orig = partCols(s, d)
+    val path = dir("part_csv")
+    orig.write.mode("overwrite").option("header", "true").csv(path)
+    summarize(s.read.option("header", "true").schema(orig.schema).csv(path))
+  }
+
+  /** f02 — line-delimited JSON sink + source round-trip (typed read). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val orig = partCols(s, d)
+    val path = dir("part_json")
+    orig.write.mode("overwrite").json(path)
+    summarize(s.read.schema(orig.schema).json(path))
+  }
+}

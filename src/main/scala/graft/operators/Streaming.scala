@@ -73,6 +73,42 @@ object Streaming {
   def sessions(s: SparkSession, d: String): DataFrame =
     sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_start")
 
+  /** E16c — stream-stream inner join: each error event joined to every
+    * purchase by the same user in the preceding 30 minutes.
+    *
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both ends, which is exactly what Spark's stream-stream
+    * join needs to evict buffered state (without the time bound, both
+    * sides would buffer forever). On the batch path the same
+    * transformation is a plain range join the DuckDB oracle replays.
+    * At scale this shuffles both streams on `user_id` once; state per
+    * key is bounded by the 30-minute window + watermark slack. */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"),
+        col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "2 hours")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "2 hours")
+    e.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") <= col("err_ts") &&
+        col("p_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("err_id"), col("user_id"), col("purchase_id"),
+        tsStr(col("err_ts")).as("err_ts"),
+        tsStr(col("p_ts")).as("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  /** Batch entry for [[errorPurchaseJoin]]. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    errorPurchaseJoin(
+      ev.filter(col("event_type") === "error"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("err_id", "purchase_id")
+  }
+
   /** E17b — stateful dedup, batch form: keep the first event per
     * (user_id, event_type) by event time (unique tie-break on event_id).
     * The streaming form is `dropDuplicatesWithinWatermark` /

@@ -95,4 +95,49 @@ class LlmOpsSpec extends SparkSpec {
       assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq)
     }
   }
+
+  test("doc chunks tile every token: contiguous ids, stride starts, full coverage") {
+    val nTokens = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = LlmOps.docChunks(spark, Sf)
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_toks")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(chunks.map(_._1).distinct.length === nTokens.size)
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
+      sorted.foreach { case (_, cid, start, len) =>
+        assert(start === cid * LlmOps.ChunkStride)
+        assert(len === math.min(LlmOps.ChunkTokens.toLong, n - start))
+      }
+      // stride < size ⇒ windows overlap; last chunk must end exactly at n
+      val last = sorted.last
+      assert(last._3 + last._4 === n.toLong, s"doc $doc coverage")
+    }
+  }
+
+  test("int8 quantization: q in [-127,127], dequantization error ≤ scale/2") {
+    val qs = LlmOps.quantizeEmbeddings(spark, Sf)
+      .select("vec_id", "scale4", "q_max", "q_min")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(qs.length === 500)
+    qs.foreach { case (_, scale4, qMax, qMin) =>
+      assert(qMax <= 127 && qMin >= -127)
+      assert(scale4 > 0)
+    }
+    // independent recompute: per-element |v_i − q_i·scale| ≤ scale/2
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    vecs.take(50).foreach { case (_, v) =>
+      val scale = v.map(math.abs).max / 127.0
+      v.foreach { x =>
+        val q = BigDecimal(x / scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        assert(math.abs(x - q * scale) <= scale / 2 + 1e-12)
+        assert(q.abs <= 127)
+      }
+    }
+  }
 }

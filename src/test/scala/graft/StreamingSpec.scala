@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("stream-stream join: streaming output equals batch output") {
+    implicit val ctx = spark.sqlContext
+    val errSrc = MemoryStream[Ev]
+    val purSrc = MemoryStream[Ev]
+    val q = Streaming.errorPurchaseJoin(errSrc.toDF(), purSrc.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    val errs = replay.filter(_.event_type == "error")
+    val purs = replay.filter(_.event_type == "purchase")
+    try {
+      // interleaved uneven chunks: matches must be found across
+      // micro-batch boundaries in both directions (buffered state)
+      val ec = errs.grouped(errs.size / 3 + 1).toSeq
+      val pc = purs.grouped(purs.size / 4 + 1).toSeq
+      ec.zipAll(pc, Seq.empty[Ev], Seq.empty[Ev]).foreach { case (e, p) =>
+        if (e.nonEmpty) errSrc.addData(e)
+        q.processAllAvailable()
+        if (p.nonEmpty) purSrc.addData(p)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_ssjoin")
+    val batch = Streaming.streamJoin(spark, Sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("within-watermark dedup: firsts ⊆ emitted ⊊ input (state eviction re-emits)") {
     val emitted = runStream("t_dedup_wm", Streaming.streamingDedupWithinWatermark)
       .filter(col("event_id") =!= SentinelId)
