@@ -40,6 +40,7 @@ object SparkEntry {
     "e11_cube_agg" -> (Relational.cubeAgg _),
     "e11b_grouping_sets" -> (Relational.groupingSets _),
     "e12_rank_window" -> (Relational.rankWindow _),
+    "e12b_distribution_window" -> (Relational.distributionWindow _),
     "e15b_pivot" -> (Relational.pivotOrders _),
     "e15c_unpivot" -> (Relational.unpivotParts _),
     "e13_analytic_window" -> (Relational.analyticWindow _),
@@ -51,6 +52,8 @@ object SparkEntry {
     "e19_region_supplier" -> (Relational.regionSupplier _),
     "e20_asof_join" -> (AsofJoin.errorAsofPurchase _),
     "e21_salted_agg" -> (Relational.saltedAgg _),
+    // the SQL front-end surface (spark.sql over temp views)
+    "e22_sql_frontend" -> (Relational.sqlFrontend _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
@@ -85,9 +88,12 @@ object SparkEntry {
     "s04_dedup_first" -> (Streaming.dedupFirst _),
     "s05_stateful_ordinal" -> (Streaming.stateOrdinal _),
     "s06_stream_stream_join" -> (Streaming.streamJoin _),
+    // same ordinal contract as s05 via the Spark 4 transformWithState API
+    "s07_stateful_ordinal_tws" -> (Streaming.stateOrdinalTws _),
     // — file-format source/sink round-trips (CSV, line-JSON) —
     "f01_csv_roundtrip" -> (Sources.csvRoundtrip _),
     "f02_json_roundtrip" -> (Sources.jsonRoundtrip _),
+    "f03_partitioned_parquet" -> (Sources.partitionedParquet _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -248,6 +254,15 @@ object SparkEntry {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "e12b_distribution_window" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |  ${round4("percent_rank() OVER w")} AS pct_rank,
+         |  ${round4("cume_dist() OVER w")} AS cume
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |             ORDER BY o_totalprice DESC, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e13_analytic_window" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,
@@ -532,6 +547,14 @@ object SparkEntry {
          |  CAST(list_max(q) AS BIGINT) AS q_max,
          |  CAST(list_min(q) AS BIGINT) AS q_min
          |FROM q ORDER BY vec_id""".stripMargin,
+    "s07_stateful_ordinal_tws" ->
+      // identical contract to s05 — same row_number oracle, different
+      // state API on the Spark side.
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       AS BIGINT) AS ordinal
+        |FROM e ORDER BY user_id, ordinal""".stripMargin,
     "s06_stream_stream_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |             event_type, value FROM events),
@@ -548,10 +571,27 @@ object SparkEntry {
         |  AND p.p_ts <= err.err_ts
         |  AND p.p_ts >= err.err_ts - INTERVAL 30 MINUTE
         |ORDER BY err_id, purchase_id""".stripMargin,
+    "e22_sql_frontend" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  count(*) AS n_items,
+         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY n_name, yr""".stripMargin,
     // The round-trip oracles aggregate the ORIGINAL parquet — a lossy
     // CSV/JSON write+read (type, precision, quoting) breaks the match.
     "f01_csv_roundtrip" -> partSummarySql,
     "f02_json_roundtrip" -> partSummarySql,
+    "f03_partitioned_parquet" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_price
+         |FROM orders WHERE year(o_orderdate) = 1995
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "m01_binary_meta" ->
       // head_hex is sliced from hex(encode(text)) — BYTE semantics (first
       // 8 bytes of the UTF-8 payload), mirroring Spark's substring on

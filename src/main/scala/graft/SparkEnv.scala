@@ -31,6 +31,17 @@ object SparkEnv {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // RocksDB state store: required by transformWithState (the HDFS-
+      // backed provider lacks its column families) and the production
+      // choice for all stateful streaming at scale (incremental
+      // checkpoints, state larger than heap).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // transformWithState under BATCH execution has no StateStoreCoordinator
+      // endpoint; snapshot-lag reporting would fail the query with
+      // RpcEndpointNotFoundException. The report is telemetry, not state.
+      .config("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -210,6 +210,46 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** E22 — the SQL front-end: the same engine driven entirely through
+    * `spark.sql` over registered temp views (TPC-H Q5 shape — regional
+    * revenue per nation-year). The DataFrame queries and this SQL share
+    * one Catalyst pipeline, so broadcasts/partial-aggs/pushdown behave
+    * identically; this entry pins that the SQL surface is wired up
+    * (views, ANSI parsing, decimal canonicalization in SQL form). */
+  def sqlFrontend(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation", "region")
+      .foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name, yr""".stripMargin)
+  }
+
+  /** E10b — distribution windows: ntile / percent_rank / cume_dist per
+    * customer (the quartile-bucketing shape of feature engineering).
+    * percent_rank and cume_dist are exact small-integer ratios, but both
+    * engines compute them as double divisions — round4 keeps the compare
+    * insensitive to representation noise. */
+  def distributionWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round4(percent_rank().over(w)).as("pct_rank"),
+        round4(cume_dist().over(w)).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** E11 — analytic windows: lag/lead + running revenue per customer. */
   def analyticWindow(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -55,4 +55,24 @@ object Sources {
     orig.write.mode("overwrite").json(path)
     summarize(s.read.schema(orig.schema).json(path))
   }
+
+  /** f03 — Hive-style partitioned parquet sink + pruned re-read: orders
+    * written partitioned by order year, re-read with a single-year
+    * predicate. The year filter prunes to one directory at planning time
+    * (PartitionFilters in the scan — the disk-layout analog of the
+    * bucketed-join test in StorageSpec); the oracle recomputes from the
+    * original table, so partition-column round-trip fidelity is checked
+    * too. */
+  def partitionedParquet(s: SparkSession, d: String): DataFrame = {
+    val path = dir("orders_by_year")
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
 }

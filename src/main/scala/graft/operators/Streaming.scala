@@ -180,4 +180,57 @@ object Streaming {
     statefulOrdinal(Tables.events(s, d))
       .select(col("user_id"), col("event_id"), col("ordinal"))
       .orderBy("user_id", "ordinal")
+
+  /** E17d — the same per-user arrival ordinal via `transformWithState`,
+    * Spark 4's arbitrary-state API (typed ValueState handles, explicit
+    * TimeMode, per-state TTL — the successor to
+    * [[flatMapGroupsWithState]]). Implementing the SAME contract as
+    * [[statefulOrdinal]] on both APIs pins their equivalence: one
+    * oracle (the row_number window) checks both, and StreamingSpec runs
+    * this one as a real stream too. State is one Long per user. */
+  def statefulOrdinalTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+    // BATCH execution of transformWithState loads a transient state store,
+    // whose RocksDB snapshot-upload report needs the driver-side
+    // StateStoreCoordinator RPC endpoint — which only *streaming* query
+    // startup normally creates (RpcEndpointNotFoundException otherwise).
+    // forDriver is create-or-lookup (idempotent), so this is safe whether
+    // or not a streaming query already registered it.
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+    val ds = events
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    class OrdinalProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), (Long, Long, Long)] {
+      @transient private var count: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, java.sql.Timestamp, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+        // iterator order is not defined: impose event-time order so the
+        // output is batching-invariant (same as statefulOrdinal)
+        val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+        val start = if (count.exists()) count.get() else 0L
+        count.update(start + sorted.size)
+        sorted.iterator.zipWithIndex.map { case ((eid, _, _), i) =>
+          (key, eid, start + i + 1)
+        }
+      }
+    }
+    ds.groupByKey(_._3)
+      .transformWithState(new OrdinalProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "ordinal")
+  }
+
+  /** Batch entry for [[statefulOrdinalTws]] (same oracle as s05). */
+  def stateOrdinalTws(s: SparkSession, d: String): DataFrame =
+    statefulOrdinalTws(Tables.events(s, d))
+      .select(col("user_id"), col("event_id"), col("ordinal"))
+      .orderBy("user_id", "ordinal")
 }

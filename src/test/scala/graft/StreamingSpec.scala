@@ -118,6 +118,19 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("transformWithState ordinals: streaming ≡ batch ≡ flatMapGroupsWithState") {
+    val streamed = runStream("t_ordinal_tws", Streaming.statefulOrdinalTws)
+      .filter(col("event_id") =!= SentinelId)
+      .select("user_id", "event_id", "ordinal")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Streaming.stateOrdinalTws(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val legacyApi = Streaming.stateOrdinal(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch === legacyApi, "both state APIs must implement one contract")
+  }
+
   test("stream-stream join: streaming output equals batch output") {
     implicit val ctx = spark.sqlContext
     val errSrc = MemoryStream[Ev]
