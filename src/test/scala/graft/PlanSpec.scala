@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("partitioned round-trip query prunes to the single-year directory") {
+    val scan = planOf("f03_partitioned_parquet").collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head
+    val partFilters = scan.metadata("PartitionFilters")
+    assert(partFilters.contains("o_year"),
+      s"year predicate must prune partitions, got: $partFilters")
+  }
+
   test("native cosine expression stays inside whole-stage codegen") {
     val df = LlmOps.embedNearDup(spark, Sf)
     df.collect() // run so AQE finalizes and codegen spans materialize
