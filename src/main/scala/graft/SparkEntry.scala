@@ -73,6 +73,8 @@ object SparkEntry {
     "d13_simhash_pairs" -> (LlmOps.simhashPairs _),
     "d14_doc_chunks" -> (LlmOps.docChunks _),
     "d15_quantize" -> (LlmOps.quantizeEmbeddings _),
+    // composed prep pipeline: dedup → quality gate → chunk, one plan
+    "d16_prep_pipeline" -> (LlmOps.prepPipeline _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -547,6 +549,30 @@ object SparkEntry {
          |  CAST(list_max(q) AS BIGINT) AS q_max,
          |  CAST(list_min(q) AS BIGINT) AS q_min
          |FROM q ORDER BY vec_id""".stripMargin,
+    "d16_prep_pipeline" ->
+      // mirrors d01 (dedup keep-rule) → d08 (quality formula, with the
+      // same intermediate round4 on the ratio) → d14 (chunk CTEs).
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |    FROM documents)
+        |  GROUP BY norm),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM keep)),
+        |g AS (SELECT doc_id, t FROM d
+        |      WHERE CAST(CAST(ln(1.0 + len(t)) *
+        |              CAST(CAST(len(list_distinct(t))::DOUBLE / len(t)
+        |                   AS DECIMAL(30,4)) AS DOUBLE)
+        |            AS DECIMAL(30,4)) AS DOUBLE) >= 1.8),
+        |c AS (SELECT doc_id, t,
+        |        unnest(range((len(t) - 1) // 40 + 1)) AS chunk_id FROM g),
+        |ch AS (SELECT doc_id, chunk_id,
+        |         t[chunk_id * 40 + 1 : chunk_id * 40 + 50] AS chunk FROM c)
+        |SELECT doc_id, chunk_id, CAST(chunk_id * 40 AS BIGINT) AS start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+        |  chunk[1] AS head_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "s07_stateful_ordinal_tws" ->
       // identical contract to s05 — same row_number oracle, different
       // state API on the Spark side.

@@ -118,6 +118,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("prep pipeline = gated subset of plain chunking (stage consistency)") {
+    val all = LlmOps.docChunks(spark, Sf)
+      .select("doc_id", "chunk_id", "chunk_md5")
+      .as[(Long, Long, String)].collect().toSet
+    val piped = LlmOps.prepPipeline(spark, Sf)
+      .select("doc_id", "chunk_id", "chunk_md5")
+      .as[(Long, Long, String)].collect().toSet
+    assert(piped.nonEmpty && piped.size < all.size, "gate must drop some docs")
+    assert(piped.subsetOf(all), "pipeline chunks must be identical to d14's for surviving docs")
+    // surviving docs keep ALL their chunks (the gate is per-doc, not per-chunk)
+    val survivors = piped.map(_._1)
+    assert(all.filter(c => survivors(c._1)) === piped)
+  }
+
   test("int8 quantization: q in [-127,127], dequantization error ≤ scale/2") {
     val qs = LlmOps.quantizeEmbeddings(spark, Sf)
       .select("vec_id", "scale4", "q_max", "q_min")
