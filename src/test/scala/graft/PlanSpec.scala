@@ -43,7 +43,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dimension joins broadcast the dimension side") {
-    Seq("e02_broadcast_join", "e10_rollup_agg", "e19_region_supplier").foreach { q =>
+    Seq("e02_broadcast_join", "e10_rollup_agg", "e19_region_supplier",
+        "e22_sql_frontend").foreach { q =>
       assert(planOf(q).toString.contains("BroadcastHashJoin"),
         s"$q should broadcast its dimension tables")
     }
