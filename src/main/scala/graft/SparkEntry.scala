@@ -44,6 +44,7 @@ object SparkEntry {
     "e15b_pivot" -> (Relational.pivotOrders _),
     "e15c_unpivot" -> (Relational.unpivotParts _),
     "e13_analytic_window" -> (Relational.analyticWindow _),
+    "e13b_range_frame" -> (Relational.rangeFrame _),
     "e14_topk_orders" -> (Relational.topkOrders _),
     "e15_set_ops" -> (Relational.setOps _),
     "e16_scalar_funcs" -> (Relational.scalarFuncs _),
@@ -275,6 +276,17 @@ object SparkEntry {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e13b_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |       AS BIGINT) AS day_num,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS rev_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e14_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

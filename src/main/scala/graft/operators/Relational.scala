@@ -266,6 +266,23 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** E11b — RANGE-framed window: trailing-30-day revenue per customer.
+    * Unlike the ROWS frame in [[analyticWindow]], a RANGE frame bounds by
+    * ORDER-BY *value* (all peers of a day enter together), so the frame
+    * is insensitive to row order among ties — the day-number column makes
+    * the offsets integral and identical across engines. */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("day_num",
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("rev_30d"),
+        count(lit(1)).over(w).cast("long").as("n_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** E12 — total sort + limit: Catalyst plans TakeOrderedAndProject
     * (per-partition top-k + driver merge of k×partitions rows — never a
     * full global sort). */
