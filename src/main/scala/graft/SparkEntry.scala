@@ -55,6 +55,7 @@ object SparkEntry {
     "e21_salted_agg" -> (Relational.saltedAgg _),
     // the SQL front-end surface (spark.sql over temp views)
     "e22_sql_frontend" -> (Relational.sqlFrontend _),
+    "e23_correlated_subquery" -> (Relational.correlatedSubquery _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
@@ -621,6 +622,16 @@ object SparkEntry {
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name, year(o_orderdate)
          |ORDER BY n_name, yr""".stripMargin,
+    "e23_correlated_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 1.5 *
+        |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |              / COUNT(*)
+        |       FROM orders))
+        |ORDER BY c_custkey""".stripMargin,
     // The round-trip oracles aggregate the ORIGINAL parquet — a lossy
     // CSV/JSON write+read (type, precision, quoting) breaks the match.
     "f01_csv_roundtrip" -> partSummarySql,

@@ -234,6 +234,30 @@ object Relational {
         |ORDER BY n_name, yr""".stripMargin)
   }
 
+  /** E23 — correlated + scalar subqueries: customers with any order above
+    * 1.5× the global average order price. Exercises Catalyst's subquery
+    * machinery end-to-end — the scalar subquery becomes a broadcast
+    * one-row plan and the correlated EXISTS is DECORRELATED into a left
+    * semi join (never a per-row re-execution; the global no-cartesian
+    * plan audit covers this query too). The average is a decimal-exact
+    * sum/count so the comparison threshold is bit-identical across
+    * engines — a double `avg` is order-dependent and could flip rows at
+    * the boundary. */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 1.5 *
+        |      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |              / COUNT(*)
+        |       FROM orders))
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** E10b — distribution windows: ntile / percent_rank / cume_dist per
     * customer (the quartile-bucketing shape of feature engineering).
     * percent_rank and cume_dist are exact small-integer ratios, but both

@@ -11,14 +11,28 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, Sf).queryExecution.sparkPlan
 
+  /** All physical nodes including physically-planned subqueries.
+    * `collectWithSubqueries` is unusable here: on `sparkPlan` (pre-AQE) a
+    * scalar/EXISTS subquery's `PlanExpression.plan` can still be a
+    * LOGICAL plan, and the typed partial function then throws
+    * ClassCastException on it — so descend manually and keep only
+    * genuinely physical subtrees. */
+  private def allPhysical(p: SparkPlan): Seq[SparkPlan] = {
+    val subs = p.expressions
+      .flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => pe.plan
+      })
+      .collect { case sp: SparkPlan => sp }
+    p +: (p.children ++ subs).flatMap(allPhysical)
+  }
+
   test("no query plans a non-broadcast cartesian product") {
     // BroadcastNestedLoopJoin against a tiny broadcast side (query
     // vector, seed table, scalar count) is intentional in d03/d04/d07/
     // d10; an unbroadcast CartesianProductExec is never acceptable.
     SparkEntry.queries.keys.foreach { name =>
-      val cartesians = planOf(name).collectWithSubqueries {
-        case c: CartesianProductExec => c
-      }
+      val cartesians = allPhysical(planOf(name))
+        .filter(_.isInstanceOf[CartesianProductExec])
       assert(cartesians.isEmpty, s"$name plans a cartesian product")
     }
   }
