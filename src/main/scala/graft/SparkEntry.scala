@@ -36,6 +36,7 @@ object SparkEntry {
     "e08_pricing_summary" -> (Relational.pricingSummary _),
     "e09_distinct_agg" -> (Relational.distinctAgg _),
     "e09b_approx_distinct" -> (Relational.approxDistinct _),
+    "e09c_percentiles" -> (Relational.percentiles _),
     "e10_rollup_agg" -> (Relational.rollupAgg _),
     "e11_cube_agg" -> (Relational.cubeAgg _),
     "e11b_grouping_sets" -> (Relational.groupingSets _),
@@ -226,6 +227,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e09c_percentiles" ->
+      // price_median can land between two doubles (interpolated midpoint)
+      // — round4 guards the representation; the quantity quartiles are
+      // exactly representable (k or k.5) either way.
+      s"""SELECT l_returnflag,
+         |  quantile_cont(l_quantity, 0.25) AS q25,
+         |  quantile_cont(l_quantity, 0.5) AS median,
+         |  quantile_cont(l_quantity, 0.75) AS q75,
+         |  ${round4("quantile_cont(l_extendedprice, 0.5)")} AS price_median
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e10_rollup_agg" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue

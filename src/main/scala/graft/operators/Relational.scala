@@ -161,6 +161,22 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** E8c — exact percentiles (sort-based aggregate): quartiles of
+    * `l_quantity` per return flag. `percentile` with linear interpolation
+    * over small integers yields values exactly representable in binary
+    * (k or k.5 here), and Spark and DuckDB (`quantile_cont`) implement
+    * the same standard interpolation — verified cross-engine. The
+    * approx variant for 100 TB is e09b's sketch pattern. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        round4(expr("percentile(l_extendedprice, 0.5)")).as("price_median"))
+      .orderBy("l_returnflag")
+
   /** E9 — rollup over nation × order-year. */
   def rollupAgg(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)

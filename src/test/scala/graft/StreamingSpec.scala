@@ -157,6 +157,31 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("file sink: append-mode windowed agg to parquet files ≡ batch") {
+    // the other half of the streaming I/O matrix (file SOURCE is tested
+    // above): watermark-finalized windows append to a parquet directory
+    // with a checkpoint; the sentinel advances the watermark past every
+    // real window so all of them finalize and flush.
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-file-sink").toString
+    val src = MemoryStream[Ev]
+    val q = Streaming.tumblingAgg(src.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      replay.grouped(math.max(1, replay.size / 4 + 1)).foreach { chunk =>
+        src.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/out")
+      .filter(col("event_type") =!= "sentinel")
+    val batch = Streaming.tumbling(spark, Sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("within-watermark dedup: firsts ⊆ emitted ⊊ input (state eviction re-emits)") {
     val emitted = runStream("t_dedup_wm", Streaming.streamingDedupWithinWatermark)
       .filter(col("event_id") =!= SentinelId)
