@@ -46,6 +46,8 @@ object SparkEntry {
     "e15c_unpivot" -> (Relational.unpivotParts _),
     "e13_analytic_window" -> (Relational.analyticWindow _),
     "e13b_range_frame" -> (Relational.rangeFrame _),
+    "e13c_value_windows" -> (Relational.valueWindows _),
+    "e24_date_spine" -> (Relational.dateSpine _),
     "e14_topk_orders" -> (Relational.topkOrders _),
     "e15_set_ops" -> (Relational.setOps _),
     "e16_scalar_funcs" -> (Relational.scalarFuncs _),
@@ -300,6 +302,29 @@ object SparkEntry {
         |  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e13c_value_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e24_date_spine" ->
+      s"""WITH spine AS (
+         |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+         |    DATE '2001-08-01', INTERVAL 1 MONTH)) AS DATE) AS month_start),
+         |counts AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         |    count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT strftime(spine.month_start, '%Y-%m-%d') AS month_start,
+         |  coalesce(n_orders, 0) AS n_orders,
+         |  coalesce(revenue, 0.0) AS revenue
+         |FROM spine LEFT JOIN counts USING (month_start)
+         |ORDER BY month_start""".stripMargin,
     "e14_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -323,6 +323,43 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** E11c — value windows: first/last/nth order price per customer over
+    * the full partition frame (first_value/last_value/nth_value are the
+    * remaining window-function family after rank/analytic/distribution).
+    * The frame must be explicitly unbounded-both-ways: last_value over
+    * the default frame is just the current row. */
+  def valueWindows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** E24 — calendar densification (the date-spine pattern): one row per
+    * month of the data's span, zero-filled where no orders exist — the
+    * gap-free time series every dashboard needs. The spine is generated
+    * (`sequence` + explode — a few dozen rows), never scanned, and the
+    * spine⋈facts join broadcasts the spine. */
+  def dateSpine(s: SparkSession, d: String): DataFrame = {
+    val spine = s.range(1)
+      .select(explode(expr(
+        "sequence(to_date('1995-01-01'), to_date('2001-08-01'), interval 1 month)"))
+        .as("month_start"))
+    val counts = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    spine.join(counts, Seq("month_start"), "left_outer")
+      .select(dateStr(col("month_start")).as("month_start"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("month_start")
+  }
+
   /** E12 — total sort + limit: Catalyst plans TakeOrderedAndProject
     * (per-partition top-k + driver merge of k×partitions rows — never a
     * full global sort). */
