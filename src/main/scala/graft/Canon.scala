@@ -36,7 +36,15 @@ object Canon {
     * `CAST(CAST(x AS DECIMAL(30,2)) AS DOUBLE)`. */
   def round2(c: Column): Column = c.cast(DecimalType(30, 2)).cast(DoubleType)
 
-  /** 4-decimal variant for ratios/similarities. */
+  /** 4-decimal variant for ratios/similarities.
+    *
+    * Use ONLY where the two engines may compute *different* doubles
+    * (multi-op float chains, ln/exp, order-dependent folds). When both
+    * engines run the SAME single IEEE op on the same inputs (one
+    * division, one multiply) the raw double is already bit-identical —
+    * and rounding it can *introduce* divergence: a value within ~1ulp of
+    * a .00005 boundary rounds by string-repr in Spark but by ×10⁴
+    * arithmetic in DuckDB (observed on 951.3/48 = 19.81874999…). */
   def round4(c: Column): Column = c.cast(DecimalType(30, 4)).cast(DoubleType)
 
   /** Timestamps leave query outputs as formatted strings so parquet

@@ -53,6 +53,7 @@ object SparkEntry {
     "e16_scalar_funcs" -> (Relational.scalarFuncs _),
     "e17_date_funcs" -> (Relational.dateFuncs _),
     "e18_json_events" -> (Relational.jsonEvents _),
+    "e18b_try_funcs" -> (Relational.tryFuncs _),
     "e19_region_supplier" -> (Relational.regionSupplier _),
     "e20_asof_join" -> (AsofJoin.errorAsofPurchase _),
     "e21_salted_agg" -> (Relational.saltedAgg _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "d15_quantize" -> (LlmOps.quantizeEmbeddings _),
     // composed prep pipeline: dedup → quality gate → chunk, one plan
     "d16_prep_pipeline" -> (LlmOps.prepPipeline _),
+    "d17_hash_split" -> (LlmOps.hashSplit _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -390,6 +392,15 @@ object SparkEntry {
         |  value
         |FROM events WHERE event_type IN ('error', 'purchase')
         |ORDER BY event_id""".stripMargin,
+    "e18b_try_funcs" ->
+      s"""SELECT p_partkey,
+         |  CASE WHEN p_size - p_size = 0 THEN NULL
+         |       ELSE p_retailprice / (p_size - p_size) END AS div_zero,
+         |  p_retailprice / p_size AS price_per_size,
+         |  TRY_CAST(p_name AS INT) AS name_as_int,
+         |  string_split(p_name, ' ')[100] AS tok100,
+         |  CAST(p_size + 1 AS BIGINT) AS size_plus
+         |FROM part ORDER BY p_partkey""".stripMargin,
     "e19_region_supplier" ->
       // min() mirrors Spark's any_value: r_regionkey is functionally
       // dependent on r_name, so every choice is the same value.
@@ -622,6 +633,16 @@ object SparkEntry {
         |  chunk[1] AS head_tok,
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "d17_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "s07_stateful_ordinal_tws" ->
       // identical contract to s05 — same row_number oracle, different
       // state API on the Spark side.

@@ -177,6 +177,25 @@ object Relational {
         round4(expr("percentile(l_extendedprice, 0.5)")).as("price_median"))
       .orderBy("l_returnflag")
 
+  /** E14b — ANSI-safe `try_*` functions. Spark 4 runs ANSI mode by
+    * default (overflow/bad-cast/div-zero THROW), so `try_divide` /
+    * `try_cast` / `try_element_at` are the sanctioned null-on-error
+    * variants a pipeline uses for dirty data; each column here exercises
+    * one failure mode (division by zero, unparseable cast, out-of-bounds
+    * index) plus the happy path. */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div_zero"),
+        // raw double division: a single IEEE op is bit-identical across
+        // engines, while round4 here would round a value ~1e-15 from a
+        // .00005 boundary differently (string-repr vs multiply rounding)
+        expr("try_divide(p_retailprice, p_size)").as("price_per_size"),
+        expr("try_cast(p_name AS INT)").as("name_as_int"),
+        expr("try_element_at(split(p_name, ' '), 100)").as("tok100"),
+        expr("try_add(p_size, 1)").cast("long").as("size_plus"))
+      .orderBy("p_partkey")
+
   /** E9 — rollup over nation × order-year. */
   def rollupAgg(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
