@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{LlmOps, Multimodal, Relational, Streaming}
+import org.apache.spark.sql.types.StructType
+
+/** Empty-input robustness: every operator family must return an EMPTY
+  * result — not throw — when its input tables have zero rows (day-one
+  * state of any real deployment, and a guard against expressions that
+  * assume ≥1 row: element_at, max-over-empty, seeded centroids). */
+class EmptyInputSpec extends SparkSpec {
+
+  /** Schema-correct, zero-row copies of the driver tables. */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq("documents", "embeddings", "events", "orders", "customer",
+      "lineitem", "nation", "region", "supplier", "part").foreach { t =>
+      val schema = spark.read.parquet(s"$Sf/$t.parquet").schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema)).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("LLM-pipeline operators yield zero rows on an empty corpus") {
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "exactDedup" -> (LlmOps.exactDedup _),
+      "ngramJaccard" -> (LlmOps.ngramJaccard _),
+      "minhashNearDup" -> (LlmOps.minhashNearDup _),
+      "simhashPairs" -> (LlmOps.simhashPairs _),
+      "fingerprint" -> (LlmOps.fingerprint _),
+      "cosineTopK" -> (LlmOps.cosineTopK _),
+      "embedNearDup" -> (LlmOps.embedNearDup _),
+      "annLsh" -> (LlmOps.annLsh _),
+      "ivfAnn" -> (LlmOps.ivfAnn _),
+      "tfidf" -> (LlmOps.tfidf _),
+      "textStats" -> (LlmOps.textStats _),
+      "langProfile" -> (LlmOps.langProfile _),
+      "langId" -> (LlmOps.langId _),
+      "docChunks" -> (LlmOps.docChunks _),
+      "quantize" -> (LlmOps.quantizeEmbeddings _),
+      "prepPipeline" -> (LlmOps.prepPipeline _),
+      "hashSplit" -> (LlmOps.hashSplit _)
+    ).foreach { case (name, fn) =>
+      assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
+    }
+  }
+
+  test("multimodal and streaming batch operators yield zero rows on empty input") {
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "binaryMeta" -> (Multimodal.binaryMeta _),
+      "frames" -> (Multimodal.frames _),
+      "frameFeatures" -> (Multimodal.frameFeatures _),
+      "tumbling" -> (Streaming.tumbling _),
+      "sessions" -> (Streaming.sessions _),
+      "dedupFirst" -> (Streaming.dedupFirst _),
+      "stateOrdinal" -> (Streaming.stateOrdinal _),
+      "streamJoin" -> (Streaming.streamJoin _)
+    ).foreach { case (name, fn) =>
+      assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
+    }
+  }
+
+  test("relational aggregates on empty facts: grouped aggs are empty, spine survives") {
+    assert(Relational.pricingSummary(spark, emptyDir).count() === 0L)
+    assert(Relational.percentiles(spark, emptyDir).count() === 0L)
+    assert(Relational.setOps(spark, emptyDir).count() === 0L)
+    // the date spine is generated, not scanned: it stays dense with
+    // zero-filled counts even over an empty orders table
+    val spine = Relational.dateSpine(spark, emptyDir)
+    assert(spine.count() === 80L)
+    assert(spine.filter(org.apache.spark.sql.functions.col("n_orders") =!= 0L).count() === 0L)
+  }
+}
