@@ -82,12 +82,15 @@ object SparkEntry {
     // composed prep pipeline: dedup → quality gate → chunk, one plan
     "d16_prep_pipeline" -> (LlmOps.prepPipeline _),
     "d17_hash_split" -> (LlmOps.hashSplit _),
+    "d18_bigram_lm" -> (LlmOps.bigramLm _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
     // the driver compare can't hash arrays; MultimodalSpec checks the
     // array-shaped library surface itself.
     "m02_frame_features" -> (Multimodal.frameFeaturesFlat _),
+    // overlapping 64-byte windows every 48 bytes (the STFT-hop analog)
+    "m03_hop_windows" -> (Multimodal.hopWindowMeta _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -643,6 +646,26 @@ object SparkEntry {
         |            % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d18_bigram_lm" ->
+      // parallel unnest of two shifted list slices zips them into bigram
+      // pairs; logp is canonicalized to DECIMAL(30,6) pre-sum (d10's
+      // trick) and avg_logp is one division of identical doubles (raw).
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w0,
+        |         unnest(t[2:len(t)]) AS w1
+        |       FROM t WHERE len(t) >= 2),
+        |c2 AS (SELECT w0, w1, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w0, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT word) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+        |lp AS (SELECT doc_id,
+        |         CAST(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS DECIMAL(30,6))
+        |           AS logp
+        |       FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(logp) AS DOUBLE) AS sum_logp,
+        |  CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "s07_stateful_ordinal_tws" ->
       // identical contract to s05 — same row_number oracle, different
       // state API on the Spark side.
@@ -736,6 +759,21 @@ object SparkEntry {
            s"CAST(CAST(CAST(('0x' || substr(hh, ${i * 2 + 1}, 2)) AS BIGINT)" +
              " / 255.0 AS REAL) AS DOUBLE)")} AS f$i").mkString(",\n")}
          |FROM h ORDER BY doc_id, frame_id""".stripMargin,
+    "m03_hop_windows" ->
+      // char-based substr ≡ byte slices on this verified-ASCII corpus
+      // (see m02); win_len is byte-exact via encode().
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 48)
+        |                      AS BIGINT))) AS win_id
+        |  FROM documents),
+        |s AS (SELECT doc_id, win_id,
+        |        substr(text, CAST(win_id * 48 + 1 AS BIGINT), 64) AS ws
+        |      FROM w)
+        |SELECT doc_id, win_id, CAST(win_id * 48 AS BIGINT) AS start_byte,
+        |  CAST(octet_length(encode(ws)) AS BIGINT) AS win_len,
+        |  md5(ws) AS win_md5
+        |FROM s ORDER BY doc_id, win_id""".stripMargin,
     "s01_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
          |         '%Y-%m-%d %H:%M:%S') AS window_start,

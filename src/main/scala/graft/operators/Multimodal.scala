@@ -63,6 +63,37 @@ object Multimodal {
   def frames(s: SparkSession, d: String): DataFrame =
     frameRows(mediaTable(s, d))
 
+  /** Overlapping windows over the payload: [[WindowBytes]]-byte windows
+    * every [[HopBytes]] bytes (hop < window ⇒ consecutive windows share
+    * `WindowBytes - HopBytes` bytes) — the audio STFT / sliding-feature
+    * analog of [[frameRows]]' disjoint tiling. Windows start while their
+    * offset is inside the payload; the tail window may be short. One row
+    * per (doc, window), scan-parallel. */
+  val WindowBytes = 64
+  val HopBytes = 48
+
+  def hopWindows(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_win",
+        ceil(length(col("payload")).cast("double") / HopBytes).cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("n_win") > 0,
+          sequence(lit(0), col("n_win") - 1))
+          .otherwise(array().cast("array<int>"))).as("win_id"))
+      .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+        (col("win_id") * HopBytes).cast("long").as("start_byte"),
+        expr(s"substring(payload, win_id * $HopBytes + 1, $WindowBytes)")
+          .as("win_bytes"))
+
+  /** Oracle-facing summary of [[hopWindows]] over the documents-as-media
+    * table: per-window length and content hash. */
+  def hopWindowMeta(s: SparkSession, d: String): DataFrame =
+    hopWindows(mediaTable(s, d))
+      .select(col("doc_id"), col("win_id"), col("start_byte"),
+        length(col("win_bytes")).cast("long").as("win_len"),
+        md5(col("win_bytes")).as("win_md5"))
+      .orderBy("doc_id", "win_id")
+
   /** Frame features via the STUB decoder.
     *
     * STUB DECODE — the container has no codecs, so the "decoded feature

@@ -41,6 +41,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows === Seq((2L, 0L)))
   }
 
+  test("hop windows overlap by window−hop bytes and cover the payload") {
+    val media = Seq((7L, ("x" * 150).getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val wins = Multimodal.hopWindows(media)
+      .select("win_id", "start_byte", "win_bytes")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    // 150 bytes, hop 48 → starts 0, 48, 96, 144
+    assert(wins.map(_._2).toSeq === Seq(0L, 48L, 96L, 144L))
+    // each window is 64 bytes clamped at payload end (so consecutive full
+    // windows share 64−48 = 16 bytes): 64, 64, 54, 6
+    wins.foreach { case (_, st, b) =>
+      assert(b.length === math.min(Multimodal.WindowBytes.toLong, 150L - st))
+    }
+    val covered = wins.flatMap { case (_, st, b) => st until (st + b.length) }.toSet
+    assert(covered === (0L until 150L).toSet)
+  }
+
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
