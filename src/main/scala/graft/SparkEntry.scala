@@ -106,6 +106,9 @@ object SparkEntry {
     "f01_csv_roundtrip" -> (Sources.csvRoundtrip _),
     "f02_json_roundtrip" -> (Sources.jsonRoundtrip _),
     "f03_partitioned_parquet" -> (Sources.partitionedParquet _),
+    // — data profiling / data-quality validation —
+    "p01_column_profile" -> (Profiling.columnProfile _),
+    "p02_dq_checks" -> (Profiling.dqChecks _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -809,6 +812,8 @@ object SparkEntry {
          |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
          |  count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "p01_column_profile" -> p01Sql,
+    "p02_dq_checks" -> p02Sql,
     "s04_dedup_first" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |             CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -818,6 +823,39 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
+
+  private val profileSqlOne =
+    (c: String) => s"""SELECT '$c' AS "column", count($c) AS n,
+       |  count(*) - count($c) AS n_null,
+       |  ${dsum(c)} AS s, ${dsum(s"$c * $c")} AS s2,
+       |  CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max
+       |FROM lineitem""".stripMargin
+
+  // ——— p-family oracles ———
+
+  private def p01Sql: String =
+    s"""WITH p AS (
+       |${Seq("l_quantity", "l_extendedprice", "l_discount")
+           .map(profileSqlOne).mkString("\nUNION ALL\n")})
+       |SELECT "column", n, n_null, s / n AS mean, min, max,
+       |  sqrt((s2 - s * s / n) / (n - 1)) AS stddev
+       |FROM p ORDER BY "column"""".stripMargin
+
+  private def p02Sql: String =
+    """SELECT 'lineitem_quantity_in_1_50' AS rule, count(*) AS n_violations
+      |FROM lineitem WHERE NOT (l_quantity BETWEEN 1.0 AND 50.0)
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'orders_nonpositive_total', count(*) FROM orders
+      |WHERE o_totalprice <= 0.0
+      |UNION ALL
+      |SELECT 'customer_duplicate_key', count(*) FROM
+      |  (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'events_null_ts', count(*) FROM events WHERE ts IS NULL
+      |ORDER BY rule""".stripMargin
 
   private def partSummarySql: String =
     s"""SELECT p_brand, count(*) AS n_parts,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data profiling and data-quality checks — the validation stage every
+  * ingest pipeline runs before data is trusted.
+  *
+  * Float discipline: profiles carry exact decimal sums (n, Σx, Σx²) out
+  * of the aggregation; mean/stddev are then derived with single double
+  * ops on engine-identical inputs, so no rounding is needed (and per the
+  * [[graft.Canon.round4]] note, rounding identical doubles could itself
+  * diverge).
+  */
+object Profiling {
+  import Canon._
+
+  /** p01 — numeric column profile of `lineitem` in ONE scan and ONE
+    * aggregation row: all three columns' stats run as parallel aggregate
+    * buffers over the original rows (no pre-agg row explosion — an
+    * unpivot-first plan triples the rows through the aggregate and
+    * measured ~2× slower), then the single result row unpivots to one
+    * row per column. */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("double")
+      Seq(count(x).as(s"${c}_n"),
+        (count(lit(1)) - count(x)).as(s"${c}_nn"),
+        dsum(x).as(s"${c}_s"),
+        dsum(x * x).as(s"${c}_s2"),
+        min(x).as(s"${c}_min"),
+        max(x).as(s"${c}_max"))
+    }
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"${c}_n").as("n"),
+          col(s"${c}_nn").as("n_null"), col(s"${c}_s").as("sum"),
+          col(s"${c}_s2").as("sum_sq"), col(s"${c}_min").as("min"),
+          col(s"${c}_max").as("max"))): _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.n").as("n"),
+        col("p.n_null").as("n_null"),
+        (col("p.sum") / col("p.n")).as("mean"),
+        col("p.min").as("min"), col("p.max").as("max"),
+        sqrt((col("p.sum_sq") - col("p.sum") * col("p.sum") / col("p.n")) /
+          (col("p.n") - 1)).as("stddev"))
+      .orderBy("column")
+  }
+
+  /** p02 — declarative data-quality rules, one result row per rule:
+    * range violations, referential orphans (anti-join), duplicate keys,
+    * and null checks. Each rule is a filter/anti-join count — all
+    * shuffle-light; the orphan check is the only join and it shuffles on
+    * the key being validated. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val e = Tables.events(s, d)
+    def rule(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("rule"),
+        count(lit(1)).as("n_violations"))
+    val rows = Seq(
+      rule("lineitem_quantity_in_1_50",
+        li.filter(!col("l_quantity").between(1.0, 50.0))),
+      rule("lineitem_orphan_orderkey",
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")),
+      rule("orders_nonpositive_total",
+        o.filter(col("o_totalprice") <= 0.0)),
+      rule("customer_duplicate_key",
+        c.groupBy("c_custkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)),
+      rule("events_null_ts",
+        e.filter(col("ts").isNull)))
+    rows.reduce(_.unionAll(_)).orderBy("rule")
+  }
+}
