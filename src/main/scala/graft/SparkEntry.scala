@@ -62,6 +62,8 @@ object SparkEntry {
     "e23_correlated_subquery" -> (Relational.correlatedSubquery _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
+    // the Phoenix MapReduce facade (same contract as q_wordcount)
+    "t02_phoenix_wordcount" -> ((s, _) => PhoenixApi.phoenixWordCount(s)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
     "d01_exact_dedup" -> (LlmOps.exactDedup _),
     "d02_ngram_jaccard" -> (LlmOps.ngramJaccard _),
@@ -435,6 +437,7 @@ object SparkEntry {
         |  ON err.user_id = p.user_id AND err.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
     "t01_typed_topk" -> topkSql("Dracula.txt", 50),
+    "t02_phoenix_wordcount" -> wordCountSql("Dracula.txt"),
     "e21_salted_agg" ->
       s"""SELECT user_id, count(*) AS n_events, ${dsum("value")} AS sum_value,
          |  max(value) AS max_value
