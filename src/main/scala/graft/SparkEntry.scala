@@ -30,6 +30,7 @@ object SparkEntry {
     "e02_broadcast_join" -> (Relational.broadcastJoin _),
     "e03_shuffle_join_agg" -> (Relational.shuffleJoinAgg _),
     "e04_left_outer_join" -> (Relational.leftOuterJoin _),
+    "e04b_right_outer_join" -> (Relational.rightOuterJoin _),
     "e05_full_outer_join" -> (Relational.fullOuterJoin _),
     "e06_semi_anti_join" -> (Relational.semiAntiJoin _),
     "e07_range_join" -> (Relational.rangeJoin _),
@@ -192,6 +193,14 @@ object SparkEntry {
          |FROM customer c
          |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
          |  ON c.c_custkey = o.o_custkey
+         |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "e04b_right_outer_join" ->
+      // same contract as e04 — the preserved side is just written on the
+      // right; one SQL checks the mirror-image join shape.
+      s"""SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_big_orders,
+         |  ${dsum("coalesce(o.o_totalprice, 0.0)")} AS big_total
+         |FROM (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+         |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
          |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
     "e05_full_outer_join" ->
       """SELECT coalesce(f.k, p.k) AS k,

@@ -68,6 +68,20 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** E4b — right outer join: the mirror of [[leftOuterJoin]] with the
+    * fact side on the left, preserving every customer from the right —
+    * same result contract, the join shape Spark plans when the preserved
+    * side arrives second. */
+  def rightOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("big_total"))
+      .orderBy("c_custkey")
+  }
+
   /** E5 — full outer join of two disjoint-filtered aggregates. */
   def fullOuterJoin(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
