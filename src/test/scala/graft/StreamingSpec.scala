@@ -182,6 +182,55 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("foreachBatch sink: per-micro-batch writer reassembles the batch result") {
+    // the workhorse production sink: arbitrary per-batch logic (upserts,
+    // multi-table writes) — here each finalized-append batch lands in its
+    // own parquet subdirectory and the union must equal the batch result.
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val src = MemoryStream[Ev]
+    val q = Streaming.tumblingAgg(src.toDF())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.write.mode("overwrite").parquet(s"$base/batch_$id"): Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      replay.grouped(math.max(1, replay.size / 4 + 1)).foreach { chunk =>
+        src.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/batch_*")
+      .filter(col("event_type") =!= "sentinel")
+    val batch = Streaming.tumbling(spark, Sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("Trigger.AvailableNow: run-to-completion batch job over a file stream") {
+    // the scheduled-batch-over-streaming-source pattern: process all
+    // available input, then terminate on its own.
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val chunks = replay.filter(_.event_id != SentinelId)
+      .grouped(replay.size / 3 + 1).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.toDF().coalesce(1).write.parquet(s"$dir/in/part_$i")
+    }
+    val src = spark.readStream.schema(chunks.head.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/part_*")
+    val q = Streaming.tumblingAgg(src)
+      .writeStream.format("memory").queryName("t_avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val streamed = spark.table("t_avnow")
+    val batch = Streaming.tumbling(spark, Sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("within-watermark dedup: firsts ⊆ emitted ⊊ input (state eviction re-emits)") {
     val emitted = runStream("t_dedup_wm", Streaming.streamingDedupWithinWatermark)
       .filter(col("event_id") =!= SentinelId)
