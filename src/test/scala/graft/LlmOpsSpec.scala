@@ -132,6 +132,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(all.filter(c => survivors(c._1)) === piped)
   }
 
+  test("quantization zero-vector guard: scale 0 ⇒ all-zero q, no div-by-zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zerovec").toString
+    Seq((0L, Array.fill(4)(0.0f), 1L), (1L, Array(1.0f, -2.0f, 0.5f, 0.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = LlmOps.quantizeEmbeddings(spark, dir)
+      .select("vec_id", "scale4", "q_norm2", "q_max", "q_min")
+      .as[(Long, Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows(0) === ((0L, 0.0, 0L, 0L, 0L)), "zero vector quantizes to zeros")
+    // max-|v| component is −2.0 → it maps to the −127 boundary;
+    // q = (64, −127, 32, 0) so q_norm2 = 64²+127²+32² = 21249
+    assert(rows(1) === ((1L, rows(1)._2, 21249L, 64L, -127L)))
+  }
+
   test("int8 quantization: q in [-127,127], dequantization error ≤ scale/2") {
     val qs = LlmOps.quantizeEmbeddings(spark, Sf)
       .select("vec_id", "scale4", "q_max", "q_min")

@@ -18,6 +18,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within tolerance of the exact percentile") {
+    // the sketch is the 100 TB path (exact percentile buffers every value
+    // per group — e09c's scaladoc); pin its error against the exact form.
+    val rows = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("exact"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx"))
+      .select("exact", "approx").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) <= 1.0,
+        s"median approx=$approx exact=$exact") // quantities are 1..50
+    }
+  }
+
   // The single-scan flag-aggregation setOps plan must reproduce the
   // naive intersect/except/union-over-raw-scans form exactly.
   test("setOps single-scan plan ≡ naive multi-scan set operations") {
