@@ -33,6 +33,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     case _ => false
   })
 
+  // see CosineSimilarity: null elements null the result even when the
+  // arrays themselves are non-nullable.
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -51,6 +51,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   })
 
+  // a null ELEMENT yields a null result even when the array inputs
+  // themselves are non-nullable (e.g. CreateArray of nullable columns) —
+  // without this override the non-nullable codegen branch would emit an
+  // assignment to a FalseLiteral isNull slot (Janino compile failure).
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

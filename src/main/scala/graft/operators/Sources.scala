@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
 object Sources {
   import Canon._
 
-  private def dir(name: String): String =
-    new java.io.File(s"target/roundtrip/$name").getAbsolutePath
+  // one fresh scratch root per JVM: no dependence on the harness's cwd,
+  // and concurrent processes can't race each other's overwrite+re-read
+  // of a shared path.
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-roundtrip").toString
+
+  private def dir(name: String): String = s"$scratchRoot/$name"
 
   private def partCols(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)

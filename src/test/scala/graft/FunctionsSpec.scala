@@ -48,6 +48,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("null element inside NON-nullable arrays (CreateArray) still nulls the result") {
+    // CreateArray of nullable columns: the array itself is never null
+    // (nullable=false) but elements can be — without the `nullable`
+    // override the codegen branch would assign to a FalseLiteral isNull
+    // slot and fail to compile (or silently read 0.0 interpreted).
+    val df = Seq((Option(1.0), Option.empty[Double], 2.0)).toDF("x", "y", "z")
+    val r = df.select(
+      call_function("cosine_sim",
+        array(col("x"), col("y")), array(col("z"), col("z"))).as("c"),
+      call_function("array_dot",
+        array(col("x"), col("y")), array(col("z"), col("z"))).as("d"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null ELEMENT in the common prefix nulls the result (HOF-fold parity)") {
     // a null element must propagate to NULL — the same semantics as the
     // aggregate(zip_with(...)) fold the docs claim bit-identity with —

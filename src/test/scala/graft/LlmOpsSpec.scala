@@ -118,6 +118,14 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkRows on an empty token array yields zero chunks (no ANSI abort)") {
+    val tokenized = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b")))
+      .toDF("doc_id", "t")
+    val rows = LlmOps.chunkRows(tokenized)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((2L, 0L)))
+  }
+
   test("prep pipeline = gated subset of plain chunking (stage consistency)") {
     val all = LlmOps.docChunks(spark, Sf)
       .select("doc_id", "chunk_id", "chunk_md5")
