@@ -25,6 +25,18 @@ class CanonSpec extends SparkSpec {
     assert(fwd === rev)
   }
 
+  test("round4 divergence hazard: 17-digit shortest-repr boundary values") {
+    // 951.3/48 = 19.818749999999997868… — its shortest round-trip repr
+    // needs 17 digits, and Spark's string-based decimal cast correctly
+    // rounds it DOWN to .8187, while DuckDB's ×10⁴-arithmetic cast lands
+    // on .8188 (the product collides with 198187.5). This is WHY round4
+    // must never wrap a single shared IEEE op (see Canon scaladoc and
+    // e18b, which ships the raw quotient instead).
+    val v = Seq(951.3).toDF("x")
+      .select(Canon.round4(col("x") / 48)).as[Double].head()
+    assert(v === 19.8187)
+  }
+
   test("round2/round4 agree with DuckDB's double→decimal casts") {
     val r = Seq((2.675, 1.0049999999999999)).toDF("a", "b")
       .select(Canon.round2(col("a")), Canon.round4(col("b")))
