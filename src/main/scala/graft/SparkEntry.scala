@@ -49,6 +49,7 @@ object SparkEntry {
     "e13b_range_frame" -> (Relational.rangeFrame _),
     "e13c_value_windows" -> (Relational.valueWindows _),
     "e24_date_spine" -> (Relational.dateSpine _),
+    "e25_map_funcs" -> (Relational.mapFuncs _),
     "e14_topk_orders" -> (Relational.topkOrders _),
     "e15_set_ops" -> (Relational.setOps _),
     "e16_scalar_funcs" -> (Relational.scalarFuncs _),
@@ -344,6 +345,18 @@ object SparkEntry {
          |  coalesce(revenue, 0.0) AS revenue
          |FROM spine LEFT JOIN counts USING (month_start)
          |ORDER BY month_start""".stripMargin,
+    "e25_map_funcs" ->
+      // DuckDB mirrors the map's scalar projections with ordered list
+      // aggregates — `list(x ORDER BY st)` pins the same entry order the
+      // Spark side gets from sort_array before map_from_entries.
+      """WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |             o_orderstatus AS st, count(*) AS cnt
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_statuses,
+        |  array_to_string(list(st ORDER BY st), ',') AS statuses,
+        |  array_to_string(list(cnt ORDER BY st), ',') AS counts,
+        |  coalesce(max(CASE WHEN st = 'F' THEN cnt END), 0) AS n_f
+        |FROM c GROUP BY yr ORDER BY yr""".stripMargin,
     "e14_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

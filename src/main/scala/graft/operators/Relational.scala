@@ -393,6 +393,27 @@ object Relational {
       .orderBy("month_start")
   }
 
+  /** E25 — MapType construction and functions: per order-year, the
+    * status→count map built with `map_from_entries` over sorted entries,
+    * then consumed via map_keys / map_values / element_at / size. The
+    * map itself can't cross the oracle hash (pandas can't sort it), so
+    * the outputs are its deterministic scalar projections; entries are
+    * sorted pre-construction, making key/value order well-defined. */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("yr")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("st"), col("cnt")))))
+        .as("m"))
+      .select(col("yr"),
+        size(col("m")).cast("long").as("n_statuses"),
+        concat_ws(",", map_keys(col("m"))).as("statuses"),
+        concat_ws(",", map_values(col("m"))).as("counts"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"))
+      .orderBy("yr")
+
   /** E12 — total sort + limit: Catalyst plans TakeOrderedAndProject
     * (per-partition top-k + driver merge of k×partitions rows — never a
     * full global sort). */
