@@ -50,13 +50,38 @@ object Bench {
     }
     val failed = queries.map(_._1).filterNot(timings.map(_._1).toSet)
 
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.map(_._2).sum
+
+    // Full-fidelity record (full query names, full precision) → file. The
+    // stdout line uses SHORT keys + 3-decimal values: the driver captures
+    // only the tail of sbt stdout (~2000 chars), and with ~80 queries the
+    // full-name line overflows it and arrives truncated/unparseable (this
+    // is exactly what happened in rounds 1 and 3). Short key = query name
+    // truncated at the first '_' (unique across all eNN/dNN/sNN/fNN/mNN/
+    // pNN/tNN ids, including b/c suffixes); the six q_* text queries get
+    // explicit codes. The mapping is documented in BASELINE.md.
+    val qShort = Map(
+      "q_wordcount" -> "qwc", "q_topk" -> "qtk", "q_inverted_index" -> "qii",
+      "q_wordcount_republic" -> "qwcr", "q_topk_republic" -> "qtkr",
+      "q_inverted_index_republic" -> "qiir")
+    def shortKey(name: String): String = qShort.getOrElse(name, name.takeWhile(_ != '_'))
+    require(queries.map(q => shortKey(q._1)).distinct.size == queries.size,
+      "short bench keys collide; fix shortKey()")
+    def fmt(v: Double): String =
+      java.math.BigDecimal.valueOf(v).setScale(3, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+
+    val qsFull = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    outFile.foreach(p => Files.writeString(Paths.get(p), fullLine + "\n"))
+
+    val qsShort = timings.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    outFile.foreach(p => Files.writeString(Paths.get(p), line + "\n"))
     spark.stop()
   }
 }
