@@ -47,6 +47,13 @@ object Canon {
     * arithmetic in DuckDB (observed on 951.3/48 = 19.81874999…). */
   def round4(c: Column): Column = c.cast(DecimalType(30, 4)).cast(DoubleType)
 
+  /** 8-decimal variant for small-magnitude statistics (correlations,
+    * ratios in [-1, 1]) where 4 decimals would be too coarse a contract.
+    * Safe only while |x|·10⁸ ≪ 2⁵³ (DuckDB's cast computes x·10⁸ in
+    * double arithmetic — see the round4 note): keep rounded magnitudes
+    * under ~10⁵. */
+  def round8(c: Column): Column = c.cast(DecimalType(30, 8)).cast(DoubleType)
+
   /** Timestamps leave query outputs as formatted strings so parquet
     * physical type / timezone annotations can't break the compare. DuckDB
     * mirror: `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */

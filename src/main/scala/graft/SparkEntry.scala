@@ -62,6 +62,9 @@ object SparkEntry {
     // the SQL front-end surface (spark.sql over temp views)
     "e22_sql_frontend" -> (Relational.sqlFrontend _),
     "e23_correlated_subquery" -> (Relational.correlatedSubquery _),
+    "e26_string_agg" -> (Relational.stringAgg _),
+    "e27_stats_agg" -> (Relational.statsAgg _),
+    "e28_array_hof" -> (Relational.arrayHof _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // the Phoenix MapReduce facade (same contract as q_wordcount)
@@ -87,6 +90,10 @@ object SparkEntry {
     "d16_prep_pipeline" -> (LlmOps.prepPipeline _),
     "d17_hash_split" -> (LlmOps.hashSplit _),
     "d18_bigram_lm" -> (LlmOps.bigramLm _),
+    // near-dup groups (transitive closure of d02's pair graph) and
+    // train/test split contamination (d02 pairs × d17 splits)
+    "d19_neardup_clusters" -> (LlmOps.neardupClusters _),
+    "d20_contamination" -> (LlmOps.contamination _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -110,6 +117,8 @@ object SparkEntry {
     "f01_csv_roundtrip" -> (Sources.csvRoundtrip _),
     "f02_json_roundtrip" -> (Sources.jsonRoundtrip _),
     "f03_partitioned_parquet" -> (Sources.partitionedParquet _),
+    "f04_orc_roundtrip" -> (Sources.orcRoundtrip _),
+    "f05_bucketed_join" -> (Sources.bucketedJoin _),
     // — data profiling / data-quality validation —
     "p01_column_profile" -> (Profiling.columnProfile _),
     "p02_dq_checks" -> (Profiling.dqChecks _),
@@ -744,6 +753,86 @@ object SparkEntry {
     // CSV/JSON write+read (type, precision, quoting) breaks the match.
     "f01_csv_roundtrip" -> partSummarySql,
     "f02_json_roundtrip" -> partSummarySql,
+    "f04_orc_roundtrip" -> partSummarySql,
+    "f05_bucketed_join" ->
+      // oracle joins the ORIGINAL parquet — the bucketed write+read must
+      // round-trip every row and value to hash-match
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+         |  ${dsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "e26_string_agg" ->
+      s"""SELECT r_name,
+         |  array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,
+         |  count(*) AS n_suppliers, ${dsum("s_acctbal")} AS total_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "e27_stats_agg" ->
+      // co-moments from EXACT decimal-product sums (inputs cast to
+      // DECIMAL(18,2) BEFORE multiplying — rounding the double products
+      // at scale 6 would misround in DuckDB at p·p ~ 10¹⁰), then the
+      // identical double formula shapes as the Spark side, rounded at
+      // small magnitudes only (see Relational.statsAgg scaladoc)
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |    CAST(sum(y * y) AS DOUBLE) AS syy
+         |  FROM b GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ${round4("sx / n")} AS mean_qty, ${round4("sy / n")} AS mean_price,
+         |  ${round4("(sxy - sx * sy / n) / (n - 1)")} AS covar_qty_price,
+         |  ${round8("(sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))")}
+         |    AS corr_qty_price,
+         |  ${round4("sqrt((sxx - sx * sx / n) / (n - 1))")} AS stddev_qty,
+         |  ${round4("sqrt((syy - sy * sy / n) / (n - 1))")} AS stddev_price
+         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "e28_array_hof" ->
+      // sum_qty: Spark folds exact decimals via the HOF aggregate;
+      // dsum over the same group is the same exact value
+      s"""WITH g AS (
+         |  SELECT l_orderkey,
+         |    list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs,
+         |    ${dsum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT l_orderkey, CAST(len(qs) AS BIGINT) AS n_items,
+         |  qs[1] AS first_qty,
+         |  len(list_filter(qs, x -> x > 45.0)) > 0 AS has_large,
+         |  len(list_filter(qs, x -> NOT (x >= 10.0))) = 0 AS all_ge10,
+         |  CAST(len(list_filter(qs, x -> x >= 25.0)) AS BIGINT) AS n_ge25,
+         |  sum_qty
+         |FROM g ORDER BY l_orderkey""".stripMargin,
+    "d19_neardup_clusters" ->
+      // transitive closure of the near-dup pair graph via recursive CTE;
+      // cluster id = min reachable doc_id, singletons label themselves
+      s"""WITH RECURSIVE $pairsCtes,
+         |e AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT i, i FROM e
+         |  UNION
+         |  SELECT r.src, e2.j FROM reach r JOIN e e2 ON e2.i = r.node),
+         |lbl AS (SELECT src AS doc_id, min(node) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |asg AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+         |SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+         |  a.doc_id = a.cluster_id AS is_canonical
+         |FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
+    "d20_contamination" ->
+      s"""WITH $pairsCtes,
+         |$splitCte
+         |SELECT i, j, jac, si.split AS split_i, sj.split AS split_j,
+         |  si.split <> sj.split AS contaminated
+         |FROM pairs JOIN sp si ON si.doc_id = i JOIN sp sj ON sj.doc_id = j
+         |ORDER BY i, j""".stripMargin,
     "f03_partitioned_parquet" ->
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |  ${dsum("o_totalprice")} AS total_price
@@ -892,6 +981,34 @@ object SparkEntry {
   // ——— shared DuckDB fragments for the d* oracles ———
 
   private def round4(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,4)) AS DOUBLE)"
+  private def round8(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,8)) AS DOUBLE)"
+
+  /** The d02 exact-Jaccard near-dup pair graph as reusable CTEs
+    * (`sh` → `sizes` → `common` → `pairs`), shared by the d02/d19/d20
+    * oracles so all three stay definitionally in sync. */
+  private def pairsCtes =
+    s"""$shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j,
+       |    ${round4("n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common)")} AS jac
+       |  FROM common
+       |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+       |  WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8)""".stripMargin
+
+  /** The d17 deterministic hash-split assignment as a CTE (`sp`). */
+  private def splitCte =
+    """sp AS (SELECT doc_id,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |            % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |            % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents)""".stripMargin
 
   /** In-order cosine; DuckDB's list_inner_product folds left-to-right,
     * matching Spark's `aggregate` fold (verified empirically by

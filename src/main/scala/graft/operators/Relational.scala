@@ -547,6 +547,108 @@ object Relational {
         "metric", "value")
       .orderBy("p_partkey", "metric")
 
+  /** E13d — ordered string aggregation (LISTAGG/STRING_AGG): the
+    * delimited-roster reshape reporting layers ask for constantly. Spark
+    * has no ordered string_agg aggregate; the deterministic composition
+    * is `array_sort(collect_list(...))` then `concat_ws` — sort AFTER
+    * collect so the result does not depend on shuffle arrival order.
+    * Per region: the nation roster and supplier stats through a
+    * broadcast dim chain. Groups here are tiny; a group whose roster
+    * could not fit one row (millions of members) is a modeling error for
+    * this operator in any engine. */
+  def stringAgg(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).select("r_regionkey", "r_name")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey", "n_name")
+    val sup = Tables.supplier(s, d).select("s_nationkey", "s_acctbal")
+    sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_acctbal"))
+      .orderBy("r_name")
+  }
+
+  /** E7c — statistical aggregates: correlation, covariance and stddev of
+    * lineitem quantity × price per return flag.
+    *
+    * Float discipline (p01's pattern, hardened): quantity and price are
+    * 2-decimal values, so casting the INPUTS to DECIMAL(18,2) and
+    * multiplying in decimal makes every co-moment sum (n, Σx, Σy, Σxy,
+    * Σx², Σy²) exact and engine-identical. `dsum`-style rounding of the
+    * double PRODUCTS would not be: p·p ~ 10¹⁰ means the ×10⁶ a
+    * double→DECIMAL(30,6) cast computes exceeds 2⁵³, where DuckDB's
+    * double-arithmetic conversion misrounds vs Spark's exact one
+    * (observed: Σp² off by 1e-3). The derived stats then round at 4–8
+    * decimals — their magnitudes stay ≤10⁵ where the rounding casts are
+    * collision-free, which is also why the output carries stddev_price
+    * rather than var_price (~10⁹ — large enough for the round4 cast
+    * itself to become engine-divergent). Spark's native `corr` /
+    * `covar_samp` / `stddev` stream co-moment updates in partition-merge
+    * order — fine in a report, nondeterministic under a hash compare;
+    * RelationalSpec pins native ≈ derived so the derivation is checked
+    * against the builtins it stands in for. */
+  def statsAgg(s: SparkSession, d: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(dec2).as("x"),
+        col("l_extendedprice").cast(dec2).as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round4(col("sx") / col("n")).as("mean_qty"),
+        round4(col("sy") / col("n")).as("mean_price"),
+        round4((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_qty_price"),
+        round8((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+          .as("corr_qty_price"),
+        round4(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+          .as("stddev_qty"),
+        round4(sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)))
+          .as("stddev_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** E14d — array higher-order functions as USER surface (`exists` /
+    * `forall` / `filter` / `transform` / `aggregate`): per order, the
+    * quantity vector of its line items and HOF-derived facts. Arrays
+    * here are tiny (≤7 elements), where the interpreted HOF execution
+    * penalty (SURVEY §7.3) is irrelevant — hot million-element paths use
+    * native expressions ([[graft.functions.CosineSimilarity]]) instead.
+    * Deterministic array order via sort on (linenumber, quantity)
+    * structs BEFORE projecting quantities — collect_list alone is
+    * shuffle-arrival-ordered. The HOF sum runs over exact decimals
+    * (order-independent), mirrored by DuckDB's list_sum over decimals. */
+  def arrayHof(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+        .as("it"))
+      .select(col("l_orderkey"),
+        transform(col("it"), x => x.getField("l_quantity")).as("qs"))
+    items.select(
+      col("l_orderkey"),
+      size(col("qs")).cast("long").as("n_items"),
+      element_at(col("qs"), 1).as("first_qty"),
+      exists(col("qs"), _ > 45.0).as("has_large"),
+      forall(col("qs"), _ >= 10.0).as("all_ge10"),
+      size(filter(col("qs"), _ >= 25.0)).cast("long").as("n_ge25"),
+      // re-cast the merge result: decimal addition widens (30,6)+(30,6)
+      // → (31,6), and the HOF's accumulator type must stay fixed
+      aggregate(col("qs"), lit(0).cast(Dec), (acc, q) => (acc + q.cast(Dec)).cast(Dec))
+        .cast("double").as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
   /** E14c — JSON extraction over events.props + timestamp scalars. */
   def jsonEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

@@ -61,6 +61,48 @@ object Sources {
     summarize(s.read.schema(orig.schema).json(path))
   }
 
+  /** f04 — ORC sink + source round-trip: the third columnar-format
+    * surface (after parquet and CSV/JSON text), same typed re-read +
+    * aggregate contract as f01/f02 — the oracle reads the ORIGINAL
+    * parquet, so ORC type fidelity (doubles, strings-with-spaces) is
+    * what's under test. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val orig = partCols(s, d)
+    val path = dir("part_orc")
+    orig.write.mode("overwrite").orc(path)
+    summarize(s.read.schema(orig.schema).orc(path))
+  }
+
+  /** f05 — bucketed-table co-located join: both sides written
+    * `bucketBy(8, key)` into the session warehouse, then joined WITHOUT
+    * a shuffle on either side (StorageSpec asserts no
+    * `Exchange hashpartitioning` in this very plan shape) — the storage
+    * layout that turns a repeated 100 TB fact-fact join from
+    * shuffle-bound into scan-bound. The oracle recomputes from the
+    * original parquet, so bucketed write+read fidelity is checked too. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    Seq("graft_f05_lineitem", "graft_f05_orders").foreach { t =>
+      // clean slate: a crashed previous run leaves a managed-table dir
+      // saveAsTable refuses to overwrite
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_f05_lineitem")
+    Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_f05_orders")
+    s.table("graft_f05_lineitem")
+      .join(s.table("graft_f05_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** f03 — Hive-style partitioned parquet sink + pruned re-read: orders
     * written partitioned by order year, re-read with a single-year
     * predicate. The year filter prunes to one directory at planning time
