@@ -154,6 +154,51 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(1) === ((1L, rows(1)._2, 21249L, 64L, -127L)))
   }
 
+  test("neardup clusters are the connected components of the pair graph") {
+    val pairs = LlmOps.ngramJaccard(spark, Sf)
+      .select("i", "j").as[(Long, Long)].collect()
+    val assign = LlmOps.neardupClusters(spark, Sf)
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val cluster = assign.map(r => r._1 -> r._2).toMap
+    // reference components via driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val allDocs = assign.map(_._1)
+    assert(allDocs.length === allDocs.distinct.length)
+    allDocs.foreach { d => assert(cluster(d) === find(d), s"doc $d") }
+    // sizes and canonical flags are self-consistent
+    val sizes = allDocs.groupBy(find).map { case (c, ds) => c -> ds.length.toLong }
+    assign.foreach { case (d, c, sz, canon) =>
+      assert(sz === sizes(find(d)))
+      assert(canon === (d == c))
+    }
+    // sanity: the planted near-dup families make some multi-doc clusters
+    assert(sizes.values.exists(_ >= 2))
+  }
+
+  test("contamination rows are exactly the near-dup pairs with split flags") {
+    val pairs = LlmOps.ngramJaccard(spark, Sf)
+      .select("i", "j", "jac").as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val split = LlmOps.hashSplit(spark, Sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val cont = LlmOps.contamination(spark, Sf)
+      .select("i", "j", "jac", "split_i", "split_j", "contaminated")
+      .as[(Long, Long, Double, String, String, Boolean)].collect().sortBy(p => (p._1, p._2))
+    assert(cont.map(c => (c._1, c._2, c._3)).toSeq === pairs.toSeq)
+    cont.foreach { case (i, j, _, si, sj, flag) =>
+      assert(si === split(i) && sj === split(j))
+      assert(flag === (si != sj))
+    }
+  }
+
   test("int8 quantization: q in [-127,127], dequantization error ≤ scale/2") {
     val qs = LlmOps.quantizeEmbeddings(spark, Sf)
       .select("vec_id", "scale4", "q_max", "q_min")

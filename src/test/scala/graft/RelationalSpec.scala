@@ -33,6 +33,70 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  // e27's decimal-derived co-moments stand in for Spark's native
+  // streaming-merge aggregates (whose partition-merge order is
+  // nondeterministic under a hash compare); pin derived ≈ native.
+  test("statsAgg decimal-derived stats match native corr/covar/stddev") {
+    val derived = Relational.statsAgg(spark, Sf)
+      .select("l_returnflag", "corr_qty_price", "covar_qty_price",
+        "stddev_qty", "stddev_price")
+      .as[(String, Double, Double, Double, Double)].collect().sortBy(_._1)
+    val native = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_quantity")).as("sq"),
+        stddev_samp(col("l_extendedprice")).as("sp"))
+      .select("l_returnflag", "c", "cv", "sq", "sp")
+      .as[(String, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(derived.length === native.length && derived.nonEmpty)
+    derived.zip(native).foreach { case ((f, c1, cv1, sq1, sp1), (f2, c2, cv2, sq2, sp2)) =>
+      assert(f === f2)
+      // derived values carry round4/round8 canonicalization (±5e-5/±5e-9
+      // absolute), so compare at rounding granularity
+      def close(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol
+      assert(close(c1, c2, 1e-8), s"corr $f: $c1 vs $c2")
+      assert(close(cv1, cv2, 1e-4), s"covar $f: $cv1 vs $cv2")
+      assert(close(sq1, sq2, 1e-4), s"stddev_qty $f: $sq1 vs $sq2")
+      assert(close(sp1, sp2, 1e-4), s"stddev_price $f: $sp1 vs $sp2")
+    }
+  }
+
+  // e28's HOF-derived facts must agree with plain relational recomputation.
+  test("arrayHof facts match direct per-order aggregation") {
+    val hof = Relational.arrayHof(spark, Sf)
+    val direct = Tables.lineitem(spark, Sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items_d"),
+        max((col("l_quantity") > 45.0).cast("int")).as("has_large_d"),
+        min((col("l_quantity") >= 10.0).cast("int")).as("all_ge10_d"),
+        sum((col("l_quantity") >= 25.0).cast("long")).as("n_ge25_d"),
+        graft.Canon.dsum(col("l_quantity")).as("sum_qty_d"))
+    val joined = hof.join(direct, "l_orderkey")
+    assert(joined.count() === hof.count())
+    val bad = joined.filter(
+      col("n_items") =!= col("n_items_d") ||
+        col("has_large") =!= (col("has_large_d") === 1) ||
+        col("all_ge10") =!= (col("all_ge10_d") === 1) ||
+        col("n_ge25") =!= col("n_ge25_d") ||
+        abs(col("sum_qty") - col("sum_qty_d")) > 1e-9)
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
+  // e26's roster string must be exactly the sorted distinct nations that
+  // have suppliers in the region.
+  test("stringAgg nation roster matches the distinct supplier nations") {
+    val rows = Relational.stringAgg(spark, Sf)
+      .select("r_name", "nations").as[(String, String)].collect().toMap
+    val expected = Tables.supplier(spark, Sf)
+      .join(Tables.nation(spark, Sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, Sf), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").distinct()
+      .as[(String, String)].collect()
+      .groupBy(_._1).map { case (r, ns) => r -> ns.map(_._2).sorted.mkString(",") }
+    assert(rows === expected)
+  }
+
   // The single-scan flag-aggregation setOps plan must reproduce the
   // naive intersect/except/union-over-raw-scans form exactly.
   test("setOps single-scan plan ≡ naive multi-scan set operations") {

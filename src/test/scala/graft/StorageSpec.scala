@@ -42,6 +42,15 @@ class StorageSpec extends SparkSpec {
     assert(joined.count() === expected)
   }
 
+  test("f05 bucketed-join query shuffles only for the final aggregation") {
+    val df = operators.Sources.bucketedJoin(spark, Sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"bucketed join sides must not re-shuffle (got $exchanges hash exchanges):\n" +
+        plan.take(1500))
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     val dir = s"$wh/events_by_type"
     Tables.events(spark, Sf)
