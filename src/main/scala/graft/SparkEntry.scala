@@ -65,6 +65,7 @@ object SparkEntry {
     "e26_string_agg" -> (Relational.stringAgg _),
     "e27_stats_agg" -> (Relational.statsAgg _),
     "e28_array_hof" -> (Relational.arrayHof _),
+    "e29_locf_fill" -> (Relational.locfFill _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // the Phoenix MapReduce facade (same contract as q_wordcount)
@@ -119,6 +120,7 @@ object SparkEntry {
     "f03_partitioned_parquet" -> (Sources.partitionedParquet _),
     "f04_orc_roundtrip" -> (Sources.orcRoundtrip _),
     "f05_bucketed_join" -> (Sources.bucketedJoin _),
+    "f06_schema_evolution" -> (Sources.schemaEvolution _),
     // — data profiling / data-quality validation —
     "p01_column_profile" -> (Profiling.columnProfile _),
     "p02_dq_checks" -> (Profiling.dqChecks _),
@@ -809,6 +811,34 @@ object SparkEntry {
          |  CAST(len(list_filter(qs, x -> x >= 25.0)) AS BIGINT) AS n_ge25,
          |  sum_qty
          |FROM g ORDER BY l_orderkey""".stripMargin,
+    "e29_locf_fill" ->
+      // dense per-user daily spine; gaps carry the previous day's value
+      // via IGNORE NULLS last_value — same window shape as Spark's
+      // last(col, ignoreNulls=true)
+      s"""WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |             value FROM events),
+         |daily AS (SELECT user_id, day, ${dsum("value")} AS day_value
+         |          FROM e GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |         FROM daily GROUP BY 1),
+         |spine AS (SELECT user_id,
+         |            CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |          FROM span),
+         |j AS (SELECT s.user_id, s.day, d.day_value
+         |      FROM spine s LEFT JOIN daily d USING (user_id, day))
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+         |  last_value(day_value IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+         |  day_value IS NULL AS was_gap
+         |FROM j ORDER BY user_id, day""".stripMargin,
+    "f06_schema_evolution" ->
+      // the merged read must reproduce what the unsplit table computes:
+      // pre-1995 rows have no o_orderstatus in their files → '<legacy>'
+      s"""SELECT CASE WHEN year(o_orderdate) <= 1994 THEN '<legacy>'
+         |            ELSE o_orderstatus END AS status,
+         |  count(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "d19_neardup_clusters" ->
       // transitive closure of the near-dup pair graph via recursive CTE;
       // cluster id = min reachable doc_id, singletons label themselves

@@ -649,6 +649,32 @@ object Relational {
       .orderBy("l_orderkey")
   }
 
+  /** E24b — time-series gap fill with last-observation-carried-forward:
+    * per user, a DENSE daily spine over the user's active span, daily
+    * sums where present, previous day's value carried into gaps via an
+    * ignore-nulls running `last` — the resample/interpolate every
+    * metrics pipeline needs downstream of e24's zero-fill densification.
+    * Spine generation is per-user `sequence(min_day, max_day)` — dense
+    * rows are generated distributed (explode), never on the driver; the
+    * carry is one window over (user, day), partition-parallel by user.
+    * Daily values are exact decimal sums, so the carried double is
+    * engine-identical. */
+  def locfFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day").agg(dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), dateStr(col("day")).as("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+        col("day_value").isNull.as("was_gap"))
+      .orderBy("user_id", "day")
+  }
+
   /** E14c — JSON extraction over events.props + timestamp scalars. */
   def jsonEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

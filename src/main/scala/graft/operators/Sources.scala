@@ -103,6 +103,28 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** f06 — schema-evolution read (`mergeSchema`): a dataset written in
+    * two generations — v1 lacking `o_orderstatus`, v2 carrying it — read
+    * back as ONE table with the union schema (v1 rows NULL in the new
+    * column). This is how a 100 TB dataset actually ages: columns are
+    * added mid-life and historical files are never rewritten; the
+    * merged-footer read (per-file schema reconciliation is distributed
+    * across executors) replaces a full historical rewrite. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val path = dir("orders_evolving")
+    val o = Tables.orders(s, d)
+    o.filter(year(col("o_orderdate")) <= 1994)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    o.filter(year(col("o_orderdate")) >= 1995)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderstatus"), lit("<legacy>")).as("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("status")
+  }
+
   /** f03 — Hive-style partitioned parquet sink + pruned re-read: orders
     * written partitioned by order year, re-read with a single-year
     * predicate. The year filter prunes to one directory at planning time

@@ -97,6 +97,34 @@ class RelationalSpec extends SparkSpec {
     assert(rows === expected)
   }
 
+  // e29: the dense spine covers every user's full span, carries are
+  // exactly the most recent observed day's value, and observed days pass
+  // through untouched.
+  test("locfFill carries the last observation into every gap") {
+    val rows = Relational.locfFill(spark, Sf)
+      .select("user_id", "day", "filled_value", "was_gap")
+      .as[(Long, String, Double, Boolean)].collect()
+      .groupBy(_._1).values
+    assert(rows.nonEmpty)
+    rows.foreach { series =>
+      val sorted = series.sortBy(_._2)
+      // dense: one row per calendar day across the span
+      val days = sorted.map(_._2)
+      assert(days.length ===
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(days.head),
+          java.time.LocalDate.parse(days.last)).toInt + 1)
+      // first row is an observation; every gap repeats the prior value
+      assert(!sorted.head._4)
+      sorted.sliding(2).foreach {
+        case Array((_, _, prev, _), (_, _, v, gap)) =>
+          if (gap) assert(v === prev)
+        case _ =>
+      }
+      sorted.foreach { case (_, _, v, _) => assert(!v.isNaN) }
+    }
+  }
+
   // The single-scan flag-aggregation setOps plan must reproduce the
   // naive intersect/except/union-over-raw-scans form exactly.
   test("setOps single-scan plan ≡ naive multi-scan set operations") {

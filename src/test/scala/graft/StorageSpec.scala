@@ -51,6 +51,17 @@ class StorageSpec extends SparkSpec {
         plan.take(1500))
   }
 
+  test("f06 merged-schema read reproduces the unsplit table's aggregate") {
+    val merged = operators.Sources.schemaEvolution(spark, Sf).collect()
+    val direct = Tables.orders(spark, Sf)
+      .groupBy(when(year(col("o_orderdate")) <= 1994, "<legacy>")
+        .otherwise(col("o_orderstatus")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Canon.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("status").collect()
+    assert(merged.toSeq === direct.toSeq)
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     val dir = s"$wh/events_by_type"
     Tables.events(spark, Sf)
