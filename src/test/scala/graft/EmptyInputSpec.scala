@@ -39,7 +39,11 @@ class EmptyInputSpec extends SparkSpec {
       "docChunks" -> (LlmOps.docChunks _),
       "quantize" -> (LlmOps.quantizeEmbeddings _),
       "prepPipeline" -> (LlmOps.prepPipeline _),
-      "hashSplit" -> (LlmOps.hashSplit _)
+      "hashSplit" -> (LlmOps.hashSplit _),
+      // d19's propagation loop must terminate immediately on a pair-free
+      // corpus (empty edge set ⇒ converged after one no-op iteration)
+      "neardupClusters" -> (LlmOps.neardupClusters _),
+      "contamination" -> (LlmOps.contamination _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
@@ -69,5 +73,10 @@ class EmptyInputSpec extends SparkSpec {
     val spine = Relational.dateSpine(spark, emptyDir)
     assert(spine.count() === 80L)
     assert(spine.filter(org.apache.spark.sql.functions.col("n_orders") =!= 0L).count() === 0L)
+    // LOCF's spine derives from observed spans — empty events ⇒ empty fill
+    assert(Relational.locfFill(spark, emptyDir).count() === 0L)
+    assert(Relational.statsAgg(spark, emptyDir).count() === 0L)
+    assert(Relational.stringAgg(spark, emptyDir).count() === 0L)
+    assert(Relational.arrayHof(spark, emptyDir).count() === 0L)
   }
 }
