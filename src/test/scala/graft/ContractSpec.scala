@@ -1,0 +1,44 @@
+package graft
+
+/** Guards on the driver contract itself — the shape rules the harness
+  * depends on, pinned so a future query addition can't silently weaken
+  * the correctness gate or break the bench tail parse. */
+class ContractSpec extends SparkSpec {
+
+  /** Queries intentionally WITHOUT a DuckDB oracle (rows-only check):
+    * d06's hyperplane-LSH recall is probabilistic by design, e09b's HLL
+    * sketch is engine-specific; both carry spec-based checks instead
+    * (LlmOpsSpec ANN recall, RelationalSpec tolerance). */
+  private val noOracleByDesign = Set("d06_ann_lsh", "e09b_approx_distinct")
+
+  test("every query carries an oracle unless exempted by design") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleByDesign
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without query: $orphaned")
+    assert((noOracleByDesign -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("bench stdout line stays under the driver's tail-capture budget") {
+    // the driver records only the last ~2000 chars of bench stdout
+    // (BASELINE.md "BENCH key abbreviation"); with sbt's epilogue (~100
+    // chars) the JSON line must stay comfortably below that. Simulate
+    // the exact line Bench prints with worst-case 6-char values.
+    val qShort = Map(
+      "q_wordcount" -> "qwc", "q_topk" -> "qtk", "q_inverted_index" -> "qii",
+      "q_wordcount_republic" -> "qwcr", "q_topk_republic" -> "qtkr",
+      "q_inverted_index_republic" -> "qiir")
+    def shortKey(name: String): String = qShort.getOrElse(name, name.takeWhile(_ != '_'))
+    val keys = SparkEntry.queries.keys.toSeq
+    assert(keys.map(shortKey).distinct.size === keys.size, "short bench keys collide")
+    val line = keys.map(k => "\"" + shortKey(k) + "\":99.999").mkString(
+      """{"metric":"total","value":9999.999,"unit":"sec","queries":{""",
+      ",",
+      """},"failed":[],"sf":"/root/testdata/sf0.1"}""")
+    assert(line.length <= 1850, s"bench stdout line too long: ${line.length} chars")
+  }
+
+  test("flagship entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
