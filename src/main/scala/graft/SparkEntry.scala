@@ -95,6 +95,8 @@ object SparkEntry {
     // train/test split contamination (d02 pairs × d17 splits)
     "d19_neardup_clusters" -> (LlmOps.neardupClusters _),
     "d20_contamination" -> (LlmOps.contamination _),
+    // Gopher-style within-document repetition quality rule
+    "d21_repetition" -> (LlmOps.repetition _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -839,6 +841,24 @@ object SparkEntry {
          |            ELSE o_orderstatus END AS status,
          |  count(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d21_repetition" ->
+      // occurrence (not distinct) 3-gram stream; dup_frac and top_share
+      // are single divisions of exact counts, canonicalized at 4 dp
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |        [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS g
+         |      FROM t WHERE len(t) >= 3),
+         |pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+         |         max(c) AS top_count FROM pg GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(pd.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  ${round4("CASE WHEN pd.n_grams IS NULL THEN 0.0 ELSE (pd.n_grams - pd.n_distinct)::DOUBLE / pd.n_grams END")} AS dup_frac,
+         |  ${round4("CASE WHEN pd.n_grams IS NULL THEN 0.0 ELSE pd.top_count::DOUBLE / pd.n_grams END")} AS top_share,
+         |  ${round4("CASE WHEN pd.n_grams IS NULL THEN 0.0 ELSE (pd.n_grams - pd.n_distinct)::DOUBLE / pd.n_grams END")} < 0.2 AS keep
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "d19_neardup_clusters" ->
       // transitive closure of the near-dup pair graph via recursive CTE;
       // cluster id = min reachable doc_id, singletons label themselves

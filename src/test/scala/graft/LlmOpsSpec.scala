@@ -154,6 +154,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(1) === ((1L, rows(1)._2, 21249L, 64L, -127L)))
   }
 
+  test("repetition rule flags boilerplate and passes diverse text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, Seq.fill(30)("spam ham eggs").mkString(" ")), // one 3-gram pattern over and over
+      (1L, (1 to 90).map(i => s"w$i").mkString(" ")),    // all-distinct words
+      (2L, "a b")                                        // <3 tokens: no grams, kept
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmOps.repetition(spark, dir)
+      .select("doc_id", "n_grams", "n_distinct", "dup_frac", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val (spam, fresh, tiny) = (rows(0), rows(1), rows(2))
+    assert(spam._2 === 88L && spam._3 <= 3L && spam._4 > 0.9 && !spam._5,
+      s"boilerplate doc must be dropped: $spam")
+    assert(fresh._2 === 88L && fresh._3 === 88L && fresh._4 === 0.0 && fresh._5)
+    assert(tiny._2 === 0L && tiny._4 === 0.0 && tiny._5)
+  }
+
   test("neardup clusters are the connected components of the pair graph") {
     val pairs = LlmOps.ngramJaccard(spark, Sf)
       .select("i", "j").as[(Long, Long)].collect()
