@@ -97,6 +97,8 @@ object SparkEntry {
     "d20_contamination" -> (LlmOps.contamination _),
     // Gopher-style within-document repetition quality rule
     "d21_repetition" -> (LlmOps.repetition _),
+    // corpus top-K vocabulary + per-document OOV rate
+    "d22_vocab_coverage" -> (LlmOps.vocabCoverage _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -116,6 +118,8 @@ object SparkEntry {
     "s06_stream_stream_join" -> (Streaming.streamJoin _),
     // same ordinal contract as s05 via the Spark 4 transformWithState API
     "s07_stateful_ordinal_tws" -> (Streaming.stateOrdinalTws _),
+    // stream-static broadcast enrichment then windowed aggregation
+    "s08_stream_static_join" -> (Streaming.staticEnrich _),
     // — file-format source/sink round-trips (CSV, line-JSON) —
     "f01_csv_roundtrip" -> (Sources.csvRoundtrip _),
     "f02_json_roundtrip" -> (Sources.jsonRoundtrip _),
@@ -715,6 +719,14 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |       AS BIGINT) AS ordinal
         |FROM e ORDER BY user_id, ordinal""".stripMargin,
+    "s08_stream_static_join" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+         |j AS (SELECT date_trunc('hour', e.ts) AS ws, c.c_mktsegment, e.value
+         |      FROM e JOIN customer c ON e.user_id = c.c_custkey)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  c_mktsegment, count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM j GROUP BY ws, c_mktsegment
+         |ORDER BY window_start, c_mktsegment""".stripMargin,
     "s06_stream_stream_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |             event_type, value FROM events),
@@ -841,6 +853,20 @@ object SparkEntry {
          |            ELSE o_orderstatus END AS status,
          |  count(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d22_vocab_coverage" ->
+      // top-20 vocab (corpus draws from 31 words — see LlmOps scaladoc)
+      // with (freq DESC, word ASC) boundary tie-break;
+      // membership via left join, oov_rate canonicalized at 4 dp
+      s"""WITH $tokCte,
+         |v AS (SELECT word FROM (
+         |        SELECT word, count(*) AS freq FROM tok GROUP BY 1
+         |        ORDER BY freq DESC, word ASC LIMIT 20)),
+         |m AS (SELECT t.doc_id, t.word, v.word IS NULL AS oov
+         |      FROM tok t LEFT JOIN v ON t.word = v.word)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  ${round4("sum(CASE WHEN oov THEN 1 ELSE 0 END)::DOUBLE / count(*)")} AS oov_rate
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d21_repetition" ->
       // occurrence (not distinct) 3-gram stream; dup_frac and top_share
       // are single divisions of exact counts, canonicalized at 4 dp

@@ -73,6 +73,32 @@ object Streaming {
   def sessions(s: SparkSession, d: String): DataFrame =
     sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_start")
 
+  /** E16d — stream-STATIC enrichment join: the event stream joined to a
+    * broadcast dimension table (market segment keyed off `user_id` into
+    * `customer`), then windowed per segment — the most common streaming
+    * join in practice (enrich-then-aggregate). The static side needs no
+    * watermark and holds NO streaming state: it broadcasts to every
+    * task, so at scale the stream never shuffles for the join at all —
+    * the only stateful operator is the downstream windowed aggregation.
+    * Events whose user has no dimension row drop out (inner join), which
+    * also swallows StreamingSpec's watermark sentinel by construction. */
+  def staticEnrichAgg(dim: DataFrame)(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(tsStr(col("window.start")).as("window_start"),
+        col("c_mktsegment"), col("n_events"), col("sum_value"))
+
+  /** The static dimension side of [[staticEnrichAgg]]. */
+  def custDim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Batch entry for [[staticEnrichAgg]]. */
+  def staticEnrich(s: SparkSession, d: String): DataFrame =
+    staticEnrichAgg(custDim(s, d))(Tables.events(s, d))
+      .orderBy("window_start", "c_mktsegment")
+
   /** E16c — stream-stream inner join: each error event joined to every
     * purchase by the same user in the preceding 30 minutes.
     *

@@ -172,6 +172,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(tiny._2 === 0L && tiny._4 === 0.0 && tiny._5)
   }
 
+  test("vocab coverage: rates bounded, metric non-degenerate, vocab honored") {
+    val rows = LlmOps.vocabCoverage(spark, Sf)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (_, n, oov, rate) =>
+      assert(n > 0 && oov >= 0 && oov <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the corpus vocabulary exceeds K=200, so OOV must actually occur —
+    // a degenerate all-zero metric means K swallowed the whole vocab
+    assert(rows.exists(_._3 > 0), "no OOV tokens anywhere: metric degenerate")
+    assert(rows.exists(_._3 < rows.map(_._2).max), "everything OOV")
+  }
+
   test("neardup clusters are the connected components of the pair graph") {
     val pairs = LlmOps.ngramJaccard(spark, Sf)
       .select("i", "j").as[(Long, Long)].collect()

@@ -55,6 +55,16 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("stream-static enrichment join: streaming output equals batch output") {
+    // static side captured by the transform; the sentinel's user_id joins
+    // to no customer row and drops out of the inner join by construction
+    val dim = Streaming.custDim(spark, Sf)
+    val streamed = runStream("t_static_join", Streaming.staticEnrichAgg(dim))
+    val batch = Streaming.staticEnrich(spark, Sf)
+    assert(streamed.count() > 0)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("sliding window: streaming output equals batch output") {
     val batch = Streaming.sliding(spark, Sf)
     val batchWindows = batch.select("window_start").as[String].collect().toSet
