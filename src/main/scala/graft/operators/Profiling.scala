@@ -49,6 +49,27 @@ object Profiling {
       .orderBy("column")
   }
 
+  /** Pipeline observability via `Dataset.observe`: named QC metrics
+    * (row count, rule-violation count, exact revenue control total)
+    * accumulated ON the rows as the query executes — no second scan, no
+    * extra shuffle; the metrics ride the action and are read from the
+    * returned [[org.apache.spark.sql.Observation]] after it completes.
+    * This is the control-total pattern every ingest job wants: the
+    * pipeline's own run reports the numbers reconciliation checks
+    * against, at zero additional passes (where p01/p02 are standalone
+    * audit queries). Library surface (metrics are a side channel, not a
+    * result set) — ProfilingSpec pins metrics ≡ direct aggregation. */
+  def observedScan(s: SparkSession, d: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("ingest_qc")
+    val df = Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(!col("l_quantity").between(1.0, 50.0), 1L).otherwise(0L))
+          .as("qty_violations"),
+        dsum(col("l_extendedprice")).as("control_total"))
+    (df, obs)
+  }
+
   /** p02 — declarative data-quality rules, one result row per rule:
     * range violations, referential orphans (anti-join), duplicate keys,
     * and null checks. Each rule is a filter/anti-join count — all
