@@ -30,6 +30,11 @@ object Bench {
     // Deterministic iteration order; Map ordering is arbitrary.
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // fail fast on short-key collisions — BEFORE the ~9-minute
+    // warmup+measure loop, not after it
+    require(queries.map(q => shortKey(q._1)).distinct.size == queries.size,
+      "short bench keys collide; fix Bench.shortKey")
+
     def exec(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -50,38 +55,42 @@ object Bench {
     }
     val failed = queries.map(_._1).filterNot(timings.map(_._1).toSet)
 
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.map(_._2).sum
-
-    // Full-fidelity record (full query names, full precision) → file. The
-    // stdout line uses SHORT keys + 3-decimal values: the driver captures
-    // only the tail of sbt stdout (~2000 chars), and with ~80 queries the
-    // full-name line overflows it and arrives truncated/unparseable (this
-    // is exactly what happened in rounds 1 and 3). Short key = query name
-    // truncated at the first '_' (unique across all eNN/dNN/sNN/fNN/mNN/
-    // pNN/tNN ids, including b/c suffixes); the six q_* text queries get
-    // explicit codes. The mapping is documented in BASELINE.md.
-    val qShort = Map(
-      "q_wordcount" -> "qwc", "q_topk" -> "qtk", "q_inverted_index" -> "qii",
-      "q_wordcount_republic" -> "qwcr", "q_topk_republic" -> "qtkr",
-      "q_inverted_index_republic" -> "qiir")
-    def shortKey(name: String): String = qShort.getOrElse(name, name.takeWhile(_ != '_'))
-    require(queries.map(q => shortKey(q._1)).distinct.size == queries.size,
-      "short bench keys collide; fix shortKey()")
     def fmt(v: Double): String =
       java.math.BigDecimal.valueOf(v).setScale(3, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
 
+    // Full-fidelity record (full query names, full precision) → file;
+    // the stdout line uses SHORT keys everywhere (timings AND the failed
+    // list) + 3-decimal values — see [[shortKey]].
     val qsFull = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_FULL.json"), fullLine + "\n")
     outFile.foreach(p => Files.writeString(Paths.get(p), fullLine + "\n"))
 
     val qsShort = timings.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failedShort = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedShort,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }
+
+  /** Short stdout key for a query name: the driver captures only the
+    * last ~2000 chars of bench stdout, and with ~90 queries the
+    * full-name 9-decimal JSON line overflows it and arrives truncated
+    * (rounds 1 and 3 were unparseable for exactly this reason). Short
+    * key = query name truncated at the first '_' (unique across all
+    * eNN/dNN/sNN/fNN/mNN/pNN/tNN ids, including b/c suffixes); the six
+    * q_* text queries get explicit codes. Documented in BASELINE.md;
+    * ContractSpec guards length and collision-freedom against the REAL
+    * query set via this very method. */
+  val qShort: Map[String, String] = Map(
+    "q_wordcount" -> "qwc", "q_topk" -> "qtk", "q_inverted_index" -> "qii",
+    "q_wordcount_republic" -> "qwcr", "q_topk_republic" -> "qtkr",
+    "q_inverted_index_republic" -> "qiir")
+
+  def shortKey(name: String): String = qShort.getOrElse(name, name.takeWhile(_ != '_'))
 }

@@ -495,18 +495,8 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY norm ORDER BY keep_id""".stripMargin,
     "d02_ngram_jaccard" ->
-      s"""WITH $shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT i, j,
-         |  ${round4("n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common)")} AS jac
-         |FROM common
-         |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
-         |WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8
-         |ORDER BY i, j""".stripMargin,
+      s"""WITH $pairsCtes
+         |SELECT i, j, jac FROM pairs ORDER BY i, j""".stripMargin,
     "d03_minhash_lsh" ->
       // Same oracle as d02: the banded-MinHash candidates are verified
       // with EXACT Jaccard before emission, so the output contract is
@@ -514,18 +504,8 @@ object SparkEntry {
       // banding — P[miss] ≈ 2e-4 per pair at the 0.8 boundary under the
       // fixed splitmix64 hash family, and LlmOpsSpec pins LSH ≡ exact on
       // this corpus (deterministic: no RNG state anywhere).
-      s"""WITH $shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT i, j,
-         |  ${round4("n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common)")} AS jac
-         |FROM common
-         |JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
-         |WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8
-         |ORDER BY i, j""".stripMargin,
+      s"""WITH $pairsCtes
+         |SELECT i, j, jac FROM pairs ORDER BY i, j""".stripMargin,
     "d04_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -682,15 +662,8 @@ object SparkEntry {
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "d17_hash_split" ->
-      """SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |    % 100 AS bucket,
-        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |            % 100 < 80 THEN 'train'
-        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |            % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $splitCte
+         |SELECT doc_id, bucket, split FROM sp ORDER BY doc_id""".stripMargin,
     "d18_bigram_lm" ->
       // parallel unnest of two shifted list slices zips them into bigram
       // pairs; logp is canonicalized to DECIMAL(30,6) pre-sum (d10's
@@ -1060,8 +1033,8 @@ object SparkEntry {
   private def round8(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,8)) AS DOUBLE)"
 
   /** The d02 exact-Jaccard near-dup pair graph as reusable CTEs
-    * (`sh` → `sizes` → `common` → `pairs`), shared by the d02/d19/d20
-    * oracles so all three stay definitionally in sync. */
+    * (`sh` → `sizes` → `common` → `pairs`), shared by the d02/d03/d19/
+    * d20 oracles so all four stay definitionally in sync. */
   private def pairsCtes =
     s"""$shingleCte,
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1076,15 +1049,18 @@ object SparkEntry {
        |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
        |  WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8)""".stripMargin
 
-  /** The d17 deterministic hash-split assignment as a CTE (`sp`). */
+  /** The d17 deterministic hash-split assignment as a CTE (`sp`) —
+    * shared by the d17 and d20 oracles so both stay definitionally in
+    * sync with `LlmOps.splitAssign`. */
   private def splitCte =
-    """sp AS (SELECT doc_id,
-      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      |            % 100 < 80 THEN 'train'
-      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      |            % 100 < 90 THEN 'val'
+    """sp AS (SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
       |       ELSE 'test' END AS split
-      |FROM documents)""".stripMargin
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % 100 AS bucket
+      |      FROM documents))""".stripMargin
 
   /** In-order cosine; DuckDB's list_inner_product folds left-to-right,
     * matching Spark's `aggregate` fold (verified empirically by

@@ -550,8 +550,10 @@ object Relational {
   /** E13d — ordered string aggregation (LISTAGG/STRING_AGG): the
     * delimited-roster reshape reporting layers ask for constantly. Spark
     * has no ordered string_agg aggregate; the deterministic composition
-    * is `array_sort(collect_list(...))` then `concat_ws` — sort AFTER
-    * collect so the result does not depend on shuffle arrival order.
+    * is `array_sort(collect_set(...))` then `concat_ws` — distinct
+    * membership (each nation once, not once per supplier, matching the
+    * oracle's list_distinct) and sort AFTER collect so the result does
+    * not depend on shuffle arrival order.
     * Per region: the nation roster and supplier stats through a
     * broadcast dim chain. Groups here are tiny; a group whose roster
     * could not fit one row (millions of members) is a modeling error for

@@ -22,20 +22,22 @@ class ContractSpec extends SparkSpec {
   test("bench stdout line stays under the driver's tail-capture budget") {
     // the driver records only the last ~2000 chars of bench stdout
     // (BASELINE.md "BENCH key abbreviation"); with sbt's epilogue (~100
-    // chars) the JSON line must stay comfortably below that. Simulate
-    // the exact line Bench prints with worst-case 6-char values.
-    val qShort = Map(
-      "q_wordcount" -> "qwc", "q_topk" -> "qtk", "q_inverted_index" -> "qii",
-      "q_wordcount_republic" -> "qwcr", "q_topk_republic" -> "qtkr",
-      "q_inverted_index_republic" -> "qiir")
-    def shortKey(name: String): String = qShort.getOrElse(name, name.takeWhile(_ != '_'))
+    // chars) the JSON line must stay comfortably below that. Uses the
+    // REAL Bench.shortKey over the real query set with worst-case 6-char
+    // values, and models the all-queries-failed line too (short keys
+    // appear in `failed` as well).
     val keys = SparkEntry.queries.keys.toSeq
-    assert(keys.map(shortKey).distinct.size === keys.size, "short bench keys collide")
-    val line = keys.map(k => "\"" + shortKey(k) + "\":99.999").mkString(
+    assert(keys.map(Bench.shortKey).distinct.size === keys.size, "short bench keys collide")
+    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.999").mkString(
       """{"metric":"total","value":9999.999,"unit":"sec","queries":{""",
       ",",
       """},"failed":[],"sf":"/root/testdata/sf0.1"}""")
-    assert(line.length <= 1850, s"bench stdout line too long: ${line.length} chars")
+    assert(ok.length <= 1850, s"bench stdout line too long: ${ok.length} chars")
+    val allFailed = keys.map(k => "\"" + Bench.shortKey(k) + "\"").mkString(
+      """{"metric":"total","value":0,"unit":"sec","queries":{},"failed":[""",
+      ",",
+      """],"sf":"/root/testdata/sf0.1"}""")
+    assert(allFailed.length <= 1850, s"all-failed line too long: ${allFailed.length} chars")
   }
 
   test("flagship entry() returns rows") {

@@ -181,8 +181,9 @@ class LlmOpsSpec extends SparkSpec {
       assert(n > 0 && oov >= 0 && oov <= n)
       assert(rate >= 0.0 && rate <= 1.0)
     }
-    // the corpus vocabulary exceeds K=200, so OOV must actually occur —
-    // a degenerate all-zero metric means K swallowed the whole vocab
+    // the corpus draws from a 31-word vocabulary and K=20, so the 11
+    // rarest words are OOV — a degenerate all-zero metric means K
+    // swallowed the whole vocab (raising K to ≥31 would do exactly that)
     assert(rows.exists(_._3 > 0), "no OOV tokens anywhere: metric degenerate")
     assert(rows.exists(_._3 < rows.map(_._2).max), "everything OOV")
   }
