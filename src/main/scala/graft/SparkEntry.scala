@@ -99,6 +99,8 @@ object SparkEntry {
     "d21_repetition" -> (LlmOps.repetition _),
     // corpus top-K vocabulary + per-document OOV rate
     "d22_vocab_coverage" -> (LlmOps.vocabCoverage _),
+    // deterministic per-language stratified sampling (corpus rebalance)
+    "d23_stratified_sample" -> (LlmOps.stratifiedSample _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -826,6 +828,16 @@ object SparkEntry {
          |            ELSE o_orderstatus END AS status,
          |  count(*) AS n_orders, ${dsum("o_totalprice")} AS total_price
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d23_stratified_sample" ->
+      // same md5-bucket arithmetic as d17, salted with the stratum
+      """SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100 AS bucket,
+        |  CAST(CASE WHEN lang = 'en' THEN 30 ELSE 90 END AS BIGINT) AS keep_rate,
+        |  CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100
+        |    < CASE WHEN lang = 'en' THEN 30 ELSE 90 END AS sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d22_vocab_coverage" ->
       // top-20 vocab (corpus draws from 31 words — see LlmOps scaladoc)
       // with (freq DESC, word ASC) boundary tie-break;

@@ -172,6 +172,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(tiny._2 === 0L && tiny._4 === 0.0 && tiny._5)
   }
 
+  test("stratified sample rebalances languages and is growth-stable") {
+    val rows = LlmOps.stratifiedSample(spark, Sf)
+      .select("doc_id", "lang", "sampled")
+      .as[(Long, String, Boolean)].collect()
+    assert(rows.length === 500)
+    val kept = rows.filter(_._3).groupBy(_._2).map { case (l, r) => l -> r.length }
+    val orig = rows.groupBy(_._2).map { case (l, r) => l -> r.length }
+    // en is downsampled hard (30%); others keep ~90%
+    assert(kept("en") < orig("en") / 2)
+    assert(kept("fr") > orig("fr") / 2)
+    // rebalanced: en no longer dominates every other language 2.5×
+    assert(kept("en") < 2 * kept.filterNot(_._1 == "en").values.min)
+    // growth-stability: a doc's fate is a pure function of (lang, id) —
+    // recomputing on a SUBSET of the corpus keeps identical decisions
+    val subsetDir = java.nio.file.Files.createTempDirectory("graft-strat").toString
+    Tables.documents(spark, Sf).filter(col("doc_id") < 100)
+      .write.mode("overwrite").parquet(s"$subsetDir/documents.parquet")
+    val sub = LlmOps.stratifiedSample(spark, subsetDir)
+      .select("doc_id", "sampled").as[(Long, Boolean)].collect().toMap
+    rows.filter(_._1 < 100).foreach { case (id, _, s) => assert(sub(id) === s) }
+  }
+
   test("vocab coverage: rates bounded, metric non-degenerate, vocab honored") {
     val rows = LlmOps.vocabCoverage(spark, Sf)
       .select("doc_id", "n_tokens", "n_oov", "oov_rate")
