@@ -58,6 +58,9 @@ object SparkEntry {
     "e18b_try_funcs" -> (Relational.tryFuncs _),
     "e19_region_supplier" -> (Relational.regionSupplier _),
     "e20_asof_join" -> (AsofJoin.errorAsofPurchase _),
+    // the two-pass (key, time-bucket) variant — same contract, bounded
+    // window partitions under key skew; same DuckDB ASOF oracle
+    "e20b_asof_bucketed" -> ((s, d) => AsofJoin.errorAsofPurchaseBucketed(s, d)),
     "e21_salted_agg" -> (Relational.saltedAgg _),
     // the SQL front-end surface (spark.sql over temp views)
     "e22_sql_frontend" -> (Relational.sqlFrontend _),
@@ -77,7 +80,7 @@ object SparkEntry {
     "d04_cosine_topk" -> (LlmOps.cosineTopK _),
     "d05_embed_neardup" -> (LlmOps.embedNearDup _),
     "d06_ann_lsh" -> (LlmOps.annLsh _),               // no SQL oracle: bucket recall is probabilistic by design; spec-checked vs brute force
-    "d06b_ivf_ann" -> (LlmOps.ivfAnn _),
+    "d06b_ivf_ann" -> ((s, d) => LlmOps.ivfAnn(s, d)),
     "d07_tfidf" -> (LlmOps.tfidf _),
     "d08_text_stats" -> (LlmOps.textStats _),
     "d09_lang_profile" -> (LlmOps.langProfile _),
@@ -98,7 +101,7 @@ object SparkEntry {
     // Gopher-style within-document repetition quality rule
     "d21_repetition" -> (LlmOps.repetition _),
     // corpus top-K vocabulary + per-document OOV rate
-    "d22_vocab_coverage" -> (LlmOps.vocabCoverage _),
+    "d22_vocab_coverage" -> ((s, d) => LlmOps.vocabCoverage(s, d)),
     // deterministic per-language stratified sampling (corpus rebalance)
     "d23_stratified_sample" -> (LlmOps.stratifiedSample _),
     // — multimodal binary-column plumbing —
@@ -459,24 +462,10 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
-    "e20_asof_join" ->
-      // DuckDB's native ASOF LEFT JOIN is the oracle for our union-tag +
-      // window carry-forward plan; purchases deduped per (user, ts) to
-      // max event_id so the as-of pick is unique in both engines.
-      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
-        |             event_type, value FROM events),
-        |p0 AS (SELECT user_id, ts, max(event_id) AS p_event_id FROM e
-        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |p AS (SELECT p0.user_id, p0.ts, p0.p_event_id, e.value AS p_value
-        |      FROM p0 JOIN e ON e.event_id = p0.p_event_id),
-        |err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error')
-        |SELECT err.event_id, err.user_id,
-        |  strftime(err.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
-        |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value,
-        |  CAST(date_diff('second', p.ts, err.ts) AS BIGINT) AS lag_seconds
-        |FROM err ASOF LEFT JOIN p
-        |  ON err.user_id = p.user_id AND err.ts >= p.ts
-        |ORDER BY event_id""".stripMargin,
+    "e20_asof_join" -> asofSql,
+    // the two-pass bucketed plan has the identical output contract, so
+    // the same native-ASOF oracle applies verbatim
+    "e20b_asof_bucketed" -> asofSql,
     "t01_typed_topk" -> topkSql("Dracula.txt", 50),
     "t02_phoenix_wordcount" -> wordCountSql("Dracula.txt"),
     "e21_salted_agg" ->
@@ -1040,6 +1029,26 @@ object SparkEntry {
        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   // ——— shared DuckDB fragments for the d* oracles ———
+
+  /** DuckDB's native ASOF LEFT JOIN — the one oracle for BOTH as-of
+    * plans (e20 single-window, e20b two-pass bucketed); purchases
+    * deduped per (user, ts) to max event_id so the as-of pick is unique
+    * in both engines. */
+  private val asofSql =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |             event_type, value FROM events),
+      |p0 AS (SELECT user_id, ts, max(event_id) AS p_event_id FROM e
+      |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |p AS (SELECT p0.user_id, p0.ts, p0.p_event_id, e.value AS p_value
+      |      FROM p0 JOIN e ON e.event_id = p0.p_event_id),
+      |err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error')
+      |SELECT err.event_id, err.user_id,
+      |  strftime(err.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+      |  p.p_event_id AS purchase_event_id, p.p_value AS purchase_value,
+      |  CAST(date_diff('second', p.ts, err.ts) AS BIGINT) AS lag_seconds
+      |FROM err ASOF LEFT JOIN p
+      |  ON err.user_id = p.user_id AND err.ts >= p.ts
+      |ORDER BY event_id""".stripMargin
 
   private def round4(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,4)) AS DOUBLE)"
   private def round8(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,8)) AS DOUBLE)"

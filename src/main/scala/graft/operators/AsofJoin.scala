@@ -19,21 +19,22 @@ import org.apache.spark.sql.functions._
   *   3. keep probe rows.
   * One shuffle (the window), no join at all — the classic scale shape.
   * Caveat: the window partitions by the join key, so a single hot key
-  * serializes; the 100 TB mitigation is the two-pass variant (per
-  * (key, time-bucket) partial + carry the bucket-boundary reference
-  * forward), which trades one extra shuffle for bounded partitions.
+  * serializes; the 100 TB mitigation is [[errorAsofPurchaseBucketed]],
+  * the two-pass (key, time-bucket) variant: bounded partitions in
+  * exchange for one extra (much smaller) shuffle. AsofJoinSpec proves
+  * the two plans row-identical across bucket widths, and the variant is
+  * registered as its own query (e20b) against the same DuckDB ASOF
+  * oracle.
   */
 object AsofJoin {
   import Canon._
 
-  /** For each `error` event: the latest `purchase` of the same user at
-    * or before it (ties on purchase ts resolved to max event_id so both
-    * engines agree), plus the lag in seconds. DuckDB oracle uses its
-    * native ASOF LEFT JOIN. */
-  def errorAsofPurchase(s: SparkSession, d: String): DataFrame = {
+  /** The shared tagged stream: deduped purchase references (is_probe=0)
+    * unioned with error probes (is_probe=1), one schema. References are
+    * deduped per (user, ts) keeping max event_id — makes the as-of pick
+    * unique, so Spark and DuckDB cannot disagree on ties. */
+  private def taggedStream(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-    // dedup references per (user, ts): keep max event_id — makes the
-    // as-of pick unique, so Spark and DuckDB cannot disagree on ties.
     val purchases = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("p_event_id"))
@@ -45,7 +46,7 @@ object AsofJoin {
       .select(col("user_id"), col("ts"),
         col("event_id").cast("long").as("e_event_id"), col("value").as("e_value"),
         lit(1).as("is_probe"))
-    val unioned = purchases
+    purchases
       .select(col("user_id"), col("ts"), col("p_event_id"), col("p_value"),
         lit(null).cast("long").as("e_event_id"), lit(null).cast("double").as("e_value"),
         col("is_probe"))
@@ -53,17 +54,11 @@ object AsofJoin {
         .select(col("user_id"), col("ts"), lit(null).cast("long").as("p_event_id"),
           lit(null).cast("double").as("p_value"), col("e_event_id"),
           col("e_value"), col("is_probe")))
-    // references sort before probes at equal ts (is_probe 0 < 1), so a
-    // same-timestamp purchase IS visible to the error ("at or before").
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("is_probe").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn("m_event_id", last(col("p_event_id"), ignoreNulls = true).over(w))
-      .withColumn("m_ts", last(when(col("is_probe") === 0, col("ts")),
-        ignoreNulls = true).over(w))
-      .withColumn("m_value", last(col("p_value"), ignoreNulls = true).over(w))
-      .filter(col("is_probe") === 1)
+  }
+
+  /** The output contract shared by both variants. */
+  private def finish(matched: DataFrame): DataFrame =
+    matched
       .select(col("e_event_id").as("event_id"), col("user_id"),
         tsStr(col("ts")).as("err_ts"),
         col("m_event_id").as("purchase_event_id"),
@@ -71,5 +66,75 @@ object AsofJoin {
         (unix_timestamp(col("ts")) - unix_timestamp(col("m_ts")))
           .as("lag_seconds"))
       .orderBy("event_id")
+
+  /** For each `error` event: the latest `purchase` of the same user at
+    * or before it (ties on purchase ts resolved to max event_id so both
+    * engines agree), plus the lag in seconds. DuckDB oracle uses its
+    * native ASOF LEFT JOIN. */
+  def errorAsofPurchase(s: SparkSession, d: String): DataFrame = {
+    // references sort before probes at equal ts (is_probe 0 < 1), so a
+    // same-timestamp purchase IS visible to the error ("at or before").
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    finish(taggedStream(s, d)
+      .withColumn("m_event_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(when(col("is_probe") === 0, col("ts")),
+        ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1))
+  }
+
+  /** The two-pass as-of join — same output contract as
+    * [[errorAsofPurchase]], but no per-key serialization:
+    *
+    *   1. within-bucket pass: the carry-forward window partitions by
+    *      (user, time-bucket), so a partition holds at most
+    *      `bucketSeconds` worth of ONE user's events — bounded however
+    *      hot the key;
+    *   2. carry-in pass: the latest reference per (user, bucket) —
+    *      REDUCED data, one row per non-empty bucket — is carried across
+    *      buckets by a second window partitioned by user alone, shifted
+    *      one bucket back (`rowsBetween(unbounded, -1)`);
+    *   3. each probe coalesces its within-bucket match with the
+    *      carry-in of its bucket.
+    *
+    * The hot-key window of pass 1 shrinks by the bucket count; the pass-2
+    * window is over bucket summaries, not events, so the 100 TB skew
+    * hazard (one partition = one whole hot key) is gone. */
+  def errorAsofPurchaseBucketed(s: SparkSession, d: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val tagged = taggedStream(s, d)
+      .withColumn("bkt", floor(unix_timestamp(col("ts")) / bucketSeconds))
+    // pass 1: carry within (user, bucket) — identical ordering contract
+    // to the single-window plan (references before probes at equal ts).
+    val wIn = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("ts").asc, col("is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = tagged
+      .withColumn("in_event_id", last(col("p_event_id"), ignoreNulls = true).over(wIn))
+      .withColumn("in_ts", last(when(col("is_probe") === 0, col("ts")),
+        ignoreNulls = true).over(wIn))
+      .withColumn("in_value", last(col("p_value"), ignoreNulls = true).over(wIn))
+    // pass 2: latest reference per (user, bucket); struct max orders by
+    // (ts, event_id) so the within-bucket winner matches pass 1's.
+    val bucketLast = tagged.filter(col("is_probe") === 0)
+      .groupBy(col("user_id"), col("bkt"))
+      .agg(max(struct(col("ts"), col("p_event_id"), col("p_value"))).as("r"))
+    // bucket spine: every (user, bucket) with any row, so probes in
+    // reference-free buckets still receive a carry-in.
+    val wCarry = Window.partitionBy(col("user_id")).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = tagged.select(col("user_id"), col("bkt")).distinct()
+      .join(bucketLast, Seq("user_id", "bkt"), "left")
+      .withColumn("c", last(col("r"), ignoreNulls = true).over(wCarry))
+      .select(col("user_id"), col("bkt"), col("c"))
+    finish(inBucket.filter(col("is_probe") === 1)
+      .join(carryIn, Seq("user_id", "bkt"), "left")
+      .withColumn("m_event_id",
+        coalesce(col("in_event_id"), col("c").getField("p_event_id")))
+      .withColumn("m_ts", coalesce(col("in_ts"), col("c").getField("ts")))
+      .withColumn("m_value", coalesce(col("in_value"), col("c").getField("p_value"))))
   }
 }

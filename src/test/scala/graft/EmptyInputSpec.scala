@@ -31,7 +31,7 @@ class EmptyInputSpec extends SparkSpec {
       "cosineTopK" -> (LlmOps.cosineTopK _),
       "embedNearDup" -> (LlmOps.embedNearDup _),
       "annLsh" -> (LlmOps.annLsh _),
-      "ivfAnn" -> (LlmOps.ivfAnn _),
+      "ivfAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.ivfAnn(s, d)),
       "tfidf" -> (LlmOps.tfidf _),
       "textStats" -> (LlmOps.textStats _),
       "langProfile" -> (LlmOps.langProfile _),

@@ -277,4 +277,106 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("hot-shingle DF cap: hot-only pairs dropped, values stay exact") {
+    // synthetic shingle sets around a hot shingle H (df = 34 > cap 20):
+    //  - docs 1,2 = {H, R}:   candidates via rare R; exact jac must be
+    //    1.0 and n_common must COUNT H (verification over full sets)
+    //  - docs 3,4 = {H}:      share ONLY the hot shingle → dropped (the
+    //    documented recall tradeoff; d03 banding is the backstop)
+    //  - docs 5,6 = {H, A, B}: rare-only jac 2/(6−2) = 0.5 < 0.8 — the
+    //    upper bound (n_cr + min(h_i, h_j)) must keep them alive and
+    //    verification must report the true jac 1.0
+    //  - docs 100..129 = {H, u_k}: the hot crowd; no qualifying pairs
+    val sh = (Seq(
+      (1L, "H"), (1L, "R"), (2L, "H"), (2L, "R"),
+      (3L, "H"), (4L, "H"),
+      (5L, "H"), (5L, "A"), (5L, "B"), (6L, "H"), (6L, "A"), (6L, "B")) ++
+      (100L to 129L).flatMap(k => Seq((k, "H"), (k, s"u$k"))))
+      .toDF("doc_id", "shingle")
+    val capped = LlmOps.jaccardPairsOver(sh, 0.8, 20L)
+      .select("i", "j", "n_common", "jac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(capped.toSeq === Seq((1L, 2L, 2L, 1.0), (5L, 6L, 3L, 1.0)))
+    // uncapped finds the hot-only pair too — and agrees on shared pairs
+    val uncapped = LlmOps.jaccardPairsOver(sh, 0.8, Long.MaxValue)
+      .select("i", "j", "n_common", "jac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(uncapped.toSeq === Seq((1L, 2L, 2L, 1.0), (3L, 4L, 1L, 1.0), (5L, 6L, 3L, 1.0)))
+  }
+
+  test("DF cap on the real corpus: capped ⊆ uncapped with identical values") {
+    val shingles = LlmOps.docShingles(spark, Sf)
+    val uncapped = LlmOps.jaccardPairsOver(shingles, 0.8, Long.MaxValue)
+      .select("i", "j", "jac").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // the registered cap loses nothing at this scale (oracle-pinned
+    // too); the query rounds jac to 4 decimals, so compare keys exactly
+    // and values to rounding tolerance
+    val registered = LlmOps.ngramJaccard(spark, Sf)
+      .select("i", "j", "jac").as[(Long, Long, Double)].collect()
+    assert(registered.map(p => (p._1, p._2)).toSet === uncapped.keySet)
+    registered.foreach { case (i, j, jac4) =>
+      assert(math.abs(jac4 - uncapped((i, j))) < 5e-5, s"pair ($i,$j)")
+    }
+    // an aggressive cap may LOSE pairs but must never alter a value —
+    // at sf0.001 the worst pair's rarest shared shingle has df 4, so
+    // cap 3 genuinely drops pairs while plenty of shingles survive it
+    val aggressive = LlmOps.jaccardPairsOver(shingles, 0.8, 3L)
+      .select("i", "j", "jac").as[(Long, Long, Double)].collect()
+    assert(aggressive.length < uncapped.size, "cap 3 should cost recall here")
+    aggressive.foreach { case (i, j, jac) =>
+      assert(uncapped((i, j)) === jac, s"pair ($i,$j) value drifted under cap")
+    }
+  }
+
+  test("near-dup results do not depend on corpus persistence level") {
+    val defaults = (LlmOps.ngramJaccard(spark, Sf).collect().toSeq,
+      LlmOps.minhashNearDup(spark, Sf).collect().toSeq)
+    spark.conf.set("spark.graft.corpusPersistLevel", "NONE")
+    try {
+      assert(LlmOps.ngramJaccard(spark, Sf).collect().toSeq === defaults._1)
+      assert(LlmOps.minhashNearDup(spark, Sf).collect().toSeq === defaults._2)
+    } finally spark.conf.unset("spark.graft.corpusPersistLevel")
+  }
+
+  test("IVF multi-probe: nprobe=2 recall ≥ nprobe=1, same contract") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // brute-force true nearest neighbor per query (ties by id — matches
+    // the operator's window ordering)
+    val trueNN = (0L until 10L).map { q =>
+      val qv = vecs(q)
+      q -> vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .maxBy { case (id, s) => (s, -id) }._1
+    }.toMap
+    def recall(nprobe: Int): Double = {
+      val got = LlmOps.ivfAnn(spark, Sf, nprobe)
+        .select("qid", "nid").as[(Long, Long)].collect().toMap
+      got.count { case (q, n) => trueNN(q) == n }.toDouble / trueNN.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"multi-probe must not lose recall: $r2 < $r1")
+    assert(r1 === 1.0, "fixture fact the d06b oracle relies on (re-check if embeddings change)")
+  }
+
+  test("vocab coverage K is a real parameter: K≥vocab ⇒ no OOV, smaller K ⇒ more OOV") {
+    val at20 = LlmOps.vocabCoverage(spark, Sf)
+      .select("doc_id", "n_oov").as[(Long, Long)].collect().toMap
+    // the corpus vocabulary is 31 words: K=31 swallows it whole
+    val at31 = LlmOps.vocabCoverage(spark, Sf, 31)
+      .select("doc_id", "n_oov").as[(Long, Long)].collect()
+    assert(at31.forall(_._2 === 0L))
+    // shrinking the vocab can only grow each document's OOV count
+    val at5 = LlmOps.vocabCoverage(spark, Sf, 5)
+      .select("doc_id", "n_oov").as[(Long, Long)].collect()
+    at5.foreach { case (doc, oov) => assert(oov >= at20(doc)) }
+  }
 }
