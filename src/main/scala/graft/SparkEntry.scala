@@ -104,6 +104,10 @@ object SparkEntry {
     "d22_vocab_coverage" -> ((s, d) => LlmOps.vocabCoverage(s, d)),
     // deterministic per-language stratified sampling (corpus rebalance)
     "d23_stratified_sample" -> (LlmOps.stratifiedSample _),
+    // sharded concat-and-chunk packing into fixed context windows
+    "d24_seq_packing" -> (LlmOps.seqPacking _),
+    // content-defined (rolling-hash-boundary) chunking
+    "d25_cdc_chunks" -> (LlmOps.cdcChunks _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -827,6 +831,40 @@ object SparkEntry {
         |         AS BIGINT) % 100
         |    < CASE WHEN lang = 'en' THEN 30 ELSE 90 END AS sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d24_seq_packing" ->
+      // per-shard running token total; bins are pure integer divisions
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |             AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum - n_tokens AS start_off,
+        |  (cum - n_tokens) // 256 AS first_bin,
+        |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+        |       ELSE (cum - n_tokens) // 256 END AS last_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "d25_cdc_chunks" ->
+      // boundary iff md5-hash(token) % 16 = 0 (token ENDS its chunk);
+      // chunk id = boundaries strictly before the token
+      """WITH tok AS (SELECT doc_id, generate_subscripts(string_split(text,' '), 1) - 1 AS pos,
+        |               unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |b AS (SELECT doc_id, pos, w,
+        |        CASE WHEN CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 = 0
+        |             THEN 1 ELSE 0 END AS is_boundary
+        |      FROM tok),
+        |cid AS (SELECT doc_id, pos, w,
+        |          CAST(COALESCE(sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS chunk_id
+        |        FROM b)
+        |SELECT doc_id, chunk_id, count(*) AS n_toks,
+        |  CAST(min(pos) AS BIGINT) AS start_tok,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM cid GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
     "d22_vocab_coverage" ->
       // top-20 vocab (corpus draws from 31 words — see LlmOps scaladoc)
       // with (freq DESC, word ASC) boundary tie-break;

@@ -367,6 +367,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(r1 === 1.0, "fixture fact the d06b oracle relies on (re-check if embeddings change)")
   }
 
+  test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
+    val rows = LlmOps.seqPacking(spark, Sf)
+      .select("doc_id", "shard", "n_tokens", "start_off", "first_bin", "last_bin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      val sorted = docs.sortBy(_._1)
+      // concat-and-chunk: each doc starts exactly where the previous ended
+      var expectedOff = 0L
+      sorted.foreach { case (doc, sh, n, off, fb, lb) =>
+        assert(sh === doc % LlmOps.PackShards)
+        assert(off === expectedOff, s"gap in shard $shard at doc $doc")
+        assert(fb === off / LlmOps.PackTokens)
+        assert(lb === (off + n - 1) / LlmOps.PackTokens)
+        assert(fb <= lb)
+        expectedOff += n
+      }
+    }
+    // the corpus is long enough that some docs must span a bin boundary
+    assert(rows.exists(r => r._5 != r._6), "no doc spans a bin: fixture degenerate")
+  }
+
+  test("CDC chunks tile each document and end on hash boundaries") {
+    val nTokens = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val chunks = LlmOps.cdcChunks(spark, Sf)
+      .select("doc_id", "chunk_id", "n_toks", "start_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
+      // contiguous tiling: each chunk starts where the previous ended,
+      // and the last one ends at the document's token count
+      var off = 0L
+      sorted.foreach { case (_, _, n, start) =>
+        assert(start === off, s"doc $doc chunk gap"); off += n
+      }
+      assert(off === nTokens(doc).toLong, s"doc $doc coverage")
+    }
+  }
+
+  test("CDC boundaries re-synchronize after a prefix edit (the anti-shift property)") {
+    // the fixed-stride d14 chunks all shift when a prefix is inserted;
+    // CDC chunks after the first hash boundary must be IDENTICAL.
+    val base = Tables.documents(spark, Sf).filter(col("doc_id") === 0)
+      .select("text").as[String].head()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    Seq((0L, base), (1L, "inserted prefix tokens " + base))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byDoc = LlmOps.cdcChunks(spark, dir)
+      .select("doc_id", "chunk_id", "chunk_md5")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2).map(_._3).toSeq }
+    val (a, b) = (byDoc(0L), byDoc(1L))
+    assert(a.length >= 2, "fixture doc should produce several CDC chunks")
+    // every chunk of the original after its first boundary reappears
+    // verbatim in the shifted document
+    val tail = a.drop(1)
+    assert(tail.forall(b.contains), "shifted doc lost shared-content chunks")
+  }
+
   test("vocab coverage K is a real parameter: K≥vocab ⇒ no OOV, smaller K ⇒ more OOV") {
     val at20 = LlmOps.vocabCoverage(spark, Sf)
       .select("doc_id", "n_oov").as[(Long, Long)].collect().toMap
