@@ -43,7 +43,9 @@ class EmptyInputSpec extends SparkSpec {
       // d19's propagation loop must terminate immediately on a pair-free
       // corpus (empty edge set ⇒ converged after one no-op iteration)
       "neardupClusters" -> (LlmOps.neardupClusters _),
-      "contamination" -> (LlmOps.contamination _)
+      "contamination" -> (LlmOps.contamination _),
+      "seqPacking" -> (LlmOps.seqPacking _),
+      "cdcChunks" -> (LlmOps.cdcChunks _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
