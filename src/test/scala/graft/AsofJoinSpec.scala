@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.AsofJoin
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The two-pass (key, time-bucket) as-of join must be row-identical to
   * the single-window plan — for ANY bucket width, including widths small
@@ -22,6 +23,41 @@ class AsofJoinSpec extends SparkSpec {
       val bucketed =
         AsofJoin.errorAsofPurchaseBucketed(spark, Sf, bucket).collect().toSeq
       assert(bucketed === single)
+    }
+  }
+
+  test("bucketed as-of join on ONE hot key with ties — the skew case it exists for") {
+    import spark.implicits._
+    // a single user owning every event (the regime where the single-
+    // window plan serializes), with reference-free leading errors,
+    // same-timestamp purchase+error ties, and duplicate same-ts
+    // purchases (the max-event_id dedup rule)
+    val t0 = 1700000000L
+    val rows = Seq(
+      (1L, t0 + 5, 1L, "error", 0.0),            // before any purchase → null match
+      (2L, t0 + 10, 1L, "purchase", 10.0),
+      (3L, t0 + 10, 1L, "purchase", 11.0),       // same-ts dup: id 3 wins
+      (4L, t0 + 10, 1L, "error", 0.0),           // tie with its own ts purchase
+      (5L, t0 + 4000, 1L, "error", 0.0)          // match carried across buckets
+    ) ++ (0 until 2000).flatMap { k =>           // the hot tail
+      val ts = t0 + 5000 + k * 7L
+      Seq((100L + 2 * k, ts, 1L, if (k % 3 == 0) "purchase" else "error", k.toDouble))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    rows.toDF("event_id", "tsec", "user_id", "event_type", "value")
+      .select(col("event_id"), (col("tsec") * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val base = AsofJoin.errorAsofPurchase(spark, dir).collect().toSeq
+    assert(base.nonEmpty)
+    // leading error matches nothing; the tie error sees the SAME-ts
+    // purchase with the max event_id
+    val byId = base.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("purchase_event_id")))
+    assert(byId(4L).getLong(byId(4L).fieldIndex("purchase_event_id")) === 3L)
+    for (bucket <- Seq(13L, 3600L)) {
+      assert(AsofJoin.errorAsofPurchaseBucketed(spark, dir, bucket).collect().toSeq === base,
+        s"bucket $bucket diverged on the hot key")
     }
   }
 }
