@@ -108,6 +108,12 @@ object SparkEntry {
     "d24_seq_packing" -> (LlmOps.seqPacking _),
     // content-defined (rolling-hash-boundary) chunking
     "d25_cdc_chunks" -> (LlmOps.cdcChunks _),
+    // token-budget domain mixing via bucketed distributed prefix sum
+    "d26_token_budget" -> ((s, d) => LlmOps.tokenBudget(s, d)),
+    // per-document unigram Shannon entropy quality score
+    "d27_token_entropy" -> (LlmOps.tokenEntropy _),
+    // per-language percentile length trim (histogram-based percent_rank)
+    "d28_length_trim" -> ((s, d) => LlmOps.lengthTrim(s, d)),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -129,6 +135,8 @@ object SparkEntry {
     "s07_stateful_ordinal_tws" -> (Streaming.stateOrdinalTws _),
     // stream-static broadcast enrichment then windowed aggregation
     "s08_stream_static_join" -> (Streaming.staticEnrich _),
+    // chained stateful ops: dedup → tumbling window agg in one query
+    "s09_dedup_window" -> (Streaming.dedupThenWindow _),
     // — file-format source/sink round-trips (CSV, line-JSON) —
     "f01_csv_roundtrip" -> (Sources.csvRoundtrip _),
     "f02_json_roundtrip" -> (Sources.jsonRoundtrip _),
@@ -914,6 +922,66 @@ object SparkEntry {
          |SELECT a.doc_id, a.cluster_id, sz.cluster_size,
          |  a.doc_id = a.cluster_id AS is_canonical
          |FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
+    "d26_token_budget" ->
+      // flat per-source prefix sum over the md5 order key — equivalent
+      // to the Spark side's 16-way bucketed decomposition because the
+      // bucket (first hex char) is a PREFIX of the order key
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(ceil(sum(n_tokens) OVER (PARTITION BY source) * 0.5)
+        |             AS BIGINT) AS budget
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  cum - n_tokens AS cum_before, budget,
+        |  cum - n_tokens < budget AS selected
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "d27_token_entropy" ->
+      // per-term ln canonicalized to DECIMAL(30,6) before the exact sum
+      // (Canon discipline); entropy is ONE division, shipped raw
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+         |t AS (SELECT doc_id, c,
+         |        CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+         |        CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nd
+         |      FROM c),
+         |e AS (SELECT doc_id, max(n) AS n_tokens, max(nd) AS n_distinct,
+         |        CAST(SUM(CAST((c * (ln(n) - ln(c))) AS DECIMAL(30,6)))
+         |             AS DOUBLE) / max(n) AS entropy
+         |      FROM t GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct, entropy,
+         |  entropy >= 2.5 AS keep
+         |FROM e ORDER BY doc_id""".stripMargin,
+    "d28_length_trim" ->
+      // native percent_rank — ties share a rank, so the Spark side's
+      // histogram-based (rows-shorter)/(total-1) is the same quantity
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |        percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pct
+        |      FROM t)
+        |SELECT doc_id, lang, n_tokens, pct,
+        |  pct >= 0.1 AND pct <= 0.9 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "s09_dedup_window" ->
+      // first event per (user, event_type) by (ts, event_id), then the
+      // same tumbling hour aggregation as s01
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         |             value,
+         |             row_number() OVER (PARTITION BY user_id, event_type
+         |               ORDER BY ts, event_id) AS rn
+         |           FROM events)
+         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         |    AS window_start,
+         |  event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM e WHERE rn = 1
+         |GROUP BY date_trunc('hour', ts), event_type
+         |ORDER BY window_start, event_type""".stripMargin,
     "d20_contamination" ->
       s"""WITH $pairsCtes,
          |$splitCte

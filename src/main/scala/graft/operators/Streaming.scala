@@ -259,4 +259,39 @@ object Streaming {
     statefulOrdinalTws(Tables.events(s, d))
       .select(col("user_id"), col("event_id"), col("ordinal"))
       .orderBy("user_id", "ordinal")
+
+  /** E16e — CHAINED stateful operators in one streaming query: global
+    * dedup (first event per (user_id, event_type)) feeding a tumbling
+    * window aggregation — the dedup-then-aggregate shape of every
+    * exactly-once metrics pipeline (suppress redelivered events, then
+    * count). Spark 4 runs multiple stateful operators in one append-mode
+    * query as long as event time flows forward; the dedup state is
+    * O(keys) and the window state is bounded by the watermark.
+    *
+    * Streaming form — the spec runs this as a real two-stateful-op
+    * stream and compares to the batch query below. The watermark is
+    * defined ONCE, upstream of the dedup: with multiple stateful
+    * operators Spark propagates it through the chain, and redefining it
+    * between operators is an analysis error. */
+  def streamingDedupThenWindow(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(tsStr(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch form of [[streamingDedupThenWindow]]. Streaming
+    * `dropDuplicates` keeps the first-ARRIVED row per key; on the
+    * event-time-ordered replay the spec feeds (and any log-ordered
+    * source), that is the (ts, event_id)-minimal row — which is what
+    * this deterministic row_number form pins, same argument as
+    * [[dedupFirst]] vs [[streamingDedup]]. */
+  def dedupThenWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val deduped = Tables.events(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    tumblingAgg(deduped).orderBy("window_start", "event_type")
+  }
 }

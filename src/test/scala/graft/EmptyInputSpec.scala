@@ -45,7 +45,10 @@ class EmptyInputSpec extends SparkSpec {
       "neardupClusters" -> (LlmOps.neardupClusters _),
       "contamination" -> (LlmOps.contamination _),
       "seqPacking" -> (LlmOps.seqPacking _),
-      "cdcChunks" -> (LlmOps.cdcChunks _)
+      "cdcChunks" -> (LlmOps.cdcChunks _),
+      "tokenBudget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.tokenBudget(s, d)),
+      "tokenEntropy" -> (LlmOps.tokenEntropy _),
+      "lengthTrim" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.lengthTrim(s, d))
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
@@ -60,7 +63,8 @@ class EmptyInputSpec extends SparkSpec {
       "sessions" -> (Streaming.sessions _),
       "dedupFirst" -> (Streaming.dedupFirst _),
       "stateOrdinal" -> (Streaming.stateOrdinal _),
-      "streamJoin" -> (Streaming.streamJoin _)
+      "streamJoin" -> (Streaming.streamJoin _),
+      "dedupThenWindow" -> (Streaming.dedupThenWindow _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }

@@ -442,4 +442,81 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_id", "n_oov").as[(Long, Long)].collect()
     at5.foreach { case (doc, oov) => assert(oov >= at20(doc)) }
   }
+
+  test("token budget: bucketed prefix sum ≡ flat window, selection is a greedy prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val out = LlmOps.tokenBudget(spark, Sf)
+      .select("doc_id", "source", "n_tokens", "cum_before", "budget", "selected")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.nonEmpty)
+    // the 16-bucket decomposition must equal the single flat per-source
+    // running sum it replaces (the scale refactor can't change values)
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, _, cb, _, _) => assert(cb === flat(id), s"doc $id") }
+    // greedy take-while-open: within a source's hash order the selected
+    // docs are a PREFIX — once the budget closes it never reopens
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val flags = rows.sortBy(_._4).map(_._6)
+      assert(flags.head, s"$src: first doc in hash order is always selected")
+      assert(!flags.zip(flags.tail).exists { case (prev, next) => !prev && next },
+        s"$src: selection reopened after the budget closed")
+    }
+    // frac = 0.5 must actually split the corpus
+    assert(out.exists(_._6) && out.exists(!_._6))
+    // frac is a real parameter: everything fits under a full budget
+    assert(LlmOps.tokenBudget(spark, Sf, frac = 1.0)
+      .filter(!col("selected")).count() === 0L)
+  }
+
+  test("token entropy: information-theoretic bounds and analytic fixtures") {
+    val out = LlmOps.tokenEntropy(spark, Sf)
+      .select("doc_id", "n_tokens", "n_distinct", "entropy", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    // 0 ≤ H ≤ ln(n_distinct), with slack for the per-term 1e-6 decimal
+    out.foreach { case (id, _, nd, e, _) =>
+      assert(e >= -1e-6 && e <= math.log(nd.toDouble) + 1e-6, s"doc $id H=$e") }
+    assert(out.exists(_._5) && out.exists(!_._5), "keep flag is non-degenerate")
+    // analytic cases: one repeated token ⇒ H = 0; all-distinct ⇒ H = ln n
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    Seq((1L, "x x x x", "en", "s0", 7L), (2L, "a b c d", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = LlmOps.tokenEntropy(spark, dir)
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(math.abs(m(1L)) < 1e-9)
+    assert(math.abs(m(2L) - math.log(4.0)) < 1e-5)
+  }
+
+  test("length trim: histogram rank ≡ native percent_rank, ties share fate") {
+    val out = LlmOps.lengthTrim(spark, Sf)
+      .select("doc_id", "lang", "n_tokens", "pct", "keep")
+      .as[(Long, String, Long, Double, Boolean)].collect().toSeq
+    assert(out.nonEmpty)
+    // the histogram-based rank must reproduce the corpus-window form it
+    // replaces (same quantity, none of the per-lang serial pass)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_tokens")
+    val direct = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("pct", percent_rank().over(w))
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    out.foreach { case (id, _, _, p, _) =>
+      assert(math.abs(p - direct(id)) < 1e-12, s"doc $id") }
+    // a [0.1, 0.9] trim keeps ~80% of every language
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val kept = rows.count(_._5).toDouble / rows.size
+      assert(kept >= 0.7 && kept <= 0.92, s"$lang keeps $kept") }
+    // equal-length docs in one language always share a fate
+    out.groupBy(r => (r._2, r._3)).foreach { case (key, rows) =>
+      assert(rows.map(_._5).distinct.size === 1, s"tie group $key split") }
+  }
 }

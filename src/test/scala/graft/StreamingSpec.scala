@@ -95,6 +95,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("chained stateful ops: dedup → window agg in ONE streaming query ≡ batch") {
+    // two stateful operators back to back (dropDuplicates state feeding
+    // windowed-aggregation state) — the multi-stateful-operator support
+    // the s09 query claims. The replay arrives in event-time order, so
+    // streaming first-arrived dedup picks the (ts, event_id)-minimal row,
+    // which is exactly the batch row_number rule.
+    val streamed = runStream("t_dedup_window", Streaming.streamingDedupThenWindow)
+      .filter(col("event_type") =!= "sentinel")
+    val batch = Streaming.dedupThenWindow(spark, Sf)
+    assert(streamed.count() > 0)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("flatMapGroupsWithState ordinals: streaming ≡ batch (state survives micro-batches)") {
     val streamed = runStream("t_ordinal", Streaming.statefulOrdinal)
       .filter(col("event_id") =!= SentinelId)
