@@ -114,6 +114,8 @@ object SparkEntry {
     "d27_token_entropy" -> (LlmOps.tokenEntropy _),
     // per-language percentile length trim (histogram-based percent_rank)
     "d28_length_trim" -> ((s, d) => LlmOps.lengthTrim(s, d)),
+    // Matryoshka truncation: normalize → k-dim prefix → requantize
+    "d29_matryoshka" -> ((s, d) => LlmOps.matryoshka(s, d)),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -144,6 +146,8 @@ object SparkEntry {
     "f04_orc_roundtrip" -> (Sources.orcRoundtrip _),
     "f05_bucketed_join" -> (Sources.bucketedJoin _),
     "f06_schema_evolution" -> (Sources.schemaEvolution _),
+    // whole-file binaryFile source over a multi-file text layout
+    "f07_binary_source" -> (Sources.binarySource _),
     // — data profiling / data-quality validation —
     "p01_column_profile" -> (Profiling.columnProfile _),
     "p02_dq_checks" -> (Profiling.dqChecks _),
@@ -640,6 +644,51 @@ object SparkEntry {
          |  CAST(list_max(q) AS BIGINT) AS q_max,
          |  CAST(list_min(q) AS BIGINT) AS q_min
          |FROM q ORDER BY vec_id""".stripMargin,
+    "d29_matryoshka" ->
+      // prefix/full energies as exact decimal sums of per-element x²
+      // (order-independent); d15's DECIMAL(30,0) trick for the int8 step
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v, v[1:16] AS pr,
+         |        CAST(list_aggregate(list_transform(v,
+         |               x -> CAST(x * x AS DECIMAL(30,6))), 'sum')
+         |             AS DOUBLE) AS ss_full,
+         |        CAST(list_aggregate(list_transform(v[1:16],
+         |               x -> CAST(x * x AS DECIMAL(30,6))), 'sum')
+         |             AS DOUBLE) AS ss_pre
+         |      FROM e),
+         |u AS (SELECT vec_id, v, ss_full, ss_pre,
+         |        CASE WHEN ss_pre > 0
+         |          THEN list_transform(pr, x -> x / sqrt(ss_pre))
+         |          ELSE list_transform(pr, x -> 0.0) END AS un
+         |      FROM p),
+         |sc AS (SELECT vec_id, v, ss_full, ss_pre, un,
+         |         CASE WHEN ss_pre > 0
+         |           THEN list_max(list_transform(un, x -> abs(x))) / 127.0
+         |           ELSE 0.0 END AS qscale
+         |       FROM u),
+         |z AS (SELECT vec_id, v, ss_full, ss_pre, un, qscale,
+         |        CASE WHEN qscale > 0
+         |          THEN list_transform(un,
+         |                 x -> CAST(CAST(x / qscale AS DECIMAL(30,0)) AS BIGINT))
+         |          ELSE list_transform(un, x -> CAST(0 AS BIGINT)) END AS q
+         |      FROM sc)
+         |SELECT vec_id, CAST(len(v) AS BIGINT) AS d_full,
+         |  CASE WHEN ss_full > 0
+         |    THEN ${round8("ss_pre / ss_full")} ELSE 0.0 END AS energy,
+         |  ${round8("CASE WHEN ss_pre > 0 THEN v[1] / sqrt(ss_pre) ELSE 0.0 END")}
+         |    AS head_unit,
+         |  CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT)
+         |    AS q_norm2,
+         |  CAST(list_max(q) AS BIGINT) AS q_max,
+         |  CAST(list_min(q) AS BIGINT) AS q_min
+         |FROM z ORDER BY vec_id""".stripMargin,
+    "f07_binary_source" ->
+      // layout-independent totals: each written line is the doc's UTF-8
+      // bytes + one '\n'; line count recovered from the binary payloads
+      """SELECT CAST(sum(octet_length(encode(text)) + 1) AS BIGINT)
+        |    AS total_bytes,
+        |  count(*) AS n_docs
+        |FROM documents""".stripMargin,
     "d16_prep_pipeline" ->
       // mirrors d01 (dedup keep-rule) → d08 (quality formula, with the
       // same intermediate round4 on the ratio) → d14 (chunk CTEs).

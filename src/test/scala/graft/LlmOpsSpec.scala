@@ -519,4 +519,29 @@ class LlmOpsSpec extends SparkSpec {
     out.groupBy(r => (r._2, r._3)).foreach { case (key, rows) =>
       assert(rows.map(_._5).distinct.size === 1, s"tie group $key split") }
   }
+
+  test("matryoshka: energy bounds and monotonicity, int8 range pinned to ±127") {
+    val at16 = LlmOps.matryoshka(spark, Sf)
+      .select("vec_id", "d_full", "energy", "q_norm2", "q_max", "q_min")
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    assert(at16.nonEmpty)
+    at16.foreach { case (id, dFull, e, qn2, qMax, qMin) =>
+      assert(dFull === 64L)
+      assert(e > 0.0 && e <= 1.0 + 1e-9, s"vec $id energy $e")
+      // symmetric int8: within range, and the max-|x| element quantizes
+      // to exactly ±127 (the scale is defined by it)
+      assert(qMax <= 127L && qMin >= -127L, s"vec $id out of int8 range")
+      assert(qMax === 127L || qMin === -127L, s"vec $id extreme not pinned")
+      assert(qn2 > 0L && qn2 <= 16L * 127L * 127L)
+    }
+    // a wider prefix can only retain MORE of the vector's energy, and
+    // the full width retains all of it
+    val e16 = at16.map(r => r._1 -> r._3).toMap
+    val at32 = LlmOps.matryoshka(spark, Sf, 32)
+      .select("vec_id", "energy").as[(Long, Double)].collect()
+    at32.foreach { case (id, e) => assert(e >= e16(id) - 1e-9, s"vec $id") }
+    LlmOps.matryoshka(spark, Sf, 64)
+      .select("energy").as[Double].collect()
+      .foreach(e => assert(math.abs(e - 1.0) < 1e-9))
+  }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * the two levers that matter most for repeated 100 TB fact-fact joins
   * and time-sliced scans (SURVEY §2.4 scale posture). */
 class StorageSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val wh = {
     // the shared session's spark.sql.warehouse.dir is fixed at startup;
@@ -89,5 +90,26 @@ class StorageSpec extends SparkSpec {
     assert(execScan.nonEmpty)
     assert(execScan.head.metrics("numFiles").value === 1L,
       s"expected 1 post-pruning file, got ${execScan.head.metrics("numFiles").value}")
+  }
+
+  test("f07 binaryFile totals are layout-independent and byte-exact") {
+    val Seq((totalBytes, nDocs)) = operators.Sources.binarySource(spark, Sf)
+      .as[(Long, Long)].collect().toSeq
+    val direct = Tables.documents(spark, Sf)
+      .agg(sum(length(encode(col("text"), "UTF-8")) + 1).cast("long"),
+        count(lit(1)))
+      .as[(Long, Long)].collect().head
+    assert((totalBytes, nDocs) === direct)
+    // the same totals must come back from a differently-packed layout
+    // (binaryFile rows are per-FILE, so this is the invariance claim)
+    val repacked = Tables.documents(spark, Sf).select(col("text"))
+      .repartition(3)
+    val dir = s"$wh/docs_repacked"
+    repacked.write.mode("overwrite").text(dir)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt").load(dir)
+    val total2 = bin.agg(sum(col("length")).cast("long"))
+      .as[Long].collect().head
+    assert(total2 === totalBytes)
   }
 }
