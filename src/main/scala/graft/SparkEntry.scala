@@ -69,6 +69,8 @@ object SparkEntry {
     "e27_stats_agg" -> (Relational.statsAgg _),
     "e28_array_hof" -> (Relational.arrayHof _),
     "e29_locf_fill" -> (Relational.locfFill _),
+    // per-group top-k: rank window over the aggregated (user, type) table
+    "e30_topk_per_group" -> (Relational.topkPerGroup _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // the Phoenix MapReduce facade (same contract as q_wordcount)
@@ -116,6 +118,8 @@ object SparkEntry {
     "d28_length_trim" -> ((s, d) => LlmOps.lengthTrim(s, d)),
     // Matryoshka truncation: normalize → k-dim prefix → requantize
     "d29_matryoshka" -> ((s, d) => LlmOps.matryoshka(s, d)),
+    // delta-batch admission gate against the ingested corpus
+    "d30_incremental_dedup" -> (LlmOps.incrementalDedup _),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -644,6 +648,34 @@ object SparkEntry {
          |  CAST(list_max(q) AS BIGINT) AS q_max,
          |  CAST(list_min(q) AS BIGINT) AS q_min
          |FROM q ORDER BY vec_id""".stripMargin,
+    "e30_topk_per_group" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n_events,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rnk
+        |      FROM c)
+        |SELECT user_id, event_type, n_events, rnk
+        |FROM r WHERE rnk <= 2 ORDER BY user_id, rnk""".stripMargin,
+    "d30_incremental_dedup" ->
+      // batch = doc_id % 10 ≥ 8; near-dup partners from the shared d02
+      // pair CTE decide dup_existing / dup_batch / new
+      s"""WITH $pairsCtes,
+         |e AS (SELECT i AS b, j AS p FROM pairs
+         |      UNION ALL SELECT j AS b, i AS p FROM pairs),
+         |f AS (SELECT b AS doc_id,
+         |        max(CASE WHEN p % 10 < 8 THEN 1 ELSE 0 END) AS has_existing,
+         |        max(CASE WHEN p % 10 >= 8 AND p < b THEN 1 ELSE 0 END)
+         |          AS has_earlier
+         |      FROM e WHERE b % 10 >= 8 GROUP BY b),
+         |s AS (SELECT d.doc_id,
+         |        COALESCE(CASE WHEN f.has_existing = 1 THEN 'dup_existing'
+         |                      WHEN f.has_earlier = 1 THEN 'dup_batch' END,
+         |                 'new') AS status
+         |      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+         |      LEFT JOIN f ON d.doc_id = f.doc_id)
+         |SELECT doc_id, status, status = 'new' AS admitted
+         |FROM s ORDER BY doc_id""".stripMargin,
     "d29_matryoshka" ->
       // prefix/full energies as exact decimal sums of per-element x²
       // (order-independent); d15's DECIMAL(30,0) trick for the int8 step

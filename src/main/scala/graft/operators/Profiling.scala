@@ -96,4 +96,37 @@ object Profiling {
         e.filter(col("ts").isNull)))
     rows.reduce(_.unionAll(_)).orderBy("rule")
   }
+
+  /** Mergeable distinct-count SKETCHES (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`/`hll_union_agg`): per-event-type distinct
+    * users as a sketch, not a number. Library surface, not a `queries`
+    * entry — sketch binaries are engine-specific, so there is no DuckDB
+    * oracle; ProfilingSpec pins the two properties that make sketches
+    * THE 100 TB distinct-count tool instead:
+    *
+    *  1. mergeability — sketching each half of the data and unioning
+    *     the sketches yields the SAME estimate as sketching the whole
+    *     (HLL unions take per-register maxima, so this is exact sketch
+    *     equality, not approximation): incremental daily jobs can keep
+    *     running sketches and never rescan history, where
+    *     `countDistinct` forces a full recompute;
+    *  2. bounded error — the estimate lands within HLL's published
+    *     relative error of the exact count at lgK = 12.
+    *
+    * The sketch aggregation is partial/final like any hash agg: each
+    * executor sketches its partition, sizes are O(2^lgK) regardless of
+    * row count, and the driver merges fixed-size buffers. */
+  def sketchDistinct(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .withColumn("approx_users", hll_sketch_estimate(col("sketch")))
+
+  /** Union previously-built sketches (grouped by type) into estimates —
+    * the "merge yesterday's sketch with today's" half of the pattern. */
+  def sketchUnion(sketches: DataFrame): DataFrame =
+    sketches.groupBy("event_type")
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sketch")).as("approx_users"))
 }

@@ -687,4 +687,22 @@ object Relational {
         date_format(col("ts"), "yyyy-MM-dd HH").as("event_hour"),
         col("value"))
       .orderBy("event_id")
+
+  /** E10c — per-GROUP top-k: each user's 2 most frequent event types
+    * (count desc, type asc tie-break) — the grouped complement of the
+    * global top-k (E12). The ranking window runs over the AGGREGATED
+    * (user, type) table, not raw events: the shuffle is the count
+    * aggregation (map-side compacted), and the window partitions by
+    * user_id — high-cardinality, each partition a handful of rows, so
+    * no serial pass exists at any corpus size (contrast d28's
+    * histogram trick, needed there because languages are FEW). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .orderBy("user_id", "rnk")
+  }
 }

@@ -49,7 +49,8 @@ class EmptyInputSpec extends SparkSpec {
       "tokenBudget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.tokenBudget(s, d)),
       "tokenEntropy" -> (LlmOps.tokenEntropy _),
       "lengthTrim" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.lengthTrim(s, d)),
-      "matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.matryoshka(s, d))
+      "matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.matryoshka(s, d)),
+      "incrementalDedup" -> (LlmOps.incrementalDedup _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }

@@ -544,4 +544,45 @@ class LlmOpsSpec extends SparkSpec {
       .select("energy").as[Double].collect()
       .foreach(e => assert(math.abs(e - 1.0) < 1e-9))
   }
+
+  test("incremental dedup: statuses derive from the pair graph; earlier-batch rule") {
+    val out = LlmOps.incrementalDedup(spark, Sf)
+      .select("doc_id", "status", "admitted")
+      .as[(Long, String, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, st, adm) =>
+      assert(Set("dup_existing", "dup_batch", "new").contains(st))
+      assert(adm === (st == "new"))
+    }
+    assert(out.exists(_._2 == "dup_existing"), "planted cross-split pairs exist")
+    // recompute every decision from the pair graph directly
+    def inBatch(x: Long) = x % 10 >= 8
+    val pairs = LlmOps.ngramJaccard(spark, Sf)
+      .select("i", "j").as[(Long, Long)].collect()
+    val partners = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    out.foreach { case (id, st, _) =>
+      val ps = partners.getOrElse(id, Set.empty[Long])
+      val expect =
+        if (ps.exists(!inBatch(_))) "dup_existing"
+        else if (ps.exists(p => inBatch(p) && p < id)) "dup_batch"
+        else "new"
+      assert(st === expect, s"doc $id")
+    }
+    // dup_batch (absent from the fixtures) on a synthetic delta: two
+    // identical batch docs — the earlier doc_id wins, the later defers
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s0", 10L),
+      (18L, "one two three four five six seven", "en", "s0", 10L),
+      (28L, "one two three four five six seven", "en", "s1", 10L),
+      (38L, "totally different tokens in this document", "en", "s2", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = LlmOps.incrementalDedup(spark, dir)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(m(18L) === "new", "earliest batch copy is admitted")
+    assert(m(28L) === "dup_batch", "later batch copy defers to the earlier one")
+    assert(m(38L) === "new")
+  }
 }
