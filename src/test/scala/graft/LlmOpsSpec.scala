@@ -473,6 +473,14 @@ class LlmOpsSpec extends SparkSpec {
     // frac is a real parameter: everything fits under a full budget
     assert(LlmOps.tokenBudget(spark, Sf, frac = 1.0)
       .filter(!col("selected")).count() === 0L)
+    // the bucket-width skew knob re-groups the same prefix sum: a
+    // 256-way decomposition must reproduce the 16-way result exactly
+    val wide = LlmOps.tokenBudget(spark, Sf, prefixLen = 2)
+      .select("doc_id", "cum_before", "selected")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, cb, sel) => id -> ((cb, sel)) }.toMap
+    out.foreach { case (id, _, _, cb, _, sel) =>
+      assert(wide(id) === ((cb, sel)), s"doc $id diverged at prefixLen=2") }
   }
 
   test("token entropy: information-theoretic bounds and analytic fixtures") {
