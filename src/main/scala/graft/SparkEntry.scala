@@ -120,6 +120,7 @@ object SparkEntry {
     "d29_matryoshka" -> ((s, d) => LlmOps.matryoshka(s, d)),
     // delta-batch admission gate against the ingested corpus
     "d30_incremental_dedup" -> (LlmOps.incrementalDedup _),
+    "d31_bm25" -> ((s, d) => LlmOps.bm25(s, d)),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -676,6 +677,30 @@ object SparkEntry {
          |      LEFT JOIN f ON d.doc_id = f.doc_id)
          |SELECT doc_id, status, status = 'new' AS admitted
          |FROM s ORDER BY doc_id""".stripMargin,
+    "d31_bm25" ->
+      // same IEEE evaluation order as the Spark side: idf * (tf*(k1+1))
+      // / (tf + k1*(1-b + b*dl/avgdl)), summed over the 3 query terms
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |        CAST(len(list_filter(t, w -> w = 'spark')) AS BIGINT) AS tf_spark,
+         |        CAST(len(list_filter(t, w -> w = 'join')) AS BIGINT) AS tf_join,
+         |        CAST(len(list_filter(t, w -> w = 'window')) AS BIGINT) AS tf_window
+         |      FROM s),
+         |g AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         |        sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+         |        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+         |        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+         |      FROM d),
+         |sc AS (SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+         |         ${round4(Seq("spark", "join", "window").map(q =>
+                     s"ln(1.0 + (n_docs - df_$q + 0.5) / (df_$q + 0.5))" +
+                     s" * (tf_$q::DOUBLE * (1.2 + 1.0))" +
+                     s" / (tf_$q::DOUBLE + 1.2 * ((1.0 - 0.75)" +
+                     s" + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))")
+                     .mkString(" + "))} AS score
+         |       FROM d, g)
+         |SELECT doc_id, dl, tf_spark, tf_join, tf_window, score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "d29_matryoshka" ->
       // prefix/full energies as exact decimal sums of per-element x²
       // (order-independent); d15's DECIMAL(30,0) trick for the int8 step

@@ -50,7 +50,11 @@ class EmptyInputSpec extends SparkSpec {
       "tokenEntropy" -> (LlmOps.tokenEntropy _),
       "lengthTrim" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.lengthTrim(s, d)),
       "matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.matryoshka(s, d)),
-      "incrementalDedup" -> (LlmOps.incrementalDedup _)
+      "incrementalDedup" -> (LlmOps.incrementalDedup _),
+      // bm25's single-row stats aggregate yields n_docs = 0 / null Σdl
+      // on an empty corpus; the cross join against zero corpus rows must
+      // still produce zero rows (never a null-scored phantom row)
+      "bm25" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.bm25(s, d))
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }

@@ -483,6 +483,41 @@ class LlmOpsSpec extends SparkSpec {
       assert(wide(id) === ((cb, sel)), s"doc $id diverged at prefixLen=2") }
   }
 
+  test("bm25: scores match a driver-side recomputation; k1=0 is presence-only") {
+    val terms = Seq("spark", "join", "window")
+    val out = LlmOps.bm25(spark, Sf, terms, topK = 50)
+      .select("doc_id", "dl", "tf_spark", "tf_join", "tf_window", "score")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.size === 50)
+    // corpus stats recomputed independently from the raw table
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val nDocs = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs
+    val dfs = terms.map(q => q -> docs.count(_._2.contains(q)).toLong).toMap
+    out.foreach { case (id, dl, tfS, tfJ, tfW, score) =>
+      val expected = terms.zip(Seq(tfS, tfJ, tfW)).map { case (q, tf) =>
+        val idf = math.log(1.0 + (nDocs - dfs(q) + 0.5) / (dfs(q) + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      assert(math.abs(score - expected) < 1e-4, s"doc $id: $score vs $expected")
+    }
+    // scores are descending and every top-50 doc matched ≥1 term
+    assert(out.map(_._6) === out.map(_._6).sorted.reverse)
+    assert(out.forall { case (_, _, a, b, c, _) => a + b + c > 0 })
+    // k1 = 0 degenerates to presence-only scoring: any two docs matching
+    // the same SET of terms tie exactly, regardless of tf and length
+    val flat = LlmOps.bm25(spark, Sf, terms, k1 = 0.0, topK = 50)
+      .select("tf_spark", "tf_join", "tf_window", "score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val bySet = flat.groupBy { case (a, b, c, _) => (a > 0, b > 0, c > 0) }
+    bySet.foreach { case (set, rows) =>
+      assert(rows.map(_._4).distinct.size === 1,
+        s"k1=0 scores must collapse per matched-term set $set") }
+  }
+
   test("token entropy: information-theoretic bounds and analytic fixtures") {
     val out = LlmOps.tokenEntropy(spark, Sf)
       .select("doc_id", "n_tokens", "n_distinct", "entropy", "keep")
