@@ -121,6 +121,14 @@ object SparkEntry {
     // delta-batch admission gate against the ingested corpus
     "d30_incremental_dedup" -> (LlmOps.incrementalDedup _),
     "d31_bm25" -> ((s, d) => LlmOps.bm25(s, d)),
+    // PII-scrub-shaped pattern redaction (zero-shuffle projection)
+    "d32_pii_redact" -> ((s, d) => LlmOps.redact(s, d)),
+    // benchmark-leakage check: train/test 5-gram overlap, capped equi-join
+    "d33_decontam_ngram" -> ((s, d) => LlmOps.decontamNgrams(s, d)),
+    // DSIR importance weights over hashed-bigram bucket distributions
+    "d34_dsir_weights" -> ((s, d) => LlmOps.dsirWeights(s, d)),
+    // SemDeDup-shaped semantic dedup in LSH sign-bit buckets
+    "d35_semdedup" -> ((s, d) => LlmOps.semdedup(s, d)),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -701,6 +709,87 @@ object SparkEntry {
          |       FROM d, g)
          |SELECT doc_id, dl, tf_spark, tf_join, tf_window, score
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "d32_pii_redact" -> {
+      // generated from the SAME pattern list the Spark side binds, so
+      // the two can never drift; 'g' flag — DuckDB replaces first-match-
+      // only by default where Spark's regexp_replace is global
+      val ps = graft.operators.LlmOps.DefaultRedactions
+      val counts = ps.map { case (nm, re, _) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS INTEGER) AS n_$nm"
+      }.mkString(",\n|  ")
+      val repl = ps.foldLeft("text") { case (c, (_, re, tok)) =>
+        s"regexp_replace($c, '$re', '$tok', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  $counts,
+         |  $repl AS redacted,
+         |  CAST(length($repl) AS INTEGER) AS n_redacted_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "d33_decontam_ngram" ->
+      // 5-grams via list slices (1-based inclusive: t[i:i+4] is 5
+      // tokens); the test-side DF cap (≤20) mirrors the Spark plan's
+      // zipf-head exclusion — it never fires on these fixtures (max
+      // 5-gram DF is 3) but the oracle carries it so the contract is
+      // the CAPPED semantics, not a fixture accident
+      s"""WITH $splitCte,
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)])) AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |tr AS (SELECT g.doc_id AS train_doc, gram
+         |       FROM g JOIN sp USING (doc_id) WHERE split = 'train'),
+         |te AS (SELECT g.doc_id AS test_doc, gram
+         |       FROM g JOIN sp USING (doc_id) WHERE split = 'test'),
+         |cold AS (SELECT gram FROM te GROUP BY gram
+         |         HAVING count(DISTINCT test_doc) <= 20),
+         |tec AS (SELECT te.* FROM te JOIN cold USING (gram))
+         |SELECT train_doc AS doc_id,
+         |  count(DISTINCT gram) AS n_shared_grams,
+         |  count(DISTINCT test_doc) AS n_test_docs
+         |FROM tr JOIN tec USING (gram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d34_dsir_weights" ->
+      // same md5-bucket arithmetic as d17's split; smoothed bucket
+      // ratios are 3 IEEE ops in the same order as the Spark side, and
+      // the per-occurrence ln is DECIMAL(30,6)-canonicalized pre-sum
+      // (d18's trick) so the sum is order-independent
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w0,
+        |         unnest(t[2:len(t)]) AS w1
+        |       FROM t WHERE len(t) >= 2),
+        |bb AS (SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(w0 || ' ' || w1), 1, 8)) AS BIGINT)
+        |           % 64 AS b FROM bg),
+        |tgt AS (SELECT b, count(*) AS ct FROM bb WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT b, count(*) AS cr FROM bb GROUP BY 1),
+        |tot AS (SELECT count(*) AS rt,
+        |          count(*) FILTER (lang = 'en') AS tt FROM bb),
+        |r AS (SELECT raw.b,
+        |        CAST(ln(((COALESCE(ct, 0) + 1)::DOUBLE / (tt + 64)) /
+        |                ((cr + 1)::DOUBLE / (rt + 64))) AS DECIMAL(30,6)) AS logr
+        |      FROM raw LEFT JOIN tgt USING (b), tot)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(logr) AS DOUBLE) AS weight
+        |FROM bb JOIN r USING (b) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d35_semdedup" -> {
+      // the oracle buckets with the SAME hyperplanes: the plane
+      // components are inlined as literals generated from planeComp, and
+      // list_inner_product matches the native array_dot's in-order fold
+      val sig = (0 until 4).map { p =>
+        val arr = (0 until 64).map(j =>
+          graft.operators.LlmOps.planeComp(7, p, j)).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sg AS (SELECT vec_id, v,
+         |  $sig AS sig FROM e),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |        ${round4(cosSql("a.v", "b.v"))} AS sim
+         |      FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY j ORDER BY i) AS rn
+         |      FROM p WHERE sim >= 0.40)
+         |SELECT j AS vec_id, i AS kept_id, sim FROM f WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     "d29_matryoshka" ->
       // prefix/full energies as exact decimal sums of per-element x²
       // (order-independent); d15's DECIMAL(30,0) trick for the int8 step

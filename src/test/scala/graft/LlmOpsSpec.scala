@@ -628,4 +628,124 @@ class LlmOpsSpec extends SparkSpec {
     assert(m(28L) === "dup_batch", "later batch copy defers to the earlier one")
     assert(m(38L) === "new")
   }
+
+  test("redact: counts and rewrites per pattern; zero-match pattern is a no-op") {
+    // planted PII: the fixtures contain no emails, so exercise the
+    // rewrite path on a synthetic corpus and the zero path on the real one
+    val dir = java.nio.file.Files.createTempDirectory("graft-redact").toString
+    Seq(
+      (1L, "mail me at alice@example.com or bob@sub.example.org today", "en", "s0", 10L),
+      (2L, "customer talks to supplier about the customer order", "en", "s0", 10L),
+      (3L, "no sensitive content here", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmOps.redact(spark, dir)
+      .select("doc_id", "n_email", "n_entity", "redacted")
+      .as[(Long, Int, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq((1L, 2, 0), (2L, 0, 3), (3L, 0, 0)))
+    assert(out(0)._4 === "mail me at <EMAIL> or <EMAIL> today")
+    assert(out(1)._4 === "<ENT> talks to <ENT> about the <ENT> order")
+    assert(out(2)._4 === "no sensitive content here")
+    // real corpus: email never fires; length bookkeeping is consistent
+    val real = LlmOps.redact(spark, Sf)
+      .select("n_email", "redacted", "n_redacted_chars")
+      .as[(Int, String, Int)].collect()
+    assert(real.forall(_._1 === 0))
+    assert(real.forall(r => r._2.length === r._3))
+    assert(real.forall(r => !r._2.contains("customer") && !r._2.contains("supplier")))
+  }
+
+  test("decontam: rows ≡ a driver-side recompute of capped 5-gram overlap") {
+    val out = LlmOps.decontamNgrams(spark, Sf)
+      .select("doc_id", "n_shared_grams", "n_test_docs")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty, "planted near-dups straddle the hash split")
+    // first-principles recompute: distinct 5-grams, md5 split, overlap
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def md5bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val train = docs.filter(d => md5bucket(d._1) < 80).map(d => (d._1, grams(d._2)))
+    val test = docs.filter(d => md5bucket(d._1) >= 90).map(d => (d._1, grams(d._2)))
+    val testDf = test.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.size }
+    val cold = testDf.filter(_._2 <= LlmOps.MaxShingleDf).keySet
+    val expect = train.flatMap { case (id, gs) =>
+      val hits = test.filter { case (_, tg) => gs.exists(g => cold(g) && tg(g)) }
+      val shared = gs.filter(g => cold(g) && test.exists(_._2(g)))
+      if (hits.isEmpty) None else Some((id, shared.size.toLong, hits.size.toLong))
+    }.sortBy(_._1).toSeq
+    assert(out === expect)
+  }
+
+  test("dsir weights: target-language documents score higher on average") {
+    val out = LlmOps.dsirWeights(spark, Sf)
+      .select("doc_id", "n_bigrams", "weight")
+      .as[(Long, Long, Double)].collect()
+    val langs = Tables.documents(spark, Sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(out.length === langs.size, "every document gets a weight")
+    val (en, rest) = out.partition(r => langs(r._1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enAvg = en.map(r => r._3 / r._2).sum / en.length
+    val restAvg = rest.map(r => r._3 / r._2).sum / rest.length
+    assert(enAvg > restAvg,
+      s"per-bigram LLR must separate target from raw ($enAvg vs $restAvg)")
+    // a second target language re-ranks: the op is not corpus-shaped
+    val de = LlmOps.dsirWeights(spark, Sf, targetLang = "de")
+      .select("doc_id", "n_bigrams", "weight").as[(Long, Long, Double)].collect()
+    val (deT, deR) = de.partition(r => langs(r._1) == "de")
+    assert(deT.map(r => r._3 / r._2).sum / deT.length >
+      deR.map(r => r._3 / r._2).sum / deR.length)
+  }
+
+  test("semdedup: planted near-identical vectors collapse to the senior copy") {
+    val base = (0 until 64).map(j => math.sin(j * 1.7) + 1.5) // one direction
+    val noisy = base.zipWithIndex.map { case (x, j) => x + 1e-4 * math.cos(j) }
+    val scaled = base.map(_ * 1.5)                            // cos = 1 exactly
+    val ortho = (0 until 64).map(j => if (j % 2 == 0) 1.0 else -1.0)
+    val e = Seq((0L, base), (1L, noisy), (2L, scaled), (3L, ortho))
+      .toDF("vec_id", "v")
+    val out = LlmOps.semdedupOver(e, tau = 0.95, nBits = 4, table = 7)
+      .select("vec_id", "kept_id", "sim").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1L, 0L), (2L, 0L)),
+      s"copies drop to vec 0, the orthogonal vector survives: $out")
+    assert(out.forall(_._3 >= 0.95))
+  }
+
+  test("semdedup on the corpus ≡ a driver-side recompute of the bucketed rule") {
+    val out = LlmOps.semdedup(spark, Sf)
+      .select("vec_id", "kept_id", "sim").as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty, "isotropic fixtures still have τ=0.40 bucket pairs")
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def sig(v: Seq[Double]): Int = (0 until 4).map { p =>
+      val dot = v.indices.map(j => v(j) * LlmOps.planeComp(7, p, j)).sum
+      if (dot > 0) 1 << p else 0
+    }.sum
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byBucket = vecs.groupBy(v => sig(v._2))
+    val expect = byBucket.values.flatMap { mem =>
+      val sorted = mem.sortBy(_._1)
+      for {
+        jIdx <- sorted.indices
+        hit = sorted.take(jIdx)
+          .map(i => (i._1, r4(cos(i._2, sorted(jIdx)._2))))
+          .find(_._2 >= 0.40)
+        h <- hit
+      } yield (sorted(jIdx)._1, h._1, h._2)
+    }.toSeq.sortBy(_._1)
+    assert(out === expect)
+  }
 }
