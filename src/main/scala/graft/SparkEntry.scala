@@ -161,6 +161,8 @@ object SparkEntry {
     "f06_schema_evolution" -> (Sources.schemaEvolution _),
     // whole-file binaryFile source over a multi-file text layout
     "f07_binary_source" -> (Sources.binarySource _),
+    // Z-order (Morton-curve) layout write + 2-d box-pruned re-read
+    "f08_zorder_scan" -> (Sources.zorderScan _),
     // — data profiling / data-quality validation —
     "p01_column_profile" -> (Profiling.columnProfile _),
     "p02_dq_checks" -> (Profiling.dqChecks _),
@@ -835,6 +837,15 @@ object SparkEntry {
         |    AS total_bytes,
         |  count(*) AS n_docs
         |FROM documents""".stripMargin,
+    "f08_zorder_scan" ->
+      // the Z-order curve is layout only — the oracle box-filters the
+      // ORIGINAL table, so the clustered write+read must lose nothing
+      s"""SELECT count(*) AS n_rows,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey BETWEEN 500 AND 2500
+         |  AND l_partkey BETWEEN 50 AND 250""".stripMargin,
     "d16_prep_pipeline" ->
       // mirrors d01 (dedup keep-rule) → d08 (quality formula, with the
       // same intermediate round4 on the ratio) → d14 (chunk CTEs).

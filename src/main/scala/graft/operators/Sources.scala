@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Canon, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-format source/sink exercises beyond parquet and text: CSV and
@@ -163,6 +163,72 @@ object Sources {
     * byte-exact. Scale: one file per task on read (binaryFile does not
     * split files) — fine for asset-sized files, and exactly why huge
     * corpora should NOT be stored as one giant blob. */
+  /** Spread the low 16 bits of `c` so a bit lands at every EVEN
+    * position (the classic mask-shift Morton dilation — 4 shift/or/and
+    * steps, all codegen'd long arithmetic). */
+  private def spreadBits(c: Column): Column = {
+    val s0 = c.cast("long")
+    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton (Z-order) code of two 16-bit bucket columns:
+    * x-bits at even positions, y-bits at odd. */
+  private[graft] def mortonCode(bx: Column, by: Column): Column =
+    spreadBits(bx).bitwiseOR(shiftleft(spreadBits(by), 1))
+
+  /** Z-order the table on two numeric columns and write it: each column
+    * is range-binned into 2¹⁶ buckets off its global min/max (two
+    * scalars — a 100 TB deployment swaps in approx-quantile bins so
+    * skewed columns still fill the grid evenly), the Morton code
+    * interleaves the bucket bits, and `repartitionByRange` +
+    * `sortWithinPartitions` on the code clusters each output file onto
+    * a compact curve segment — so every file's min/max envelope is
+    * narrow in BOTH dimensions and parquet file/row-group stats prune
+    * 2-d box predicates, where a linear sort prunes only its leading
+    * column. Layout only: the row set is untouched (f08's oracle reads
+    * the original table). */
+  private[graft] def zorderWrite(df: DataFrame, cx: String, cy: String,
+      path: String, nFiles: Int): Unit = {
+    // 4 scalars off one reduced aggregate — not a data collect
+    val r = df.agg(
+      min(col(cx)).cast("long"), max(col(cx)).cast("long"),
+      min(col(cy)).cast("long"), max(col(cy)).cast("long")).head()
+    val (xMin, xMax, yMin, yMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def bin(c: Column, lo: Long, hi: Long): Column =
+      (c.cast("long") - lo) * 65536L / greatest(lit(1L), lit(hi - lo + 1L))
+    df.withColumn("z", mortonCode(
+        bin(col(cx), xMin, xMax), bin(col(cy), yMin, yMax)))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(path)
+  }
+  /** f08 — Z-order layout + 2-d box-filtered re-read: lineitem clustered
+    * on (l_orderkey, l_partkey), then scanned with a box predicate on
+    * both keys. The result is layout-invariant (the oracle filters the
+    * original parquet), so the query proves the curve write+read loses
+    * nothing; StorageSpec separately pins the layout property that
+    * makes it worth doing — per-file envelopes narrow in both
+    * dimensions, vs a linear sort whose second dimension spans the full
+    * domain in every file. */
+  def zorderScan(s: SparkSession, d: String): DataFrame = {
+    val path = dir("lineitem_zorder")
+    zorderWrite(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+      "l_orderkey", "l_partkey", path, nFiles = 8)
+    s.read.parquet(path)
+      .filter(col("l_orderkey").between(500, 2500) &&
+        col("l_partkey").between(50, 250))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+  }
+
   def binarySource(s: SparkSession, d: String): DataFrame = {
     val path = dir("docs_text")
     Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(path)

@@ -112,4 +112,38 @@ class StorageSpec extends SparkSpec {
       .as[Long].collect().head
     assert(total2 === totalBytes)
   }
+
+  test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {
+    val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_partkey")
+    operators.Sources.zorderWrite(li, "l_orderkey", "l_partkey", s"$wh/z", 8)
+    li.repartitionByRange(8, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$wh/linear")
+    // per-file min/max envelope — what parquet stats-based skipping sees
+    def envelopes(path: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("l_orderkey"), max("l_orderkey"),
+          min("l_partkey"), max("l_partkey"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+        .map(e => (e._2, e._3, e._4, e._5))
+    val z = envelopes(s"$wh/z")
+    val lin = envelopes(s"$wh/linear")
+    assert(z.length === 8 && lin.length === 8)
+    // a narrow band on the SECOND dimension (12.5% of the partkey
+    // domain): how many files can a stats-pruned scan NOT skip?
+    val pkMax = li.agg(max("l_partkey")).as[Long].collect().head
+    val (lo, hi) = (0L, pkMax / 8)
+    def cannotSkip(env: Seq[(Long, Long, Long, Long)]): Int =
+      env.count(e => e._3 <= hi && e._4 >= lo)
+    assert(cannotSkip(lin) === lin.length,
+      "linear layout: every file spans the full second-dimension domain")
+    assert(cannotSkip(z) <= z.length / 2,
+      s"z-order: the band must prune at least half the files " +
+        s"(${cannotSkip(z)} of ${z.length} remain)")
+    // layout only: the row multiset survives the clustered write
+    val a = spark.read.parquet(s"$wh/z")
+      .groupBy("l_orderkey", "l_partkey").count()
+    val b = li.groupBy("l_orderkey", "l_partkey").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
