@@ -129,6 +129,8 @@ object SparkEntry {
     "d34_dsir_weights" -> ((s, d) => LlmOps.dsirWeights(s, d)),
     // SemDeDup-shaped semantic dedup in LSH sign-bit buckets
     "d35_semdedup" -> ((s, d) => LlmOps.semdedup(s, d)),
+    // Gumbel-top-k importance resampling over the d34 weights
+    "d36_importance_sample" -> ((s, d) => LlmOps.importanceSample(s, d)),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -755,23 +757,31 @@ object SparkEntry {
       // ratios are 3 IEEE ops in the same order as the Spark side, and
       // the per-occurrence ln is DECIMAL(30,6)-canonicalized pre-sum
       // (d18's trick) so the sum is order-independent
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w0,
-        |         unnest(t[2:len(t)]) AS w1
-        |       FROM t WHERE len(t) >= 2),
-        |bb AS (SELECT doc_id, lang,
-        |         CAST(('0x' || substr(md5(w0 || ' ' || w1), 1, 8)) AS BIGINT)
-        |           % 64 AS b FROM bg),
-        |tgt AS (SELECT b, count(*) AS ct FROM bb WHERE lang = 'en' GROUP BY 1),
-        |raw AS (SELECT b, count(*) AS cr FROM bb GROUP BY 1),
-        |tot AS (SELECT count(*) AS rt,
-        |          count(*) FILTER (lang = 'en') AS tt FROM bb),
-        |r AS (SELECT raw.b,
-        |        CAST(ln(((COALESCE(ct, 0) + 1)::DOUBLE / (tt + 64)) /
-        |                ((cr + 1)::DOUBLE / (rt + 64))) AS DECIMAL(30,6)) AS logr
-        |      FROM raw LEFT JOIN tgt USING (b), tot)
-        |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(logr) AS DOUBLE) AS weight
-        |FROM bb JOIN r USING (b) GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(logr) AS DOUBLE) AS weight
+         |FROM bb JOIN r USING (b) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d36_importance_sample" ->
+      // Gumbel-top-k over the d34 weights (shared CTEs — the two can't
+      // drift): salted-md5 uniforms, DECIMAL(30,6)-canonicalized key
+      // with doc_id tiebreak, per-bucket ⌈frac·n_b⌉ take
+      s"""WITH $dsirCtes,
+         |wt AS (SELECT doc_id, CAST(SUM(logr) AS DOUBLE) AS weight
+         |       FROM bb JOIN r USING (b) GROUP BY 1),
+         |k AS (SELECT doc_id, weight,
+         |        CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |          AS BIGINT) % 16 AS bucket,
+         |        CAST(CAST(weight - ln(-ln(
+         |          (CAST(('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |             AS BIGINT)::DOUBLE + 0.5) / 4294967296.0))
+         |          AS DECIMAL(30,6)) AS DOUBLE) AS key
+         |      FROM wt),
+         |rk AS (SELECT *, row_number() OVER
+         |         (PARTITION BY bucket ORDER BY key DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY bucket) AS n_b
+         |       FROM k)
+         |SELECT doc_id, bucket, ${round4("weight")} AS weight,
+         |  ${round4("key")} AS key
+         |FROM rk WHERE rn <= ceil(n_b * 0.25) ORDER BY doc_id""".stripMargin,
     "d35_semdedup" -> {
       // the oracle buckets with the SAME hyperplanes: the plane
       // components are inlined as literals generated from planeComp, and
@@ -1385,6 +1395,25 @@ object SparkEntry {
   /** The d17 deterministic hash-split assignment as a CTE (`sp`) —
     * shared by the d17 and d20 oracles so both stay definitionally in
     * sync with `LlmOps.splitAssign`. */
+  /** Shared CTE chain for d34/d36: hashed-bigram buckets and the
+    * smoothed per-bucket log-likelihood ratio (target = 'en'). */
+  private def dsirCtes =
+    """t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w0,
+      |         unnest(t[2:len(t)]) AS w1
+      |       FROM t WHERE len(t) >= 2),
+      |bb AS (SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5(w0 || ' ' || w1), 1, 8)) AS BIGINT)
+      |           % 64 AS b FROM bg),
+      |tgt AS (SELECT b, count(*) AS ct FROM bb WHERE lang = 'en' GROUP BY 1),
+      |raw AS (SELECT b, count(*) AS cr FROM bb GROUP BY 1),
+      |tot AS (SELECT count(*) AS rt,
+      |          count(*) FILTER (lang = 'en') AS tt FROM bb),
+      |r AS (SELECT raw.b,
+      |        CAST(ln(((COALESCE(ct, 0) + 1)::DOUBLE / (tt + 64)) /
+      |                ((cr + 1)::DOUBLE / (rt + 64))) AS DECIMAL(30,6)) AS logr
+      |      FROM raw LEFT JOIN tgt USING (b), tot)""".stripMargin
+
   private def splitCte =
     """sp AS (SELECT doc_id, bucket,
       |  CASE WHEN bucket < 80 THEN 'train'

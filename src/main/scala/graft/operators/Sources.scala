@@ -192,12 +192,14 @@ object Sources {
     * the original table). */
   private[graft] def zorderWrite(df: DataFrame, cx: String, cy: String,
       path: String, nFiles: Int): Unit = {
-    // 4 scalars off one reduced aggregate — not a data collect
+    // 4 scalars off one reduced aggregate — not a data collect; an
+    // empty table has null extrema (the bins then bucket zero rows, any
+    // range works)
     val r = df.agg(
       min(col(cx)).cast("long"), max(col(cx)).cast("long"),
       min(col(cy)).cast("long"), max(col(cy)).cast("long")).head()
-    val (xMin, xMax, yMin, yMax) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def at(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (xMin, xMax, yMin, yMax) = (at(0), at(1), at(2), at(3))
     def bin(c: Column, lo: Long, hi: Long): Column =
       (c.cast("long") - lo) * 65536L / greatest(lit(1L), lit(hi - lo + 1L))
     df.withColumn("z", mortonCode(

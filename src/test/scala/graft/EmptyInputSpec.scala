@@ -54,10 +54,19 @@ class EmptyInputSpec extends SparkSpec {
       // bm25's single-row stats aggregate yields n_docs = 0 / null Σdl
       // on an empty corpus; the cross join against zero corpus rows must
       // still produce zero rows (never a null-scored phantom row)
-      "bm25" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.bm25(s, d))
+      "bm25" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.bm25(s, d)),
+      "redact" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.redact(s, d)),
+      "decontamNgrams" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.decontamNgrams(s, d)),
+      "dsirWeights" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.dsirWeights(s, d)),
+      "semdedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.semdedup(s, d)),
+      "importanceSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.importanceSample(s, d))
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
+    // f08 is a GLOBAL aggregate (one row always); the z-order write must
+    // survive null extrema (empty min/max) and report zero matched rows
+    val z = operators.Sources.zorderScan(spark, emptyDir).head()
+    assert(z.getLong(0) === 0L, "zorderScan row count on empty input")
   }
 
   test("multimodal and streaming batch operators yield zero rows on empty input") {

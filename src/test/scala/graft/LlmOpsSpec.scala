@@ -704,6 +704,35 @@ class LlmOpsSpec extends SparkSpec {
       deR.map(r => r._3 / r._2).sum / deR.length)
   }
 
+  test("importance sample: per-shard take size, selection bias, frac monotone") {
+    val all = LlmOps.dsirWeights(spark, Sf)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    val sampled = LlmOps.importanceSample(spark, Sf)
+      .select("doc_id", "bucket", "weight", "key")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(sampled.nonEmpty)
+    // per-bucket size is exactly ⌈frac·n_b⌉ of that bucket's documents
+    def bucketOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val nB = all.keys.groupBy(bucketOf).view.mapValues(_.size).toMap
+    val taken = sampled.groupBy(_._2).view.mapValues(_.size).toMap
+    taken.foreach { case (b, n) =>
+      assert(n === math.ceil(nB(b) * 0.25).toInt, s"bucket $b take size")
+    }
+    // Gumbel-top-k bias: the sample's mean weight exceeds the corpus mean
+    val sampleMean = sampled.map(r => all(r._1)).sum / sampled.size
+    val corpusMean = all.values.sum / all.size
+    assert(sampleMean > corpusMean,
+      s"selection must bias toward high weights ($sampleMean vs $corpusMean)")
+    // larger frac is a superset: same per-bucket ordering, deeper take
+    val wider = LlmOps.importanceSample(spark, Sf, frac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampled.map(_._1).toSet.subsetOf(wider))
+  }
+
   test("semdedup: planted near-identical vectors collapse to the senior copy") {
     val base = (0 until 64).map(j => math.sin(j * 1.7) + 1.5) // one direction
     val noisy = base.zipWithIndex.map { case (x, j) => x + 1e-4 * math.cos(j) }
