@@ -715,19 +715,21 @@ object SparkEntry {
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "d32_pii_redact" -> {
       // generated from the SAME pattern list the Spark side binds, so
-      // the two can never drift; 'g' flag — DuckDB replaces first-match-
-      // only by default where Spark's regexp_replace is global
+      // the two can never drift; sequential-count semantics mirrored
+      // (pattern i counts on the text after patterns 1..i-1 applied);
+      // 'g' flag — DuckDB replaces first-match-only by default where
+      // Spark's regexp_replace is global
       val ps = graft.operators.LlmOps.DefaultRedactions
-      val counts = ps.map { case (nm, re, _) =>
-        s"CAST(len(regexp_extract_all(text, '$re')) AS INTEGER) AS n_$nm"
+      var cur = "text"
+      val counts = ps.map { case (nm, re, tok) =>
+        val c = s"CAST(len(regexp_extract_all($cur, '$re')) AS INTEGER) AS n_$nm"
+        cur = s"regexp_replace($cur, '$re', '$tok', 'g')"
+        c
       }.mkString(",\n|  ")
-      val repl = ps.foldLeft("text") { case (c, (_, re, tok)) =>
-        s"regexp_replace($c, '$re', '$tok', 'g')"
-      }
       s"""SELECT doc_id,
          |  $counts,
-         |  $repl AS redacted,
-         |  CAST(length($repl) AS INTEGER) AS n_redacted_chars
+         |  $cur AS redacted,
+         |  CAST(length($cur) AS INTEGER) AS n_redacted_chars
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "d33_decontam_ngram" ->
@@ -745,7 +747,7 @@ object SparkEntry {
          |te AS (SELECT g.doc_id AS test_doc, gram
          |       FROM g JOIN sp USING (doc_id) WHERE split = 'test'),
          |cold AS (SELECT gram FROM te GROUP BY gram
-         |         HAVING count(DISTINCT test_doc) <= 20),
+         |         HAVING count(DISTINCT test_doc) <= ${graft.operators.LlmOps.MaxShingleDf}),
          |tec AS (SELECT te.* FROM te JOIN cold USING (gram))
          |SELECT train_doc AS doc_id,
          |  count(DISTINCT gram) AS n_shared_grams,

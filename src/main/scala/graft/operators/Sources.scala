@@ -200,8 +200,17 @@ object Sources {
       min(col(cy)).cast("long"), max(col(cy)).cast("long")).head()
     def at(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
     val (xMin, xMax, yMin, yMax) = (at(0), at(1), at(2), at(3))
-    def bin(c: Column, lo: Long, hi: Long): Column =
-      (c.cast("long") - lo) * 65536L / greatest(lit(1L), lit(hi - lo + 1L))
+    // multiply-first is exact but (c-lo)*65536 overflows a long once the
+    // column range exceeds 2^47 (snowflake ids, nano timestamps) — wide
+    // ranges divide by a ceil bucket width instead; both land in
+    // [0, 65535]
+    def bin(c: Column, lo: Long, hi: Long): Column = {
+      val range = BigInt(hi) - BigInt(lo) + 1
+      if (range <= (BigInt(1) << 47))
+        (c.cast("long") - lo) * 65536L / range.toLong.max(1L)
+      else
+        (c.cast("long") - lo) / ((range + 65535) / 65536).toLong
+    }
     df.withColumn("z", mortonCode(
         bin(col(cx), xMin, xMax), bin(col(cy), yMin, yMax)))
       .repartitionByRange(nFiles, col("z"))

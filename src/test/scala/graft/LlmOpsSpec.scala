@@ -636,16 +636,21 @@ class LlmOpsSpec extends SparkSpec {
     Seq(
       (1L, "mail me at alice@example.com or bob@sub.example.org today", "en", "s0", 10L),
       (2L, "customer talks to supplier about the customer order", "en", "s0", 10L),
-      (3L, "no sensitive content here", "en", "s1", 10L))
+      (3L, "no sensitive content here", "en", "s1", 10L),
+      // overlap: the email consumes the entity word — sequential counts
+      // must report what each pattern ACTUALLY redacted (n_entity = 0)
+      (4L, "customer@example.com writes the customer daily", "en", "s2", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = LlmOps.redact(spark, dir)
       .select("doc_id", "n_email", "n_entity", "redacted")
       .as[(Long, Int, Int, String)].collect().toSeq.sortBy(_._1)
-    assert(out.map(r => (r._1, r._2, r._3)) === Seq((1L, 2, 0), (2L, 0, 3), (3L, 0, 0)))
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, 2, 0), (2L, 0, 3), (3L, 0, 0), (4L, 1, 1)))
     assert(out(0)._4 === "mail me at <EMAIL> or <EMAIL> today")
     assert(out(1)._4 === "<ENT> talks to <ENT> about the <ENT> order")
     assert(out(2)._4 === "no sensitive content here")
+    assert(out(3)._4 === "<EMAIL> writes the <ENT> daily")
     // real corpus: email never fires; length bookkeeping is consistent
     val real = LlmOps.redact(spark, Sf)
       .select("n_email", "redacted", "n_redacted_chars")
