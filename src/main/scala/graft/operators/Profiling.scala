@@ -129,4 +129,60 @@ object Profiling {
       .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
       .select(col("event_type"),
         hll_sketch_estimate(col("sketch")).as("approx_users"))
+
+  /** Mergeable QUANTILE sketches (Apache DataSketches KLL doubles) —
+    * the rank/percentile analog of [[sketchDistinct]]: per-event-type
+    * p50/p95 of `value` as a sketch, not a number. Spark 4 ships no KLL
+    * aggregate function, so this is the sanctioned `mapPartitions` case
+    * (genuinely imperative per-partition accumulation): stage 1 builds
+    * ONE sketch per (partition, type) — O(k·log n) bytes each,
+    * independent of row count — and stage 2 shuffles only those
+    * fixed-size sketches (≤ partitions × types rows) for the per-type
+    * merge. The corpus itself never shuffles; this is how a 100 TB
+    * percentile job avoids the full sort `percentile()` costs, and
+    * unlike `approx_percentile`'s opaque internal state the sketch is a
+    * STORABLE column — daily jobs persist it and re-merge history for
+    * free ([[sketchQuantileUnion]]).
+    *
+    * KLL compaction is randomized, so estimates carry rank error (±1.65%
+    * at k=200, 99% at 3σ) rather than exact equality — ProfilingSpec
+    * asserts the TRUE rank of every estimate lands inside the bound, for
+    * the whole-corpus sketch and for a merge of half-sketches.
+    * Library surface, not a `queries` entry — sketch binaries are
+    * engine-specific, so there is no DuckDB oracle (same exemption
+    * rationale as the HLL surface). */
+  def sketchQuantiles(events: DataFrame, k: Int = 200): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val partial = events
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.Map.empty[String, KllDoublesSketch]
+        it.foreach { case (t, v) =>
+          sks.getOrElseUpdate(t, KllDoublesSketch.newHeapInstance(k)).update(v)
+        }
+        sks.iterator.map { case (t, s) => (t, s.toByteArray) }
+      }
+    sketchQuantileUnion(partial.toDF("event_type", "sketch"), k)
+  }
+
+  /** Merge per-type KLL sketches (today's partials, or stored history)
+    * into one sketch + estimates per type. Input rows are fixed-size
+    * sketch binaries — reduced data, never corpus rows. */
+  def sketchQuantileUnion(sketches: DataFrame, k: Int = 200): DataFrame = {
+    import sketches.sparkSession.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    sketches.select(col("event_type"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (t, it) =>
+        val m = KllDoublesSketch.newHeapInstance(k)
+        it.foreach { case (_, b) => m.merge(KllDoublesSketch.heapify(Memory.wrap(b))) }
+        (t, m.toByteArray, m.getN, m.getQuantile(0.5), m.getQuantile(0.95))
+      }
+      .toDF("event_type", "sketch", "n", "p50", "p95")
+      .orderBy("event_type")
+  }
 }

@@ -44,4 +44,44 @@ class ProfilingSpec extends SparkSpec {
         s"$t: approx $approx vs exact $exact")
     }
   }
+
+  test("KLL sketches: estimates land within rank error, halves merge clean") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf)
+    // exact per-type sorted values, for TRUE-rank checks
+    val exact = ev.select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    // true rank of the estimate must land inside KLL's published bound:
+    // ±1.65% normalized rank error at k=200; ×3 for test headroom
+    def checkRank(t: String, q: Double, target: Double): Unit = {
+      val vs = exact(t)
+      val rank = vs.count(_ <= q).toDouble / vs.length
+      assert(math.abs(rank - target) <= 3 * 0.0165,
+        s"$t: p${(target * 100).toInt} estimate $q has true rank $rank")
+    }
+    val whole = Profiling.sketchQuantiles(ev)
+      .select("event_type", "n", "p50", "p95")
+      .as[(String, Long, Double, Double)].collect()
+    assert(whole.nonEmpty)
+    whole.foreach { case (t, n, p50, p95) =>
+      assert(n === exact(t).length, s"$t: sketch n must be exact")
+      checkRank(t, p50, 0.5)
+      checkRank(t, p95, 0.95)
+    }
+    // mergeability: sketch halves, merge the fixed-size binaries — the
+    // merged estimates obey the same rank bound and exact total count
+    val h1 = Profiling.sketchQuantiles(ev.filter(col("event_id") % 2 === 0))
+    val h2 = Profiling.sketchQuantiles(ev.filter(col("event_id") % 2 === 1))
+    val merged = Profiling.sketchQuantileUnion(
+        h1.select("event_type", "sketch").union(h2.select("event_type", "sketch")))
+      .select("event_type", "n", "p50", "p95")
+      .as[(String, Long, Double, Double)].collect()
+    assert(merged.map(_._1).toSeq.sorted === whole.map(_._1).toSeq.sorted)
+    merged.foreach { case (t, n, p50, p95) =>
+      assert(n === exact(t).length, s"$t: merged sketch n must be exact")
+      checkRank(t, p50, 0.5)
+      checkRank(t, p95, 0.95)
+    }
+  }
 }
