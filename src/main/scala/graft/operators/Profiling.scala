@@ -185,4 +185,71 @@ object Profiling {
       .toDF("event_type", "sketch", "n", "p50", "p95")
       .orderBy("event_type")
   }
+
+  /** Mergeable SET sketches (DataSketches Theta) — the third sketch
+    * surface: per-event-type user SETS as sketches, supporting
+    * approximate intersection/union cardinalities ACROSS sets. The
+    * question "how many users did both A and B" costs a corpus
+    * self-join exactly; with theta sketches it costs two fixed-size
+    * binaries and a set operation. Build shape = [[sketchQuantiles]]:
+    * per-partition sketches via mapPartitions (no theta aggregate in
+    * Spark 4), per-type merge of O(2^lgK)-bounded binaries.
+    *
+    * Theta retains the k smallest hash values of the SET — a
+    * set-determined state, independent of insertion order or
+    * partitioning — so merging half-corpus sketches yields the
+    * byte-identical compact sketch of the whole corpus (the HLL
+    * register-maxima argument, pinned exactly in ProfilingSpec). */
+  def sketchUserSets(events: DataFrame, lgK: Int = 12): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    import org.apache.datasketches.memory.Memory
+    events.select(col("event_type"), col("user_id").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val sks = scala.collection.mutable.Map.empty[String, UpdateSketch]
+        it.foreach { case (t, u) =>
+          sks.getOrElseUpdate(t,
+            UpdateSketch.builder().setLogNominalEntries(lgK).build()).update(u)
+        }
+        sks.iterator.map { case (t, s) => (t, s.compact().toByteArray) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (t, it) =>
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        it.foreach { case (_, b) => u.union(Sketches.wrapSketch(Memory.wrap(b))) }
+        (t, u.getResult.compact().toByteArray)
+      }
+      .toDF("event_type", "sketch")
+      .orderBy("event_type")
+  }
+
+  /** Intersection / union / difference estimates between two stored set
+    * sketches, with the library's own 2σ bounds. The inputs are two
+    * fixed-size binaries — reduced data (the centroid-table argument),
+    * never corpus rows; the corpus was last touched when the sketches
+    * were built. */
+  def sketchOverlap(sketches: DataFrame, typeA: String, typeB: String): DataFrame = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import org.apache.datasketches.memory.Memory
+    val s = sketches.sparkSession
+    val two = sketches
+      .filter(col("event_type").isin(typeA, typeB))
+      .select("event_type", "sketch")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val (a, b) = (Sketches.wrapSketch(Memory.wrap(two(typeA))),
+      Sketches.wrapSketch(Memory.wrap(two(typeB))))
+    val inter = SetOperation.builder().buildIntersection()
+    inter.intersect(a); inter.intersect(b)
+    val ix = inter.getResult
+    val un = SetOperation.builder().buildUnion()
+    un.union(a); un.union(b)
+    val ux = un.getResult
+    import s.implicits._
+    Seq((typeA, typeB,
+      ix.getEstimate, ix.getLowerBound(2), ix.getUpperBound(2),
+      ux.getEstimate, ix.getEstimate / ux.getEstimate))
+      .toDF("type_a", "type_b", "inter_est", "inter_lb", "inter_ub",
+        "union_est", "jaccard_est")
+  }
 }

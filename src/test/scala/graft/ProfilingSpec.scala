@@ -84,4 +84,43 @@ class ProfilingSpec extends SparkSpec {
       checkRank(t, p95, 0.95)
     }
   }
+
+  test("Theta sketches: overlap within bounds, half-merge is byte-identical") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf)
+    val sets = Profiling.sketchUserSets(ev)
+    // exact user overlap between two event types, for the bound check
+    val users = ev.select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).toSet }
+    val (ta, tb) = ("click", "purchase")
+    val exactInter = (users(ta) & users(tb)).size.toDouble
+    val exactUnion = (users(ta) | users(tb)).size.toDouble
+    val Seq((_, _, ie, lb, ub, ue, jac)) = Profiling.sketchOverlap(sets, ta, tb)
+      .as[(String, String, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(lb <= exactInter && exactInter <= ub,
+      s"exact overlap $exactInter outside [$lb, $ub]")
+    assert(math.abs(ue - exactUnion) / exactUnion <= 0.05)
+    assert(jac >= 0.0 && jac <= 1.0)
+    // set-determined state: sketching each half and merging must yield
+    // the BYTE-IDENTICAL compact sketch of the whole corpus (theta keeps
+    // the k smallest hashes of the SET — order/partitioning-free)
+    val h1 = Profiling.sketchUserSets(ev.filter(col("event_id") % 2 === 0))
+    val h2 = Profiling.sketchUserSets(ev.filter(col("event_id") % 2 === 1))
+    val merged2 = {
+      import org.apache.datasketches.theta.{SetOperation, Sketches}
+      import org.apache.datasketches.memory.Memory
+      h1.union(h2).collect().groupBy(_.getString(0)).map { case (t, rows) =>
+        val u = SetOperation.builder().buildUnion()
+        rows.foreach(r => u.union(Sketches.wrapSketch(Memory.wrap(r.getAs[Array[Byte]](1)))))
+        t -> u.getResult.compact().toByteArray
+      }
+    }
+    val whole = sets.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(merged2.keySet === whole.keySet)
+    merged2.foreach { case (t, bytes) =>
+      assert(java.util.Arrays.equals(bytes, whole(t)),
+        s"$t: merged-halves sketch must be byte-identical to the whole")
+    }
+  }
 }
