@@ -231,6 +231,48 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("foreachBatch upsert: state ≡ last-per-key, batch replay is a no-op") {
+    implicit val ctx = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val src = MemoryStream[Ev]
+    val evs = replay.filterNot(_.event_type == "sentinel") // stateless sink: no watermark, no sentinel
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.upsertBatch(state)(df, id)
+      }
+      .option("checkpointLocation", s"$state/ckpt")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.size / 4 + 1)).foreach { chunk =>
+        src.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val want = Streaming.lastEventPerUser(
+      Tables.events(spark, Sf).select(cols.map(col): _*))
+    val got = spark.read.parquet(s"$state/current").select(cols.map(col): _*)
+    assert(sortedRows(got) === sortedRows(want))
+    // redelivery: re-apply an ALREADY-APPLIED batch id with different
+    // data — the marker must make it a no-op (effectively-once)
+    Streaming.upsertBatch(state)(
+      Tables.events(spark, Sf).select(cols.map(col): _*).limit(7), 0L)
+    assert(sortedRows(spark.read.parquet(s"$state/current").select(cols.map(col): _*))
+      === sortedRows(want))
+    // a genuinely NEW batch id still applies (the marker is per-id, not a
+    // one-way latch): upsert one future event for one user
+    val u = want.select("user_id").as[Long].head()
+    val future = Seq((888888L,
+      new java.sql.Timestamp(replay.map(_.ts.getTime).max + 1000L),
+      u, "late_update", 1.0, "{}"))
+      .toDF(cols: _*)
+    Streaming.upsertBatch(state)(future, 9999L)
+    val after = spark.read.parquet(s"$state/current")
+    assert(after.filter(col("user_id") === u)
+      .select("event_id").as[Long].collect().toSeq === Seq(888888L))
+    assert(after.count() === want.count())
+  }
+
   test("Trigger.AvailableNow: run-to-completion batch job over a file stream") {
     // the scheduled-batch-over-streaming-source pattern: process all
     // available input, then terminate on its own.
