@@ -844,8 +844,9 @@ object SparkEntry {
          |FROM z ORDER BY vec_id""".stripMargin,
     "f07_binary_source" ->
       // layout-independent totals: each written line is the doc's UTF-8
-      // bytes + one '\n'; line count recovered from the binary payloads
-      """SELECT CAST(sum(octet_length(encode(text)) + 1) AS BIGINT)
+      // bytes + one '\n'; line count recovered from the binary payloads;
+      // COALESCE matches the Spark side's empty-corpus (0, 0)
+      """SELECT CAST(COALESCE(sum(octet_length(encode(text)) + 1), 0) AS BIGINT)
         |    AS total_bytes,
         |  count(*) AS n_docs
         |FROM documents""".stripMargin,
@@ -1380,12 +1381,26 @@ object SparkEntry {
   /** The d02 exact-Jaccard near-dup pair graph as reusable CTEs
     * (`sh` → `sizes` → `common` → `pairs`), shared by the d02/d03/d19/
     * d20 oracles so all four stay definitionally in sync. */
+  /** Shared near-dup pair CTEs (d02/d03/d19/d20/d30). The oracle
+    * carries the SAME hot-shingle DF cap as `jaccardPairsOver` — the
+    * contract is the CAPPED semantics (candidates need one shared
+    * shingle with document frequency ≤ MaxShingleDf; Jaccard is then
+    * exact over FULL shingle sets), not a fixture accident: a duplicate
+    * family larger than the cap must diverge in NEITHER engine. */
   private def pairsCtes =
     s"""$shingleCte,
+       |sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |rare AS (SELECT doc_id, shingle FROM sh JOIN sdf USING (shingle)
+       |         WHERE df <= ${graft.operators.LlmOps.MaxShingleDf}),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM rare a JOIN rare b
+       |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |common AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  SELECT c.i, c.j, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.i
+       |  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT i, j,

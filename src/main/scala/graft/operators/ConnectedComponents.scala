@@ -71,8 +71,12 @@ object ConnectedComponents {
       // no distinct here: duplicates don't change small-star's min and
       // the final distinct below restores set semantics — one fewer
       // shuffle per round. (v, m) is already (u > v)-oriented: v > u ≥ m.
+      // cached: BOTH small-star inputs (smallMins and the join) read it —
+      // without the cache the dominant large-star join runs twice per
+      // round; unpersisted once `small` is materialized below
       val large = adj.join(largeMins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        .cache()
       // small-star over the (u > v)-oriented output: every smaller
       // neighbor AND u itself link to the smallest neighbor.
       val smallMins = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -82,6 +86,7 @@ object ConnectedComponents {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
+      large.unpersist(blocking = false)
       // fixpoint: the round left the edge set unchanged. Both sides are
       // distinct sets, so symmetric difference = rows seen exactly once
       // in the union — ONE aggregation job, edge-proportional.

@@ -245,11 +245,16 @@ object Sources {
     Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(path)
     val bin = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.txt").load(path)
+    // coalesce: an EMPTY corpus writes no part files, so the global agg
+    // sums zero rows — (0, 0) must match the oracle's count(*) = 0.
+    // Line-based invariant: a document containing '\n' is not
+    // representable in a text sink (each row = one line); the corpus
+    // schema guarantees newline-free text.
     bin.select(col("length"),
         (length(decode(col("content"), "UTF-8")) -
           length(regexp_replace(decode(col("content"), "UTF-8"), "\n", "")))
           .cast("long").as("n_lines"))
-      .agg(sum(col("length")).as("total_bytes"),
-        sum(col("n_lines")).as("n_docs"))
+      .agg(coalesce(sum(col("length")), lit(0L)).as("total_bytes"),
+        coalesce(sum(col("n_lines")), lit(0L)).as("n_docs"))
   }
 }

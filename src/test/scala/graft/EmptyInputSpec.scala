@@ -67,6 +67,11 @@ class EmptyInputSpec extends SparkSpec {
     // survive null extrema (empty min/max) and report zero matched rows
     val z = operators.Sources.zorderScan(spark, emptyDir).head()
     assert(z.getLong(0) === 0L, "zorderScan row count on empty input")
+    // f07 likewise: an empty corpus writes no part files — the summed
+    // totals must coalesce to (0, 0), matching the oracle's count(*)
+    val b = operators.Sources.binarySource(spark, emptyDir).head()
+    assert(b.getLong(0) === 0L && b.getLong(1) === 0L,
+      "binarySource totals on empty input")
   }
 
   test("multimodal and streaming batch operators yield zero rows on empty input") {
