@@ -629,6 +629,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(m(38L) === "new")
   }
 
+  test("over-cap duplicate family: capped jaccard abstains, MinHash backstop catches it") {
+    // a duplicate family LARGER than MaxShingleDf: every shared shingle
+    // has df = 22 > 20, so capped candidate generation drops every pair
+    // BY DESIGN (both engines — the oracle carries the same cap). The
+    // documented recall backstop is the banded-MinHash path, whose band
+    // signatures hash whole documents (unaffected by per-shingle df)
+    // and whose exact verify runs over FULL shingle sets.
+    val dir = java.nio.file.Files.createTempDirectory("graft-overcap").toString
+    val family = (0L until 22L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta", "en", "s0", 10L))
+    val others = Seq(
+      (100L, "one two three four five six", "en", "s1", 10L),
+      (101L, "seven eight nine ten eleven twelve", "en", "s1", 10L))
+    (family ++ others).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(LlmOps.ngramJaccard(spark, dir).count() === 0L,
+      "every shared shingle is over the DF cap — the capped plan abstains")
+    val caught = LlmOps.minhashNearDup(spark, dir)
+      .select("i", "j", "jac").as[(Long, Long, Double)].collect()
+    assert(caught.length === 22 * 21 / 2,
+      "identical docs band-collide regardless of shingle frequency")
+    assert(caught.forall(_._3 === 1.0))
+  }
+
   test("redact: counts and rewrites per pattern; zero-match pattern is a no-op") {
     // planted PII: the fixtures contain no emails, so exercise the
     // rewrite path on a synthetic corpus and the zero path on the real one
