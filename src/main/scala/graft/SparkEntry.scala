@@ -131,6 +131,8 @@ object SparkEntry {
     "d35_semdedup" -> ((s, d) => LlmOps.semdedup(s, d)),
     // Gumbel-top-k importance resampling over the d34 weights
     "d36_importance_sample" -> ((s, d) => LlmOps.importanceSample(s, d)),
+    // GDPR tombstone purge manifest across source + derived stores
+    "d37_tombstone_purge" -> ((s, d) => LlmOps.tombstonePurge(s, d)),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -784,6 +786,26 @@ object SparkEntry {
          |SELECT doc_id, bucket, ${round4("weight")} AS weight,
          |  ${round4("key")} AS key
          |FROM rk WHERE rn <= ceil(n_b * 0.25) ORDER BY doc_id""".stripMargin,
+    "d37_tombstone_purge" ->
+      // counts per store; the fingerprint store exists for docs with ≥3
+      // tokens (they have shingles), same as the d11 oracle's GROUP BY
+      """WITH f AS (SELECT doc_id FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT 'documents' AS store, count(*) AS n_before,
+        |  CAST(COALESCE(sum(CASE WHEN doc_id % 17 = 0 THEN 1 END), 0) AS BIGINT) AS n_purged,
+        |  count(*) - CAST(COALESCE(sum(CASE WHEN doc_id % 17 = 0 THEN 1 END), 0) AS BIGINT) AS n_after
+        |FROM documents
+        |UNION ALL
+        |SELECT 'embeddings', count(*),
+        |  CAST(COALESCE(sum(CASE WHEN vec_id % 17 = 0 THEN 1 END), 0) AS BIGINT),
+        |  count(*) - CAST(COALESCE(sum(CASE WHEN vec_id % 17 = 0 THEN 1 END), 0) AS BIGINT)
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'fingerprints', count(*),
+        |  CAST(COALESCE(sum(CASE WHEN doc_id % 17 = 0 THEN 1 END), 0) AS BIGINT),
+        |  count(*) - CAST(COALESCE(sum(CASE WHEN doc_id % 17 = 0 THEN 1 END), 0) AS BIGINT)
+        |FROM f
+        |ORDER BY store""".stripMargin,
     "d35_semdedup" -> {
       // the oracle buckets with the SAME hyperplanes: the plane
       // components are inlined as literals generated from planeComp, and

@@ -72,6 +72,10 @@ class EmptyInputSpec extends SparkSpec {
     val b = operators.Sources.binarySource(spark, emptyDir).head()
     assert(b.getLong(0) === 0L && b.getLong(1) === 0L,
       "binarySource totals on empty input")
+    // d37 is three GLOBAL aggregates: all-zero manifest, never a throw
+    LlmOps.tombstonePurge(spark, emptyDir).collect().foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+    }
   }
 
   test("multimodal and streaming batch operators yield zero rows on empty input") {

@@ -762,6 +762,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(sampled.map(_._1).toSet.subsetOf(wider))
   }
 
+  test("tombstone purge: manifest arithmetic, compaction drops exactly the tombstones") {
+    val rows = LlmOps.tombstonePurge(spark, Sf)
+      .select("store", "n_before", "n_purged", "n_after")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === Seq("documents", "embeddings", "fingerprints"))
+    rows.foreach { case (st, before, purged, after) =>
+      assert(before === purged + after, st)
+      assert(purged > 0, s"$st: the every-17th tombstone rule must fire")
+    }
+    // documents row against a direct recompute
+    val docs = Tables.documents(spark, Sf)
+    val nDoc = docs.count()
+    val nTomb = docs.filter(pmod(col("doc_id"), lit(17L)) === 0).count()
+    assert(rows.find(_._1 == "documents").get === (("documents", nDoc, nTomb, nDoc - nTomb)))
+    // the compaction itself: no tombstoned id survives, counts agree,
+    // and the derived store stays referentially consistent
+    val kept = LlmOps.purgeDocStore(docs, 17).select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ % 17 != 0) && kept.size.toLong === nDoc - nTomb)
+    val fpKept = LlmOps.purgeDocStore(LlmOps.fingerprint(spark, Sf), 17)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fpKept.subsetOf(kept), "derived store must not reference purged docs")
+  }
+
   test("semdedup: planted near-identical vectors collapse to the senior copy") {
     val base = (0 until 64).map(j => math.sin(j * 1.7) + 1.5) // one direction
     val noisy = base.zipWithIndex.map { case (x, j) => x + 1e-4 * math.cos(j) }
