@@ -1400,9 +1400,6 @@ object SparkEntry {
   private def round4(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,4)) AS DOUBLE)"
   private def round8(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,8)) AS DOUBLE)"
 
-  /** The d02 exact-Jaccard near-dup pair graph as reusable CTEs
-    * (`sh` → `sizes` → `common` → `pairs`), shared by the d02/d03/d19/
-    * d20 oracles so all four stay definitionally in sync. */
   /** Shared near-dup pair CTEs (d02/d03/d19/d20/d30). The oracle
     * carries the SAME hot-shingle DF cap as `jaccardPairsOver` — the
     * contract is the CAPPED semantics (candidates need one shared

@@ -79,14 +79,15 @@ object ConnectedComponents {
         .cache()
       // small-star over the (u > v)-oriented output: every smaller
       // neighbor AND u itself link to the smallest neighbor.
-      val smallMins = large.groupBy("u").agg(min(col("v")).as("m"))
-      val small = large.join(smallMins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smallMins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
-      large.unpersist(blocking = false)
+      val small = try {
+        val smallMins = large.groupBy("u").agg(min(col("v")).as("m"))
+        large.join(smallMins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(smallMins.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint()
+      } finally large.unpersist(blocking = false) // even on abnormal exit
       // fixpoint: the round left the edge set unchanged. Both sides are
       // distinct sets, so symmetric difference = rows seen exactly once
       // in the union — ONE aggregation job, edge-proportional.

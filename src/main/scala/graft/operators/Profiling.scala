@@ -237,6 +237,11 @@ object Profiling {
       .filter(col("event_type").isin(typeA, typeB))
       .select("event_type", "sketch")
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    Seq(typeA, typeB).foreach { t =>
+      require(two.contains(t),
+        s"no stored sketch for event_type '$t' — absent types are an " +
+          "empty set; sketch them (or skip) upstream")
+    }
     val (a, b) = (Sketches.wrapSketch(Memory.wrap(two(typeA))),
       Sketches.wrapSketch(Memory.wrap(two(typeB))))
     val inter = SetOperation.builder().buildIntersection()

@@ -316,14 +316,28 @@ object Streaming {
     * on user_id and the batch side is one micro-batch — broadcast-sized
     * against a state table of any size. */
   def upsertBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    // the marker/rename protocol below uses local-FS atomic renames; a
+    // production deployment on an object store puts a transactional
+    // table format in this body instead (the idempotence logic is
+    // identical). Guard so a URI path can't silently void the markers.
+    require(!stateDir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") || stateDir.startsWith("file:"),
+      s"upsertBatch state swap is local-filesystem only, got: $stateDir")
+    import org.apache.commons.io.FileUtils
     val marker = new java.io.File(s"$stateDir/_applied/$batchId")
     if (marker.exists()) return // redelivered batch: effectively once
     val s = batch.sparkSession
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val lastPerKey = batch
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val curDir = new java.io.File(s"$stateDir/current")
+    val nextDir = new java.io.File(s"$stateDir/next")
+    val prevDir = new java.io.File(s"$stateDir/prev")
+    // crash recovery, in swap order: an orphaned `next` is an incomplete
+    // write (discard); a missing `current` with a surviving `prev` means
+    // the crash hit between the two renames (restore — the interrupted
+    // batch has no marker and will re-apply, which re-merges to the same
+    // state: the merge is idempotent on identical input)
+    FileUtils.deleteQuietly(nextDir)
+    if (!curDir.exists() && prevDir.exists()) FileUtils.moveDirectory(prevDir, curDir)
+    FileUtils.deleteQuietly(prevDir)
+    val lastPerKey = lastEventPerUser(batch)
     val cur =
       if (curDir.exists()) s.read.parquet(curDir.toString)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -331,10 +345,12 @@ object Streaming {
     val next = cur.join(lastPerKey.select("user_id"), Seq("user_id"), "left_anti")
       .select(batch.columns.map(col).toIndexedSeq: _*)
       .unionByName(lastPerKey)
-    next.write.mode("overwrite").parquet(s"$stateDir/next")
-    org.apache.commons.io.FileUtils.deleteQuietly(curDir)
-    org.apache.commons.io.FileUtils.moveDirectory(
-      new java.io.File(s"$stateDir/next"), curDir)
+    next.write.mode("overwrite").parquet(nextDir.toString)
+    // swap via two renames, never a delete of live state: current → prev,
+    // next → current, then drop prev — every crash point above restores
+    if (curDir.exists()) FileUtils.moveDirectory(curDir, prevDir)
+    FileUtils.moveDirectory(nextDir, curDir)
+    FileUtils.deleteQuietly(prevDir)
     marker.getParentFile.mkdirs()
     marker.createNewFile(): Unit
   }

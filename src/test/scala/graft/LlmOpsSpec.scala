@@ -776,6 +776,9 @@ class LlmOpsSpec extends SparkSpec {
     val nDoc = docs.count()
     val nTomb = docs.filter(pmod(col("doc_id"), lit(17L)) === 0).count()
     assert(rows.find(_._1 == "documents").get === (("documents", nDoc, nTomb, nDoc - nTomb)))
+    // the manifest's shuffle-free fingerprint count ≡ the real store
+    assert(rows.find(_._1 == "fingerprints").get._2 ===
+      LlmOps.fingerprint(spark, Sf).count())
     // the compaction itself: no tombstoned id survives, counts agree,
     // and the derived store stays referentially consistent
     val kept = LlmOps.purgeDocStore(docs, 17).select("doc_id").as[Long].collect().toSet
