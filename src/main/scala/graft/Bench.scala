@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.DataFrame
 
 /** Benchmark harness — emits ONE JSON line per the driver contract and
@@ -19,13 +20,59 @@ import org.apache.spark.sql.DataFrame
   * canonical form, so without intervention runs 2..n would time cache READS
   * rather than the declared plan. Every measured run therefore starts from
   * a cleared cache — timings are cold-plan costs (JIT/codegen warm, data in
-  * page cache), and cached tables can't accumulate across ~50 queries.
+  * page cache), and cached tables can't accumulate across ~100 queries.
+  *
+  * Robustness contract (round 6 — the round-5 driver artifact was a
+  * timeout kill with NO output, rc=124/parsed:null):
+  *   - A JVM shutdown hook emits the best-available partial result line
+  *     (marked `"truncated":true`) when the process is killed mid-run —
+  *     `timeout(1)` sends SIGTERM, which runs shutdown hooks.
+  *   - `SPARK_GRAFT_BENCH_DEADLINE_S` (default 1200) is a wall-clock
+  *     budget for the measurement loop: measured passes run only while
+  *     the next full pass is projected to fit, degrading median-of-3 →
+  *     median-of-fewer → (worst case) the warmup pass itself. The JSON
+  *     carries `"passes":n` so a degraded artifact is self-describing.
+  *   - `SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S` (default 150) bounds any ONE
+  *     query via `cancelJobGroup` from a watchdog timer — a single
+  *     stalling query (the round-5 tail showed a 16-minute silent
+  *     stretch) becomes a recorded `"failed"` entry, not a dead artifact.
+  *   - Per-query progress lines go to STDERR (the driver tail captures
+  *     the merged stream), so a future stall names its query instead of
+  *     requiring archaeology on BlockManager warnings.
   */
 object Bench {
+  // ——— state shared with the shutdown hook ———————————————————————————
+  // The hook runs on its own thread, possibly while the main loop is
+  // mid-query; every mutation and the emit snapshot synchronize on `lock`.
+  private val lock = new Object
+  private var warmup = Map.empty[String, Double]          // discarded-pass timings (fallback)
+  private var passes = Vector.empty[Map[String, Double]]  // completed measured passes
+  private var current = Map.empty[String, Double]         // in-flight measured pass
+  private var attempted = Set.empty[String]               // every query we started
+  private var sfDirG = ""
+  private var outFileG: Option[String] = None
+  private val emitted = new AtomicBoolean(false)
+
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - startNs) / 1e9
+    def note(msg: String): Unit = System.err.println(f"[bench +${elapsed}%7.1fs] $msg")
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outFile = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+    lock.synchronized {
+      sfDirG = sfDir
+      outFileG = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+    }
+    // Register the safety net BEFORE the (multi-second) Spark session
+    // init — a kill landing during startup still yields an empty-but-
+    // parseable artifact instead of silence.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(truncated = true), "bench-emit"))
+    val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S").map(_.toDouble).getOrElse(1200.0)
+    val queryTimeoutS = sys.env.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S").map(_.toDouble).getOrElse(150.0)
+    def remaining: Double = deadlineS - elapsed
+
     val spark = SparkEnv.session("graft-bench")
+    val sc = spark.sparkContext
 
     // Deterministic iteration order; Map ordering is arbitrary.
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -35,30 +82,101 @@ object Bench {
     require(queries.map(q => shortKey(q._1)).distinct.size == queries.size,
       "short bench keys collide; fix Bench.shortKey")
 
-    def exec(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
-    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Either[String, Double] = {
+    /** One cold-plan measurement under a cancellable job group: the
+      * watchdog timer cancels every job the query started once
+      * `timeoutS` elapses, turning a stall into a Left("Timeout"). */
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => DataFrame,
+        timeoutS: Double): Either[String, Double] = {
       spark.sharedState.cacheManager.clearCache()
+      val group = s"bench:$name"
+      sc.setJobGroup(group, name, interruptOnCancel = true)
+      val timedOut = new AtomicBoolean(false)
+      val watchdog = new java.util.Timer("bench-watchdog", true)
+      watchdog.schedule(new java.util.TimerTask {
+        def run(): Unit = { timedOut.set(true); sc.cancelJobGroup(group) }
+      }, math.max(1L, (timeoutS * 1000).toLong))
       val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(if (timedOut.get) "Timeout" else e.getClass.getSimpleName)
+      } finally { watchdog.cancel(); sc.clearJobGroup() }
     }
+
+    /** Runs one full pass; returns false if the deadline cut it short.
+      * `record` receives (name, result) under the state lock. */
+    def runPass(label: String, record: (String, Either[String, Double]) => Unit): Boolean = {
+      for ((name, fn) <- queries) {
+        if (remaining < 10) { note(s"$label deadline hit before $name — stopping"); return false }
+        note(s"$label $name")
+        val r = timeOne(name, fn, math.min(queryTimeoutS, remaining - 5))
+        lock.synchronized { attempted += name; record(name, r) }
+        r.left.foreach(err => note(s"$label $name FAILED: $err"))
+      }
+      true
+    }
+
+    note(s"bench start sf=$sfDir deadline=${deadlineS}s queryTimeout=${queryTimeoutS}s " +
+      s"queries=${queries.size}")
 
     // Warmup: one full discarded pass (JIT, codegen caches, FS metadata).
-    queries.foreach { case (_, fn) => timeOne(fn) }
+    // Its timings are kept as the emergency fallback — if the deadline
+    // leaves room for zero measured passes, reporting warmup-pass numbers
+    // (marked passes:0) beats reporting nothing.
+    var clean = runPass("warmup",
+      (n, r) => r.foreach(t => warmup += n -> t))
+    val passCost = lock.synchronized { warmup.values.sum } +
+      queries.size * 0.05 // clearCache/jobgroup overhead floor
+    note(f"warmup done (${passCost}%.1fs projected/pass, remaining ${remaining}%.1fs)")
 
-    val runs = (1 to 3).map { _ => queries.map { case (n, fn) => n -> timeOne(fn) }.toMap }
-    val timings = queries.flatMap { case (name, _) =>
-      val ok = runs.flatMap(_(name).toOption).sorted
-      if (ok.size == runs.size) Some(name -> ok(ok.size / 2)) else None
+    // Measured passes: median-of-3 while the projection fits, fewer under
+    // a tight deadline. 1.15× headroom: a pass that projects to overrun
+    // is not started (a partial pass still contributes via `current`).
+    var p = 0
+    while (clean && p < 3 && remaining > passCost * 1.15 + 10) {
+      p += 1
+      clean = runPass(s"pass$p",
+        (n, r) => r.foreach(t => current += n -> t))
+      lock.synchronized {
+        // a deadline-cut partial pass stays in `current` so emit() can
+        // still use its samples; only a completed pass graduates
+        if (clean) { passes :+= current; current = Map.empty }
+      }
+      // Nudge the ContextCleaner: cache/shuffle state from ~100 queries
+      // is only reclaimed after its references are GC'd; an explicit GC
+      // per pass keeps disk/memory state flat across passes.
+      System.gc()
     }
-    val failed = queries.map(_._1).filterNot(timings.map(_._1).toSet)
+    if (p < 3) note(s"degraded to $p measured pass(es) (deadline ${deadlineS}s)")
+
+    emit(truncated = !clean)
+    spark.stop()
+  }
+
+  /** Builds and emits the artifact from whatever state exists: per-query
+    * median over completed measured passes (+ the in-flight partial pass),
+    * falling back to the warmup timing for queries with no measured
+    * sample. Idempotent — first caller (main path or shutdown hook) wins. */
+  private def emit(truncated: Boolean): Unit = {
+    val (w, ps, cur, att, sfDir, outFile) = lock.synchronized {
+      (warmup, passes, current, attempted, sfDirG, outFileG)
+    }
+    if (!emitted.compareAndSet(false, true)) return
+    val measured = ps :+ cur
+    val names = (w.keys ++ measured.flatMap(_.keys)).toSeq.distinct.sorted
+    val timings = names.flatMap { n =>
+      val ok = measured.flatMap(_.get(n)).sorted
+      (if (ok.nonEmpty) Some(ok(ok.size / 2)) else w.get(n)).map(n -> _)
+    }
+    val timed = timings.map(_._1).toSet
+    val failed = att.toSeq.sorted.filterNot(timed)
 
     val total = timings.map(_._2).sum
     def fmt(v: Double): String =
       java.math.BigDecimal.valueOf(v).setScale(3, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
+    val extra = s""","passes":${ps.size}""" + (if (truncated) s""","truncated":true""" else "")
 
     // Full-fidelity record (full query names, full precision) → file;
     // the stdout line uses SHORT keys everywhere (timings AND the failed
@@ -66,16 +184,18 @@ object Bench {
     val qsFull = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH_FULL.json"), fullLine + "\n")
-    outFile.foreach(p => Files.writeString(Paths.get(p), fullLine + "\n"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull$extra,"sf":"$sfDir"}"""
+    try {
+      Files.writeString(Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      outFile.foreach(pth => Files.writeString(Paths.get(pth), fullLine + "\n"))
+    } catch { case _: Throwable => () } // emitting the stdout line still matters
 
     val qsShort = timings.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedShort = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedShort$extra,"sf":"$sfDir"}"""
     println(line)
-    spark.stop()
+    System.out.flush()
   }
 
   /** Short stdout key for a query name: the driver captures only the
