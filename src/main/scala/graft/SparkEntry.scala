@@ -1428,9 +1428,6 @@ object SparkEntry {
        |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
        |  WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8)""".stripMargin
 
-  /** The d17 deterministic hash-split assignment as a CTE (`sp`) —
-    * shared by the d17 and d20 oracles so both stay definitionally in
-    * sync with `LlmOps.splitAssign`. */
   /** Shared CTE chain for d34/d36: hashed-bigram buckets and the
     * smoothed per-bucket log-likelihood ratio (target = 'en'). */
   private def dsirCtes =
@@ -1450,6 +1447,9 @@ object SparkEntry {
       |                ((cr + 1)::DOUBLE / (rt + 64))) AS DECIMAL(30,6)) AS logr
       |      FROM raw LEFT JOIN tgt USING (b), tot)""".stripMargin
 
+  /** The d17 deterministic hash-split assignment as a CTE (`sp`) —
+    * shared by the d17, d20, and d33 oracles so all three stay
+    * definitionally in sync with `LlmOps.splitAssign`. */
   private def splitCte =
     """sp AS (SELECT doc_id, bucket,
       |  CASE WHEN bucket < 80 THEN 'train'
