@@ -30,8 +30,34 @@ import org.apache.spark.sql.functions._
   * Both loops localCheckpoint per round so the plan does not grow with
   * iterations, and both do only edge-proportional work per round — no
   * driver-side collect beyond the convergence `isEmpty`.
+  *
+  * Checkpoint lifecycle: `Dataset.localCheckpoint()` (eager) materializes
+  * MEMORY_AND_DISK blocks that `CacheManager.clearCache()` never touches —
+  * only a full GC (via ContextCleaner weak refs) reclaims them. Left
+  * alone, every round of every clustering query pins another edge-set's
+  * worth of storage memory for the rest of the JVM's life, squeezing the
+  * unified pool out from under LATER queries (diagnosed round 7: d34's
+  * cold time rose 1.55→2.43→4.09 s across bench passes while its isolated
+  * time sat at 1.0 s — the leaked blocks were upstream queries' round
+  * checkpoints). Both loops therefore [[dropCheckpoint]] round N−1's
+  * blocks as soon as round N's checkpoint is materialized and the
+  * convergence test has read the old frame; only the FINAL round's blocks
+  * survive into the returned (lazy) frame, which the session reclaims at
+  * the next GC.
   */
 object ConnectedComponents {
+  /** Frees the block-manager state behind a superseded eager
+    * [[org.apache.spark.sql.Dataset.localCheckpoint]]. The checkpointed
+    * data lives in the `LogicalRDD` leaf of the analyzed plan; because
+    * the checkpoint was EAGER, no downstream plan can ever need to
+    * recompute through it once the next round's checkpoint exists, so
+    * unpersisting is safe. Non-blocking: removal proceeds while the next
+    * round's jobs run. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   /** Round guard: large/small-star needs O(log n) rounds (≈2 log₂ n in
     * the paper's bound), so 60 covers any graph that fits in an exabyte;
     * label propagation hitting it means the graph's diameter is
@@ -93,6 +119,7 @@ object ConnectedComponents {
       // in the union — ONE aggregation job, edge-proportional.
       converged = small.union(edges).groupBy("u", "v")
         .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
+      dropCheckpoint(edges) // convergence test was the last reader
       edges = small
     }
     starLabels(edges)
@@ -121,6 +148,7 @@ object ConnectedComponents {
             (col("nmin") < col("component")).as("chg"))
           .localCheckpoint()
         converged = next.filter(col("chg")).isEmpty
+        dropCheckpoint(labels) // `next` is materialized; old round done
         labels = next.select("node", "component")
       }
     } finally sym.unpersist() // even on abnormal exit — don't pin blocks
