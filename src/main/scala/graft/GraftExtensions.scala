@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, CosineSimilarity}
+import graft.functions.{ArrayDotProduct, CosineSimilarity, TokenNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -14,5 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction((FunctionIdentifier(ArrayDotProduct.Name),
       ArrayDotProduct.info, ArrayDotProduct.builder))
+    ext.injectFunction((FunctionIdentifier(TokenNgrams.Name),
+      TokenNgrams.info, TokenNgrams.builder))
   }
 }

@@ -77,4 +77,40 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
     assert(!rows(1).isNullAt(0) && rows(1).getDouble(1) === 14.0)
   }
+
+  test("token_ngrams ≡ split→sliding-window→concat_ws on adversarial inputs") {
+    // the contract the gram family relies on: identical to Spark's
+    // split(text,' ',-1) semantics (empty tokens KEPT, incl. trailing),
+    // windows joined by a single space, <n tokens → empty array
+    val texts = Seq(
+      "the quick brown fox jumps",
+      "a b",                 // exactly n-1 tokens for n=3
+      "a b c",               // exactly n tokens
+      "",                    // one empty token
+      "  ",                  // three empty tokens
+      "a  b",                // interior empty token
+      "trailing space ",     // trailing empty token
+      " leading",            // leading empty token
+      "solo")
+    val df = texts.toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val got = df.select(
+        call_function("token_ngrams", col("text"), lit(n)).as("g"))
+        .as[Seq[String]].collect()
+      val want = texts.map { t =>
+        t.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSeq
+      }
+      assert(got.toSeq === want, s"n=$n")
+    }
+    // null text → null result (not an empty array)
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("token_ngrams", col("text"), lit(3))).collect().head
+    assert(r.isNullAt(0))
+    // multi-byte UTF-8 grams slice on character boundaries
+    val utf8 = Seq("héllo wörld ünïcode").toDF("text")
+      .select(call_function("token_ngrams", col("text"), lit(2)))
+      .as[Seq[String]].collect().head
+    assert(utf8 === Seq("héllo wörld", "wörld ünïcode"))
+  }
 }
