@@ -773,7 +773,8 @@ object SparkEntry {
          |       FROM bb JOIN r USING (b) GROUP BY 1),
          |k AS (SELECT doc_id, weight,
          |        CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8))
-         |          AS BIGINT) % 16 AS bucket,
+         |          AS BIGINT) % GREATEST(16, CAST(CEIL(
+         |            (SELECT count(*) FROM documents) / 250000.0) AS BIGINT)) AS bucket,
          |        CAST(CAST(weight - ln(-ln(
          |          (CAST(('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8))
          |             AS BIGINT)::DOUBLE + 0.5) / 4294967296.0))

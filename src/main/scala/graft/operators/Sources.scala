@@ -145,24 +145,6 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
-  /** f07 — `binaryFile` source: whole files as opaque BINARY rows — the
-    * ingestion path for raw multimodal assets (images/audio the
-    * [[Multimodal]] operators then process) and for any format Spark has
-    * no reader for. Documents are first written out as text files (one
-    * doc per line, one file per partition — a real multi-file layout),
-    * then the DIRECTORY is re-read with `format("binaryFile")`, whose
-    * schema is (path, modificationTime, length, content BINARY).
-    *
-    * The aggregate is layout-INDEPENDENT on purpose: file count and
-    * per-file contents depend on write partitioning, so the query
-    * reports only totals that are invariant to how lines pack into
-    * files — total payload bytes (each line = doc bytes + '\n') and the
-    * total line count recovered by counting newline bytes inside the
-    * binary payloads. The oracle computes both from the original
-    * parquet, so the whole write→binary-read→decode chain must be
-    * byte-exact. Scale: one file per task on read (binaryFile does not
-    * split files) — fine for asset-sized files, and exactly why huge
-    * corpora should NOT be stored as one giant blob. */
   /** Spread the low 16 bits of `c` so a bit lands at every EVEN
     * position (the classic mask-shift Morton dilation — 4 shift/or/and
     * steps, all codegen'd long arithmetic). */
@@ -240,6 +222,24 @@ object Sources {
         dsum(col("l_extendedprice")).as("revenue"))
   }
 
+  /** f07 — `binaryFile` source: whole files as opaque BINARY rows — the
+    * ingestion path for raw multimodal assets (images/audio the
+    * [[Multimodal]] operators then process) and for any format Spark has
+    * no reader for. Documents are first written out as text files (one
+    * doc per line, one file per partition — a real multi-file layout),
+    * then the DIRECTORY is re-read with `format("binaryFile")`, whose
+    * schema is (path, modificationTime, length, content BINARY).
+    *
+    * The aggregate is layout-INDEPENDENT on purpose: file count and
+    * per-file contents depend on write partitioning, so the query
+    * reports only totals that are invariant to how lines pack into
+    * files — total payload bytes (each line = doc bytes + '\n') and the
+    * total line count recovered by counting newline bytes inside the
+    * binary payloads. The oracle computes both from the original
+    * parquet, so the whole write→binary-read→decode chain must be
+    * byte-exact. Scale: one file per task on read (binaryFile does not
+    * split files) — fine for asset-sized files, and exactly why huge
+    * corpora should NOT be stored as one giant blob. */
   def binarySource(s: SparkSession, d: String): DataFrame = {
     val path = dir("docs_text")
     Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(path)

@@ -760,6 +760,26 @@ class LlmOpsSpec extends SparkSpec {
     val wider = LlmOps.importanceSample(spark, Sf, frac = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(sampled.map(_._1).toSet.subsetOf(wider))
+    // the auto default (nShards=0) resolves to max(16, ⌈n/250k⌉) = 16
+    // at this scale — identical to an explicit 16
+    val explicit16 = LlmOps.importanceSample(spark, Sf, nShards = 16)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toSet
+    assert(sampled.map(r => (r._1, r._2)).toSet === explicit16)
+    // the shard-width knob preserves the stratified-draw law at any
+    // width: at 64 shards every bucket still takes exactly ⌈frac·n_b⌉
+    // of ITS documents (strata differ, the law doesn't)
+    val at64 = LlmOps.importanceSample(spark, Sf, nShards = 64)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toSeq
+    def bucket64(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val nB64 = all.keys.groupBy(bucket64).view.mapValues(_.size).toMap
+    at64.groupBy(_._2).foreach { case (b, rows) =>
+      assert(rows.size === math.ceil(nB64(b) * 0.25).toInt,
+        s"bucket $b take size at 64 shards")
+    }
   }
 
   test("tombstone purge: manifest arithmetic, compaction drops exactly the tombstones") {
