@@ -273,6 +273,72 @@ class StreamingSpec extends SparkSpec {
     assert(after.count() === want.count())
   }
 
+  test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
+    // constructs the states a kill can leave BETWEEN the swap's renames
+    // (not reachable by in-process calls) and asserts the recovery
+    // preamble restores each — the load-bearing proof for the
+    // "every crash point above restores" comment in upsertBatch
+    import org.apache.commons.io.FileUtils
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val evs = Tables.events(spark, Sf).select(cols.map(col): _*)
+      .filter(col("event_type") =!= "sentinel")
+    val b0 = evs.filter(col("user_id") % 2 === 0)
+    val b1 = evs.filter(col("user_id") % 3 === 0) // overlaps b0: real upserts
+    def mkState(): String = {
+      val s = java.nio.file.Files.createTempDirectory("graft-crash").toString
+      Streaming.upsertBatch(s)(b0, 0L)
+      s
+    }
+    def expected(): Seq[String] = {
+      val s0 = Streaming.lastEventPerUser(b0)
+      sortedRows(s0.join(Streaming.lastEventPerUser(b1).select("user_id"),
+          Seq("user_id"), "left_anti")
+        .select(cols.map(col): _*)
+        .unionByName(Streaming.lastEventPerUser(b1)))
+    }
+    def current(s: String) =
+      spark.read.parquet(s"$s/current").select(cols.map(col): _*)
+
+    // crash shape 1: orphaned `next` (kill after the next-write, before
+    // any rename) — possibly CORRUPT (partial parquet): must be
+    // discarded, then the redelivered batch applies cleanly
+    val s1 = mkState()
+    val next1 = new java.io.File(s"$s1/next")
+    next1.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(next1, "part-00000.parquet").toPath, "truncated garbage")
+    Streaming.upsertBatch(s1)(b1, 1L)
+    assert(sortedRows(current(s1)) === expected(), "orphaned next")
+    assert(!new java.io.File(s"$s1/next").exists() &&
+      !new java.io.File(s"$s1/prev").exists())
+
+    // crash shape 2: `prev` without `current` (kill between the two
+    // renames) — prev must be restored before the batch re-applies
+    val s2 = mkState()
+    FileUtils.moveDirectory(new java.io.File(s"$s2/current"),
+      new java.io.File(s"$s2/prev"))
+    // the interrupted batch's next also survives on disk at this point
+    Streaming.lastEventPerUser(b1).select(cols.map(col): _*)
+      .write.parquet(s"$s2/next")
+    Streaming.upsertBatch(s2)(b1, 1L)
+    assert(sortedRows(current(s2)) === expected(), "prev without current")
+
+    // crash shape 3: `prev` AND `current` both present (kill after the
+    // swap completed, before prev cleanup / marker write) — current is
+    // already the post-batch state; the unmarked redelivery must merge
+    // idempotently and just clean up
+    val s3 = mkState()
+    Streaming.upsertBatch(s3)(b1, 1L)
+    val postSwap = sortedRows(current(s3))
+    FileUtils.copyDirectory(new java.io.File(s"$s3/current"),
+      new java.io.File(s"$s3/prev"))
+    FileUtils.deleteQuietly(new java.io.File(s"$s3/_applied/1"))
+    Streaming.upsertBatch(s3)(b1, 1L)
+    assert(sortedRows(current(s3)) === postSwap, "post-swap redelivery")
+    assert(postSwap === expected())
+    assert(!new java.io.File(s"$s3/prev").exists())
+  }
+
   test("Trigger.AvailableNow: run-to-completion batch job over a file stream") {
     // the scheduled-batch-over-streaming-source pattern: process all
     // available input, then terminate on its own.
