@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, CosineSimilarity, TokenNgrams}
+import graft.functions.{ArrayDotProduct, BloomFunctions, CosineSimilarity, TokenNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -16,5 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ArrayDotProduct.info, ArrayDotProduct.builder))
     ext.injectFunction((FunctionIdentifier(TokenNgrams.Name),
       TokenNgrams.info, TokenNgrams.builder))
+    // Spark's own runtime-bloom-filter expressions, surfaced as callable
+    // functions (scan-time membership gate — see BloomFunctions)
+    ext.injectFunction((FunctionIdentifier(BloomFunctions.AggName),
+      BloomFunctions.aggInfo, BloomFunctions.aggBuilder))
+    ext.injectFunction((FunctionIdentifier(BloomFunctions.MightContainName),
+      BloomFunctions.mightContainInfo, BloomFunctions.mightContainBuilder))
   }
 }

@@ -170,6 +170,14 @@ object SparkEntry {
     // — data profiling / data-quality validation —
     "p01_column_profile" -> (Profiling.columnProfile _),
     "p02_dq_checks" -> (Profiling.dqChecks _),
+    // exact equi-width histogram (two-pass: extrema row → arithmetic bins)
+    "p03_histogram" -> ((s, d) => Profiling.histogram(s, d)),
+    // SCD Type-2 validity intervals from the append-only event log
+    "e31_scd2_intervals" -> (Relational.scd2Intervals _),
+    // duplicate-multiplicity sampling weights (soft dedup)
+    "d38_dup_weights" -> (LlmOps.dupWeights _),
+    // bloom-gated cross-corpus membership (scan-time incremental dedup)
+    "d39_bloom_gate" -> (LlmOps.bloomGate _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1334,6 +1342,60 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // p03: bin index and edges are single-IEEE-op chains on identical
+    // doubles (sub/div/mul/floor) — bit-identical across engines with no
+    // rounding; DuckDB's floor() returns DOUBLE, hence the BIGINT cast.
+    "p03_histogram" ->
+      """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |ext AS (SELECT min(x) AS lo, max(x) AS hi FROM x),
+        |b AS (SELECT least(15, CAST(floor((x - lo) / ((hi - lo) / 16))
+        |                             AS BIGINT)) AS bin, lo, hi
+        |      FROM x, ext)
+        |SELECT bin, lo + bin * ((hi - lo) / 16) AS bin_lo,
+        |  lo + (bin + 1) * ((hi - lo) / 16) AS bin_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+    "e31_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_type FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, event_type, ts,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS valid_to_ts,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |           AS version
+        |       FROM ch)
+        |SELECT user_id, version, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (valid_to_ts IS NULL) AS is_current
+        |FROM iv ORDER BY user_id, version""".stripMargin,
+    // d38: weight = 1.0 / n_copies is one IEEE division on identical
+    // operands — bit-exact, no rounding (Canon.round4 note).
+    "d38_dup_weights" ->
+      """WITH n AS (SELECT doc_id,
+        |             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |           FROM documents)
+        |SELECT doc_id,
+        |  count(*) OVER (PARTITION BY norm) AS n_copies,
+        |  CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY norm)) AS weight
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // d39: the Spark plan gates on a bloom filter then exact-verifies, so
+    // the result is exact membership — the oracle is plain EXISTS on the
+    // normalized text (Spark matches on xxhash64(norm); the d01 64-bit
+    // collision note applies).
+    "d39_bloom_gate" ->
+      """WITH doc AS (SELECT doc_id,
+        |               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |             FROM documents),
+        |hist AS (SELECT norm FROM doc WHERE doc_id % 10 < 8),
+        |batch AS (SELECT doc_id, norm FROM doc WHERE doc_id % 10 >= 8)
+        |SELECT b.doc_id,
+        |  EXISTS (SELECT 1 FROM hist h WHERE h.norm = b.norm) AS dup_of_history
+        |FROM batch b ORDER BY doc_id""".stripMargin,
   )
 
   private val profileSqlOne =

@@ -10,10 +10,15 @@ import java.nio.file.{Files, Paths}
   * production sink would write partitioned). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // dev convenience: extra args restrict the dump to named queries
+    // (the driver always passes exactly two)
+    val only = args.drop(2).toSet
     val spark = SparkEnv.session("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

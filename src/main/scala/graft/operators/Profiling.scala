@@ -97,6 +97,89 @@ object Profiling {
     rows.reduce(_.unionAll(_)).orderBy("rule")
   }
 
+  /** p03 — equi-width histogram of a numeric column (here
+    * `l_extendedprice`, 16 bins): the distribution-shape profile p01's
+    * moment statistics can't show (skew, modes, outlier mass).
+    *
+    * Two passes over ONE pruned column: pass 1 reduces to a single
+    * (min, max) row — broadcast, never collected — and pass 2 bins each
+    * value by pure arithmetic (`floor((x − lo) / w)`, clamped so
+    * `x = max` lands in the last bin) into a `nBins`-group aggregate.
+    * No corpus sort, no corpus shuffle: the only exchange carries
+    * `nBins` partial-count rows. (`approx_percentile`-style one-pass
+    * sketches trade exactness for the second scan; the profiling
+    * contract here is exact counts over exact global edges.)
+    *
+    * Float discipline: bin index and edges are chains of single IEEE
+    * ops (sub/div/mul/floor) on engine-identical doubles — bit-exact in
+    * any engine, no rounding needed (Canon.round4 note). Empty bins
+    * emit no row (both engines agree; a reporting layer can spine-join
+    * zeros). */
+  def histogram(s: SparkSession, d: String, nBins: Int = 16): DataFrame = {
+    val x = Tables.lineitem(s, d).select(col("l_extendedprice").cast("double").as("x"))
+    val ext = x.agg(min("x").as("lo"), max("x").as("hi"))
+    val w = (col("hi") - col("lo")) / nBins
+    x.join(broadcast(ext))
+      .select(least(lit(nBins - 1L),
+        floor((col("x") - col("lo")) / w)).as("bin"), col("lo"), col("hi"))
+      .groupBy("bin", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("lo") + col("bin") * ((col("hi") - col("lo")) / nBins)).as("bin_lo"),
+        (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / nBins)).as("bin_hi"),
+        col("n"))
+      .orderBy("bin")
+  }
+
+  /** Mergeable FREQUENT-ITEMS sketches (DataSketches ItemsSketch —
+    * Misra–Gries/Space-Saving family): approximate token heavy-hitters
+    * over `documents.text` without a full token shuffle. The exact
+    * top-k (Q-TK) shuffles every token once; at 100 TB the sketch
+    * build touches the corpus scan-only — each partition folds its
+    * tokens into one bounded map (`maxMapSize` counters, size
+    * independent of row count), and only those fixed-size binaries
+    * reduce to the final sketch. Same surface family as the
+    * HLL/KLL/Theta sketches and the same no-oracle rationale (sketch
+    * state is engine-specific); ProfilingSpec pins the published
+    * guarantees instead:
+    *
+    *  1. no false negatives — every token whose true count exceeds the
+    *     sketch's `getMaximumError` appears in the NO_FALSE_NEGATIVES
+    *     result set;
+    *  2. bounded estimates — every reported [lb, ub] brackets the true
+    *     count;
+    *  3. mergeability — sketching each half and merging preserves both
+    *     properties (daily jobs keep running sketches, never rescan).
+    *
+    * Returns (token, est, lb, ub), heaviest first. */
+  def sketchFrequentTokens(docs: DataFrame, maxMapSize: Int = 1024): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.memory.Memory
+    // the serde is not Serializable — construct it inside each closure
+    val merged = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .as[String]
+      .mapPartitions { it =>
+        val sk = new ItemsSketch[String](maxMapSize)
+        it.foreach(sk.update)
+        Iterator.single(sk.toByteArray(new ArrayOfStringsSerDe))
+      }
+      .reduce { (a, b) =>
+        val serde = new ArrayOfStringsSerDe
+        val sa = ItemsSketch.getInstance(Memory.wrap(a), serde)
+        sa.merge(ItemsSketch.getInstance(Memory.wrap(b), serde))
+        sa.toByteArray(serde)
+      }
+    val sk = ItemsSketch.getInstance(Memory.wrap(merged), new ArrayOfStringsSerDe)
+    sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .toDF("token", "est", "lb", "ub")
+      .orderBy(col("est").desc, col("token"))
+  }
+
   /** Mergeable distinct-count SKETCHES (Apache DataSketches HLL via
     * Spark's `hll_sketch_agg`/`hll_union_agg`): per-event-type distinct
     * users as a sketch, not a number. Library surface, not a `queries`

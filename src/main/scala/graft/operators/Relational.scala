@@ -705,4 +705,40 @@ object Relational {
       .filter(col("rnk") <= 2)
       .orderBy("user_id", "rnk")
   }
+
+  /** E31 — SCD Type-2 interval build: collapse an append-only event log
+    * into the slowly-changing-dimension shape warehouses version
+    * dimensions with — one row per (user, consecutive event_type run)
+    * carrying `[valid_from, valid_to)` validity and an `is_current`
+    * flag. Change detection is `lag(1)` (keep a row iff its type
+    * differs from the previous row's), interval close is `lead(1)` over
+    * the surviving change points, `version` is the per-user change
+    * ordinal — the natural SCD2 surrogate ordering.
+    *
+    * Scale: all three windows share ONE partitioning (user_id) and ONE
+    * sort order (ts, event_id — event_id is the unique tie-break, so
+    * every window value is deterministic under timestamp ties), so the
+    * plan pays a single exchange + sort; the lead/row_number pass runs
+    * on the change points only (already reduced). Per-key windows
+    * parallelize across users; a `lag(1)` chain is inherently
+    * sequential WITHIN a key, which is the operator's semantics —
+    * change detection cannot ignore order — so pathological single-key
+    * skew (one bot user with 10⁹ events) is handled the e20b way:
+    * pre-split such keys by a coarse time bucket and stitch the
+    * bucket-boundary rows, not by a different operator. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(ord))
+      .withColumn("version", row_number().over(ord).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        tsStr(col("ts")).as("valid_from"),
+        tsStr(col("valid_to_ts")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
 }

@@ -852,4 +852,56 @@ class LlmOpsSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     assert(out === expect)
   }
+
+  test("d38 soft dedup: each duplicate family carries exactly unit mass") {
+    val out = LlmOps.dupWeights(spark, dupDir)
+      .select("doc_id", "n_copies", "weight")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((3L, 3L, 1.0 / 3), (5L, 1L, 1.0), (7L, 3L, 1.0 / 3),
+      (10L, 3L, 1.0 / 3)))
+    // family mass: weights within a family sum to one document's worth
+    // (m × (1/m) — exact for the binary-representable 1/1, and within
+    // one ulp-fold otherwise); total mass = number of families (d01)
+    val families = LlmOps.exactDedup(spark, dupDir).count()
+    assert(math.abs(out.map(_._3).sum - families) < 1e-12)
+  }
+
+  /** Planted cross-corpus fixture for the bloom gate: history is
+    * doc_id mod 10 < 8, batch is mod 10 ≥ 8 (the d30 convention). */
+  private lazy val bloomDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "s0", 5L),  // history
+      (2L, "x y z", "en", "s0", 5L),             // history
+      (8L, "alpha  BETA gamma ", "en", "s1", 5L), // batch: dup after norm
+      (9L, "x y z", "en", "s1", 5L),             // batch: exact dup
+      (18L, "fresh unseen doc", "en", "s1", 5L)) // batch: genuinely new
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d39 bloom gate: exact membership after verify, gate in the plan") {
+    val df = LlmOps.bloomGate(spark, bloomDir)
+    // the bloom predicate must actually be in the executed plan (the
+    // scan-time gate, not optimized away)
+    assert(df.queryExecution.executedPlan.toString.contains("might_contain"))
+    val out = df.as[(Long, Boolean)].collect().toSeq
+    assert(out === Seq((8L, true), (9L, true), (18L, false)))
+    // on the real corpus the result must equal the exact (bloom-free)
+    // membership recompute — bloom false positives are closed by the
+    // verify join, false negatives are impossible by construction
+    def norm(c: org.apache.spark.sql.Column) =
+      lower(trim(regexp_replace(c, "\\s+", " ")))
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), norm(col("text")).as("n"))
+    val histSet = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select("n").distinct().withColumn("hit", lit(true))
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val expect = batch.join(histSet, Seq("n"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("dup"))
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    val got = LlmOps.bloomGate(spark, Sf).as[(Long, Boolean)].collect().toSeq
+    assert(got === expect)
+  }
 }

@@ -19,6 +19,70 @@ class ProfilingSpec extends SparkSpec {
     assert(m("control_total") === direct.getDouble(2))
   }
 
+  test("p03 histogram: exact mass conservation, tiling edges, extrema coverage") {
+    val li = Tables.lineitem(spark, Sf)
+    val n = li.count()
+    val (lo, hi) = {
+      val r = li.agg(min(col("l_extendedprice").cast("double")),
+        max(col("l_extendedprice").cast("double"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val rows = Profiling.histogram(spark, Sf).collect()
+    // every row count is positive and the counts sum to the corpus —
+    // nothing dropped, nothing double-binned (the clamp puts x = max
+    // into the last bin rather than a phantom 17th)
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+    val bins = rows.map(_.getAs[Long]("bin"))
+    assert(bins.forall(b => b >= 0 && b < 16))
+    assert(bins.distinct.length === bins.length)
+    // edges tile: bin k's hi is bin k+1's lo (identical arithmetic, so
+    // exact equality), first lo is the exact minimum
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("bin_hi") === b.getAs[Double]("bin_lo") ||
+          b.getAs[Long]("bin") > a.getAs[Long]("bin") + 1)
+      case _ =>
+    }
+    assert(rows.head.getAs[Double]("bin_lo") === lo)
+    assert(math.abs(rows.last.getAs[Double]("bin_hi") - hi) <= 1e-9 * math.abs(hi))
+  }
+
+  test("frequent-items sketch: no false negatives, bounds bracket truth, halves merge") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    val exact = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    def check(result: Array[(String, Long, Long, Long)]): Unit = {
+      assert(result.nonEmpty)
+      val reported = result.map(_._1).toSet
+      // bounds bracket the true count for every reported item
+      result.foreach { case (tok, est, lb, ub) =>
+        val truth = exact.getOrElse(tok, 0L)
+        assert(lb <= truth && truth <= ub, s"$tok: [$lb,$ub] misses $truth")
+        assert(lb <= est && est <= ub)
+      }
+      // no false negatives: any token whose true count exceeds the
+      // sketch's max error MUST be reported (the published guarantee of
+      // ErrorType.NO_FALSE_NEGATIVES at this map size). ub − lb is the
+      // sketch's global error offset (0 while no purge ever happened).
+      val maxErr = result.map(r => r._4 - r._3).max
+      exact.foreach { case (tok, truth) =>
+        if (truth > maxErr) assert(reported(tok), s"heavy $tok ($truth) missing")
+      }
+    }
+    val whole = Profiling.sketchFrequentTokens(docs)
+      .as[(String, Long, Long, Long)].collect()
+    check(whole)
+    // mergeability: the library surface IS the per-partition merge —
+    // force a many-partition build and assert the same guarantees hold
+    val repart = Profiling.sketchFrequentTokens(docs.repartition(7))
+      .as[(String, Long, Long, Long)].collect()
+    check(repart)
+  }
+
   test("HLL sketches: union of half-sketches ≡ whole sketch, error bounded") {
     import spark.implicits._
     val ev = Tables.events(spark, Sf)

@@ -172,4 +172,41 @@ class RelationalSpec extends SparkSpec {
     val readSchema = scans.head.metadata("ReadSchema")
     assert(!readSchema.contains("l_returnflag"), s"pruned columns must not be read: $readSchema")
   }
+
+  test("e31 SCD2: intervals tile per user, runs compress, one current row") {
+    val rows = Relational.scd2Intervals(spark, Sf)
+      .select("user_id", "version", "event_type", "valid_from", "valid_to",
+        "is_current")
+      .as[(Long, Long, String, String, Option[String], Boolean)]
+      .collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, ivs0) =>
+      val ivs = ivs0.sortBy(_._2)
+      // versions are the dense per-user ordinal
+      assert(ivs.map(_._2).toSeq === (1L to ivs.length).toSeq)
+      // intervals tile: each valid_to equals the next valid_from; only
+      // the last interval is open (valid_to NULL) and flagged current
+      ivs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: gap after v${a._2}")
+          assert(!a._6)
+        case _ =>
+      }
+      assert(ivs.last._5.isEmpty && ivs.last._6)
+      // change compression: consecutive intervals never repeat a type
+      ivs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 !== b._3, s"user $u: uncompressed run")
+        case _ =>
+      }
+    }
+    // cross-check total against an independent change count
+    val expected = Tables.events(spark, Sf)
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .collect().groupBy(_._1).map { case (_, es) =>
+        val ordered = es.sortBy(e => (e._3.getTime, e._2)).map(_._4)
+        1 + ordered.sliding(2).count { case Array(a, b) => a != b; case _ => false }
+      }.sum
+    assert(rows.values.map(_.length).sum === expected)
+  }
 }
