@@ -141,6 +141,8 @@ object SparkEntry {
     "m02_frame_features" -> (Multimodal.frameFeaturesFlat _),
     // overlapping 64-byte windows every 48 bytes (the STFT-hop analog)
     "m03_hop_windows" -> (Multimodal.hopWindowMeta _),
+    // windowed byte statistics computed from the payload content itself
+    "m04_payload_stats" -> (Multimodal.payloadStats _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -178,6 +180,11 @@ object SparkEntry {
     "d38_dup_weights" -> (LlmOps.dupWeights _),
     // bloom-gated cross-corpus membership (scan-time incremental dedup)
     "d39_bloom_gate" -> (LlmOps.bloomGate _),
+    // shingle-set containment pairs (partial-duplicate / subset detector)
+    "d40_containment" -> ((s, d) => LlmOps.containmentPairs(s, d)),
+    // clusters over the UNION of jaccard + containment edges (what
+    // substring-level dedup pipelines actually group on)
+    "d41_partialdup_clusters" -> (LlmOps.partialDupClusters _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1297,6 +1304,41 @@ object SparkEntry {
         |  CAST(octet_length(encode(ws)) AS BIGINT) AS win_len,
         |  md5(ws) AS win_md5
         |FROM s ORDER BY doc_id, win_id""".stripMargin,
+    "m04_payload_stats" ->
+      // Byte values recovered from hex(encode(ws)) 2 chars per byte —
+      // byte-true like m01's head_hex (DuckDB v1.0 can't subscript
+      // BLOBs). All aggregates are integer-exact; byte_mean / byte_var
+      // are each one IEEE division of engine-identical integers
+      // (variance via n·Σv² − (Σv)² over n²), so no rounding.
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 48)
+        |                      AS BIGINT))) AS win_id
+        |  FROM documents),
+        |s AS (SELECT doc_id, win_id,
+        |        substr(text, CAST(win_id * 48 + 1 AS BIGINT), 64) AS ws
+        |      FROM w),
+        |b AS (SELECT doc_id, win_id, hex(encode(ws)) AS h,
+        |        CAST(octet_length(encode(ws)) AS BIGINT) AS n
+        |      FROM s),
+        |bv AS (SELECT doc_id, win_id, n, k,
+        |         CAST(('0x' || substr(h, CAST(k * 2 + 1 AS BIGINT), 2))
+        |              AS BIGINT) AS v
+        |       FROM (SELECT doc_id, win_id, h, n, unnest(range(n)) AS k
+        |             FROM b)),
+        |d AS (SELECT doc_id, win_id, n, k, v,
+        |        lag(v) OVER (PARTITION BY doc_id, win_id ORDER BY k) AS pv
+        |      FROM bv)
+        |SELECT doc_id, win_id, n AS win_len,
+        |  min(v) AS byte_min, max(v) AS byte_max,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  CAST(sum(v) AS BIGINT)::DOUBLE / n AS byte_mean,
+        |  CAST(n * sum(v * v) - sum(v) * sum(v) AS BIGINT)::DOUBLE
+        |    / (n * n) AS byte_var,
+        |  CAST(sum(CASE WHEN pv IS NULL THEN 0
+        |           ELSE (v - pv) * (v - pv) END) AS BIGINT) AS delta_energy
+        |FROM d GROUP BY doc_id, win_id, n
+        |ORDER BY doc_id, win_id""".stripMargin,
     "s01_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
          |         '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1396,6 +1438,45 @@ object SparkEntry {
         |SELECT b.doc_id,
         |  EXISTS (SELECT 1 FROM hist h WHERE h.norm = b.norm) AS dup_of_history
         |FROM batch b ORDER BY doc_id""".stripMargin,
+    // d40: same capped candidate generation + exact-verify chain as the
+    // Jaccard oracle (pairsCtes), scored as containment of the smaller
+    // shingle set. cont = n_common / min(n_i, n_j) is one IEEE division
+    // of engine-identical integers — bit-exact, no rounding (Canon.round4
+    // note). The unused `pairs` CTE in the chain is inert.
+    "d40_containment" ->
+      s"""WITH $pairsCtes
+         |SELECT c.i, c.j, si.n_sh AS n_i, sj.n_sh AS n_j,
+         |  n_common::DOUBLE / least(si.n_sh, sj.n_sh) AS cont
+         |FROM common c
+         |JOIN sizes si ON si.doc_id = c.i
+         |JOIN sizes sj ON sj.doc_id = c.j
+         |WHERE n_common::DOUBLE / least(si.n_sh, sj.n_sh) >= 0.9
+         |ORDER BY i, j""".stripMargin,
+    // d41: transitive closure over the union of the d02 (jac ≥ 0.8) and
+    // d40 (cont ≥ 0.9) pair graphs — same recursive-CTE closure as d19,
+    // with containment pairs derived from the SAME shared cand/common/
+    // sizes chain so the two oracles cannot drift.
+    "d41_partialdup_clusters" ->
+      s"""WITH RECURSIVE $pairsCtes,
+         |cpairs AS (
+         |  SELECT c.i, c.j FROM common c
+         |  JOIN sizes si ON si.doc_id = c.i
+         |  JOIN sizes sj ON sj.doc_id = c.j
+         |  WHERE n_common::DOUBLE / least(si.n_sh, sj.n_sh) >= 0.9),
+         |u AS (SELECT i, j FROM pairs UNION SELECT i, j FROM cpairs),
+         |e AS (SELECT i, j FROM u UNION ALL SELECT j, i FROM u),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT i, i FROM e
+         |  UNION
+         |  SELECT r.src, e2.j FROM reach r JOIN e e2 ON e2.i = r.node),
+         |lbl AS (SELECT src AS doc_id, min(node) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |asg AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+         |SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+         |  a.doc_id = a.cluster_id AS is_canonical
+         |FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
   )
 
   private val profileSqlOne =

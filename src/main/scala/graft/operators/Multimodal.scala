@@ -113,6 +113,56 @@ object Multimodal {
             .cast("float")).as("features"))
       .orderBy("doc_id", "frame_id")
 
+  /** m04 — windowed byte statistics over the ACTUAL payload bytes: the
+    * signal-level features an audio/image pipeline computes per window
+    * (mean level, variance, high-frequency energy, dynamic range,
+    * byte alphabet size), here over the raw 8-bit byte stream. Unlike
+    * [[frameFeatures]]' stub decode, every output column is a function
+    * of the payload CONTENT — this is the payload-consuming member of
+    * the multimodal family.
+    *
+    * Per window: bytes are recovered as an ARRAY<LONG> via hex() (2 hex
+    * chars per byte — byte-true for arbitrary BINARY, not just ASCII)
+    * and reduced with array HOFs — scan-parallel, zero exchanges, one
+    * whole-stage-codegen span; at 100 TB this is a pure map over
+    * whatever partitioning the media table already has.
+    *
+    * Bit-exactness: sums/min/max/delta-energy are integer arithmetic
+    * (exact in any engine); `byte_mean` and `byte_var` are each ONE
+    * IEEE division of engine-identical integers (var via the
+    * computational identity n·Σv² − (Σv)² over n² — numerator and
+    * denominator both exact integers), so no rounding is needed
+    * (Canon.round4 note). */
+  def payloadStats(s: SparkSession, d: String): DataFrame =
+    payloadStatsOver(hopWindows(mediaTable(s, d)))
+
+  private[graft] def payloadStatsOver(wins: DataFrame): DataFrame = {
+    val n = length(col("win_bytes")).cast("long")
+    val h = hex(col("win_bytes"))
+    val bytes = transform(sequence(lit(0L), n - 1),
+      k => conv(h.substr((k * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long"))
+    def lsum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + x)
+    val deltas = zip_with(
+      slice(col("bs"), lit(1), (n - 1).cast("int")),
+      slice(col("bs"), lit(2), (n - 1).cast("int")),
+      (a, b) => (b - a) * (b - a))
+    wins
+      .withColumn("bs", bytes)
+      .select(
+        col("doc_id"), col("win_id"),
+        n.as("win_len"),
+        array_min(col("bs")).as("byte_min"),
+        array_max(col("bs")).as("byte_max"),
+        size(array_distinct(col("bs"))).cast("long").as("n_distinct"),
+        (lsum(col("bs")).cast("double") / n).as("byte_mean"),
+        ((n * lsum(transform(col("bs"), v => v * v)) -
+          lsum(col("bs")) * lsum(col("bs"))).cast("double") / (n * n))
+          .as("byte_var"),
+        lsum(deltas).as("delta_energy"))
+      .orderBy("doc_id", "win_id")
+  }
+
   /** Oracle-facing projection of [[frameFeatures]]: the ARRAY<FLOAT>
     * feature vector flattened to scalar doubles (f0..f3), because the
     * driver's pandas-based compare cannot sort/hash an array column.

@@ -314,7 +314,14 @@ object Streaming {
     * transactional table format under the same foreachBatch body —
     * the idempotence logic is unchanged). Scale: the anti-join is keyed
     * on user_id and the batch side is one micro-batch — broadcast-sized
-    * against a state table of any size. */
+    * against a state table of any size.
+    *
+    * The store is deliberately schema-preserving: the state table holds
+    * exactly the batch's declared types, including the timestamp flavor
+    * (TIMESTAMP from a typed `MemoryStream` encoder, TIMESTAMP_NTZ from
+    * the nanos-parquet tables). A caller comparing the store against a
+    * differently-sourced reference casts to one flavor first — under a
+    * UTC session the cast is value-preserving (StreamingSpec does this). */
   def upsertBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     // the marker/rename protocol below uses local-FS atomic renames; a
     // production deployment on an object store puts a transactional

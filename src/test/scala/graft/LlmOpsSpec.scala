@@ -330,6 +330,98 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d40 containment: planted true subset found; Jaccard structurally blind to it") {
+    // doc 1 (5 shingles) ⊂ doc 2 (50 shingles): cont = 5/5 = 1.0 but
+    // jac = 5/50 = 0.1 — the quote-inside-a-page shape the fixtures
+    // lack (their near-dups are same-size edits). doc 3 is unrelated.
+    val sh = ((1L to 5L).map(k => (1L, s"s$k")) ++
+      (1L to 50L).map(k => (2L, s"s$k")) ++
+      (1L to 40L).map(k => (3L, s"t$k"))).toDF("doc_id", "shingle")
+    val cont = LlmOps.containmentPairsOver(sh, 0.9, 20L)
+      .select("i", "j", "n_i", "n_j", "cont")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((1L, 2L, 5L, 50L, 1.0)))
+    assert(LlmOps.jaccardPairsOver(sh, 0.8, 20L).isEmpty,
+      "Jaccard at 0.8 must miss the subset pair (that is d40's reason to exist)")
+  }
+
+  test("d40 containment: hot-cap upper bound keeps hot-common pairs alive, values exact") {
+    // doc 1 = {H, R} ⊂-ish doc 2 = {H, R, x1..x8}: the rare common is
+    // only {R} (n_cr = 1) but both carry hot H, so ub = 1 + min(1,1) = 2
+    // over least(2, 10) = 1.0 ≥ 0.9 — survives the prune; exact verify
+    // counts H too → cont = 2/2 = 1.0. The hot crowd pushes H over the
+    // cap (df = 32 > 20). Jaccard for the pair is 2/10 = 0.2.
+    val sh = (Seq((1L, "H"), (1L, "R"), (2L, "H"), (2L, "R")) ++
+      (1L to 8L).map(k => (2L, s"x$k")) ++
+      (100L to 129L).flatMap(k => Seq((k, "H"), (k, s"u$k"))))
+      .toDF("doc_id", "shingle")
+    val got = LlmOps.containmentPairsOver(sh, 0.9, 20L)
+      .select("i", "j", "n_i", "n_j", "cont")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L, 10L, 1.0)))
+  }
+
+  test("d40 containment on the real corpus: first-principles recompute") {
+    // brute-force ground truth over full shingle sets (fine at sf0.001),
+    // honoring the capped-candidate contract: a pair qualifies only via
+    // at least one shared shingle with df ≤ MaxShingleDf
+    val rows = LlmOps.docShingles(spark, Sf)
+      .as[(Long, String)].collect()
+    val sets = rows.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    val df = rows.groupBy(_._2).map { case (g, v) => g -> v.map(_._1).distinct.size }
+    val docs = sets.keys.toSeq.sorted
+    val want = (for {
+      (i, ii) <- docs.zipWithIndex; j <- docs.drop(ii + 1)
+      common = sets(i) & sets(j)
+      if common.exists(g => df(g) <= LlmOps.MaxShingleDf)
+      m = math.min(sets(i).size, sets(j).size)
+      cont = common.size.toDouble / m
+      if cont >= 0.9
+    } yield (i, j, sets(i).size.toLong, sets(j).size.toLong, cont)).toSeq
+    val got = LlmOps.containmentPairs(spark, Sf)
+      .select("i", "j", "n_i", "n_j", "cont")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === want.sortBy(p => (p._1, p._2)))
+    assert(got.nonEmpty, "fixture near-dup families should clear cont ≥ 0.9")
+  }
+
+  test("d41 union closure: a containment edge bridges clusters Jaccard alone cannot") {
+    // A = {s1..s50}, B = {s1..s5} ⊂ A, C = {s1..s5, t1}:
+    //   A–B is containment-only (jac 5/50 = 0.1, cont 1.0),
+    //   B–C is jaccard (5/6 ≈ 0.833 ≥ 0.8; cont 5/5 = 1.0),
+    //   A–C qualifies under NEITHER (jac 5/51, cont 5/6 ≈ 0.833 < 0.9)
+    // — so only the union graph puts all three in one family.
+    val sh = ((1L to 50L).map(k => (1L, s"s$k")) ++
+      (1L to 5L).map(k => (2L, s"s$k")) ++
+      ((1L to 5L).map(k => (3L, s"s$k")) :+ (3L, "t1")))
+      .toDF("doc_id", "shingle")
+    val jac = LlmOps.jaccardPairsOver(sh, 0.8, 20L).select("i", "j")
+    val cont = LlmOps.containmentPairsOver(sh, 0.9, 20L).select("i", "j")
+    assert(jac.as[(Long, Long)].collect().toSet === Set((2L, 3L)))
+    assert(cont.as[(Long, Long)].collect().toSet === Set((1L, 2L), (2L, 3L)))
+    val labels = graft.operators.ConnectedComponents
+      .largeSmallStar(jac.unionByName(cont).distinct())
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("d41 on the real corpus: d19's clusters are a refinement of d41's") {
+    // adding edges can only MERGE components — every d19 cluster must
+    // map into exactly one d41 cluster, and canonical ids stay minima
+    val d19 = LlmOps.neardupClusters(spark, Sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val d41 = LlmOps.partialDupClusters(spark, Sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(d41.keySet === d19.keySet)
+    d19.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(d41).toSet.size === 1,
+        s"d19 cluster ${members.head._2} split across d41 clusters")
+    }
+    d41.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min, s"cluster $cid canonical not the min id")
+    }
+  }
+
   test("near-dup results do not depend on corpus persistence level") {
     val defaults = (LlmOps.ngramJaccard(spark, Sf).collect().toSeq,
       LlmOps.minhashNearDup(spark, Sf).collect().toSeq)

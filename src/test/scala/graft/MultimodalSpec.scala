@@ -59,6 +59,51 @@ class MultimodalSpec extends SparkSpec {
     assert(covered === (0L until 150L).toSet)
   }
 
+  test("m04 payload stats are byte-true on arbitrary (non-ASCII) binary") {
+    // bytes deliberately outside ASCII, including 0x00, 0xFF, and sign-bit
+    // bytes (negative as JVM Byte) — proves the hex recovery reads BYTES,
+    // not characters, so the operator is correct for real media payloads
+    val payload = Array[Byte](0, -1, -128, 127, 10, 10, -56, 200.toByte)
+    val media = Seq((1L, payload)).toDF("doc_id", "payload")
+    val got = Multimodal.payloadStatsOver(Multimodal.hopWindows(media))
+      .select("win_id", "win_len", "byte_min", "byte_max", "n_distinct",
+        "byte_mean", "byte_var", "delta_energy")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    val u = payload.map(b => (b & 0xff).toLong) // unsigned view, as the op sees it
+    val n = u.length.toLong
+    val sum = u.sum; val sq = u.map(v => v * v).sum
+    val de = u.sliding(2).map { case Array(a, b) => (b - a) * (b - a) }.sum
+    assert(got === Seq((0L, n, u.min, u.max, u.distinct.length.toLong,
+      sum.toDouble / n, (n * sq - sum * sum).toDouble / (n * n), de)))
+  }
+
+  test("m04 on the real corpus: first-principles recompute per window") {
+    val got = Multimodal.payloadStats(spark, Sf)
+      .select("doc_id", "win_id", "win_len", "byte_min", "byte_max",
+        "n_distinct", "byte_mean", "byte_var", "delta_energy")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Long)]
+      .collect()
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.take(200).foreach { case (d, w, len, mn, mx, nd, mean, vr, de) =>
+      val bytes = texts(d).getBytes("UTF-8")
+        .slice((w * Multimodal.HopBytes).toInt,
+          (w * Multimodal.HopBytes).toInt + Multimodal.WindowBytes)
+        .map(b => (b & 0xff).toLong)
+      val n = bytes.length.toLong
+      val sum = bytes.sum; val sq = bytes.map(v => v * v).sum
+      assert(len === n && mn === bytes.min && mx === bytes.max &&
+        nd === bytes.distinct.length.toLong, s"doc $d win $w")
+      assert(mean === sum.toDouble / n, s"doc $d win $w mean")
+      assert(vr === (n * sq - sum * sum).toDouble / (n * n), s"doc $d win $w var")
+      val wantDe = if (n < 2) 0L
+        else bytes.sliding(2).map { case Array(a, b) => (b - a) * (b - a) }.sum
+      assert(de === wantDe, s"doc $d win $w delta")
+    }
+  }
+
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

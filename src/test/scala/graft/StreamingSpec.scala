@@ -249,8 +249,15 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // upsertBatch is schema-preserving: the store holds whatever timestamp
+    // type the incoming batches declare — here TIMESTAMP (LTZ), because
+    // MemoryStream[Ev] encodes java.sql.Timestamp. The batch reference from
+    // Tables.events is TIMESTAMP_NTZ (parquet nanos → timestamp_micros), so
+    // cast it to the store's type; under the UTC session the cast is
+    // value-preserving and the raw-Row compare sees identical externals.
     val want = Streaming.lastEventPerUser(
       Tables.events(spark, Sf).select(cols.map(col): _*))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val got = spark.read.parquet(s"$state/current").select(cols.map(col): _*)
     assert(sortedRows(got) === sortedRows(want))
     // redelivery: re-apply an ALREADY-APPLIED batch id with different
