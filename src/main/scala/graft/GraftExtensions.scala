@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, BloomFunctions, CosineSimilarity, TokenNgrams}
+import graft.functions.{ArrayDotProduct, BloomFunctions, ByteValues, CosineSimilarity, TokenNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ArrayDotProduct.info, ArrayDotProduct.builder))
     ext.injectFunction((FunctionIdentifier(TokenNgrams.Name),
       TokenNgrams.info, TokenNgrams.builder))
+    ext.injectFunction((FunctionIdentifier(ByteValues.Name),
+      ByteValues.info, ByteValues.builder))
     // Spark's own runtime-bloom-filter expressions, surfaced as callable
     // functions (scan-time membership gate — see BloomFunctions)
     ext.injectFunction((FunctionIdentifier(BloomFunctions.AggName),

@@ -185,6 +185,13 @@ object SparkEntry {
     // clusters over the UNION of jaccard + containment edges (what
     // substring-level dedup pipelines actually group on)
     "d41_partialdup_clusters" -> (LlmOps.partialDupClusters _),
+    // C4-style cross-document span dedup at 32-token chunk granularity
+    "d42_span_dedup" -> (LlmOps.spanDedup _),
+    // per-source (domain-cap) top-K by quality score
+    "d43_source_cap" -> (LlmOps.sourceCap _),
+    // exact equi-depth quantile binning via distributed rank (no global
+    // single-task sort)
+    "p04_equidepth_bins" -> ((s, d) => Profiling.equidepthBins(s, d)),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1477,6 +1484,60 @@ object SparkEntry {
          |SELECT a.doc_id, a.cluster_id, sz.cluster_size,
          |  a.doc_id = a.cluster_id AS is_canonical
          |FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
+    // d42: disjoint 32-token tiling; an occurrence survives iff it is the
+    // global (doc_id, chunk_id)-first for its content; docs reassemble
+    // from survivors in chunk order (string_agg skips the NULLed dropped
+    // chunks exactly as concat_ws skips them; all-dropped docs coalesce
+    // to the empty string on both sides).
+    "d42_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range((len(t) - 1) // 32 + 1)) AS cid
+        |      FROM t WHERE len(t) > 0),
+        |ch AS (SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |         array_to_string(t[cid * 32 + 1 : cid * 32 + 32], ' ')
+        |           AS chunk_text
+        |       FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
+        |                  ORDER BY doc_id, chunk_id) AS rn
+        |      FROM ch),
+        |agg AS (SELECT doc_id,
+        |          count(*) AS n_chunks,
+        |          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_kept,
+        |          coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+        |                              ' ' ORDER BY chunk_id), '') AS cleaned
+        |        FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_kept,
+        |  CAST(length(cleaned) AS BIGINT) AS cleaned_len,
+        |  md5(cleaned) AS cleaned_md5
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // d43: the d08 quality score (same round4'd expression), ranked desc
+    // within source with doc_id tie-break, capped at 15.
+    "d43_source_cap" ->
+      s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |           FROM documents),
+         |q AS (SELECT doc_id, source,
+         |        ${round4(s"ln(1.0 + len(t)) * ${round4("len(list_distinct(t))::DOUBLE / len(t)")}")}
+         |          AS quality_score
+         |      FROM s),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |                  ORDER BY quality_score DESC, doc_id) AS rnk
+         |      FROM q)
+         |SELECT doc_id, source, quality_score, CAST(rnk AS BIGINT) AS rnk,
+         |  rnk <= 15 AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // p04: the distributed sharded rank ≡ one global row_number by
+    // construction (shards are ordered and non-overlapping); bucket is
+    // integer arithmetic on the zero-based rank.
+    "p04_equidepth_bins" ->
+      """WITH r AS (SELECT o_orderkey, o_totalprice,
+        |             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+        |               - 1 AS r0,
+        |             count(*) OVER () AS n
+        |           FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  CAST((r0 * 10) // n AS BIGINT) AS bucket
+        |FROM r ORDER BY o_orderkey""".stripMargin,
   )
 
   private val profileSqlOne =

@@ -31,6 +31,17 @@ object SparkEnv {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // The JVM-wide generated-class cache defaults to 100 entries — a
+      // ~115-query session (the bench, any serving session) cycles far
+      // more codegen units than that, so a big-codegen query following a
+      // big-codegen neighbor pays full Janino + JIT re-warm every time
+      // (diagnosed round 8: d03 after d02 ran 3.4–4.5 s vs 2.0 s with a
+      // warm class cache; a second consecutive d03 run dropped back to
+      // 1.9 s — eviction/refill, not data or GC, and System.gc() between
+      // queries did not recover it). Classes are tens of KB; 2000 entries
+      // is noise against the 128 GiB heap and is what a long-lived
+      // production session wants anyway.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // RocksDB state store: required by transformWithState (the HDFS-
       // backed provider lacks its column families) and the production
       // choice for all stateful streaming at scale (incremental

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Canon, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling and data-quality checks — the validation stage every
@@ -129,6 +130,57 @@ object Profiling {
         (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / nBins)).as("bin_hi"),
         col("n"))
       .orderBy("bin")
+  }
+
+  /** p04 — exact equi-DEPTH binning (quantile discretizer) of
+    * `orders.o_totalprice` into `nBuckets` buckets of (near-)equal row
+    * count — the feature-binning step of ML prep, and the general
+    * "distributed order statistics" pattern.
+    *
+    * A naive ntile is a GLOBAL window: one task sorts the whole table —
+    * the anti-pattern every other window here avoids. Instead the rank
+    * is computed distributed: `repartitionByRange` on (value, key)
+    * gives 32 ordered, non-overlapping shards; per-shard counts (a
+    * ≤32-row aggregate) turn into per-shard offsets with a prefix-sum
+    * window OVER THE 32 COUNT ROWS (unpartitioned, but its input is
+    * shard-count-sized — reduced data, not corpus data); the global
+    * zero-based rank is then offset + (row_number within shard) − 1, a
+    * window PARTITIONED by shard. Bucket = ⌊rank·nBuckets / n⌋ — pure
+    * integer arithmetic, so the oracle's single-window row_number
+    * reproduces it exactly.
+    *
+    * The counts subtree and the rank subtree contain the SAME range
+    * exchange, which must execute once: RangePartitioner's sample seed
+    * involves the RDD id, so two separate executions could draw
+    * DIFFERENT boundaries and misalign offsets against partitions
+    * (observed as ±1-bucket drift near boundaries when the offsets were
+    * collected in a separate job). Keeping both subtrees in one query
+    * lets ReuseExchange unify them — belt and braces, the plan spec
+    * asserts exactly one range exchange. Scale: one range shuffle + one
+    * 32-key shuffle for the window; no global single-task sort. */
+  def equidepthBins(s: SparkSession, d: String, nBuckets: Int = 10): DataFrame = {
+    val nShards = 32
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val sharded = o
+      .repartitionByRange(nShards, col("o_totalprice"), col("o_orderkey"))
+      .withColumn("shard", spark_partition_id())
+    val counts = sharded.groupBy("shard").agg(count(lit(1)).as("cnt"))
+    // 32-row prefix sum: off = rows in strictly-smaller shards, n = total
+    val wOff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select("shard", "off", "n")
+    val w = Window.partitionBy("shard")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    sharded
+      .join(broadcast(offsets), "shard")
+      .withColumn("rank0", col("off") + row_number().over(w) - 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr(s"(rank0 * $nBuckets) div n").as("bucket"))
+      .orderBy("o_orderkey")
   }
 
   /** Mergeable FREQUENT-ITEMS sketches (DataSketches ItemsSketch —

@@ -422,6 +422,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d42 span dedup: planted shared span dropped at its later occurrence only") {
+    // 32-token tiles; span S appears tile-aligned in doc 1 (tile 0) and
+    // doc 2 (tile 1) — global first occurrence is (1, 0), so doc 1 keeps
+    // both tiles and doc 2 keeps only its unique tile Y.
+    def toks(p: String) = (1 to 32).map(k => s"$p$k").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    Seq(
+      (1L, s"${toks("s")} ${toks("x")}", "en", "a", 0L),
+      (2L, s"${toks("y")} ${toks("s")}", "en", "b", 0L),
+      (3L, toks("z"), "en", "c", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmOps.spanDedup(spark, dir)
+      .select("doc_id", "n_chunks", "n_kept", "cleaned_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Seq(
+      (1L, 2L, 2L, m(s"${toks("s")} ${toks("x")}")), // first occurrence: intact
+      (2L, 2L, 1L, m(toks("y"))),                    // shared span stripped
+      (3L, 1L, 1L, m(toks("z")))))
+  }
+
+  test("d43 source cap: exactly min(K, |source|) kept, ranks contiguous") {
+    val rows = LlmOps.sourceCap(spark, Sf)
+      .select("source", "rnk", "kept").as[(String, Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length), s"ranks not contiguous in $src")
+      assert(rs.count(_._3) === math.min(LlmOps.SourceCapK, rs.length), s"cap wrong in $src")
+      rs.foreach { case (_, r, k) => assert(k === (r <= LlmOps.SourceCapK)) }
+    }
+  }
+
   test("near-dup results do not depend on corpus persistence level") {
     val defaults = (LlmOps.ngramJaccard(spark, Sf).collect().toSeq,
       LlmOps.minhashNearDup(spark, Sf).collect().toSeq)

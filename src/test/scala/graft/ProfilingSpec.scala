@@ -4,6 +4,7 @@ import graft.operators.Profiling
 import org.apache.spark.sql.functions._
 
 class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
 
   test("observe metrics match direct aggregation without a second scan") {
     val (df, obs) = Profiling.observedScan(spark, Sf)
@@ -46,6 +47,29 @@ class ProfilingSpec extends SparkSpec {
     }
     assert(rows.head.getAs[Double]("bin_lo") === lo)
     assert(math.abs(rows.last.getAs[Double]("bin_hi") - hi) <= 1e-9 * math.abs(hi))
+  }
+
+  test("p04 equi-depth bins: near-equal sizes, value-monotone boundaries, full cover") {
+    val rows = Profiling.equidepthBins(spark, Sf)
+      .select("o_orderkey", "o_totalprice", "bucket")
+      .as[(Long, Double, Long)].collect()
+    val n = rows.length
+    assert(n > 0)
+    val byBucket = rows.groupBy(_._3)
+    assert(byBucket.keySet === (0L until 10L).toSet, "every bucket populated")
+    // ⌊rank·10/n⌋ sizes differ by at most 1
+    val sizes = byBucket.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"bucket sizes $sizes")
+    assert(sizes.sum === n)
+    // boundaries monotone in value: max of bucket b ≤ min of bucket b+1
+    (0L until 9L).foreach { b =>
+      assert(byBucket(b).map(_._2).max <= byBucket(b + 1).map(_._2).min,
+        s"bucket $b overlaps ${b + 1}")
+    }
+    // spot-check against a driver-side exact rank
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((k, _, _), r0) => k -> r0.toLong * 10 / n }.toMap
+    rows.foreach { case (k, _, b) => assert(b === want(k), s"order $k") }
   }
 
   test("frequent-items sketch: no false negatives, bounds bracket truth, halves merge") {
