@@ -192,6 +192,11 @@ object SparkEntry {
     // exact equi-depth quantile binning via distributed rank (no global
     // single-task sort)
     "p04_equidepth_bins" -> ((s, d) => Profiling.equidepthBins(s, d)),
+    // hashed-feature linear quality classifier (model-based filter)
+    "d44_quality_classifier" -> (LlmOps.qualityClassifier _),
+    // stream-stream LEFT OUTER join, batch form (errors without a recent
+    // purchase surface with null purchase columns)
+    "s10_stream_stream_left" -> (Streaming.streamLeftJoin _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -983,6 +988,39 @@ object SparkEntry {
         |  AND p.p_ts <= err.err_ts
         |  AND p.p_ts >= err.err_ts - INTERVAL 30 MINUTE
         |ORDER BY err_id, purchase_id""".stripMargin,
+    // s10: the left-outer form of s06 — unmatched errors surface with
+    // NULL purchase columns (the alerting query inner joins can't ask)
+    "s10_stream_stream_left" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |             event_type, value FROM events),
+        |err AS (SELECT event_id AS err_id, user_id, ts AS err_ts FROM e
+        |        WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+        |        value AS purchase_value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT err.err_id, err.user_id, p.purchase_id,
+        |  strftime(err.err_ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  p.purchase_value
+        |FROM err LEFT JOIN p ON err.user_id = p.user_id
+        |  AND p.p_ts <= err.err_ts
+        |  AND p.p_ts >= err.err_ts - INTERVAL 30 MINUTE
+        |ORDER BY err_id, purchase_id""".stripMargin,
+    // d44: integer weight numerators ⇒ exact sums; the logit is one IEEE
+    // division of engine-identical integers — no rounding.
+    "d44_quality_classifier" ->
+      s"""WITH $tokCte,
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+         |      FROM tok),
+         |w AS (SELECT doc_id, (b * 37 + 11) % 101 - 50 AS wnum FROM b),
+         |a AS (SELECT doc_id, count(*) AS n_tokens,
+         |        CAST(sum(wnum) AS BIGINT) AS znum
+         |      FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  znum::DOUBLE / (n_tokens * 100) AS logit,
+         |  znum::DOUBLE / (n_tokens * 100) >= 0.0 AS keep
+         |FROM a ORDER BY doc_id""".stripMargin,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,

@@ -135,6 +135,61 @@ object Streaming {
       .orderBy("err_id", "purchase_id")
   }
 
+  /** E16g — stream-stream LEFT OUTER join: every error, enriched with
+    * the preceding-30-minutes purchases when they exist and emitted with
+    * NULL purchase columns when they don't. The outer side is the part
+    * inner joins can't express: "errors with no recent purchase" is the
+    * alerting query. Structured Streaming emits the null-extended rows
+    * only once the WATERMARK passes the error's join window (before
+    * that, a matching purchase could still arrive) — which is why both
+    * sides carry watermarks and the join condition bounds event time in
+    * both directions; state stays watermark-bounded exactly as in
+    * [[errorPurchaseJoin]].
+    *
+    * Gotcha this operator documents (it bit during construction): a
+    * null-extended row flushes only when ITS side's watermark passes its
+    * join window, and the watermark advances only with events the
+    * EventTimeWatermark node actually SEES. Filtering event types
+    * INSIDE the transform cannot widen what it sees — even written
+    * `withWatermark(...).filter(...)`, Catalyst pushes the deterministic
+    * non-watermark predicate BELOW the watermark node, so a
+    * watermark-advancing sentinel of another type is dropped before the
+    * event-time stats and the newest unmatched rows never emit
+    * (observed: every outer row flushed except the final error's, with
+    * the watermark frozen at last-error − delay). So the operator takes
+    * the two PRE-FILTERED streams, and a bounded replay that wants a
+    * final flush feeds its flush marker into BOTH streams as a join
+    * participant whose event time can never satisfy the range condition
+    * (StreamingSpec does exactly that and excludes the marker row from
+    * the compare) — in production the flush happens naturally as events
+    * keep arriving. */
+  def errorPurchaseLeftJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"),
+        col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "2 hours")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "2 hours")
+    e.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") <= col("err_ts") &&
+        col("p_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("err_id"), col("user_id"), col("purchase_id"),
+        tsStr(col("err_ts")).as("err_ts"),
+        tsStr(col("p_ts")).as("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  /** Batch entry for [[errorPurchaseLeftJoin]]. */
+  def streamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    errorPurchaseLeftJoin(
+      ev.filter(col("event_type") === "error"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("err_id", "purchase_id")
+  }
+
   /** E17b — stateful dedup, batch form: keep the first event per
     * (user_id, event_type) by event time (unique tie-break on event_id).
     * The streaming form is `dropDuplicatesWithinWatermark` /

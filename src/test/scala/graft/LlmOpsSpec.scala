@@ -455,6 +455,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d44 classifier: first-principles logit recompute, non-trivial split") {
+    val got = LlmOps.qualityClassifier(spark, Sf)
+      .select("doc_id", "n_tokens", "logit", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.exists(_._4) && got.exists(!_._4), "threshold must split the corpus")
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md, 16) % 64
+    }
+    got.take(100).foreach { case (d, n, logit, keep) =>
+      val ws = texts(d).split(" ", -1)
+      assert(n === ws.length.toLong, s"doc $d token count")
+      val znum = ws.map(w => (bucket(w) * 37 + 11) % 101 - 50).sum
+      assert(logit === znum.toDouble / (n * 100), s"doc $d logit")
+      assert(keep === (logit >= 0.0))
+    }
+  }
+
   test("near-dup results do not depend on corpus persistence level") {
     val defaults = (LlmOps.ngramJaccard(spark, Sf).collect().toSeq,
       LlmOps.minhashNearDup(spark, Sf).collect().toSeq)

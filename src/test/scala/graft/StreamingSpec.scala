@@ -180,6 +180,43 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("stream-stream LEFT OUTER join: streaming output equals batch output") {
+    // the sentinel rides BOTH pre-filtered streams as a join participant
+    // (its far-future event time can never satisfy the range condition)
+    // so each side's watermark passes every real error's join window and
+    // the null-extended rows flush; its own unmatched left row is
+    // excluded from the compare. A second, later sentinel forces the
+    // one-extra-batch the watermark needs to take effect.
+    implicit val ctx = spark.sqlContext
+    val errSrc = MemoryStream[Ev]
+    val purSrc = MemoryStream[Ev]
+    val q = Streaming.errorPurchaseLeftJoin(errSrc.toDF(), purSrc.toDF())
+      .writeStream.format("memory").queryName("t_ssleft")
+      .outputMode("append").start()
+    val sentinel = replay.filter(_.event_type == "sentinel")
+    val errs = replay.filter(_.event_type == "error") ++ sentinel
+    val purs = replay.filter(_.event_type == "purchase") ++ sentinel
+    try {
+      val ec = errs.grouped(errs.size / 3 + 1).toSeq
+      val pc = purs.grouped(purs.size / 4 + 1).toSeq
+      ec.zipAll(pc, Seq.empty[Ev], Seq.empty[Ev]).foreach { case (e, p) =>
+        if (e.nonEmpty) errSrc.addData(e)
+        q.processAllAvailable()
+        if (p.nonEmpty) purSrc.addData(p)
+        q.processAllAvailable()
+      }
+      val s2 = sentinel.map(e => e.copy(event_id = 999998L,
+        ts = new java.sql.Timestamp(e.ts.getTime + 3600L * 1000)))
+      errSrc.addData(s2); purSrc.addData(s2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_ssleft").filter(col("err_id") < SentinelId - 1000L)
+    val batch = Streaming.streamLeftJoin(spark, Sf)
+    // the outer rows are the point: some errors must be unmatched
+    assert(batch.filter(col("purchase_id").isNull).count() > 0)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("file sink: append-mode windowed agg to parquet files ≡ batch") {
     // the other half of the streaming I/O matrix (file SOURCE is tested
     // above): watermark-finalized windows append to a parquet directory
