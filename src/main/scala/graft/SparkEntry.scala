@@ -197,6 +197,8 @@ object SparkEntry {
     // stream-stream LEFT OUTER join, batch form (errors without a recent
     // purchase surface with null purchase columns)
     "s10_stream_stream_left" -> (Streaming.streamLeftJoin _),
+    // PSI drift detection between reference/current corpus slices
+    "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1021,6 +1023,30 @@ object SparkEntry {
          |  znum::DOUBLE / (n_tokens * 100) AS logit,
          |  znum::DOUBLE / (n_tokens * 100) >= 0.0 AS keep
          |FROM a ORDER BY doc_id""".stripMargin,
+    // p05: p03's equi-width bin arithmetic over the combined extrema;
+    // Laplace-smoothed slice shares; ln canonicalized to DECIMAL(30,6)
+    // before the one multiply (d34 discipline) — terms bit-exact.
+    "p05_psi_drift" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
+        |           FROM documents),
+        |ext AS (SELECT min(x) AS lo, max(x) AS hi FROM t),
+        |c AS (SELECT least(9, CAST(floor((x - lo) / ((hi - lo) / 10))
+        |                          AS BIGINT)) AS bin,
+        |        doc_id % 2 = 0 AS is_ref
+        |      FROM t, ext),
+        |h AS (SELECT bin,
+        |        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |        CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+        |      FROM c GROUP BY bin),
+        |tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS nr,
+        |          CAST(sum(cur_n) AS BIGINT) AS nc FROM h)
+        |SELECT bin, ref_n, cur_n,
+        |  ((ref_n + 1)::DOUBLE / (nr + 10) - (cur_n + 1)::DOUBLE / (nc + 10))
+        |  * CAST(CAST(ln(((ref_n + 1)::DOUBLE / (nr + 10)) /
+        |                 ((cur_n + 1)::DOUBLE / (nc + 10)))
+        |              AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
+        |FROM h, tot ORDER BY bin""".stripMargin,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,

@@ -132,6 +132,50 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** p05 — POPULATION STABILITY INDEX (PSI) drift detection: the
+    * standard "did today's data shift against the reference?" check a
+    * continuous training pipeline runs before trusting a new snapshot
+    * (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted). Feature
+    * here: document token count, equi-width-binned with the p03
+    * histogram arithmetic over the COMBINED extrema; slices are the
+    * deterministic doc_id parity split standing in for
+    * reference/current snapshots (a real deployment passes two
+    * snapshot frames through the same body).
+    *
+    * Per bin: psi_term = (p − q)·ln(p/q) with Laplace smoothing
+    * p = (ref_n+1)/(n_ref+B), q = (cur_n+1)/(n_cur+B) — the smoothing
+    * keeps empty-on-one-side bins finite and engine-safe. Exactness:
+    * counts are integers; p, q, and p/q are IEEE ops on
+    * engine-identical inputs; the ln is DECIMAL(30,6)-canonicalized
+    * (the d34 discipline) before the one multiply, so every term is
+    * bit-exact cross-engine. ONE aggregation pass computes both slice
+    * histograms (conditional sums — no second scan, no join between
+    * slices); totals fold the ≤nBins-row histogram, and the extrema row
+    * broadcasts (p03 pattern). Observed bins only: a bin empty in BOTH
+    * slices is omitted (its smoothed term is the same tiny constant in
+    * any engine, but emitting it would require a bin spine for no
+    * analytical value). */
+  def psiDrift(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("x"))
+    val ext = t.agg(min("x").as("lo"), max("x").as("hi"))
+    val w = (col("hi") - col("lo")) / nBins
+    val counts = t.join(broadcast(ext))
+      .select(least(lit(nBins - 1L), floor((col("x") - col("lo")) / w)).as("bin"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      .groupBy("bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
+    val totals = counts.agg(sum(col("ref_n")).as("nr"), sum(col("cur_n")).as("nc"))
+    val p = (col("ref_n") + 1).cast("double") / (col("nr") + nBins)
+    val q = (col("cur_n") + 1).cast("double") / (col("nc") + nBins)
+    counts.join(broadcast(totals))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        ((p - q) * dec(log(p / q)).cast("double")).as("psi_term"))
+      .orderBy("bin")
+  }
+
   /** p04 — exact equi-DEPTH binning (quantile discretizer) of
     * `orders.o_totalprice` into `nBuckets` buckets of (near-)equal row
     * count — the feature-binning step of ML prep, and the general

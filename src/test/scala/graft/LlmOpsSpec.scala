@@ -405,6 +405,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("d41 one-pass union edges ≡ union of the d02 and d40 query outputs") {
+    val shingles = LlmOps.docShingles(spark, Sf)
+    val onePass = LlmOps.partialDupEdges(shingles, 0.8, 0.9, LlmOps.MaxShingleDf)
+      .as[(Long, Long)].collect().toSet
+    val twoPass =
+      LlmOps.jaccardPairsOver(shingles, 0.8, LlmOps.MaxShingleDf)
+        .select("i", "j").as[(Long, Long)].collect().toSet ++
+      LlmOps.containmentPairsOver(shingles, 0.9, LlmOps.MaxShingleDf)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(onePass === twoPass)
+    assert(onePass.nonEmpty)
+  }
+
   test("d41 on the real corpus: d19's clusters are a refinement of d41's") {
     // adding edges can only MERGE components — every d19 cluster must
     // map into exactly one d41 cluster, and canonical ids stay minima

@@ -72,6 +72,34 @@ class ProfilingSpec extends SparkSpec {
     rows.foreach { case (k, _, b) => assert(b === want(k), s"order $k") }
   }
 
+  test("p05 PSI: mass conservation, first-principles terms, near-zero on parity split") {
+    val rows = Profiling.psiDrift(spark, Sf)
+      .select("bin", "ref_n", "cur_n", "psi_term")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, Sf).select("doc_id").as[Long].collect()
+    assert(rows.map(_._2).sum === docs.count(_ % 2 == 0), "ref mass")
+    assert(rows.map(_._3).sum === docs.count(_ % 2 != 0), "cur mass")
+    val nr = rows.map(_._2).sum; val nc = rows.map(_._3).sum
+    rows.foreach { case (b, r, c, term) =>
+      val p = (r + 1).toDouble / (nr + 10)
+      val q = (c + 1).toDouble / (nc + 10)
+      val ln6 = BigDecimal(math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(term - (p - q) * ln6) < 1e-12, s"bin $b term")
+    }
+    // every PSI term is non-negative ((p−q) and ln(p/q) share sign; the
+    // 1e-12 slack covers the DECIMAL-rounded ln at the p≈q boundary)
+    rows.foreach { case (b, _, _, term) => assert(term >= -1e-12, s"bin $b negative") }
+    // a parity split of one corpus is not REAL drift — it must stay
+    // below the 0.25 "drifted" boundary even with the small-sample
+    // inflation of 250-doc slices over 10 Laplace-smoothed bins (the
+    // measured sf0.001 value is ~0.107: "moderate" by the convention,
+    // exactly what sampling noise at n=250 produces)
+    val psi = rows.map(_._4).sum
+    assert(psi >= 0 && psi < 0.25, s"parity-split PSI out of range: $psi")
+  }
+
   test("frequent-items sketch: no false negatives, bounds bracket truth, halves merge") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf)
