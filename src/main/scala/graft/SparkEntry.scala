@@ -199,6 +199,8 @@ object SparkEntry {
     "s10_stream_stream_left" -> (Streaming.streamLeftJoin _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
+    // complete-mode running totals (the no-watermark dashboard aggregate)
+    "s11_running_totals" -> (Streaming.runningTotalsBatch _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1047,6 +1049,10 @@ object SparkEntry {
         |                 ((cur_n + 1)::DOUBLE / (nc + 10)))
         |              AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
         |FROM h, tot ORDER BY bin""".stripMargin,
+    "s11_running_totals" ->
+      s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM events WHERE event_type <> 'sentinel'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,

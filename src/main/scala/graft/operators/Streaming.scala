@@ -350,6 +350,25 @@ object Streaming {
     tumblingAgg(deduped).orderBy("window_start", "event_type")
   }
 
+  /** E16h — COMPLETE-mode running totals: the live-dashboard aggregate.
+    * Unlike every append-mode query here, complete mode re-emits the
+    * ENTIRE result table each micro-batch and needs no watermark — state
+    * is one row per group forever, which is exactly right when the
+    * grouping key is a low-cardinality dimension (event types here) and
+    * exactly wrong for unbounded keys (that's what the watermarked
+    * window queries are for; the scaladoc contrast IS the operator
+    * selection rule). The sentinel filter keeps a bounded replay's
+    * flush marker out of the totals; real deployments have no sentinel
+    * and the filter is a no-op. */
+  def runningTotals(events: DataFrame): DataFrame =
+    events.filter(col("event_type") =!= "sentinel")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  /** Batch entry for [[runningTotals]]. */
+  def runningTotalsBatch(s: SparkSession, d: String): DataFrame =
+    runningTotals(Tables.events(s, d)).orderBy("event_type")
+
   // ———————————— effectively-once foreachBatch upsert sink ————————————
 
   /** Keyed MERGE of one micro-batch into a parquet state table, made

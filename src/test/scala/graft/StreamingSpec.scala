@@ -217,6 +217,26 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("complete-mode running totals: final emitted table equals batch aggregate") {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streaming.runningTotals(src.toDF())
+      .writeStream.format("memory").queryName("t_complete")
+      .outputMode("complete").start()
+    try {
+      replay.grouped(math.max(1, replay.size / 4 + 1)).foreach { chunk =>
+        src.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // complete mode REPLACES the sink table each batch — what remains is
+    // the latest full result, which after the whole replay is the batch
+    // aggregate exactly (dsum is order-independent by construction)
+    val streamed = spark.table("t_complete")
+    val batch = Streaming.runningTotalsBatch(spark, Sf)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("file sink: append-mode windowed agg to parquet files ≡ batch") {
     // the other half of the streaming I/O matrix (file SOURCE is tested
     // above): watermark-finalized windows append to a parquet directory
