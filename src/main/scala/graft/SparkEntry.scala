@@ -201,6 +201,8 @@ object SparkEntry {
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
+    // write-audit-publish staging gate for derived tables
+    "f09_write_audit_publish" -> (Sources.writeAuditPublish _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1053,6 +1055,20 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events WHERE event_type <> 'sentinel'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // f09: the derived table is the d01 survivor set, so every audit
+    // observation is a deterministic function of `documents`; on this
+    // clean input all checks pass and published_rows = survivor count.
+    "f09_write_audit_publish" ->
+      """WITH n AS (SELECT count(DISTINCT
+        |             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |             AS cnt FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'rows_match_expected' AS check_name, cnt AS observed,
+        |         true AS ok FROM n
+        |  UNION ALL SELECT 'null_keys', 0, true FROM n
+        |  UNION ALL SELECT 'dup_keys', 0, true FROM n
+        |  UNION ALL SELECT 'published_rows', cnt, true FROM n)
+        |ORDER BY check_name""".stripMargin,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,

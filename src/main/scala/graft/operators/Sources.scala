@@ -257,4 +257,61 @@ object Sources {
       .agg(coalesce(sum(col("length")), lit(0L)).as("total_bytes"),
         coalesce(sum(col("n_lines")), lit(0L)).as("n_docs"))
   }
+
+  /** f09 — WRITE-AUDIT-PUBLISH: the staging discipline every production
+    * derived-table pipeline runs (Iceberg/Delta call it WAP): write the
+    * derived table to a STAGING location, audit what was actually
+    * written (re-read the staged files — not the source frame, so
+    * writer bugs are caught too), and atomically promote to the
+    * published location only if every audit passes. On local FS the
+    * promote is one directory rename (the upsertBatch swap note: an
+    * object-store deployment swaps in a transactional table commit,
+    * same gate logic). The derived table here is the d01 exact-dedup
+    * survivor set of `documents` — deterministic, so the audit
+    * manifest is DuckDB-oracle-checkable end to end.
+    *
+    * Returns the audit manifest: one row per check (observed value +
+    * pass flag) plus a `published_rows` row proving the read-back from
+    * the PUBLISHED location. [[writeAuditPublishStaged]] is the
+    * library surface taking any staged frame + expected row count;
+    * SourcesSpec drives the REJECTION path with a poisoned staged
+    * table (duplicate keys) and asserts nothing publishes. */
+  def writeAuditPublish(s: SparkSession, d: String): DataFrame = {
+    val survivors = Tables.documents(s, d)
+      .groupBy(lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), length(col("norm")).cast("long").as("norm_len"))
+    val expected = survivors.count()
+    writeAuditPublishStaged(s, survivors, expected,
+      java.nio.file.Files.createTempDirectory("graft-wap").toString)
+  }
+
+  private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
+      expectedRows: Long, base: String): DataFrame = {
+    import s.implicits._
+    val staging = new java.io.File(s"$base/staging")
+    val published = new java.io.File(s"$base/published")
+    derived.write.mode("overwrite").parquet(staging.toString)
+    val staged = s.read.parquet(staging.toString)
+    val nStaged = staged.count()
+    val nNullKey = staged.filter(col("doc_id").isNull).count()
+    val nDupKey = nStaged -
+      staged.select(col("doc_id")).distinct().count()
+    val checks = Seq(
+      ("rows_match_expected", nStaged, nStaged == expectedRows),
+      ("null_keys", nNullKey, nNullKey == 0L),
+      ("dup_keys", nDupKey, nDupKey == 0L))
+    val allOk = checks.forall(_._3)
+    if (allOk) {
+      // atomic promote: the published dir appears fully-formed or not
+      // at all — readers never observe a partial table
+      org.apache.commons.io.FileUtils.deleteQuietly(published)
+      org.apache.commons.io.FileUtils.moveDirectory(staging, published)
+    }
+    val nPublished =
+      if (allOk) s.read.parquet(published.toString).count() else 0L
+    (checks :+ (("published_rows", nPublished, allOk)))
+      .toDF("check_name", "observed", "ok")
+      .orderBy("check_name")
+  }
 }

@@ -146,4 +146,35 @@ class StorageSpec extends SparkSpec {
     val b = li.groupBy("l_orderkey", "l_partkey").count()
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("f09 WAP rejection: a poisoned staged table never publishes") {
+    import graft.operators.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft-wap-rej").toString
+    // duplicate key AND wrong expected count: two independent failures
+    val poisoned = Seq((1L, 5L), (1L, 5L), (2L, 3L)).toDF("doc_id", "norm_len")
+    val manifest = Sources.writeAuditPublishStaged(spark, poisoned, 99L, base)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!manifest("rows_match_expected")._2)
+    assert(manifest("dup_keys") === ((1L, false)))
+    assert(manifest("published_rows") === ((0L, false)))
+    assert(!new java.io.File(s"$base/published").exists(),
+      "rejected stage must never appear at the published location")
+    // the staged data is retained for debugging, not silently dropped
+    assert(new java.io.File(s"$base/staging").exists())
+  }
+
+  test("f09 WAP happy path: audits pass and the published read-back matches") {
+    import graft.operators.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft-wap-ok").toString
+    val derived = Seq((1L, 5L), (2L, 3L), (3L, 9L)).toDF("doc_id", "norm_len")
+    val manifest = Sources.writeAuditPublishStaged(spark, derived, 3L, base)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(manifest.values.forall(_._2), s"all checks should pass: $manifest")
+    assert(manifest("published_rows")._1 === 3L)
+    assert(new java.io.File(s"$base/published").exists())
+    assert(!new java.io.File(s"$base/staging").exists(), "staging moved, not copied")
+    val back = spark.read.parquet(s"$base/published")
+      .as[(Long, Long)].collect().toSet
+    assert(back === Set((1L, 5L), (2L, 3L), (3L, 9L)))
+  }
 }
