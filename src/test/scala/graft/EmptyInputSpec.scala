@@ -59,7 +59,15 @@ class EmptyInputSpec extends SparkSpec {
       "decontamNgrams" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.decontamNgrams(s, d)),
       "dsirWeights" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.dsirWeights(s, d)),
       "semdedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.semdedup(s, d)),
-      "importanceSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.importanceSample(s, d))
+      "importanceSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.importanceSample(s, d)),
+      // rounds 7–8
+      "dupWeights" -> (LlmOps.dupWeights _),
+      "bloomGate" -> (LlmOps.bloomGate _),
+      "containmentPairs" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.containmentPairs(s, d)),
+      "partialDupClusters" -> (LlmOps.partialDupClusters _),
+      "spanDedup" -> (LlmOps.spanDedup _),
+      "sourceCap" -> (LlmOps.sourceCap _),
+      "qualityClassifier" -> (LlmOps.qualityClassifier _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
@@ -88,10 +96,30 @@ class EmptyInputSpec extends SparkSpec {
       "dedupFirst" -> (Streaming.dedupFirst _),
       "stateOrdinal" -> (Streaming.stateOrdinal _),
       "streamJoin" -> (Streaming.streamJoin _),
-      "dedupThenWindow" -> (Streaming.dedupThenWindow _)
+      "dedupThenWindow" -> (Streaming.dedupThenWindow _),
+      // rounds 7–8
+      "streamLeftJoin" -> (Streaming.streamLeftJoin _),
+      "runningTotals" -> (Streaming.runningTotalsBatch _),
+      "payloadStats" -> (Multimodal.payloadStats _),
+      "hopWindowMeta" -> (Multimodal.hopWindowMeta _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
+  }
+
+  test("round-7/8 profiling/relational/source operators survive empty input") {
+    import graft.operators.{Profiling, Sources}
+    assert(Relational.scd2Intervals(spark, emptyDir).count() === 0L)
+    assert(Profiling.histogram(spark, emptyDir).count() === 0L)
+    assert(Profiling.equidepthBins(spark, emptyDir).count() === 0L)
+    assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)
+    // WAP on an empty derived table is a VALID publish: zero expected,
+    // zero staged, all audits pass, an empty table goes live (day-one
+    // state) — the manifest itself always has its four rows
+    val wap = Sources.writeAuditPublish(spark, emptyDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(wap.values.forall(_._2), s"empty-corpus WAP must publish: $wap")
+    assert(wap("published_rows")._1 === 0L)
   }
 
   test("relational aggregates on empty facts: grouped aggs are empty, spine survives") {
