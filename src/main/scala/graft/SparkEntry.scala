@@ -203,6 +203,8 @@ object SparkEntry {
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     // write-audit-publish staging gate for derived tables
     "f09_write_audit_publish" -> (Sources.writeAuditPublish _),
+    // ordered conversion funnel (view → click-after → purchase-after)
+    "e32_funnel" -> (Relational.funnel _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1069,6 +1071,30 @@ object SparkEntry {
         |  UNION ALL SELECT 'dup_keys', 0, true FROM n
         |  UNION ALL SELECT 'published_rows', cnt, true FROM n)
         |ORDER BY check_name""".stripMargin,
+    // e32: the same three conditional-min phases, clause for clause
+    "e32_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |      GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |  strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS first_click_after,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase_after,
+        |  CAST((v.v_ts IS NOT NULL)::INT + (c.c_ts IS NOT NULL)::INT
+        |       + (p.p_ts IS NOT NULL)::INT AS BIGINT) AS stage
+        |FROM u LEFT JOIN v USING (user_id)
+        |  LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,

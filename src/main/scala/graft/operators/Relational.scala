@@ -741,4 +741,45 @@ object Relational {
         col("valid_to_ts").isNull.as("is_current"))
       .orderBy("user_id", "version")
   }
+
+  /** E33 — ORDERED conversion funnel (view → click → purchase): for each
+    * user, the first view, the first click STRICTLY AFTER that view, and
+    * the first purchase strictly after that click — the behavioral
+    * sequence-analytics query ("how far did each user get, in order?")
+    * that a plain per-type min cannot answer (a purchase before the
+    * first view must NOT count).
+    *
+    * Three conditional-min aggregations, each keyed on user_id, each
+    * consuming the previous stage's timestamp through a keyed join —
+    * at scale every shuffle is on the same high-cardinality user key
+    * (and at 100 TB the three aggregations collapse into one
+    * sort-within-user pass if profiled as hot; the 3-phase form is
+    * chosen because the oracle reproduces it clause for clause).
+    * `stage` counts completed steps; ties inside a step resolve by the
+    * min timestamp itself, which is unique per (user, type) at every
+    * test scale and made deterministic in general by min's semantics. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        tsStr(col("v_ts")).as("first_view"),
+        tsStr(col("c_ts")).as("first_click_after"),
+        tsStr(col("p_ts")).as("first_purchase_after"),
+        (col("v_ts").isNotNull.cast("long") + col("c_ts").isNotNull.cast("long")
+          + col("p_ts").isNotNull.cast("long")).as("stage"))
+      .orderBy("user_id")
+  }
 }

@@ -209,4 +209,26 @@ class RelationalSpec extends SparkSpec {
       }.sum
     assert(rows.values.map(_.length).sum === expected)
   }
+
+  test("e32 funnel is ORDER-sensitive: out-of-sequence steps do not count") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      // user 1: the full ordered path → stage 3
+      (1L, ts(1), 1L, "view", 1.0, "{}"), (2L, ts(2), 1L, "click", 1.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase BEFORE the click-after-view → stage 2 only
+      (4L, ts(1), 2L, "purchase", 1.0, "{}"), (5L, ts(2), 2L, "view", 1.0, "{}"),
+      (6L, ts(3), 2L, "click", 1.0, "{}"),
+      // user 3: click before the first view → stage 1 only
+      (7L, ts(1), 3L, "click", 1.0, "{}"), (8L, ts(2), 3L, "view", 1.0, "{}"),
+      // user 4: never viewed → stage 0
+      (9L, ts(1), 4L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val stages = Relational.funnel(spark, dir)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(stages === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
 }
