@@ -205,6 +205,8 @@ object SparkEntry {
     "f09_write_audit_publish" -> (Sources.writeAuditPublish _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
+    // time-weighted average per user (irregular-sampling TWAP)
+    "e33_twap" -> (Relational.twap _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1095,6 +1097,23 @@ object SparkEntry {
         |FROM u LEFT JOIN v USING (user_id)
         |  LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // e33: integer microsecond weights; v·w DECIMAL-canonicalized before
+    // the order-independent sum. The ratio carries round4, because the
+    // large-magnitude decimal sum's →DOUBLE cast is not correctly
+    // rounded in DuckDB (Canon.round8 note) — raw division diverged by
+    // 1 ulp on 3/150 users.
+    "e33_twap" ->
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |             value FROM events),
+         |l AS (SELECT user_id, value,
+         |        epoch_us(lead(ts) OVER (PARTITION BY user_id
+         |                    ORDER BY ts, event_id)) - epoch_us(ts) AS w_us
+         |      FROM e)
+         |SELECT user_id, count(*) AS n_held,
+         |  CAST(sum(w_us) AS BIGINT) AS held_us,
+         |  ${round4("CAST(SUM(CAST(value * w_us AS DECIMAL(30,6))) AS DOUBLE) / CAST(sum(w_us) AS BIGINT)")} AS twap
+         |FROM l WHERE w_us IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,

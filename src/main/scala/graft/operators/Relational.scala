@@ -782,4 +782,37 @@ object Relational {
           + col("p_ts").isNotNull.cast("long")).as("stage"))
       .orderBy("user_id")
   }
+
+  /** E33b — TIME-WEIGHTED average (TWAP) of `value` per user: each
+    * observation holds until the next one, so its weight is the
+    * microseconds to the user's next event (the last observation closes
+    * the series — weight 0, excluded). The telemetry/billing aggregate
+    * a plain AVG gets wrong whenever sampling is irregular: a value
+    * held for an hour must count 3600× a value held for a second.
+    *
+    * Exactness: weights are integer microsecond diffs from one lead
+    * window; each v·w term is DECIMAL(30,6)-canonicalized before the
+    * order-independent decimal sum. The RATIO is round4-contracted, not
+    * raw: the numerator's decimal sum reaches ~1e14·10⁶ units, past the
+    * range where DuckDB's decimal→double cast (computed in double
+    * arithmetic, see the Canon.round8 note) stays correctly rounded, so
+    * the two engines' division inputs can differ by 1 ulp (observed on
+    * 3/150 users at sf0.01). One shuffle on user_id (window + aggregate
+    * share it). Users with a single event have no held interval and are
+    * absent from the output. */
+  def twap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select("user_id", "event_id", "ts", "value")
+      .withColumn("w_us",
+        unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")))
+      .filter(col("w_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_held"),
+        sum(col("w_us")).as("held_us"),
+        round4(sum(dec(col("value") * col("w_us"))).cast("double") /
+          sum(col("w_us"))).as("twap"))
+      .orderBy("user_id")
+  }
 }

@@ -110,6 +110,8 @@ class EmptyInputSpec extends SparkSpec {
   test("round-7/8 profiling/relational/source operators survive empty input") {
     import graft.operators.{Profiling, Sources}
     assert(Relational.scd2Intervals(spark, emptyDir).count() === 0L)
+    assert(Relational.funnel(spark, emptyDir).count() === 0L)
+    assert(Relational.twap(spark, emptyDir).count() === 0L)
     assert(Profiling.histogram(spark, emptyDir).count() === 0L)
     assert(Profiling.equidepthBins(spark, emptyDir).count() === 0L)
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)

@@ -231,4 +231,24 @@ class RelationalSpec extends SparkSpec {
       .select("user_id", "stage").as[(Long, Long)].collect().toMap
     assert(stages === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("e33 TWAP weights values by hold time, not by sample count") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-twap").toString
+    Seq(
+      // user 1: value 10 held 9 min, value 100 held 1 min, close at 10 min
+      // → twap = (10·9 + 100·1) / 10 = 19.0 ≠ plain avg (10+100+0)/3
+      (1L, ts(0), 1L, "view", 10.0, "{}"),
+      (2L, ts(9), 1L, "view", 100.0, "{}"),
+      (3L, ts(10), 1L, "view", 0.0, "{}"),
+      // user 2: a single event has no held interval → absent from output
+      (4L, ts(0), 2L, "view", 55.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.twap(spark, dir)
+      .select("user_id", "n_held", "held_us", "twap")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 600000000L, 19.0)))
+  }
 }
