@@ -207,6 +207,8 @@ object SparkEntry {
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
     "e33_twap" -> (Relational.twap _),
+    // edit-distance verification over the d02 near-dup pair relation
+    "d45_edit_verify" -> ((s, d) => LlmOps.editVerify(s, d)),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1114,6 +1116,23 @@ object SparkEntry {
          |  ${round4("CAST(SUM(CAST(value * w_us AS DECIMAL(30,6))) AS DOUBLE) / CAST(sum(w_us) AS BIGINT)")} AS twap
          |FROM l WHERE w_us IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // d45: levenshtein is the same integer DP in both engines; edit_sim
+    // is one division of identical integers — no rounding.
+    "d45_edit_verify" ->
+      s"""WITH $pairsCtes,
+         |nrm AS (SELECT doc_id,
+         |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |        FROM documents)
+         |SELECT p.i, p.j,
+         |  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev,
+         |  1.0 - levenshtein(a.norm, b.norm)::DOUBLE
+         |        / greatest(length(a.norm), length(b.norm)) AS edit_sim,
+         |  1.0 - levenshtein(a.norm, b.norm)::DOUBLE
+         |        / greatest(length(a.norm), length(b.norm)) >= 0.8 AS verified
+         |FROM pairs p
+         |JOIN nrm a ON a.doc_id = p.i
+         |JOIN nrm b ON b.doc_id = p.j
+         |ORDER BY i, j""".stripMargin,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,

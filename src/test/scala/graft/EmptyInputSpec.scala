@@ -67,7 +67,8 @@ class EmptyInputSpec extends SparkSpec {
       "partialDupClusters" -> (LlmOps.partialDupClusters _),
       "spanDedup" -> (LlmOps.spanDedup _),
       "sourceCap" -> (LlmOps.sourceCap _),
-      "qualityClassifier" -> (LlmOps.qualityClassifier _)
+      "qualityClassifier" -> (LlmOps.qualityClassifier _),
+      "editVerify" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.editVerify(s, d))
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }

@@ -489,6 +489,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d45 edit verify: reference-DP recompute over every d02 pair") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap.map { case (k, v) => k -> norm(v) }
+    val got = LlmOps.editVerify(spark, Sf)
+      .select("i", "j", "lev", "edit_sim", "verified")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val d02 = LlmOps.ngramJaccard(spark, Sf).select("i", "j")
+      .as[(Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)).toSet === d02, "one row per d02 pair")
+    got.foreach { case (i, j, l, sim, v) =>
+      val want = lev(texts(i), texts(j))
+      assert(l === want.toLong, s"pair ($i,$j) distance")
+      assert(sim === 1.0 - want.toDouble /
+        math.max(texts(i).length, texts(j).length), s"pair ($i,$j) sim")
+      assert(v === (sim >= 0.8))
+    }
+    assert(got.nonEmpty)
+  }
+
   test("near-dup results do not depend on corpus persistence level") {
     val defaults = (LlmOps.ngramJaccard(spark, Sf).collect().toSeq,
       LlmOps.minhashNearDup(spark, Sf).collect().toSeq)
