@@ -458,6 +458,29 @@ class LlmOpsSpec extends SparkSpec {
       (3L, 1L, 1L, m(toks("z")))))
   }
 
+  test("d42 hot tile: a chunk present in EVERY doc runs without any window partition") {
+    // the boilerplate-frequency skew case span dedup exists for: one
+    // 32-token tile planted in all 200 documents. The old
+    // Window.partitionBy(chunk_text) would funnel all 200 occurrences
+    // into ONE partition; the partial-agg + occurrence-coordinate join
+    // must (a) produce the same keep rule and (b) plan no Window at all.
+    def toks(p: String) = (1 to 32).map(k => s"$p$k").mkString(" ")
+    val hot = toks("hot")
+    val docs = (0L until 200L).map(d => (d, s"$hot ${toks(s"u$d-")}"))
+      .toDF("doc_id", "text")
+    val q = LlmOps.spanDedupOver(docs)
+    val windows = q.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "hot-tile plan must not contain a Window node")
+    val got = q.select("doc_id", "n_chunks", "n_kept")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // doc 0 is the global first occurrence of the hot tile and keeps both
+    // chunks; every other doc keeps only its unique tile
+    assert(got.head === ((0L, 2L, 2L)))
+    assert(got.tail.forall { case (_, n, k) => n === 2L && k === 1L })
+  }
+
   test("d43 source cap: exactly min(K, |source|) kept, ranks contiguous") {
     val rows = LlmOps.sourceCap(spark, Sf)
       .select("source", "rnk", "kept").as[(String, Long, Boolean)].collect()
