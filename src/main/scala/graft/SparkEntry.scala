@@ -1421,34 +1421,56 @@ object SparkEntry {
         |  upper(substr(hex(encode(text)), 1, 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m02_frame_features" ->
-      // Frame slicing uses char-based substr: the corpora are verified
-      // pure-ASCII (octet_length(encode(text)) = length(text) for every
-      // row at every sf), where char slices ≡ byte slices; DuckDB v1.0
-      // cannot substring/md5 BLOBs directly. frame_len is computed from
-      // encode() so the LENGTH check stays byte-exact regardless.
-      // f0..f3 mirror the Spark float32 roundtrip via CAST(.. AS REAL).
+      // BYTE-TRUE for arbitrary payloads: frames are sliced in HEX space
+      // (2 hex chars per byte — the m01 head_hex idiom), so the oracle
+      // mirrors Spark's BINARY substring even for non-ASCII text (the
+      // old char-sliced oracle was ASCII-only). Features recomputed from
+      // first principles over the hex-decoded byte values; every
+      // numerator/denominator is an exact integer, each feature ONE
+      // double division + float32 cast — bit-exact, round4 only as the
+      // shared presentation canon (see Multimodal.frameFeatures).
       s"""WITH fr AS (
-         |  SELECT doc_id, text,
+         |  SELECT doc_id, hex(encode(text)) AS hx,
          |    unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 64)
          |                      AS BIGINT))) AS frame_id
          |  FROM documents),
          |fb AS (
          |  SELECT doc_id, frame_id,
-         |    substr(text, CAST(frame_id * 64 + 1 AS BIGINT), 64) AS fs
+         |    substr(hx, CAST(frame_id * 128 + 1 AS BIGINT), 128) AS fh
          |  FROM fr),
-         |h AS (
-         |  SELECT doc_id, frame_id,
-         |    CAST(octet_length(encode(fs)) AS BIGINT) AS frame_len,
-         |    md5(fs) AS hh
-         |  FROM fb)
-         |SELECT doc_id, frame_id, frame_len,
-         |${(0 until 4).map(i => s"  ${round4(
-           s"CAST(CAST(CAST(('0x' || substr(hh, ${i * 2 + 1}, 2)) AS BIGINT)" +
-             " / 255.0 AS REAL) AS DOUBLE)")} AS f$i").mkString(",\n")}
-         |FROM h ORDER BY doc_id, frame_id""".stripMargin,
+         |b AS (SELECT doc_id, frame_id,
+         |        CAST(length(fh) / 2 AS BIGINT) AS n, fh FROM fb),
+         |bv AS (SELECT doc_id, frame_id, n, k,
+         |         CAST(('0x' || substr(fh, CAST(k * 2 + 1 AS BIGINT), 2))
+         |              AS BIGINT) AS v
+         |       FROM (SELECT doc_id, frame_id, fh, n, unnest(range(n)) AS k
+         |             FROM b)),
+         |d AS (SELECT doc_id, frame_id, n, k, v,
+         |        lag(v) OVER (PARTITION BY doc_id, frame_id ORDER BY k) AS pv
+         |      FROM bv),
+         |agg AS (SELECT doc_id, frame_id, n,
+         |    CAST(sum(v) AS BIGINT) AS s1,
+         |    CAST(sum(v * v) AS BIGINT) AS s2,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS nd,
+         |    CAST(sum(CASE WHEN pv IS NULL THEN 0
+         |             ELSE (v - pv) * (v - pv) END) AS BIGINT) AS de
+         |  FROM d GROUP BY doc_id, frame_id, n)
+         |SELECT doc_id, frame_id, n AS frame_len,
+         |  ${round4("CAST(CAST(s1::DOUBLE / (255 * n) AS REAL) AS DOUBLE)")} AS f0,
+         |  ${round4("CAST(CAST((n * s2 - s1 * s1)::DOUBLE / (65025 * n * n) AS REAL) AS DOUBLE)")} AS f1,
+         |  ${round4("CAST(CAST(CASE WHEN n > 1 THEN de::DOUBLE / (65025 * (n - 1)) ELSE 0.0 END AS REAL) AS DOUBLE)")} AS f2,
+         |  ${round4("CAST(CAST(nd::DOUBLE / n AS REAL) AS DOUBLE)")} AS f3
+         |FROM agg ORDER BY doc_id, frame_id""".stripMargin,
     "m03_hop_windows" ->
-      // char-based substr ≡ byte slices on this verified-ASCII corpus
-      // (see m02); win_len is byte-exact via encode().
+      // ASCII-ONLY oracle, by necessity: win_md5 needs md5 of the sliced
+      // BYTES, and DuckDB v1.0's md5 takes VARCHAR only — so the slice
+      // must stay in char space, where char ≡ byte holds iff the corpus
+      // is pure ASCII. MultimodalSpec's "corpus is pure ASCII" test
+      // asserts octet_length == char length for every document at every
+      // available sf, so a future non-ASCII fixture fails THERE with a
+      // pointed message, not here as a mystery hash mismatch. win_len is
+      // byte-exact via encode() regardless. (m01/m02/m04 are fully
+      // byte-true via hex-space slicing and need no such assumption.)
       """WITH w AS (
         |  SELECT doc_id, text,
         |    unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 48)
@@ -1462,22 +1484,24 @@ object SparkEntry {
         |  md5(ws) AS win_md5
         |FROM s ORDER BY doc_id, win_id""".stripMargin,
     "m04_payload_stats" ->
-      // Byte values recovered from hex(encode(ws)) 2 chars per byte —
-      // byte-true like m01's head_hex (DuckDB v1.0 can't subscript
-      // BLOBs). All aggregates are integer-exact; byte_mean / byte_var
-      // are each one IEEE division of engine-identical integers
-      // (variance via n·Σv² − (Σv)² over n²), so no rounding.
+      // BYTE-TRUE for arbitrary payloads: windows sliced in HEX space
+      // (2 chars per byte — 48-byte hop = 96 chars, 64-byte window =
+      // 128 chars), so slicing matches Spark's BINARY substring even for
+      // non-ASCII text (the old oracle char-sliced first, a latent
+      // ASCII-only assumption). All aggregates are integer-exact;
+      // byte_mean / byte_var are each one IEEE division of
+      // engine-identical integers (variance via n·Σv² − (Σv)² over n²),
+      // so no rounding.
       """WITH w AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id, hex(encode(text)) AS hx,
         |    unnest(range(CAST(ceil(octet_length(encode(text))::DOUBLE / 48)
         |                      AS BIGINT))) AS win_id
         |  FROM documents),
-        |s AS (SELECT doc_id, win_id,
-        |        substr(text, CAST(win_id * 48 + 1 AS BIGINT), 64) AS ws
+        |b AS (SELECT doc_id, win_id,
+        |        substr(hx, CAST(win_id * 96 + 1 AS BIGINT), 128) AS h,
+        |        CAST(length(substr(hx, CAST(win_id * 96 + 1 AS BIGINT), 128)) / 2
+        |             AS BIGINT) AS n
         |      FROM w),
-        |b AS (SELECT doc_id, win_id, hex(encode(ws)) AS h,
-        |        CAST(octet_length(encode(ws)) AS BIGINT) AS n
-        |      FROM s),
         |bv AS (SELECT doc_id, win_id, n, k,
         |         CAST(('0x' || substr(h, CAST(k * 2 + 1 AS BIGINT), 2))
         |              AS BIGINT) AS v

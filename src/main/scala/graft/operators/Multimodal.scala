@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `BINARY` payloads with
   * typed metadata, frame sampling, and a feature-extraction stage.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[stubDecodeFeatures]]); everything
-  * around it — binary schema, frame slicing, per-partition batch shape,
-  * the distributed plan — is real and tested (MultimodalSpec). The test
-  * payload is the `documents.text` bytes standing in for media bytes
-  * (driver tables are the only sanctioned inputs); a real deployment
-  * swaps [[stubDecodeFeatures]] for a codec call with the same
+  * The container has no image/audio codecs, so the DECODE step
+  * ([[frameFeatures]]) computes codec-free signal features from the
+  * actual payload bytes (via the native `byte_values` expression);
+  * everything around it — binary schema, frame slicing, per-partition
+  * batch shape, the distributed plan — is real and tested
+  * (MultimodalSpec). The test payload is the `documents.text` bytes
+  * standing in for media bytes (driver tables are the only sanctioned
+  * inputs); a real deployment swaps the feature expressions inside
+  * [[frameFeatures]] for a codec call with the same ARRAY<FLOAT>
   * signature. */
 object Multimodal {
   val FrameBytes = 64
@@ -94,24 +96,54 @@ object Multimodal {
         md5(col("win_bytes")).as("win_md5"))
       .orderBy("doc_id", "win_id")
 
-  /** Frame features via the STUB decoder.
+  /** Per-frame feature vectors computed from the ACTUAL frame bytes.
     *
-    * STUB DECODE — the container has no codecs, so the "decoded feature
-    * vector" is a deterministic fake: 4 floats derived from the frame's
-    * md5 (byte-content-dependent, reproducible everywhere). A real
-    * pipeline replaces exactly the `features` expression with a codec
-    * UDF / mapPartitions batch call of the same ARRAY<FLOAT> shape;
-    * schema, partitioning, and everything downstream stay unchanged. */
-  def frameFeatures(s: SparkSession, d: String): DataFrame =
+    * The container has no media codecs, so the "decode" stage is the
+    * codec-free one: signal-level statistics of the frame's raw byte
+    * stream, recovered as ARRAY<LONG> by the native
+    * [[graft.functions.ByteValues]] expression (byte-true for arbitrary
+    * BINARY) and reduced with array HOFs — every feature is a function
+    * of the frame's CONTENT, normalized to [0, 1]:
+    *
+    *   f0 = Σv / (255·n)            mean byte level
+    *   f1 = (n·Σv² − (Σv)²)/(65025·n²)  byte variance (max ¼)
+    *   f2 = Σ(vᵢ₊₁−vᵢ)² / (65025·(n−1)) high-frequency energy (0 if n=1)
+    *   f3 = |distinct bytes| / n    alphabet ratio
+    *
+    * A real pipeline swaps exactly the four feature expressions for a
+    * codec UDF / mapPartitions batch call of the same ARRAY<FLOAT>
+    * shape; schema, partitioning, and everything downstream stay
+    * unchanged. Bit-exactness: every numerator/denominator is an exact
+    * integer (≤ 2⁵³), so each feature is ONE IEEE double division both
+    * engines compute identically, then one float32 rounding — no
+    * tolerance needed (Canon.round4 note). Scan-parallel, no shuffle
+    * before the presentation sort. */
+  def frameFeatures(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("frame_bytes")).cast("long")
+    def lsum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + x)
+    val deltas = zip_with(
+      slice(col("bs"), lit(1), (n - 1).cast("int")),
+      slice(col("bs"), lit(2), (n - 1).cast("int")),
+      (a, b) => (b - a) * (b - a))
     frames(s, d)
-      .withColumn("h", md5(col("frame_bytes")))
+      .withColumn("bs", call_function(graft.functions.ByteValues.Name, col("frame_bytes")))
+      .withColumn("n", n)
+      .withColumn("s1", lsum(col("bs")))
+      .withColumn("s2", lsum(transform(col("bs"), v => v * v)))
+      .withColumn("de", lsum(deltas))
+      .withColumn("nd", size(array_distinct(col("bs"))).cast("long"))
       .select(
-        col("doc_id"), col("frame_id"),
-        length(col("frame_bytes")).cast("long").as("frame_len"),
-        transform(sequence(lit(0), lit(3)),
-          i => (conv(col("h").substr(i * 2 + 1, lit(2)), 16, 10) / 255.0)
-            .cast("float")).as("features"))
+        col("doc_id"), col("frame_id"), col("n").as("frame_len"),
+        array(
+          (col("s1").cast("double") / (col("n") * 255)).cast("float"),
+          ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * col("n") * 65025)).cast("float"),
+          when(col("n") > 1, col("de").cast("double") / ((col("n") - 1) * 65025))
+            .otherwise(lit(0.0)).cast("float"),
+          (col("nd").cast("double") / col("n")).cast("float")).as("features"))
       .orderBy("doc_id", "frame_id")
+  }
 
   /** m04 — windowed byte statistics over the ACTUAL payload bytes: the
     * signal-level features an audio/image pipeline computes per window

@@ -22,13 +22,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("stub decode emits fixed-width float features deterministically") {
+  test("decode emits fixed-width [0,1] float features deterministically") {
     val a = Multimodal.frameFeatures(spark, Sf).collect().toSeq
     val b = Multimodal.frameFeatures(spark, Sf).collect().toSeq
-    assert(a === b, "stub decode must be deterministic")
+    assert(a === b, "decode must be deterministic")
     val feats = Multimodal.frameFeatures(spark, Sf)
       .select("features").as[Seq[Float]].collect()
     assert(feats.forall(f => f.length == 4 && f.forall(x => x >= 0f && x <= 1f)))
+  }
+
+  test("m02 features are first-principles functions of the frame bytes") {
+    // the decode stage consumes the PAYLOAD: recompute all four features
+    // from the raw frame bytes on the driver and compare float-exactly
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val got = Multimodal.frameFeatures(spark, Sf)
+      .select("doc_id", "frame_id", "frame_len", "features")
+      .as[(Long, Long, Long, Seq[Float])].collect()
+    assert(got.nonEmpty)
+    got.take(200).foreach { case (d, f, len, feats) =>
+      val bytes = texts(d).getBytes("UTF-8")
+        .slice((f * Multimodal.FrameBytes).toInt,
+          (f * Multimodal.FrameBytes).toInt + Multimodal.FrameBytes)
+        .map(b => (b & 0xff).toLong)
+      val n = bytes.length.toLong
+      val s1 = bytes.sum; val s2 = bytes.map(v => v * v).sum
+      val de = if (n < 2) 0L
+        else bytes.sliding(2).map { case Array(x, y) => (y - x) * (y - x) }.sum
+      assert(len === n, s"doc $d frame $f len")
+      assert(feats(0) === (s1.toDouble / (255 * n)).toFloat, s"doc $d frame $f f0")
+      assert(feats(1) === ((n * s2 - s1 * s1).toDouble / (65025.0 * n * n)).toFloat,
+        s"doc $d frame $f f1")
+      val f2 = if (n > 1) (de.toDouble / (65025.0 * (n - 1))).toFloat else 0f
+      assert(feats(2) === f2, s"doc $d frame $f f2")
+      assert(feats(3) === (bytes.distinct.length.toDouble / n).toFloat,
+        s"doc $d frame $f f3")
+    }
+  }
+
+  test("corpus is pure ASCII at every available sf (m03 oracle precondition)") {
+    // the m03 oracle slices frames by CHARACTER position (DuckDB md5
+    // takes VARCHAR only), which equals byte position iff the corpus is
+    // ASCII. Assert it here so a future non-ASCII fixture fails with
+    // this message instead of an opaque driver hash mismatch. m01/m02/
+    // m04 slice in hex space and carry no such assumption.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists)
+      .foreach { d =>
+        val nonAscii = Tables.documents(spark, d)
+          .filter(octet_length(col("text")) =!= length(col("text"))).count()
+        assert(nonAscii === 0L,
+          s"$d has $nonAscii non-ASCII documents — the m03 oracle's " +
+            "char-slicing assumption no longer holds; slice its md5 input " +
+            "in a byte-true way or regenerate the fixture")
+      }
   }
 
   test("empty payload yields zero frame rows, not a descending-sequence blowup") {
