@@ -193,21 +193,31 @@ object Profiling {
     * integer arithmetic, so the oracle's single-window row_number
     * reproduces it exactly.
     *
-    * The counts subtree and the rank subtree contain the SAME range
-    * exchange, which must execute once: RangePartitioner's sample seed
-    * involves the RDD id, so two separate executions could draw
+    * The counts subtree and the rank subtree must see the SAME shard
+    * boundaries: RangePartitioner's sample seed involves the RDD id, so
+    * two independent executions of the range exchange could draw
     * DIFFERENT boundaries and misalign offsets against partitions
     * (observed as ±1-bucket drift near boundaries when the offsets were
-    * collected in a separate job). Keeping both subtrees in one query
-    * lets ReuseExchange unify them — belt and braces, the plan spec
-    * asserts exactly one range exchange. Scale: one range shuffle + one
-    * 32-key shuffle for the window; no global single-task sort. */
+    * collected in a separate job). The sharded frame is therefore
+    * PERSISTED (honoring the same `spark.graft.corpusPersistLevel` knob
+    * as LlmOps): boundaries are drawn exactly once when the cache
+    * materializes, and both subtrees read the materialized shards — a
+    * structural guarantee that does not depend on the planner's
+    * ReuseExchange firing (which the previous version relied on, a
+    * correctness-by-planner-property coupling fragile across Spark
+    * upgrades). Scale: one range shuffle + one 32-key shuffle for the
+    * window; no global single-task sort; cache is
+    * 2 narrow columns + shard id. */
   def equidepthBins(s: SparkSession, d: String, nBuckets: Int = 10): DataFrame = {
     val nShards = 32
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-    val sharded = o
+    val lvl = s.conf.get("spark.graft.corpusPersistLevel", "MEMORY_AND_DISK")
+    val ranged = o
       .repartitionByRange(nShards, col("o_totalprice"), col("o_orderkey"))
       .withColumn("shard", spark_partition_id())
+    val sharded = if (lvl.equalsIgnoreCase("NONE")) ranged
+      else ranged.persist(org.apache.spark.storage.StorageLevel.fromString(
+        lvl.toUpperCase(java.util.Locale.ROOT)))
     val counts = sharded.groupBy("shard").agg(count(lit(1)).as("cnt"))
     // 32-row prefix sum: off = rows in strictly-smaller shards, n = total
     val wOff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)

@@ -742,7 +742,7 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
-  /** E33 — ORDERED conversion funnel (view → click → purchase): for each
+  /** E32 — ORDERED conversion funnel (view → click → purchase): for each
     * user, the first view, the first click STRICTLY AFTER that view, and
     * the first purchase strictly after that click — the behavioral
     * sequence-analytics query ("how far did each user get, in order?")
@@ -783,7 +783,7 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** E33b — TIME-WEIGHTED average (TWAP) of `value` per user: each
+  /** E33 — TIME-WEIGHTED average (TWAP) of `value` per user: each
     * observation holds until the next one, so its weight is the
     * microseconds to the user's next event (the last observation closes
     * the series — weight 0, excluded). The telemetry/billing aggregate
