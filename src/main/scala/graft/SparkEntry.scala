@@ -209,6 +209,12 @@ object SparkEntry {
     "e33_twap" -> (Relational.twap _),
     // edit-distance verification over the d02 near-dup pair relation
     "d45_edit_verify" -> ((s, d) => LlmOps.editVerify(s, d)),
+    // verified-pair relation published through the WAP gate (manifest)
+    "d46_pair_store_publish" -> (PairStore.publish _),
+    // d20 contamination fed from the published pair store (read side)
+    "d47_store_contamination" -> (PairStore.storeContamination _),
+    // d45 edit verify fed from the published pair store (read side)
+    "d48_store_edit_verify" -> (PairStore.storeEditVerify _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1118,21 +1124,7 @@ object SparkEntry {
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // d45: levenshtein is the same integer DP in both engines; edit_sim
     // is one division of identical integers — no rounding.
-    "d45_edit_verify" ->
-      s"""WITH $pairsCtes,
-         |nrm AS (SELECT doc_id,
-         |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
-         |        FROM documents)
-         |SELECT p.i, p.j,
-         |  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev,
-         |  1.0 - levenshtein(a.norm, b.norm)::DOUBLE
-         |        / greatest(length(a.norm), length(b.norm)) AS edit_sim,
-         |  1.0 - levenshtein(a.norm, b.norm)::DOUBLE
-         |        / greatest(length(a.norm), length(b.norm)) >= 0.8 AS verified
-         |FROM pairs p
-         |JOIN nrm a ON a.doc_id = p.i
-         |JOIN nrm b ON b.doc_id = p.j
-         |ORDER BY i, j""".stripMargin,
+    "d45_edit_verify" -> editVerifySql,
     "e22_sql_frontend" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
          |  count(*) AS n_items,
@@ -1396,13 +1388,26 @@ object SparkEntry {
          |FROM e WHERE rn = 1
          |GROUP BY date_trunc('hour', ts), event_type
          |ORDER BY window_start, event_type""".stripMargin,
-    "d20_contamination" ->
+    "d20_contamination" -> contaminationSql,
+    // d47/d48 read the PUBLISHED pair store; the store's content is the
+    // deterministic d02 relation, so the recomputing twins' oracles
+    // apply verbatim — sharing the literal string keeps store-fed ≡
+    // recomputed definitional.
+    "d47_store_contamination" -> contaminationSql,
+    "d48_store_edit_verify" -> editVerifySql,
+    // d46: every manifest observation is a deterministic function of
+    // `documents` (the pair count via the shared pair CTEs); clean
+    // input ⇒ all audits pass, published_rows = pair count.
+    "d46_pair_store_publish" ->
       s"""WITH $pairsCtes,
-         |$splitCte
-         |SELECT i, j, jac, si.split AS split_i, sj.split AS split_j,
-         |  si.split <> sj.split AS contaminated
-         |FROM pairs JOIN sp si ON si.doc_id = i JOIN sp sj ON sj.doc_id = j
-         |ORDER BY i, j""".stripMargin,
+         |n AS (SELECT count(*) AS cnt FROM pairs)
+         |SELECT * FROM (
+         |  SELECT 'rows_match_expected' AS check_name, cnt AS observed,
+         |         true AS ok FROM n
+         |  UNION ALL SELECT 'null_keys', 0, true FROM n
+         |  UNION ALL SELECT 'dup_keys', 0, true FROM n
+         |  UNION ALL SELECT 'published_rows', cnt, true FROM n)
+         |ORDER BY check_name""".stripMargin,
     "f03_partitioned_parquet" ->
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |  ${dsum("o_totalprice")} AS total_price
@@ -1806,6 +1811,34 @@ object SparkEntry {
        |  FROM common
        |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
        |  WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8)""".stripMargin
+
+  /** d20's oracle — shared verbatim with its store-fed twin d47: both
+    * must equal the same SQL over `documents`, making store-fed ≡
+    * recomputed definitional at the oracle layer too. */
+  private def contaminationSql =
+    s"""WITH $pairsCtes,
+       |$splitCte
+       |SELECT i, j, jac, si.split AS split_i, sj.split AS split_j,
+       |  si.split <> sj.split AS contaminated
+       |FROM pairs JOIN sp si ON si.doc_id = i JOIN sp sj ON sj.doc_id = j
+       |ORDER BY i, j""".stripMargin
+
+  /** d45's oracle — shared verbatim with its store-fed twin d48. */
+  private def editVerifySql =
+    s"""WITH $pairsCtes,
+       |nrm AS (SELECT doc_id,
+       |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |        FROM documents)
+       |SELECT p.i, p.j,
+       |  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev,
+       |  1.0 - levenshtein(a.norm, b.norm)::DOUBLE
+       |        / greatest(length(a.norm), length(b.norm)) AS edit_sim,
+       |  1.0 - levenshtein(a.norm, b.norm)::DOUBLE
+       |        / greatest(length(a.norm), length(b.norm)) >= 0.8 AS verified
+       |FROM pairs p
+       |JOIN nrm a ON a.doc_id = p.i
+       |JOIN nrm b ON b.doc_id = p.j
+       |ORDER BY i, j""".stripMargin
 
   /** Shared CTE chain for d34/d36: hashed-bigram buckets and the
     * smoothed per-bucket log-likelihood ratio (target = 'en'). */

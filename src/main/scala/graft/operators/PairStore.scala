@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** d46–d48 — the MATERIALIZED verified-pair relation: the production
+  * composition of the near-dup family.
+  *
+  * Every standalone near-dup query (d20 contamination, d45 edit verify,
+  * …) re-derives the shingle → capped-candidate → exact-verify chain
+  * because the driver's queries are independent by contract; a real
+  * pipeline computes the verified pair relation ONCE per corpus
+  * snapshot, publishes it through the f09 write-audit-publish gate, and
+  * feeds every consumer from the published store. d46 is the publisher
+  * job (its output is the WAP audit manifest); d47/d48 are the
+  * read-side consumers, producing byte-identical results to their
+  * recomputing twins d20/d45 (PairStoreSpec pins store-fed ≡
+  * recomputed, and the DuckDB oracles are literally shared).
+  *
+  * Store lifecycle: one scratch root per JVM (registered for exit
+  * cleanup), one published table per corpus dir. [[pairs]] publishes at
+  * most once per JVM (publish-if-absent) so repeated read-side queries
+  * pay the build once — the shape that removes the ~24 s of repeated
+  * pair derivation the round-8 bench showed across
+  * d20/d40/d41/d45; [[publish]] re-publishes on every call — the
+  * daily-job shape, atomic for readers via the rename-aside swap
+  * ([[Sources.writeAuditPublishStaged]]). At 100 TB the swap becomes a
+  * transactional catalog commit and the store a table bucketed on
+  * (i, j) (or on doc key for the per-doc consumers); the composition is
+  * unchanged.
+  *
+  * Reference analogue: the reference pipelines each run standalone over
+  * raw text (`wordCount/wordCount.cpp:67-157`); materialized
+  * intermediate relations are the capability a multi-query engine adds.
+  */
+object PairStore {
+  /** Jaccard threshold of the published relation — the d02 default. */
+  val Threshold = 0.8
+
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-pairstore").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(p)
+    p.toString
+  }
+  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def baseFor(d: String): String =
+    s"$root/${java.lang.Integer.toHexString(d.hashCode)}"
+
+  /** d46 — the publisher job: recompute the verified pair relation
+    * (i, j, n_common, n_i, n_j, jac) and push it through the WAP gate —
+    * write to staging, audit the STAGED FILES re-read (row count vs the
+    * plan's own count, null keys, duplicate (i, j) keys), promote
+    * atomically only if all audits pass. Returns the audit manifest. */
+  def publish(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmOps.jaccardPairs(s, d, Threshold)
+    val expected = pairs.count()
+    val manifest = Sources.writeAuditPublishStaged(s, pairs, expected,
+      baseFor(d), keyCols = Seq("i", "j"))
+    built(d) = s"${baseFor(d)}/published"
+    manifest
+  }
+
+  /** Read-side accessor: publish-if-absent, then scan the published
+    * table. Consumers see a plain parquet relation — filters and column
+    * pruning push into the scan; no shingle work happens here. */
+  private[graft] def pairs(s: SparkSession, d: String): DataFrame = {
+    val path = built.getOrElse(d, { publish(s, d); built(d) })
+    s.read.parquet(path)
+  }
+
+  /** d47 — [[LlmOps.contamination]] fed from the published store:
+    * two split probes against an output-sized parquet scan, zero
+    * shingle/candidate work on the read path. */
+  def storeContamination(s: SparkSession, d: String): DataFrame =
+    LlmOps.contaminationOver(s, d, pairs(s, d))
+
+  /** d48 — [[LlmOps.editVerify]] fed from the published store: the
+    * O(|a|·|b|)-per-pair levenshtein runs over the store relation
+    * directly — the candidate chain is never re-derived. */
+  def storeEditVerify(s: SparkSession, d: String): DataFrame =
+    LlmOps.editVerifyOver(s, d, pairs(s, d), Threshold)
+}

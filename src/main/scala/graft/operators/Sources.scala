@@ -291,16 +291,17 @@ object Sources {
   }
 
   private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
-      expectedRows: Long, base: String): DataFrame = {
+      expectedRows: Long, base: String,
+      keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
     import s.implicits._
     val staging = new java.io.File(s"$base/staging")
     val published = new java.io.File(s"$base/published")
     derived.write.mode("overwrite").parquet(staging.toString)
     val staged = s.read.parquet(staging.toString)
     val nStaged = staged.count()
-    val nNullKey = staged.filter(col("doc_id").isNull).count()
+    val nNullKey = staged.filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
     val nDupKey = nStaged -
-      staged.select(col("doc_id")).distinct().count()
+      staged.select(keyCols.map(col): _*).distinct().count()
     val checks = Seq(
       ("rows_match_expected", nStaged, nStaged == expectedRows),
       ("null_keys", nNullKey, nNullKey == 0L),
