@@ -215,6 +215,8 @@ object SparkEntry {
     "d47_store_contamination" -> (PairStore.storeContamination _),
     // d45 edit verify fed from the published pair store (read side)
     "d48_store_edit_verify" -> (PairStore.storeEditVerify _),
+    // d19 cluster refresh fed from the published pair store (read side)
+    "d49_store_clusters" -> (PairStore.storeClusters _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1311,23 +1313,10 @@ object SparkEntry {
          |  ${round4("CASE WHEN pd.n_grams IS NULL THEN 0.0 ELSE (pd.n_grams - pd.n_distinct)::DOUBLE / pd.n_grams END")} < 0.2 AS keep
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
-    "d19_neardup_clusters" ->
-      // transitive closure of the near-dup pair graph via recursive CTE;
-      // cluster id = min reachable doc_id, singletons label themselves
-      s"""WITH RECURSIVE $pairsCtes,
-         |e AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
-         |reach(src, node) AS (
-         |  SELECT DISTINCT i, i FROM e
-         |  UNION
-         |  SELECT r.src, e2.j FROM reach r JOIN e e2 ON e2.i = r.node),
-         |lbl AS (SELECT src AS doc_id, min(node) AS cluster_id
-         |        FROM reach GROUP BY src),
-         |asg AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-         |        FROM documents d LEFT JOIN lbl l USING (doc_id)),
-         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
-         |SELECT a.doc_id, a.cluster_id, sz.cluster_size,
-         |  a.doc_id = a.cluster_id AS is_canonical
-         |FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin,
+    "d19_neardup_clusters" -> clustersSql,
+    // d49 reads the PUBLISHED pair store (same deterministic d02
+    // relation) — d19's oracle applies verbatim, like d47/d48.
+    "d49_store_clusters" -> clustersSql,
     "d26_token_budget" ->
       // flat per-source prefix sum over the md5 order key — equivalent
       // to the Spark side's 16-way bucketed decomposition because the
@@ -1822,6 +1811,25 @@ object SparkEntry {
        |  si.split <> sj.split AS contaminated
        |FROM pairs JOIN sp si ON si.doc_id = i JOIN sp sj ON sj.doc_id = j
        |ORDER BY i, j""".stripMargin
+
+  /** d19's oracle — transitive closure of the near-dup pair graph via
+    * recursive CTE; cluster id = min reachable doc_id, singletons label
+    * themselves. Shared verbatim with its store-fed twin d49. */
+  private def clustersSql =
+    s"""WITH RECURSIVE $pairsCtes,
+       |e AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT DISTINCT i, i FROM e
+       |  UNION
+       |  SELECT r.src, e2.j FROM reach r JOIN e e2 ON e2.i = r.node),
+       |lbl AS (SELECT src AS doc_id, min(node) AS cluster_id
+       |        FROM reach GROUP BY src),
+       |asg AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN lbl l USING (doc_id)),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+       |SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+       |  a.doc_id = a.cluster_id AS is_canonical
+       |FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin
 
   /** d45's oracle — shared verbatim with its store-fed twin d48. */
   private def editVerifySql =

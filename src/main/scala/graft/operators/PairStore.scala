@@ -79,4 +79,14 @@ object PairStore {
     * directly — the candidate chain is never re-derived. */
   def storeEditVerify(s: SparkSession, d: String): DataFrame =
     LlmOps.editVerifyOver(s, d, pairs(s, d), Threshold)
+
+  /** d49 — [[LlmOps.neardupClusters]] fed from the published store: the
+    * large/small-star CC loop runs over the stored edge list, so a
+    * cluster refresh (the keep-one-per-family pass every dedup pipeline
+    * re-runs after any upstream change) costs the CC rounds alone — the
+    * shingle → candidate → verify chain is never re-derived. */
+  def storeClusters(s: SparkSession, d: String): DataFrame =
+    LlmOps.clusterAssign(s, d,
+      pairs(s, d).select(org.apache.spark.sql.functions.col("i"),
+        org.apache.spark.sql.functions.col("j")))
 }

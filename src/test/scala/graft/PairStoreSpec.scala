@@ -31,6 +31,12 @@ class PairStoreSpec extends SparkSpec {
     assert(store === recomputed)
   }
 
+  test("d49 store-fed clusters ≡ recomputed d19, row for row") {
+    val store = PairStore.storeClusters(spark, Sf).collect().toSeq
+    val recomputed = LlmOps.neardupClusters(spark, Sf).collect().toSeq
+    assert(store === recomputed)
+  }
+
   test("re-publish is safe: second publish leaves a complete readable store") {
     val first = PairStore.publish(spark, Sf).collect().toSeq
     val second = PairStore.publish(spark, Sf).collect().toSeq
