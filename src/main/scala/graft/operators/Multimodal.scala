@@ -118,7 +118,13 @@ object Multimodal {
     * engines compute identically, then one float32 rounding — no
     * tolerance needed (Canon.round4 note). Scan-parallel, no shuffle
     * before the presentation sort. */
-  def frameFeatures(s: SparkSession, d: String): DataFrame = {
+  def frameFeatures(s: SparkSession, d: String): DataFrame =
+    frameFeaturesOver(frames(s, d))
+
+  /** [[frameFeatures]] over any (doc_id, frame_id, frame_bytes) frame
+    * table — split out so specs can prove byte-trueness on arbitrary
+    * non-ASCII binary payloads (the m04 discipline). */
+  private[graft] def frameFeaturesOver(fr: DataFrame): DataFrame = {
     val n = length(col("frame_bytes")).cast("long")
     def lsum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       aggregate(arr, lit(0L), (acc, x) => acc + x)
@@ -126,7 +132,7 @@ object Multimodal {
       slice(col("bs"), lit(1), (n - 1).cast("int")),
       slice(col("bs"), lit(2), (n - 1).cast("int")),
       (a, b) => (b - a) * (b - a))
-    frames(s, d)
+    fr
       .withColumn("bs", call_function(graft.functions.ByteValues.Name, col("frame_bytes")))
       .withColumn("n", n)
       .withColumn("s1", lsum(col("bs")))

@@ -60,6 +60,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m02 features are byte-true on arbitrary (non-ASCII) binary") {
+    // same discipline as the m04 spec: bytes outside ASCII including
+    // 0x00, 0xFF, and sign-bit bytes — the features must read unsigned
+    // BYTES, not characters, so the decode stage is correct for real
+    // media payloads
+    val payload = Array[Byte](0, -1, -128, 127, 10, 10, -56, 200.toByte)
+    val media = Seq((1L, payload)).toDF("doc_id", "payload")
+    val got = Multimodal.frameFeaturesOver(Multimodal.frameRows(media))
+      .select("frame_id", "frame_len", "features")
+      .as[(Long, Long, Seq[Float])].collect().toSeq
+    val u = payload.map(b => (b & 0xff).toLong)
+    val n = u.length.toLong
+    val s1 = u.sum; val s2 = u.map(v => v * v).sum
+    val de = u.sliding(2).map { case Array(a, b) => (b - a) * (b - a) }.sum
+    assert(got === Seq((0L, n, Seq(
+      (s1.toDouble / (255 * n)).toFloat,
+      ((n * s2 - s1 * s1).toDouble / (65025.0 * n * n)).toFloat,
+      (de.toDouble / (65025.0 * (n - 1))).toFloat,
+      (u.distinct.length.toDouble / n).toFloat))))
+  }
+
   test("corpus is pure ASCII at every available sf (m03 oracle precondition)") {
     // the m03 oracle slices frames by CHARACTER position (DuckDB md5
     // takes VARCHAR only), which equals byte position iff the corpus is
