@@ -205,9 +205,11 @@ object Profiling {
     * structural guarantee that does not depend on the planner's
     * ReuseExchange firing (which the previous version relied on, a
     * correctness-by-planner-property coupling fragile across Spark
-    * upgrades). Scale: one range shuffle + one 32-key shuffle for the
-    * window; no global single-task sort; cache is
-    * 2 narrow columns + shard id. */
+    * upgrades). With `corpusPersistLevel=NONE` the query falls back to
+    * the one-query ReuseExchange unification (the pre-round-9 behavior
+    * — correct on current Spark, but planner-dependent). Scale: one
+    * range shuffle + one 32-key shuffle for the window; no global
+    * single-task sort; cache is 2 narrow columns + shard id. */
   def equidepthBins(s: SparkSession, d: String, nBuckets: Int = 10): DataFrame = {
     val nShards = 32
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
