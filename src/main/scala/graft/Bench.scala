@@ -173,14 +173,18 @@ object Bench {
     val failed = att.toSeq.sorted.filterNot(timed)
 
     val total = timings.map(_._2).sum
+    // 2-decimal stdout values (10 ms grain — budgets are 0.05-stepped, so
+    // nothing the gate reads needs more): at 134 queries the extra decimal
+    // was ~134 chars of the driver's ~2000-char tail capture. Full
+    // precision still lands in BENCH_FULL.json below.
     def fmt(v: Double): String =
-      java.math.BigDecimal.valueOf(v).setScale(3, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
     val extra = s""","passes":${ps.size}""" + (if (truncated) s""","truncated":true""" else "")
 
     // Full-fidelity record (full query names, full precision) → file;
     // the stdout line uses SHORT keys everywhere (timings AND the failed
-    // list) + 3-decimal values — see [[shortKey]].
+    // list) + 2-decimal values — see [[shortKey]].
     val qsFull = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =

@@ -217,6 +217,12 @@ object SparkEntry {
     "d48_store_edit_verify" -> (PairStore.storeEditVerify _),
     // d19 cluster refresh fed from the published pair store (read side)
     "d49_store_clusters" -> (PairStore.storeClusters _),
+    // CCNet-style perplexity terciles via the p04 distributed-rank kernel
+    "d50_perplexity_buckets" -> ((s, d) => LlmOps.perplexityBuckets(s, d)),
+    // per-document novel-shingle fraction (marginal-contribution score)
+    "d51_gram_novelty" -> (LlmOps.gramNovelty _),
+    // batch gap-based sessionization (gaps-and-islands over events)
+    "e34_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -960,22 +966,63 @@ object SparkEntry {
       // parallel unnest of two shifted list slices zips them into bigram
       // pairs; logp is canonicalized to DECIMAL(30,6) pre-sum (d10's
       // trick) and avg_logp is one division of identical doubles (raw).
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w0,
-        |         unnest(t[2:len(t)]) AS w1
-        |       FROM t WHERE len(t) >= 2),
-        |c2 AS (SELECT w0, w1, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w0, count(*) AS c1 FROM bg GROUP BY 1),
-        |v AS (SELECT count(DISTINCT word) AS v FROM
-        |        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
-        |lp AS (SELECT doc_id,
-        |         CAST(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS DECIMAL(30,6))
-        |           AS logp
-        |       FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0), v)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(SUM(logp) AS DOUBLE) AS sum_logp,
-        |  CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logp
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bigramLpCtes
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(SUM(logp) AS DOUBLE) AS sum_logp,
+         |  CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_logp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d50_perplexity_buckets" ->
+      // d18's score CTEs verbatim; the Spark side's distributed-rank
+      // ntile arithmetic reproduces NTILE(3) exactly (big tiles first),
+      // so one window here is the whole oracle. avg_logp doubles are
+      // engine-identical (d18's discipline), ties broken by doc_id.
+      s"""WITH $bigramLpCtes,
+         |sc AS (SELECT doc_id, CAST(SUM(logp) AS DOUBLE) / count(*)
+         |         AS avg_logp FROM lp GROUP BY doc_id)
+         |SELECT doc_id, avg_logp, bucket,
+         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+         |       ELSE 'middle' END AS band
+         |FROM (SELECT doc_id, avg_logp,
+         |        CAST(ntile(3) OVER (ORDER BY avg_logp DESC, doc_id)
+         |             AS BIGINT) AS bucket
+         |      FROM sc)
+         |ORDER BY doc_id""".stripMargin,
+    "d51_gram_novelty" ->
+      // novelty = one IEEE division of engine-identical integers — raw,
+      // no rounding (Canon round4 note).
+      s"""WITH $shingleCte,
+         |f AS (SELECT shingle, min(doc_id) AS first_doc
+         |      FROM sh GROUP BY shingle)
+         |SELECT sh.doc_id AS doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  CAST(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0
+         |                END) AS BIGINT) AS DOUBLE) / count(*) AS novelty
+         |FROM sh JOIN f USING (shingle)
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    "e34_sessionize" ->
+      // gaps-and-islands: lag → boundary flag → running sum; 8h gap
+      // (Relational.sessionize default), integer-µs duration.
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_type FROM events),
+        |l AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |      FROM e),
+        |n AS (SELECT *, CASE WHEN gap_us IS NULL
+        |        OR gap_us > 28800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |si AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |         AS session_idx
+        |       FROM n)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM si GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "s07_stateful_ordinal_tws" ->
       // identical contract to s05 — same row_number oracle, different
       // state API on the Spark side.
@@ -1897,6 +1944,23 @@ object SparkEntry {
   private val tokCte =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |        FROM documents)""".stripMargin
+
+  /** Add-one-smoothed bigram log-probs per occurrence — mirrors
+    * LlmOps.bigramLm's scoring stage; shared by the d18 and d50
+    * oracles so the LM contract can never diverge between them. */
+  private val bigramLpCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w0,
+      |         unnest(t[2:len(t)]) AS w1
+      |       FROM t WHERE len(t) >= 2),
+      |c2 AS (SELECT w0, w1, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w0, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT word) AS v FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+      |lp AS (SELECT doc_id,
+      |         CAST(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS DECIMAL(30,6))
+      |           AS logp
+      |       FROM bg JOIN c2 USING (w0, w1) JOIN c1 USING (w0), v)""".stripMargin
 
   private val simhashSql =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Canon, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,17 +211,33 @@ object Profiling {
     * range shuffle + one 32-key shuffle for the window; no global
     * single-task sort; cache is 2 narrow columns + shard id. */
   def equidepthBins(s: SparkSession, d: String, nBuckets: Int = 10): DataFrame = {
-    val nShards = 32
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-    val lvl = s.conf.get("spark.graft.corpusPersistLevel", "MEMORY_AND_DISK")
-    val ranged = o
-      .repartitionByRange(nShards, col("o_totalprice"), col("o_orderkey"))
+    globalRankByRange(o, Seq(col("o_totalprice"), col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr(s"(rank0 * $nBuckets) div n").as("bucket"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Distributed exact GLOBAL zero-based rank of `df`'s rows under the
+    * total order `sortExprs` (which must be a unique key for a
+    * deterministic result) — the shared kernel behind [[equidepthBins]]
+    * (p04) and [[LlmOps.perplexityBuckets]] (d50). Adds `rank0` (0-based
+    * global rank) and `n` (total rows) to `df`'s columns; see the p04
+    * scaladoc above for the shard/offset construction, the persist-once
+    * boundary-stability argument, and the `corpusPersistLevel=NONE`
+    * ReuseExchange fallback semantics. */
+  private[graft] def globalRankByRange(df: DataFrame,
+      sortExprs: Seq[Column], nShards: Int = 32): DataFrame = {
+    val lvl = df.sparkSession.conf
+      .get("spark.graft.corpusPersistLevel", "MEMORY_AND_DISK")
+    val ranged = df
+      .repartitionByRange(nShards, sortExprs: _*)
       .withColumn("shard", spark_partition_id())
     val sharded = if (lvl.equalsIgnoreCase("NONE")) ranged
       else ranged.persist(org.apache.spark.storage.StorageLevel.fromString(
         lvl.toUpperCase(java.util.Locale.ROOT)))
     val counts = sharded.groupBy("shard").agg(count(lit(1)).as("cnt"))
-    // 32-row prefix sum: off = rows in strictly-smaller shards, n = total
+    // nShards-row prefix sum: off = rows in strictly-smaller shards
     val wOff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -229,14 +245,10 @@ object Profiling {
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(wAll))
       .select("shard", "off", "n")
-    val w = Window.partitionBy("shard")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy("shard").orderBy(sortExprs: _*)
     sharded
       .join(broadcast(offsets), "shard")
       .withColumn("rank0", col("off") + row_number().over(w) - 1)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        expr(s"(rank0 * $nBuckets) div n").as("bucket"))
-      .orderBy("o_orderkey")
   }
 
   /** Mergeable FREQUENT-ITEMS sketches (DataSketches ItemsSketch —

@@ -23,12 +23,12 @@ class ContractSpec extends SparkSpec {
     // the driver records only the last ~2000 chars of bench stdout
     // (BASELINE.md "BENCH key abbreviation"); with sbt's epilogue (~100
     // chars) the JSON line must stay comfortably below that. Uses the
-    // REAL Bench.shortKey over the real query set with worst-case 6-char
-    // values, and models the all-queries-failed line too (short keys
-    // appear in `failed` as well).
+    // REAL Bench.shortKey over the real query set with worst-case 5-char
+    // values (2-decimal stdout grain, Bench.fmt), and models the
+    // all-queries-failed line too (short keys appear in `failed` as well).
     val keys = SparkEntry.queries.keys.toSeq
     assert(keys.map(Bench.shortKey).distinct.size === keys.size, "short bench keys collide")
-    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.999").mkString(
+    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.99").mkString(
       """{"metric":"total","value":9999.999,"unit":"sec","queries":{""",
       ",",
       """},"failed":[],"sf":"/root/testdata/sf0.1"}""")

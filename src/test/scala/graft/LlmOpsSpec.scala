@@ -1119,4 +1119,43 @@ class LlmOpsSpec extends SparkSpec {
     val got = LlmOps.bloomGate(spark, Sf).as[(Long, Boolean)].collect().toSeq
     assert(got === expect)
   }
+
+  test("d50 distributed ntile ≡ Spark's global ntile window, k=3 and k=7") {
+    // the whole point of d50 is computing NTILE without the global
+    // window — so the global window IS the executable spec. k=7 forces
+    // the uneven split (500 % 7 ≠ 0): big tiles first, sizes differ ≤1.
+    import org.apache.spark.sql.expressions.Window
+    for (k <- Seq(3, 7)) {
+      val got = LlmOps.perplexityBuckets(spark, Sf, k)
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      val exp = LlmOps.bigramLm(spark, Sf)
+        .select(col("doc_id"), col("avg_logp"))
+        .withColumn("bucket", ntile(k).over(
+          Window.orderBy(col("avg_logp").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      assert(got === exp, s"k=$k")
+      val sizes = got.groupBy(_._2).view.mapValues(_.size).values.toSet
+      assert(sizes.max - sizes.min <= 1, s"k=$k tile sizes $sizes")
+    }
+    // band labels follow the bucket: 1 = head (most fluent), 3 = tail
+    val bands = LlmOps.perplexityBuckets(spark, Sf)
+      .select("bucket", "band").distinct().as[(Long, String)].collect().toMap
+    assert(bands === Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
+  }
+
+  test("d51 novelty: unique doc scores 1, copy scores 0, half-overlap 0.5") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    Seq(
+      (1L, "a b c d", "en", "s", 0L),   // owns {a b c, b c d} → 1.0
+      (2L, "a b c d", "en", "s", 0L),   // exact copy → both owned by 1 → 0.0
+      (3L, "b c d e", "en", "s", 0L),   // {b c d (doc 1's), c d e (new)} → 0.5
+      (4L, "x y", "en", "s", 0L))       // <3 tokens → no shingles → absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmOps.gramNovelty(spark, dir)
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5)))
+  }
 }

@@ -251,4 +251,30 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 600000000L, 19.0)))
   }
+
+  test("e34 sessionize: planted gaps split sessions; the 8h boundary is strict") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    Seq(
+      // user 1: 00:00, 01:00, then EXACTLY 8h after 01:00 (gap == 8h is
+      // NOT a boundary — the rule is strictly greater), then a 15h gap
+      // → sessions {3 events, 00:00–09:00} and {1 event}
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-02 00:00:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: a single event is its own 0-duration session
+      (5L, ts("2024-01-01 12:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.sessionize(spark, dir)
+      .select("user_id", "session_idx", "n_events", "session_start",
+        "session_end", "dur_us", "n_types")
+      .as[(Long, Long, Long, String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 3L, "2024-01-01 00:00:00", "2024-01-01 09:00:00",
+        9L * 3600 * 1000000, 2L),
+      (1L, 2L, 1L, "2024-01-02 00:00:00", "2024-01-02 00:00:00", 0L, 1L),
+      (2L, 1L, 1L, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 0L, 1L)))
+  }
 }
