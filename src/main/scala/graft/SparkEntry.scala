@@ -223,6 +223,8 @@ object SparkEntry {
     "d51_gram_novelty" -> (LlmOps.gramNovelty _),
     // batch gap-based sessionization (gaps-and-islands over events)
     "e34_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    // C4/Gopher-style composite filter with per-rule flags + bitmask
+    "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1000,6 +1002,29 @@ object SparkEntry {
          |                END) AS BIGINT) AS DOUBLE) / count(*) AS novelty
          |FROM sh JOIN f USING (shingle)
          |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    "d52_quality_ensemble" ->
+      // all four verdicts are integer cross-multiplications — bit-exact
+      // across engines, no float division anywhere.
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(c) AS n, sum(c * len(word)) AS sl,
+         |        max(c) AS mx, count(*) AS nd
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(nd AS BIGINT) AS n_distinct,
+         |  n >= 12 AS r_len,
+         |  (sl * 10 >= n * 40 AND sl * 10 <= n * 50) AS r_wordlen,
+         |  mx * 5 <= n AS r_maxshare,
+         |  nd * 10 >= n * 3 AS r_distinct,
+         |  CAST((CASE WHEN n >= 12 THEN 0 ELSE 1 END)
+         |     + (CASE WHEN sl * 10 >= n * 40 AND sl * 10 <= n * 50
+         |             THEN 0 ELSE 2 END)
+         |     + (CASE WHEN mx * 5 <= n THEN 0 ELSE 4 END)
+         |     + (CASE WHEN nd * 10 >= n * 3 THEN 0 ELSE 8 END)
+         |     AS BIGINT) AS reasons,
+         |  (n >= 12 AND sl * 10 >= n * 40 AND sl * 10 <= n * 50
+         |   AND mx * 5 <= n AND nd * 10 >= n * 3) AS keep
+         |FROM a ORDER BY doc_id""".stripMargin,
     "e34_sessionize" ->
       // gaps-and-islands: lag → boundary flag → running sum; 8h gap
       // (Relational.sessionize default), integer-µs duration.

@@ -1158,4 +1158,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
       (3L, 2L, 1L, 0.5)))
   }
+
+  test("d52 ensemble: each rule fires independently; bitmask composes; boundaries inclusive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ensemble").toString
+    val clean = ('a' to 'o').map(c => c.toString * 4).mkString(" ") // 15×len-4
+    Seq(
+      // mean len EXACTLY 4.0 (sl·10 == n·40) and 15 ≥ 12: all pass
+      (1L, clean, "en", "s", 0L),
+      // 3 tokens: r_len fails; max share 1/3 > 20%: r_maxshare fails → 1+4
+      (2L, "aaaa bbbb cccc", "en", "s", 0L),
+      // 12 len-10 tokens: only r_wordlen fails (mean 10) → 2
+      (3L, (1 to 12).map(i => f"t$i%02d" + "x" * 7).mkString(" "), "en", "s", 0L),
+      // one token repeated 20×: share 100%, distinct 5% → 4+8
+      (4L, Seq.fill(20)("spam").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmOps.qualityEnsemble(spark, dir)
+      .select("doc_id", "reasons", "keep").as[(Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got === Seq((1L, 0L, true), (2L, 5L, false), (3L, 2L, false),
+      (4L, 12L, false)))
+  }
 }
