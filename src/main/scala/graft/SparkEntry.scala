@@ -143,6 +143,8 @@ object SparkEntry {
     "m03_hop_windows" -> (Multimodal.hopWindowMeta _),
     // windowed byte statistics computed from the payload content itself
     "m04_payload_stats" -> (Multimodal.payloadStats _),
+    // 2-D ViT-style patchify: strided non-contiguous patch slices
+    "m05_patch_grid" -> (Multimodal.patchGrid _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -1586,6 +1588,34 @@ object SparkEntry {
         |           ELSE (v - pv) * (v - pv) END) AS BIGINT) AS delta_energy
         |FROM d GROUP BY doc_id, win_id, n
         |ORDER BY doc_id, win_id""".stripMargin,
+    "m05_patch_grid" ->
+      // 2-D patchify in HEX space (the m04 byte-true discipline): a
+      // patch's 4 strided row slices are concatenated, then bytes
+      // recovered as hex pairs. All outputs integer-exact.
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    (octet_length(encode(text)) // 16) // 4 AS n_pr
+        |  FROM documents),
+        |g AS (SELECT doc_id, hx, unnest(range(n_pr * 4)) AS pid
+        |      FROM m WHERE n_pr > 0),
+        |p AS (SELECT doc_id, pid // 4 AS pr, pid % 4 AS pc,
+        |        substr(hx, CAST((((pid // 4) * 4 + 0) * 16 + (pid % 4) * 4) * 2 + 1 AS BIGINT), 8)
+        |        || substr(hx, CAST((((pid // 4) * 4 + 1) * 16 + (pid % 4) * 4) * 2 + 1 AS BIGINT), 8)
+        |        || substr(hx, CAST((((pid // 4) * 4 + 2) * 16 + (pid % 4) * 4) * 2 + 1 AS BIGINT), 8)
+        |        || substr(hx, CAST((((pid // 4) * 4 + 3) * 16 + (pid % 4) * 4) * 2 + 1 AS BIGINT), 8)
+        |          AS ph
+        |      FROM g),
+        |bv AS (SELECT doc_id, pr, pc, length(ph) // 2 AS n,
+        |         CAST(('0x' || substr(ph, CAST(k * 2 + 1 AS BIGINT), 2))
+        |              AS BIGINT) AS v
+        |       FROM (SELECT *, unnest(range(CAST(length(ph) // 2 AS BIGINT))) AS k
+        |             FROM p))
+        |SELECT doc_id, CAST(pr AS BIGINT) AS patch_row,
+        |  CAST(pc AS BIGINT) AS patch_col, CAST(n AS BIGINT) AS patch_len,
+        |  CAST(sum(v) AS BIGINT) AS byte_sum, min(v) AS byte_min,
+        |  max(v) AS byte_max
+        |FROM bv GROUP BY doc_id, pr, pc, n
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
     "s01_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
          |         '%Y-%m-%d %H:%M:%S') AS window_start,

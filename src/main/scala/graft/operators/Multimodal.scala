@@ -217,4 +217,62 @@ object Multimodal {
       .select(col("doc_id") +: col("frame_id") +: col("frame_len") +: flat: _*)
       .orderBy("doc_id", "frame_id")
   }
+
+  /** m05 — 2-D PATCH grid (the ViT "patchify" stage): the payload is
+    * interpreted as a row-major [[RowBytes]]-wide pixel grid (width
+    * would come from media metadata in a real table; the fixtures carry
+    * none, so it is a constant here) and tiled into disjoint
+    * [[PatchSize]]×[[PatchSize]] patches — one output row per patch
+    * with its grid coordinates and byte-true content statistics. The
+    * 1-D frame family (m02/m04) cannot express this: a 2-D patch's
+    * bytes are NON-CONTIGUOUS in the payload ([[PatchSize]] strided
+    * row slices), which is exactly what makes patchify a distinct
+    * operator shape.
+    *
+    * Plan: patches explode from a computed grid size (empty-payload
+    * guarded like [[frameRows]]); each patch's bytes are [[PatchSize]]
+    * strided `substring`s concatenated — static unrolled, inside one
+    * codegen span — then [[graft.functions.ByteValues]] recovers values
+    * for integer-exact sum/min/max. Scan-parallel, zero exchanges
+    * before the presentation sort (the m04 posture); partial rows and
+    * partial patch-rows are truncated (a doc under
+    * [[RowBytes]]·[[PatchSize]] bytes yields no patches). */
+  val RowBytes = 16
+  val PatchSize = 4
+
+  def patchGrid(s: SparkSession, d: String): DataFrame =
+    patchGridOver(mediaTable(s, d))
+
+  /** [[patchGrid]] over any (doc_id, payload BINARY) media table —
+    * split out so specs can plant payloads with known 2-D structure
+    * (constant columns / rows) and non-ASCII bytes. */
+  private[graft] def patchGridOver(media: DataFrame): DataFrame = {
+    val W = RowBytes
+    val P = PatchSize
+    val cols = W / P // patch-grid width
+    val rows = media
+      // full pixel rows only, then full patch rows only
+      .withColumn("n_pr",
+        expr(s"(length(payload) div $W) div $P").cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(when(col("n_pr") > 0,
+          sequence(lit(0), col("n_pr") * cols - 1))
+          .otherwise(array().cast("array<int>"))).as("pid"))
+      .select(col("doc_id"), col("payload"),
+        expr(s"pid div $cols").cast("long").as("patch_row"),
+        (col("pid") % cols).cast("long").as("patch_col"))
+    val patchBytes = concat((0 until P).map(r =>
+      expr(s"substring(payload, ((patch_row * $P + $r) * $W" +
+        s" + patch_col * $P) + 1, $P)")): _*)
+    val bs = call_function(graft.functions.ByteValues.Name, col("pb"))
+    rows
+      .withColumn("pb", patchBytes)
+      .withColumn("bs", bs)
+      .select(col("doc_id"), col("patch_row"), col("patch_col"),
+        length(col("pb")).cast("long").as("patch_len"),
+        aggregate(col("bs"), lit(0L), (acc, x) => acc + x).as("byte_sum"),
+        array_min(col("bs")).as("byte_min"),
+        array_max(col("bs")).as("byte_max"))
+      .orderBy("doc_id", "patch_row", "patch_col")
+  }
 }

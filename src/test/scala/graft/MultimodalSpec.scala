@@ -172,6 +172,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m05 patches are 2-D: strided non-contiguous slices, byte-true, truncation") {
+    import spark.implicits._
+    // 8 pixel rows of 16 bytes; row r is filled with the NON-ASCII byte
+    // 0xF0 − r (each grid row constant, so a patch's content depends
+    // only on its patch_row — column-position independence is exactly
+    // the 2-D strided-slice property a 1-D frame op cannot have)
+    val grid = (0 until 8).flatMap(r =>
+      Array.fill(16)((0xf0 - r).toByte)).toArray
+    // 100 bytes → 6 full pixel rows → ONE full patch row (rows 0–3)
+    val partial = (0 until 100).map(i => (i % 251).toByte).toArray
+    // 63 bytes → 3 pixel rows → no full patch row → zero patches
+    val tiny = Array.fill(63)(0x41.toByte)
+    val media = Seq((1L, grid), (2L, partial), (3L, tiny))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.patchGridOver(media)
+      .select("doc_id", "patch_row", "patch_col", "patch_len",
+        "byte_sum", "byte_min", "byte_max")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.size === 8) // 2 patch rows × 4 patch cols
+    doc1.foreach { case (_, pr, pc, len, sum, mn, mx) =>
+      val vals = (0 until 4).map(r => 0xf0L - (pr * 4 + r))
+      assert(len === 16L, s"patch ($pr,$pc)")
+      assert(sum === vals.sum * 4, s"patch ($pr,$pc) sum")
+      assert(mn === vals.min && mx === vals.max, s"patch ($pr,$pc) range")
+    }
+    // doc 2: exactly one patch row, byte-true against a direct model
+    val doc2 = got.filter(_._1 == 2L)
+    assert(doc2.map(p => (p._2, p._3)).sorted ===
+      Seq((0L, 0L), (0L, 1L), (0L, 2L), (0L, 3L)))
+    doc2.foreach { case (_, pr, pc, len, sum, mn, mx) =>
+      val bytes = (0 until 4).flatMap(r =>
+        partial.slice(((pr * 4 + r) * 16 + pc * 4).toInt,
+          ((pr * 4 + r) * 16 + pc * 4).toInt + 4))
+        .map(b => (b & 0xff).toLong)
+      assert(len === 16L && sum === bytes.sum &&
+        mn === bytes.min && mx === bytes.max, s"doc2 patch ($pr,$pc)")
+    }
+    assert(!got.exists(_._1 == 3L)) // under one patch row → no output
+  }
+
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
