@@ -68,7 +68,15 @@ class EmptyInputSpec extends SparkSpec {
       "spanDedup" -> (LlmOps.spanDedup _),
       "sourceCap" -> (LlmOps.sourceCap _),
       "qualityClassifier" -> (LlmOps.qualityClassifier _),
-      "editVerify" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.editVerify(s, d))
+      "editVerify" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.editVerify(s, d)),
+      // round 9: the rank kernel must survive a zero-row range
+      // repartition (no boundary samples), the novelty/ensemble aggs an
+      // empty token stream, e34/m05 empty events/payload tables
+      "perplexityBuckets" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.perplexityBuckets(s, d)),
+      "gramNovelty" -> (LlmOps.gramNovelty _),
+      "qualityEnsemble" -> (LlmOps.qualityEnsemble _),
+      "sessionize" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Relational.sessionize(s, d)),
+      "patchGrid" -> (Multimodal.patchGrid _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
