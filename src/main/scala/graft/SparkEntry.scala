@@ -227,6 +227,8 @@ object SparkEntry {
     "e34_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
+    // cohort retention matrix (per-user anchor → (cohort, week k) grid)
+    "e35_retention" -> (Relational.retention _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1027,6 +1029,25 @@ object SparkEntry {
          |  (n >= 12 AND sl * 10 >= n * 40 AND sl * 10 <= n * 50
          |   AND mx * 5 <= n AND nd * 10 >= n * 3) AS keep
          |FROM a ORDER BY doc_id""".stripMargin,
+    "e35_retention" ->
+      // week_k is integer day arithmetic on week-start dates; retention
+      // is one division of engine-identical integers — raw.
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+        |        AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |        CAST(date_trunc('week', ts) AS DATE) AS wk FROM e),
+        |m AS (SELECT cohort, (wk - cohort) // 7 AS week_k,
+        |        count(*) AS n_active
+        |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(week_k AS BIGINT) AS week_k,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_cohort AS BIGINT) AS n_cohort,
+        |  CAST(n_active AS BIGINT)::DOUBLE / n_cohort AS retention
+        |FROM m JOIN s USING (cohort)
+        |ORDER BY cohort, week_k""".stripMargin,
     "e34_sessionize" ->
       // gaps-and-islands: lag → boundary flag → running sum; 8h gap
       // (Relational.sessionize default), integer-µs duration.

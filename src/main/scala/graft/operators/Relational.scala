@@ -860,4 +860,40 @@ object Relational {
         col("n_types"))
       .orderBy("user_id", "session_idx")
   }
+
+  /** E35 — cohort RETENTION matrix (the product-analytics staple):
+    * users are grouped into signup cohorts by their first-event ISO
+    * week, and each (cohort, week k) cell reports how many of them were
+    * active k weeks later — the triangle chart every growth dashboard
+    * draws, and a shape none of funnel (per-user order), sessionize
+    * (per-user gaps), or plain windowed aggregation (no cohort anchor)
+    * expresses: each cell conditions on a PER-USER derived anchor.
+    *
+    * Plan: the per-user anchor and the distinct (user, week) activity
+    * set shuffle on user_id (one key), join co-keyed on it, and the
+    * matrix is a keyed aggregate on the REDUCED (cohort, k) grid —
+    * cohort sizes broadcast back. No windows. `week_k` is integer day
+    * arithmetic on week-start dates (exact multiples of 7); `retention`
+    * is one IEEE division of engine-identical integers — raw, no
+    * rounding (Canon note). The fixtures' users are all first-active in
+    * week one (dense synthetic streams), so the matrix degenerates to
+    * one cohort row-block there; RelationalSpec plants staggered
+    * cohorts with churn to exercise the full triangle. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val first = e.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+    val active = e.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    active.join(first, "user_id")
+      .groupBy(col("cohort"),
+        expr("datediff(wk, cohort) div 7").cast("long").as("week_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(dateStr(col("cohort")).as("cohort"), col("week_k"),
+        col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy("cohort", "week_k")
+  }
 }

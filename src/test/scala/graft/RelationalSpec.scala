@@ -277,4 +277,30 @@ class RelationalSpec extends SparkSpec {
       (1L, 2L, 1L, "2024-01-02 00:00:00", "2024-01-02 00:00:00", 0L, 1L),
       (2L, 1L, 1L, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 0L, 1L)))
   }
+
+  test("e35 retention: staggered cohorts with churn draw the full triangle") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
+    // cohort A (week of Mon 2024-01-01): user 1 active weeks 0,1,2;
+    //   user 2 active weeks 0 and 2 (churns week 1, RETURNS — the
+    //   comeback case a naive "streak" computation gets wrong)
+    // cohort B (week of 2024-01-08): user 3 active weeks 0,1
+    val evs = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-10"), (1L, "2024-01-17"),
+      (2L, "2024-01-02"), (2L, "2024-01-16"),
+      (3L, "2024-01-08"), (3L, "2024-01-15"))
+    evs.zipWithIndex.map { case ((u, d0), i) =>
+      (i.toLong + 1, ts(d0), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.retention(spark, dir)
+      .select("cohort", "week_k", "n_active", "n_cohort", "retention")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5), // user 2 churned this week
+      ("2024-01-01", 2L, 2L, 2L, 1.0), // ... and came back
+      ("2024-01-08", 0L, 1L, 1L, 1.0),
+      ("2024-01-08", 1L, 1L, 1L, 1.0)))
+  }
 }
