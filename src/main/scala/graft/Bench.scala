@@ -175,10 +175,14 @@ object Bench {
     val total = timings.map(_._2).sum
     // 2-decimal stdout values (10 ms grain — budgets are 0.05-stepped, so
     // nothing the gate reads needs more): at 134 queries the extra decimal
-    // was ~134 chars of the driver's ~2000-char tail capture. Full
-    // precision still lands in BENCH_FULL.json below.
+    // was ~134 chars of the driver's ~2000-char tail capture. Values ≥100
+    // drop the decimals entirely so the worst case stays 5 chars
+    // ("99.99") — a near-timeout 149.99 s query would otherwise print 6
+    // and ~100 s queries could overflow the line ContractSpec certifies.
+    // Full precision still lands in BENCH_FULL.json below.
     def fmt(v: Double): String =
-      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(v)
+        .setScale(if (v >= 100) 0 else 2, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
     val extra = s""","passes":${ps.size}""" + (if (truncated) s""","truncated":true""" else "")
 

@@ -42,6 +42,14 @@ object PairStore {
     p.toString
   }
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+  // per-corpus publish serialization: two concurrent publishers (or a
+  // publisher racing a publish-if-absent reader) would interleave
+  // `overwrite` writes into the SAME staging dir and double-run the
+  // rename swap — the second ATOMIC_MOVE throws, or an audit counts the
+  // other job's half-overwritten staging. Monitors are reentrant, so
+  // pairs() → publish() under one lock is fine.
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(d: String): Object = locks.getOrElseUpdate(d, new Object)
 
   private def baseFor(d: String): String =
     s"$root/${java.lang.Integer.toHexString(d.hashCode)}"
@@ -51,20 +59,35 @@ object PairStore {
     * write to staging, audit the STAGED FILES re-read (row count vs the
     * plan's own count, null keys, duplicate (i, j) keys), promote
     * atomically only if all audits pass. Returns the audit manifest. */
-  def publish(s: SparkSession, d: String): DataFrame = {
+  def publish(s: SparkSession, d: String): DataFrame = lockFor(d).synchronized {
+    import org.apache.spark.sql.functions.col
     val pairs = LlmOps.jaccardPairs(s, d, Threshold)
     val expected = pairs.count()
     val manifest = Sources.writeAuditPublishStaged(s, pairs, expected,
       baseFor(d), keyCols = Seq("i", "j"))
-    built(d) = s"${baseFor(d)}/published"
+    // record the store ONLY when the gate actually promoted: a failed
+    // audit leaves nothing at the published path, and pinning it would
+    // break every later read in this JVM precisely when the safety
+    // gate fired (and stop pairs() from ever retrying the publish)
+    val promoted = manifest
+      .filter(col("check_name") === "published_rows").head.getBoolean(2)
+    if (promoted) built(d) = s"${baseFor(d)}/published"
     manifest
   }
 
   /** Read-side accessor: publish-if-absent, then scan the published
     * table. Consumers see a plain parquet relation — filters and column
-    * pruning push into the scan; no shingle work happens here. */
+    * pruning push into the scan; no shingle work happens here. A
+    * publish whose audit REJECTED the table fails loudly here rather
+    * than scanning a path that was never created. */
   private[graft] def pairs(s: SparkSession, d: String): DataFrame = {
-    val path = built.getOrElse(d, { publish(s, d); built(d) })
+    val path = built.getOrElse(d, lockFor(d).synchronized {
+      built.getOrElse(d, { // re-check under the lock: another thread won
+        publish(s, d)
+        built.getOrElse(d, throw new IllegalStateException(
+          s"pair-store publish for $d failed its WAP audit — no table"))
+      })
+    })
     s.read.parquet(path)
   }
 

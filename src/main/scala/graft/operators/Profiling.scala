@@ -228,14 +228,12 @@ object Profiling {
     * ReuseExchange fallback semantics. */
   private[graft] def globalRankByRange(df: DataFrame,
       sortExprs: Seq[Column], nShards: Int = 32): DataFrame = {
-    val lvl = df.sparkSession.conf
-      .get("spark.graft.corpusPersistLevel", "MEMORY_AND_DISK")
-    val ranged = df
+    // ONE definition of the persist knob (LlmOps.persistCorpus) — with
+    // corpusPersistLevel=NONE this falls back to the one-query
+    // ReuseExchange unification, per the p04 scaladoc above
+    val sharded = LlmOps.persistCorpus(df
       .repartitionByRange(nShards, sortExprs: _*)
-      .withColumn("shard", spark_partition_id())
-    val sharded = if (lvl.equalsIgnoreCase("NONE")) ranged
-      else ranged.persist(org.apache.spark.storage.StorageLevel.fromString(
-        lvl.toUpperCase(java.util.Locale.ROOT)))
+      .withColumn("shard", spark_partition_id()))
     val counts = sharded.groupBy("shard").agg(count(lit(1)).as("cnt"))
     // nShards-row prefix sum: off = rows in strictly-smaller shards
     val wOff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)

@@ -24,8 +24,10 @@ class ContractSpec extends SparkSpec {
     // (BASELINE.md "BENCH key abbreviation"); with sbt's epilogue (~100
     // chars) the JSON line must stay comfortably below that. Uses the
     // REAL Bench.shortKey over the real query set with worst-case 5-char
-    // values (2-decimal stdout grain, Bench.fmt), and models the
-    // all-queries-failed line too (short keys appear in `failed` as well).
+    // values — "99.99" is the widest Bench.fmt can print per query
+    // (2-decimal grain below 100 s, decimals dropped at ≥100 s, and the
+    // 150 s query timeout caps the magnitude at 3 digits) — and models
+    // the all-queries-failed line too (short keys appear in `failed`).
     val keys = SparkEntry.queries.keys.toSeq
     assert(keys.map(Bench.shortKey).distinct.size === keys.size, "short bench keys collide")
     val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.99").mkString(

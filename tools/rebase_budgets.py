@@ -35,11 +35,12 @@ PLAN_CHANGED_R9 = {"d42_span_dedup", "d38_dup_weights", "p04_equidepth_bins",
                    "d47_store_contamination", "d48_store_edit_verify"}
 
 def short_key(full):
-    if full.startswith("q_"):
-        return {"q_wordcount": "qwc", "q_topk": "qtk", "q_inverted_index": "qii",
-                "q_wordcount_republic": "qwcr", "q_topk_republic": "qtkr",
-                "q_inverted_index_republic": "qiir"}[full]
-    return full.split("_")[0]
+    # mirrors Bench.shortKey (Bench.scala) including its getOrElse
+    # fallback — a future q_* query not in the dict must fall back to
+    # the id prefix, not crash the re-base run
+    return {"q_wordcount": "qwc", "q_topk": "qtk", "q_inverted_index": "qii",
+            "q_wordcount_republic": "qwcr", "q_topk_republic": "qtkr",
+            "q_inverted_index_republic": "qiir"}.get(full, full.split("_")[0])
 
 def ceil05(x):
     return math.ceil(x * 20) / 20
