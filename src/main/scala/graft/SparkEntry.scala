@@ -73,6 +73,8 @@ object SparkEntry {
     "e30_topk_per_group" -> (Relational.topkPerGroup _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
+    // typed cogroup: both per-key iterators at once, left-complete
+    "t03_typed_cogroup" -> (TypedOps.typedCogroup _),
     // the Phoenix MapReduce facade (same contract as q_wordcount)
     "t02_phoenix_wordcount" -> ((s, _) => PhoenixApi.phoenixWordCount(s)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
@@ -561,6 +563,15 @@ object SparkEntry {
     // the same native-ASOF oracle applies verbatim
     "e20b_asof_bucketed" -> asofSql,
     "t01_typed_topk" -> topkSql("Dracula.txt", 50),
+    "t03_typed_cogroup" ->
+      // the typed cogroup's imperative fold IS a LEFT JOIN + GROUP BY;
+      // prices decimal-cast pre-sum (dsum discipline), one →double cast
+      """SELECT c_custkey, c_name, count(o_custkey) AS n_orders,
+        |  CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+        |       AS DOUBLE) AS sum_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
     "t02_phoenix_wordcount" -> wordCountSql("Dracula.txt"),
     "e21_salted_agg" ->
       s"""SELECT user_id, count(*) AS n_events, ${dsum("value")} AS sum_value,

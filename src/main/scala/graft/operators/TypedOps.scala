@@ -45,4 +45,47 @@ object TypedOps {
       .select(col("word"), col("cnt"))
       .orderBy(col("cnt").desc, col("word").desc)
   }
+
+  case class CustRow(c_custkey: Long, c_name: String)
+  case class OrdRow(o_custkey: Long, o_totalprice: java.math.BigDecimal)
+
+  /** t03 — typed COGROUP (`KeyValueGroupedDataset.cogroup`): per
+    * customer, BOTH iterators at once — the customer row and ALL their
+    * orders — folded imperatively into (n_orders, exact decimal spend).
+    * Left-complete by construction: a customer with zero orders gets an
+    * empty right iterator and still emits (the typed analog of a LEFT
+    * JOIN + GROUP BY, which the relational oracle states directly).
+    * This is the typed PORT surface, like t01/t02: cogroup is object
+    * serde outside whole-stage codegen, so the relational form wins in
+    * hot paths — cogroup earns its place when per-key logic genuinely
+    * needs both sides as collections (merge-reconcile jobs, per-entity
+    * sequence alignment), which no combination of typed joins gives.
+    *
+    * Exactness: prices are cast DECIMAL(18,2) in the PROJECTION (the
+    * dsum discipline) so the per-customer BigDecimal fold is exact and
+    * order-independent, then ONE decimal→double conversion both
+    * engines compute identically. Both sides shuffle once on the
+    * customer key. `cs` holds exactly one row (customer PK); an orphan
+    * order (no matching customer — impossible under TPC-H referential
+    * integrity) would emit nothing, matching the oracle's LEFT join. */
+  def typedCogroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val c = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name")).as[CustRow]
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_custkey"),
+        col("o_totalprice").cast(dec2).as("o_totalprice")).as[OrdRow]
+    c.groupByKey(_.c_custkey).cogroup(o.groupByKey(_.o_custkey)) { (k, cs, os) =>
+      cs.map { cust =>
+        var n = 0L
+        var sum = java.math.BigDecimal.ZERO
+        os.foreach { r => n += 1; sum = sum.add(r.o_totalprice) }
+        (k, cust.c_name, n, sum)
+      }
+    }.toDF("c_custkey", "c_name", "n_orders", "sum_spent")
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+        col("sum_spent").cast("double").as("sum_spent"))
+      .orderBy("c_custkey")
+  }
 }

@@ -122,6 +122,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.funnel(spark, emptyDir).count() === 0L)
     assert(Relational.twap(spark, emptyDir).count() === 0L)
     assert(Relational.retention(spark, emptyDir).count() === 0L)
+    assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
     assert(Profiling.histogram(spark, emptyDir).count() === 0L)
     assert(Profiling.equidepthBins(spark, emptyDir).count() === 0L)
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)

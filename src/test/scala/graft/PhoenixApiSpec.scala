@@ -41,4 +41,36 @@ class PhoenixApiSpec extends SparkSpec {
     assert(out("b") === 7L)
     assert(Set(1L, 2L).contains(out("a"))) // "any value" contract
   }
+
+  test("t03 typed cogroup ≡ relational left-join rollup, zero-order customers kept") {
+    import org.apache.spark.sql.functions._
+    val got = operators.TypedOps.typedCogroup(spark, Sf)
+      .select("c_custkey", "n_orders", "sum_spent")
+      .as[(Long, Long, Double)].collect().toSeq
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val want = Tables.customer(spark, Sf).select(col("c_custkey"))
+      .join(Tables.orders(spark, Sf)
+        .select(col("o_custkey"), col("o_totalprice").cast(dec2).as("p")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("n"),
+        coalesce(sum(col("p")), lit(0).cast(dec2)).cast("double").as("s"))
+      .orderBy("c_custkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    // the fixtures give every customer orders, so exercise the
+    // left-complete (empty right iterator) branch on a planted pair of
+    // tables: customer 2 has no orders and must still emit (0, 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cogroup").toString
+    Seq((1L, "alice", 10.0), (2L, "bob", 20.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 100.50), (11L, 1L, 49.50))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val planted = operators.TypedOps.typedCogroup(spark, dir)
+      .select("c_custkey", "c_name", "n_orders", "sum_spent")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(planted === Seq((1L, "alice", 2L, 150.0), (2L, "bob", 0L, 0.0)))
+  }
 }
