@@ -203,6 +203,8 @@ object SparkEntry {
     "s10_stream_stream_left" -> (Streaming.streamLeftJoin _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
+    // snapshot reconciliation: added/removed/changed + per-column counts
+    "p06_table_diff" -> (Profiling.tableDiff _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     // write-audit-publish staging gate for derived tables
@@ -1171,6 +1173,43 @@ object SparkEntry {
         |                 ((cur_n + 1)::DOUBLE / (nc + 10)))
         |              AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
         |FROM h, tot ORDER BY bin""".stripMargin,
+    "p06_table_diff" ->
+      // prev snapshot derived deterministically (mod-17 absent → added,
+      // mod-10 draft text / mod-13 blank lang → changed, mod-23
+      // synthetic keys → removed); all outputs integer counts.
+      """WITH cur AS (SELECT doc_id, text, lang, source FROM documents),
+        |prev AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' [draft]' ELSE text END
+        |      AS text,
+        |    CASE WHEN doc_id % 13 = 0 THEN '' ELSE lang END AS lang,
+        |    source
+        |  FROM cur WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source FROM cur
+        |  WHERE doc_id % 23 = 0),
+        |j AS (SELECT c.doc_id AS cid, p.doc_id AS pid,
+        |        c.text AS ct, p.text AS pt, c.lang AS cl, p.lang AS pl,
+        |        c.source AS cs, p.source AS ps
+        |      FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN cid IS NOT NULL AND pid IS NOT NULL
+        |        AND (ct <> pt OR cl <> pl OR cs <> ps) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN cid IS NOT NULL AND pid IS NOT NULL
+        |        AND ct = pt AND cl = pl AND cs = ps THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN cid IS NOT NULL AND pid IS NOT NULL
+        |        AND ct <> pt THEN 1 ELSE 0 END) AS BIGINT) AS chg_text,
+        |  CAST(sum(CASE WHEN cid IS NOT NULL AND pid IS NOT NULL
+        |        AND cl <> pl THEN 1 ELSE 0 END) AS BIGINT) AS chg_lang,
+        |  CAST(sum(CASE WHEN cid IS NOT NULL AND pid IS NOT NULL
+        |        AND cs <> ps THEN 1 ELSE 0 END) AS BIGINT) AS chg_source
+        |FROM j""".stripMargin,
     "s11_running_totals" ->
       s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events WHERE event_type <> 'sentinel'

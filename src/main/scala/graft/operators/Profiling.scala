@@ -176,6 +176,63 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** p06 — snapshot RECONCILIATION (the data-diff tool shape): compare
+    * two versions of a keyed table and report added / removed /
+    * changed / unchanged row counts plus per-column change counts —
+    * the audit every pipeline migration, backfill, and CDC consumer
+    * runs before trusting a new snapshot ("what exactly did this
+    * change?"). p05 answers "did the DISTRIBUTION move"; p06 answers
+    * "which ROWS moved, and in which columns".
+    *
+    * The fixtures carry one snapshot, so the previous version is
+    * DERIVED deterministically (the p05 discipline, reproduced verbatim
+    * by the oracle): rows with doc_id ≡ 0 (mod 17) are absent from
+    * prev (→ `added`), rows with doc_id ≡ 0 (mod 10) carry a draft
+    * marker in prev's text (→ `changed`, text column), prev's lang is
+    * blanked where doc_id ≡ 0 (mod 13) (→ `changed`, lang column), and
+    * prev has synthetic rows at doc_id+1000000 for doc_id ≡ 0 (mod 23)
+    * (→ `removed`). A real deployment passes two real snapshots.
+    *
+    * Plan: ONE full-outer shuffle join on the key, then a single global
+    * conditional-sum aggregate — the canonical reconciliation topology.
+    * At 100 TB both snapshots live bucketed on the key (f05), making
+    * the join zero-shuffle and the diff scan-bound; all outputs are
+    * integer counts, bit-exact anywhere. */
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val mutated = cur
+      .filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [draft]")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 13 === 0, lit("")).otherwise(col("lang"))
+          .as("lang"),
+        col("source"))
+    val prev = mutated.unionByName(
+      cur.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text"), col("lang"), col("source")))
+    val joined = cur.as("c").join(prev.as("p"),
+      col("c.doc_id") === col("p.doc_id"), "full_outer")
+    def both = col("c.doc_id").isNotNull && col("p.doc_id").isNotNull
+    def chg(n: String) = both && col(s"c.$n") =!= col(s"p.$n")
+    // coalesce: a day-one EMPTY table must diff to all-zero counts, not
+    // a row of NULL sums
+    def cnt(cond: org.apache.spark.sql.Column) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+    joined.agg(
+      cnt(col("p.doc_id").isNull).as("n_added"),
+      cnt(col("c.doc_id").isNull).as("n_removed"),
+      cnt(both && (chg("text") || chg("lang") || chg("source")))
+        .as("n_changed"),
+      cnt(both && !chg("text") && !chg("lang") && !chg("source"))
+        .as("n_unchanged"),
+      cnt(chg("text")).as("chg_text"),
+      cnt(chg("lang")).as("chg_lang"),
+      cnt(chg("source")).as("chg_source"))
+  }
+
   /** p04 — exact equi-DEPTH binning (quantile discretizer) of
     * `orders.o_totalprice` into `nBuckets` buckets of (near-)equal row
     * count — the feature-binning step of ML prep, and the general

@@ -123,6 +123,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.twap(spark, emptyDir).count() === 0L)
     assert(Relational.retention(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
+    // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums
+    val diff = operators.Profiling.tableDiff(spark, emptyDir).head()
+    (0 until 7).foreach(i => assert(diff.getLong(i) === 0L, s"p06 col $i"))
     assert(Profiling.histogram(spark, emptyDir).count() === 0L)
     assert(Profiling.equidepthBins(spark, emptyDir).count() === 0L)
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)

@@ -239,4 +239,23 @@ class ProfilingSpec extends SparkSpec {
         s"$t: merged-halves sketch must be byte-identical to the whole")
     }
   }
+
+  test("p06 diff counts are exact on a planted table and conserve row totals") {
+    import spark.implicits._
+    // doc_ids 1..30: prev drops 17 (→ added), drafts text on 10/20/30,
+    // blanks lang on 13/26, and carries a synthetic 1000023 (→ removed)
+    val dir = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    (1 to 30).map(i => (i.toLong, s"t$i", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.Profiling.tableDiff(spark, dir).head()
+    val Seq(added, removed, changed, unchanged, cText, cLang, cSource) =
+      (0 until 7).map(r.getLong)
+    assert((added, removed, changed, unchanged) === ((1L, 1L, 5L, 24L)))
+    assert((cText, cLang, cSource) === ((3L, 2L, 0L)))
+    // conservation: every cur row is added|changed|unchanged; every
+    // prev row is removed|changed|unchanged
+    assert(added + changed + unchanged === 30L)
+    assert(removed + changed + unchanged === 30L)
+  }
 }
