@@ -209,6 +209,9 @@ object SparkEntry {
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     // write-audit-publish staging gate for derived tables
     "f09_write_audit_publish" -> (Sources.writeAuditPublish _),
+    // small-file compaction job: fragment 64-way, rewrite to size-derived
+    // file count, report content-derived facts from the compacted re-read
+    "f10_compaction" -> (Sources.compaction _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1217,6 +1220,21 @@ object SparkEntry {
     // f09: the derived table is the d01 survivor set, so every audit
     // observation is a deterministic function of `documents`; on this
     // clean input all checks pass and published_rows = survivor count.
+    "f10_compaction" ->
+      // content-derived facts only (layout facts live in StorageSpec);
+      // the checksum sums per-doc md5 prefixes — order-independent
+      // exact integers, the simhash-oracle technique.
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(sum(octet_length(encode(text))), 0) AS BIGINT)
+        |    AS text_bytes,
+        |  CASE WHEN count(*) = 0 THEN 0
+        |       ELSE greatest(1, CAST(ceil(
+        |         COALESCE(sum(octet_length(encode(text))), 0)::DOUBLE
+        |           / 262144) AS BIGINT))
+        |  END AS n_target_files,
+        |  CAST(COALESCE(sum(('0x' || substr(md5(text), 1, 8))::BIGINT), 0)
+        |       AS BIGINT) AS content_sum
+        |FROM documents""".stripMargin,
     "f09_write_audit_publish" ->
       """WITH n AS (SELECT count(DISTINCT
         |             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))

@@ -330,4 +330,58 @@ object Sources {
       .toDF("check_name", "observed", "ok")
       .orderBy("check_name")
   }
+
+  /** Compaction rewrite target: ~256 KiB of text per output file —
+    * deliberately tiny so the fixtures produce a multi-file compacted
+    * layout; production binds 128 MB–1 GB. */
+  val CompactTargetBytes: Long = 256L * 1024
+
+  /** f10 — small-file COMPACTION (the maintenance job behind the
+    * "small-file problem"): streaming ingests, per-partition writers,
+    * and frequent upserts leave tables as thousands of KB-sized files,
+    * and at 100 TB file-open/footer overhead then dominates every scan
+    * (a 1000-executor scan of 10⁷ 10 KB files is metadata-bound, not
+    * IO-bound). The job: measure the table's CONTENT size, derive the
+    * target file count from a size budget, and rewrite into that many
+    * files — here simulated by first writing `documents` fragmented
+    * 64 ways, then compacting.
+    *
+    * Like f09 this is an eager JOB, not a lazy plan (it performs its
+    * writes when invoked). The returned row carries only
+    * CONTENT-derived facts the oracle can recompute (row count, text
+    * bytes, the target-count arithmetic, an order-independent content
+    * checksum summed from per-doc md5 prefixes — integer-exact in any
+    * engine), aggregated from the COMPACTED files re-read, so the
+    * rewrite's fidelity is what is checked. File counts live in
+    * StorageSpec (layout facts are not SQL-derivable): compacted file
+    * count = the declared target, strictly fewer than fragmented.
+    * Scale: both rewrites are one shuffle each (round-robin
+    * repartition); the stats pass is a 2-scalar aggregate. */
+  /** The two scratch layouts [[compaction]] writes — exposed so
+    * StorageSpec can pin the layout facts (file counts) the SQL oracle
+    * cannot see. */
+  private[graft] def compactionDirs: (String, String) =
+    (dir("docs_fragmented"), dir("docs_compacted"))
+
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    val (frag, compacted) = compactionDirs
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    val src = s.read.parquet(frag)
+    val stats = src.agg(count(lit(1)),
+      coalesce(sum(octet_length(col("text"))), lit(0L))).head()
+    val (n, bytes) = (stats.getLong(0), stats.getLong(1))
+    val nTarget: Long =
+      if (n == 0) 0L
+      else math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes)
+    if (nTarget > 0)
+      src.repartition(nTarget.toInt).write.mode("overwrite").parquet(compacted)
+    val back = if (nTarget > 0) s.read.parquet(compacted) else src
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(octet_length(col("text"))), lit(0L)).as("text_bytes"),
+      lit(nTarget).as("n_target_files"),
+      coalesce(sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long")), lit(0L)).as("content_sum"))
+  }
 }

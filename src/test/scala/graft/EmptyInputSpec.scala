@@ -126,6 +126,9 @@ class EmptyInputSpec extends SparkSpec {
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums
     val diff = operators.Profiling.tableDiff(spark, emptyDir).head()
     (0 until 7).foreach(i => assert(diff.getLong(i) === 0L, s"p06 col $i"))
+    // f10 on an empty table: zero target files, all-zero facts, no throw
+    val comp = operators.Sources.compaction(spark, emptyDir).head()
+    (0 until 4).foreach(i => assert(comp.getLong(i) === 0L, s"f10 col $i"))
     assert(Profiling.histogram(spark, emptyDir).count() === 0L)
     assert(Profiling.equidepthBins(spark, emptyDir).count() === 0L)
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)

@@ -177,4 +177,27 @@ class StorageSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(back === Set((1L, 5L), (2L, 3L), (3L, 9L)))
   }
+
+  test("f10 compaction: file count hits the declared target, strictly fewer files") {
+    // layout facts the SQL oracle cannot see: the compacted directory
+    // holds exactly n_target_files parquet parts, strictly fewer than
+    // the 64-way fragmented layout, and content survives the rewrite
+    def parts(p: String) = Option(new java.io.File(p).listFiles())
+      .map(_.count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))).getOrElse(0)
+    val row = operators.Sources.compaction(spark, Sf).head()
+    val (nRows, target) = (row.getLong(0), row.getLong(2))
+    assert(nRows > 0 && target > 0)
+    val (frag, compacted) = operators.Sources.compactionDirs
+    assert(parts(compacted) === target.toInt,
+      "compacted layout must hold exactly the declared target file count")
+    assert(parts(frag) > parts(compacted),
+      "compaction must strictly reduce the file count")
+    // fidelity: the compacted re-read is row-identical to the source
+    val src = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val back = spark.read.parquet(compacted)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === src)
+  }
 }
