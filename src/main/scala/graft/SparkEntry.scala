@@ -205,6 +205,7 @@ object SparkEntry {
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
     // snapshot reconciliation: added/removed/changed + per-column counts
     "p06_table_diff" -> (Profiling.tableDiff _),
+    "p07_mad_outliers" -> (Profiling.madOutliers _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     // write-audit-publish staging gate for derived tables
@@ -232,6 +233,7 @@ object SparkEntry {
     "d51_gram_novelty" -> (LlmOps.gramNovelty _),
     // batch gap-based sessionization (gaps-and-islands over events)
     "e34_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "e36_interval_merge" -> (Relational.intervalMerge _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
@@ -1064,6 +1066,36 @@ object SparkEntry {
         |  CAST(n_active AS BIGINT)::DOUBLE / n_cohort AS retention
         |FROM m JOIN s USING (cohort)
         |ORDER BY cohort, week_k""".stripMargin,
+    "e36_interval_merge" ->
+      // running-max-of-ends islands (NOT the lag-gap rule — a short
+      // interval inside a long one must not split); closed-open
+      // adjacency merges; all integer-µs arithmetic.
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + (CAST(json_extract_string(props, '$.k') AS BIGINT) + 1)
+        |        * 60000000 AS end_us
+        |  FROM events),
+        |m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS max_prev_end
+        |      FROM iv),
+        |n AS (SELECT *, CASE WHEN max_prev_end IS NULL
+        |        OR start_us > max_prev_end THEN 1 ELSE 0 END AS is_new
+        |      FROM m),
+        |isl AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |          ORDER BY start_us, event_id ROWS UNBOUNDED PRECEDING)
+        |          AS island
+        |        FROM n)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  count(*) AS n_events,
+        |  min(start_us) AS merged_start_us,
+        |  max(end_us) AS merged_end_us,
+        |  max(end_us) - min(start_us) AS covered_us,
+        |  CAST(sum(end_us - start_us) AS BIGINT) AS sum_dur_us
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
     "e34_sessionize" ->
       // gaps-and-islands: lag → boundary flag → running sum; 8h gap
       // (Relational.sessionize default), integer-µs duration.
@@ -1176,6 +1208,29 @@ object SparkEntry {
         |                 ((cur_n + 1)::DOUBLE / (nc + 10)))
         |              AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
         |FROM h, tot ORDER BY bin""".stripMargin,
+    "p07_mad_outliers" ->
+      // med/MAD are round4-contracted interpolated medians (the e33
+      // contract); threshold = one multiply by the folded constant
+      // 3·1.4826 = 4.4478, itself round4-contracted.
+      s"""WITH v AS (SELECT event_type, value FROM events),
+         |m AS (SELECT event_type,
+         |        ${round4("quantile_cont(value, 0.5)")} AS med
+         |      FROM v GROUP BY event_type),
+         |d AS (SELECT v.event_type, abs(v.value - m.med) AS dev, m.med
+         |      FROM v JOIN m USING (event_type)),
+         |md AS (SELECT event_type,
+         |         ${round4("quantile_cont(dev, 0.5)")} AS mad
+         |       FROM d GROUP BY event_type)
+         |SELECT d.event_type, d.med, md.mad,
+         |  ${round4("md.mad * 4.4478")} AS thr,
+         |  count(*) AS n,
+         |  CAST(COALESCE(sum(CASE WHEN d.dev >
+         |    ${round4("md.mad * 4.4478")} THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_outliers,
+         |  ${round4("max(d.dev)")} AS max_dev
+         |FROM d JOIN md USING (event_type)
+         |GROUP BY d.event_type, d.med, md.mad
+         |ORDER BY d.event_type""".stripMargin,
     "p06_table_diff" ->
       // prev snapshot derived deterministically (mod-17 absent → added,
       // mod-10 draft text / mod-13 blank lang → changed, mod-23

@@ -132,6 +132,42 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** p07 — ROBUST outlier profile (median / MAD, the z-score's
+    * heavy-tail-safe sibling): per event_type, med = median(value),
+    * MAD = median(|value − med|), and an outlier is
+    * |value − med| > 3·1.4826·MAD (the normal-consistency constant;
+    * written as the single literal 4.4478 so both engines run ONE
+    * multiply — a·b·c reassociated can differ in the last ulp). Mean ±
+    * k·σ (p01's moments) moves with the outliers it is hunting; the
+    * median pair does not — this is the profiling rule real DQ suites
+    * ship for skewed metrics.
+    *
+    * Two passes by necessity (deviations need the finished median), each
+    * reduced to a ≤|types|-row frame that broadcasts back — no corpus
+    * re-shuffle, same shape as p03's extrema pass. Exact `percentile`
+    * buffers each group's values (fine at profile granularity; the
+    * 100 TB swap is `approx_percentile`, same plan — e09c's note).
+    * Float discipline: med and MAD are round4-CONTRACTED decimals (the
+    * e33 contract: interpolated midpoints agree across engines only to
+    * ~ulp, so the contract pins them); deviations and the threshold
+    * compare are then single IEEE ops on engine-identical doubles. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = v.groupBy("event_type")
+      .agg(round4(expr("percentile(value, 0.5)")).as("med"))
+    val dev = v.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round4(expr("percentile(dev, 0.5)")).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("thr", round4(col("mad") * 4.4478))
+      .groupBy(col("event_type"), col("med"), col("mad"), col("thr"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("dev") > col("thr")).cast("long")).as("n_outliers"),
+        round4(max(col("dev"))).as("max_dev"))
+      .orderBy("event_type")
+  }
+
   /** p05 — POPULATION STABILITY INDEX (PSI) drift detection: the
     * standard "did today's data shift against the reference?" check a
     * continuous training pipeline runs before trusting a new snapshot

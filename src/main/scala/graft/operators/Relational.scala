@@ -896,4 +896,53 @@ object Relational {
         (col("n_active").cast("double") / col("n_cohort")).as("retention"))
       .orderBy("cohort", "week_k")
   }
+
+  /** E36 — overlapping-INTERVAL merge (the second gaps-and-islands
+    * shape): each event opens a hold interval `[ts, ts + (k+1) min)`
+    * (k from `props` — the fixture's duration knob; k+1 so every
+    * interval is non-empty), and per user all overlapping-or-touching
+    * intervals coalesce into maximal merged spans. Distinct from
+    * sessionize (E34): there the island boundary is a GAP between
+    * point events; here it is the running MAX of interval ENDS — an
+    * interval wholly inside an earlier long one must NOT open a new
+    * island, which the lag-gap pattern gets wrong and the
+    * running-max pattern gets right.
+    *
+    * One shuffle: the running-max window, the island-sum window, and
+    * the final groupBy all key on `user_id` and share one sort on
+    * (start_us, event_id). All arithmetic is integer microseconds —
+    * engine-exact. `covered_us` (merged extent) vs `sum_dur_us`
+    * (raw durations) exposes the overlap mass that merging removed.
+    * Skew profile: per-user row counts, same as E34 — no content
+    * keys, AQE-splittable. */
+  def intervalMerge(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("start_us"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("start_us"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1L)
+          .as("dur_min"))
+      .withColumn("end_us", col("start_us") + col("dur_min") * 60000000L)
+    ev
+      // strictly-before rows only: an interval that merely TOUCHES the
+      // previous end (start == max_prev_end) still merges (closed-open
+      // adjacency), so a new island needs start > all previous ends.
+      .withColumn("max_prev_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        (col("max_prev_end").isNull || col("start_us") > col("max_prev_end"))
+          .cast("long"))
+      .withColumn("island",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("start_us")).as("merged_start_us"),
+        max(col("end_us")).as("merged_end_us"),
+        sum(col("end_us") - col("start_us")).as("sum_dur_us"))
+      .select(col("user_id"), col("island"), col("n_events"),
+        col("merged_start_us"), col("merged_end_us"),
+        (col("merged_end_us") - col("merged_start_us")).as("covered_us"),
+        col("sum_dur_us"))
+      .orderBy("user_id", "island")
+  }
 }

@@ -122,6 +122,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.funnel(spark, emptyDir).count() === 0L)
     assert(Relational.twap(spark, emptyDir).count() === 0L)
     assert(Relational.retention(spark, emptyDir).count() === 0L)
+    assert(Relational.intervalMerge(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums
     val diff = operators.Profiling.tableDiff(spark, emptyDir).head()
@@ -132,6 +133,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Profiling.histogram(spark, emptyDir).count() === 0L)
     assert(Profiling.equidepthBins(spark, emptyDir).count() === 0L)
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)
+    assert(Profiling.madOutliers(spark, emptyDir).count() === 0L)
     // WAP on an empty derived table is a VALID publish: zero expected,
     // zero staged, all audits pass, an empty table goes live (day-one
     // state) — the manifest itself always has its four rows

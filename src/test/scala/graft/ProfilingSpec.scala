@@ -258,4 +258,27 @@ class ProfilingSpec extends SparkSpec {
     assert(added + changed + unchanged === 30L)
     assert(removed + changed + unchanged === 30L)
   }
+
+  test("p07 MAD outliers: analytic fixture — robust to the outlier it flags") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    // type x: values 0,1,2,3,100 → med=2, devs {2,1,0,1,98} → MAD=1,
+    //   thr=4.4478, exactly ONE outlier (98); mean±3σ would smear.
+    // type y: constant values → MAD=0, thr=0, any deviation flags; all
+    //   zero deviations → no outliers (dev > thr is strict).
+    val xs = Seq(0.0, 1.0, 2.0, 3.0, 100.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i), 1L, "x", v, "{}")
+    }
+    val ys = Seq(5.0, 5.0, 5.0).zipWithIndex.map { case (v, i) =>
+      (10L + i, ts(10 + i), 2L, "y", v, "{}")
+    }
+    (xs ++ ys).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Profiling.madOutliers(spark, dir)
+      .select("event_type", "med", "mad", "thr", "n", "n_outliers", "max_dev")
+      .as[(String, Double, Double, Double, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("x", 2.0, 1.0, 4.4478, 5L, 1L, 98.0),
+      ("y", 5.0, 0.0, 0.0, 3L, 0L, 0.0)))
+  }
 }

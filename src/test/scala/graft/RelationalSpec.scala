@@ -278,6 +278,36 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 1L, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 0L, 1L)))
   }
 
+  test("e36 interval merge: nested intervals stay in one island; touching merges") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ev(id: Long, t: String, u: Long, k: Long) =
+      (id, ts(t), u, "view", 1.0, s"""{"k": $k}""")
+    val dir = java.nio.file.Files.createTempDirectory("graft-imerge").toString
+    val min = 60000000L
+    Seq(
+      // user 1, island 1: A [00:00, 01:00) (k=59 → 60 min);
+      //   B [00:30, 00:40) NESTED inside A — the case the lag-gap rule
+      //   (e34's pattern) would wrongly split on, because the NEXT
+      //   event (C) starts after B's end but inside A's;
+      //   C [01:00, 01:01) touches A's end exactly → merges (closed-open)
+      ev(1L, "2024-01-01 00:00:00", 1L, 59L),
+      ev(2L, "2024-01-01 00:30:00", 1L, 9L),
+      ev(3L, "2024-01-01 01:00:00", 1L, 0L),
+      // user 1, island 2: D starts strictly past every previous end
+      ev(4L, "2024-01-01 03:00:00", 1L, 0L),
+      // user 2: one event, one island
+      ev(5L, "2024-01-01 12:00:00", 2L, 4L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.intervalMerge(spark, dir)
+      .select("user_id", "island", "n_events", "covered_us", "sum_dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 3L, 61L * min, (60L + 10L + 1L) * min),
+      (1L, 2L, 1L, 1L * min, 1L * min),
+      (2L, 1L, 1L, 5L * min, 5L * min)))
+  }
+
   test("e35 retention: staggered cohorts with churn draw the full triangle") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
