@@ -75,6 +75,7 @@ object SparkEntry {
     "t01_typed_topk" -> ((s, _) => TypedOps.typedTopK(s, 50)),
     // typed cogroup: both per-key iterators at once, left-complete
     "t03_typed_cogroup" -> (TypedOps.typedCogroup _),
+    "t04_secondary_sort" -> (TypedOps.secondarySort _),
     // the Phoenix MapReduce facade (same contract as q_wordcount)
     "t02_phoenix_wordcount" -> ((s, _) => PhoenixApi.phoenixWordCount(s)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
@@ -579,6 +580,25 @@ object SparkEntry {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin,
+    "t04_secondary_sort" ->
+      // the sorted-run fold IS the lag-window computation: max gap and
+      // strictly-increasing value steps over consecutive ordered pairs,
+      // first/last type by rank; all integer counts/µs diffs.
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+        |  FROM events),
+        |l AS (SELECT *,
+        |    lag(ts_us) OVER w AS pts, lag(value) OVER w AS pv,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(COALESCE(max(ts_us - pts), 0) AS BIGINT) AS max_gap_us,
+        |  CAST(COALESCE(sum(CASE WHEN value > pv THEN 1 ELSE 0 END), 0)
+        |       AS BIGINT) AS n_incr,
+        |  max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+        |  max(CASE WHEN rn = cnt THEN event_type END) AS last_type
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "t02_phoenix_wordcount" -> wordCountSql("Dracula.txt"),
     "e21_salted_agg" ->
       s"""SELECT user_id, count(*) AS n_events, ${dsum("value")} AS sum_value,

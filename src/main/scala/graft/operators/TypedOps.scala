@@ -88,4 +88,60 @@ object TypedOps {
         col("sum_spent").cast("double").as("sum_spent"))
       .orderBy("c_custkey")
   }
+
+  case class SeqEv(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, value: Double)
+  case class SeqStats(user_id: Long, n_events: Long, max_gap_us: Long,
+    n_incr: Long, first_type: String, last_type: String)
+
+  /** t04 — SECONDARY SORT (the classic MapReduce
+    * sort-within-key-before-the-reducer idiom, the reference's sort
+    * phase generalized): partition by user, let the SHUFFLE deliver each
+    * user's events already ordered by (ts, event_id), and fold each
+    * run in ONE streaming pass with O(1) state — no per-key buffer, no
+    * window, no `collect_list`. The per-user outputs are
+    * order-SENSITIVE (max inter-event gap, count of strictly-increasing
+    * value steps, first/last type), which is exactly what plain
+    * `groupByKey.mapGroups` cannot promise (its iterator order is
+    * shuffle-arrival order) and what buffering a group to sort it in
+    * memory pays O(group) for — the skew failure mode secondary sort
+    * exists to avoid.
+    *
+    * Plan: `repartition(user_id)` + `sortWithinPartitions` = the
+    * exchange's own sort (one shuffle, sort amortized into the merge),
+    * then a streaming `mapPartitions` whose iterator groups consecutive
+    * equal keys. Like t03, the typed fold is object-serde outside
+    * whole-stage codegen — the relational window form wins for these
+    * particular stats; the pattern earns its keep when the per-key fold
+    * is genuinely imperative (sequence alignment, legacy reducer ports).
+    * All emitted values are integer counts/µs diffs — engine-exact. */
+  def secondarySort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = graft.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value")).as[SeqEv]
+    ds.repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .mapPartitions { it =>
+        new Iterator[SeqStats] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): SeqStats = {
+            val h = buf.next()
+            var n = 1L; var maxGap = 0L; var nIncr = 0L
+            var prevTs = h.ts_us; var prevV = h.value; var last = h.event_type
+            while (buf.hasNext && buf.head.user_id == h.user_id) {
+              val e = buf.next()
+              n += 1
+              if (e.ts_us - prevTs > maxGap) maxGap = e.ts_us - prevTs
+              if (e.value > prevV) nIncr += 1
+              prevTs = e.ts_us; prevV = e.value; last = e.event_type
+            }
+            SeqStats(h.user_id, n, maxGap, nIncr, h.event_type, last)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("user_id")
+  }
 }

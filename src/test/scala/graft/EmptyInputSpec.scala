@@ -124,6 +124,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.retention(spark, emptyDir).count() === 0L)
     assert(Relational.intervalMerge(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
+    assert(operators.TypedOps.secondarySort(spark, emptyDir).count() === 0L)
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums
     val diff = operators.Profiling.tableDiff(spark, emptyDir).head()
     (0 until 7).foreach(i => assert(diff.getLong(i) === 0L, s"p06 col $i"))

@@ -73,4 +73,45 @@ class PhoenixApiSpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSeq
     assert(planted === Seq((1L, "alice", 2L, 150.0), (2L, "bob", 0L, 0.0)))
   }
+
+  test("t04 secondary sort ≡ lag-window recompute; scrambled write order is repaired") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.TypedOps.secondarySort(spark, Sf)
+      .select("user_id", "n_events", "max_gap_us", "n_incr", "first_type", "last_type")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val want = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("incr", (col("value") > lag(col("value"), 1).over(w)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_us"),
+        coalesce(sum(col("incr")), lit(0L)).as("n_incr"),
+        max(when(col("rn") === 1, col("event_type"))).as("first_type"),
+        max(when(col("rn") === col("cnt"), col("event_type"))).as("last_type"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(got === want)
+    // planted: rows written in SCRAMBLED order — the shuffle-sort must
+    // repair it, or max_gap/n_incr/first/last all come out wrong
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-secsort").toString
+    Seq( // time order: (0,a,1.0) (10,b,5.0) (15,c,2.0) (45,d,3.0)
+      (3L, ts(15), 1L, "c", 2.0, "{}"),
+      (1L, ts(0), 1L, "a", 1.0, "{}"),
+      (4L, ts(45), 1L, "d", 3.0, "{}"),
+      (2L, ts(10), 1L, "b", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = operators.TypedOps.secondarySort(spark, dir)
+      .select("user_id", "n_events", "max_gap_us", "n_incr", "first_type", "last_type")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(planted === Seq((1L, 4L, 30L * 60 * 1000000, 2L, "a", "d")))
+  }
 }
