@@ -148,6 +148,7 @@ object SparkEntry {
     "m04_payload_stats" -> (Multimodal.payloadStats _),
     // 2-D ViT-style patchify: strided non-contiguous patch slices
     "m05_patch_grid" -> (Multimodal.patchGrid _),
+    "m06_rle_stats" -> (Multimodal.rleStats _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -1780,6 +1781,30 @@ object SparkEntry {
         |  max(v) AS byte_max
         |FROM bv GROUP BY doc_id, pr, pc, n
         |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
+    "m06_rle_stats" ->
+      // run counting in HEX space (2 hex chars = 1 byte, byte-true for
+      // any payload): change-flag islands over generated positions;
+      // n_runs/max_run integer-exact, rle_ratio ONE IEEE division.
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |pos AS (SELECT doc_id, n, CAST(k AS BIGINT) AS i,
+        |    substr(hx, CAST(k * 2 + 1 AS BIGINT), 2) AS b
+        |  FROM (SELECT *, unnest(range(CAST(n AS BIGINT))) AS k FROM h)),
+        |ch AS (SELECT *, CASE WHEN lag(b) OVER
+        |    (PARTITION BY doc_id ORDER BY i) IS DISTINCT FROM b
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM pos),
+        |isl AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM ch),
+        |runs AS (SELECT doc_id, n, run_id, count(*) AS rl
+        |  FROM isl GROUP BY doc_id, n, run_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  count(*) AS n_runs, CAST(max(rl) AS BIGINT) AS max_run,
+        |  count(*)::DOUBLE / n AS rle_ratio
+        |FROM runs GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
     "s01_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
          |         '%Y-%m-%d %H:%M:%S') AS window_start,

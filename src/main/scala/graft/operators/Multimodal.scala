@@ -275,4 +275,47 @@ object Multimodal {
         array_max(col("bs")).as("byte_max"))
       .orderBy("doc_id", "patch_row", "patch_col")
   }
+
+  /** m06 — RUN-LENGTH compressibility profile of the payload byte
+    * stream: maximal equal-byte runs counted in ONE left fold over the
+    * `byte_values` array (state = (prev, current-run, max-run, runs) —
+    * O(1) per byte, no window, no explode). `rle_ratio` = runs/bytes is
+    * the classic cheap compressibility proxy (the quality signal
+    * pipelines use to drop low-entropy boilerplate — an all-one-byte
+    * payload scores 1/n, incompressible noise scores ~1.0); `max_run`
+    * is the padding/stuck-sensor detector. A zlib call gives a sharper
+    * ratio but is a JNI black box no oracle can recompute; the RLE
+    * bound is deterministic integer arithmetic both engines agree on.
+    *
+    * Scan-parallel, zero exchanges before the presentation sort — the
+    * m04 scale shape. Zero-length payloads are skipped (documented:
+    * a ratio over 0 bytes is undefined; the spec pins the skip).
+    * Integer counts + ONE IEEE division — engine-exact, no rounding. */
+  def rleStats(s: SparkSession, d: String): DataFrame =
+    rleStatsOver(mediaTable(s, d))
+
+  private[graft] def rleStatsOver(media: DataFrame): DataFrame = {
+    val bs = call_function(graft.functions.ByteValues.Name, col("payload"))
+    val init = struct(lit(-1L).as("prev"), lit(0L).as("cur"),
+      lit(0L).as("mx"), lit(0L).as("runs"))
+    val folded = aggregate(col("bs"), init, (acc, v) => {
+      val same = acc.getField("prev") === v
+      val cur2 = when(same, acc.getField("cur") + 1L).otherwise(lit(1L))
+      struct(v.as("prev"), cur2.as("cur"),
+        greatest(acc.getField("mx"), cur2).as("mx"),
+        when(same, acc.getField("runs"))
+          .otherwise(acc.getField("runs") + 1L).as("runs"))
+    })
+    media
+      .filter(length(col("payload")) > 0)
+      .withColumn("bs", bs)
+      .withColumn("st", folded)
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("st.runs").as("n_runs"),
+        col("st.mx").as("max_run"),
+        (col("st.runs").cast("double") /
+          length(col("payload")).cast("long")).as("rle_ratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -110,6 +110,7 @@ class EmptyInputSpec extends SparkSpec {
       "streamLeftJoin" -> (Streaming.streamLeftJoin _),
       "runningTotals" -> (Streaming.runningTotalsBatch _),
       "payloadStats" -> (Multimodal.payloadStats _),
+      "rleStats" -> (Multimodal.rleStats _),
       "hopWindowMeta" -> (Multimodal.hopWindowMeta _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")

@@ -213,6 +213,21 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L)) // under one patch row → no output
   }
 
+  test("m06 RLE stats: byte-true runs on non-ASCII binary; empty payload skipped") {
+    // runs: [5 5 5] [7 7] [200 200 200 200] — 200 exercises the sign bit
+    // (negative JVM Byte), so a char-based reader would miscount
+    val p1 = Array[Byte](5, 5, 5, 7, 7, 200.toByte, 200.toByte, 200.toByte, 200.toByte)
+    val p2 = Array[Byte](9) // single byte: one run of one
+    val media = Seq((1L, p1), (2L, p2), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.rleStatsOver(media)
+      .select("doc_id", "n_bytes", "n_runs", "max_run", "rle_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 9L, 3L, 4L, 3.0 / 9.0),
+      (2L, 1L, 1L, 1L, 1.0))) // doc 3 (empty) skipped by contract
+  }
+
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
