@@ -173,22 +173,27 @@ object Bench {
     val failed = att.toSeq.sorted.filterNot(timed)
 
     val total = timings.map(_._2).sum
-    // 2-decimal stdout values (10 ms grain — budgets are 0.05-stepped, so
-    // nothing the gate reads needs more): at 134 queries the extra decimal
-    // was ~134 chars of the driver's ~2000-char tail capture. Values ≥100
-    // drop the decimals entirely so the worst case stays 5 chars
-    // ("99.99") — a near-timeout 149.99 s query would otherwise print 6
-    // and ~100 s queries could overflow the line ContractSpec certifies.
-    // Full precision still lands in BENCH_FULL.json below.
+    // Graduated stdout precision (full precision still lands in
+    // BENCH_FULL.json): 10 ms grain below 10 s (budgets are 0.05-stepped,
+    // so nothing the gate reads needs more), 0.1 s grain in [10, 100)
+    // and integers above — every real query runs <10 s, so the coarser
+    // tiers only cap the WORST-CASE line width ContractSpec certifies
+    // ("99.9" = 4 chars) against the driver's ~2000-char tail capture.
+    // 2-decimal grain below 10 s, 1 decimal in [10, 100), integer ≥100 —
+    // worst case 4 chars per value, so the short-key stdout line keeps
+    // fitting the driver's ~2000-char tail capture as queries accumulate
+    // (ContractSpec models this exact grain; the FILE record keeps full
+    // precision).
     def fmt(v: Double): String =
       java.math.BigDecimal.valueOf(v)
-        .setScale(if (v >= 100) 0 else 2, java.math.RoundingMode.HALF_UP)
+        .setScale(if (v >= 100) 0 else if (v >= 10) 1 else 2,
+          java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
     val extra = s""","passes":${ps.size}""" + (if (truncated) s""","truncated":true""" else "")
 
     // Full-fidelity record (full query names, full precision) → file;
     // the stdout line uses SHORT keys everywhere (timings AND the failed
-    // list) + 2-decimal values — see [[shortKey]].
+    // list) + graduated-precision values — see [[shortKey]] and fmt.
     val qsFull = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =

@@ -210,6 +210,7 @@ object SparkEntry {
     "p07_mad_outliers" -> (Profiling.madOutliers _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
+    "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
     // write-audit-publish staging gate for derived tables
     "f09_write_audit_publish" -> (Sources.writeAuditPublish _),
     // small-file compaction job: fragment 64-way, rewrite to size-derived
@@ -1293,6 +1294,27 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events WHERE event_type <> 'sentinel'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s12_timer_sessions" ->
+      // gaps-and-islands at a 30-min gap; session_end = LAST EVENT (not
+      // last+gap, which is s03's convention). The streaming side is the
+      // timer-based TWS operator, pinned ≡ this form by StreamingSpec.
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |l AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM e),
+        |n AS (SELECT *, CASE WHEN gap_us IS NULL
+        |    OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |si AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sidx
+        |  FROM n)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM si GROUP BY user_id, sidx
+        |ORDER BY user_id, session_start""".stripMargin,
     // f09: the derived table is the d01 survivor set, so every audit
     // observation is a deterministic function of `documents`; on this
     // clean input all checks pass and published_rows = survivor count.

@@ -369,6 +369,124 @@ object Streaming {
   def runningTotalsBatch(s: SparkSession, d: String): DataFrame =
     runningTotals(Tables.events(s, d)).orderBy("event_type")
 
+  /** E17e — TIMER-closed sessions (`transformWithState` + EVENT-TIME
+    * timers): the session operator rebuilt on arbitrary state, which is
+    * what a pipeline needs when sessions must close on INACTIVITY with
+    * no further event ever arriving — `session_window` (s03) can only
+    * emit when the watermark passes a window the NEXT event already
+    * bounded, while a registered timer fires purely because time
+    * passed. Per user: events extend the open session while the gap to
+    * the last event is ≤ `gapMin`; a larger gap closes it inline; the
+    * final (still-open) session is emitted by `handleExpiredTimer` when
+    * the watermark passes `last + gap` — the timeout-emission path, the
+    * part only timers can express. Each batch re-registers exactly one
+    * timer per user (the old one deleted first), so timer state is O(1)
+    * per live key; session state is (start, last, n) — O(1) too, never
+    * a buffered event list. Emitted `session_end` is the LAST EVENT's
+    * time (not last+gap — s03's convention), `n_events` the exact count.
+    *
+    * Ordering caveat (documented contract): within one micro-batch the
+    * iterator is sorted by (ts, event_id); ACROSS batches an event older
+    * than the open session's last event still joins it (state keeps no
+    * per-event history) — with in-order replay and the 2 h watermark the
+    * streaming result equals the batch gaps-and-islands form, which is
+    * what StreamingSpec pins and the oracle checks. */
+  def timerSessions(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMin.toLong * 60000L
+    // same batch-execution guard as statefulOrdinalTws
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+    val ds = events
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    type Sess = (Long, Long, Long) // (startMs, lastMs, n)
+    class SessionProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), (Long, java.sql.Timestamp, java.sql.Timestamp, Long)] {
+      @transient private var sess: ValueState[Sess] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        sess = getHandle.getValueState[Sess]("sess",
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)](),
+          TTLConfig.NONE)
+      private def emit(key: Long, s: Sess) =
+        (key, new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3)
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, java.sql.Timestamp, Long)],
+          timerValues: TimerValues): Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+        val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+        var cur: Option[Sess] = if (sess.exists()) Some(sess.get()) else None
+        // the open session's timeout timer is superseded by this batch
+        cur.foreach(c => getHandle.deleteTimer(c._2 + gapMs))
+        var closed = List.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        sorted.foreach { case (_, ts, _) =>
+          val t = ts.getTime
+          cur = cur match {
+            case Some((st, last, n)) if t - last <= gapMs =>
+              Some((st, math.max(t, last), n + 1))
+            case Some(s) =>
+              closed ::= emit(key, s); Some((t, t, 1L))
+            case None => Some((t, t, 1L))
+          }
+        }
+        cur.foreach { c => sess.update(c); getHandle.registerTimer(c._2 + gapMs) }
+        closed.reverse.iterator
+      }
+      override def handleExpiredTimer(
+          key: Long,
+          timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+        if (!sess.exists()) Iterator.empty
+        else {
+          val s = sess.get()
+          // guard against a stale timer racing a same-batch extension
+          if (expiredTimerInfo.getExpiryTimeInMs >= s._2 + gapMs) {
+            sess.clear(); Iterator.single(emit(key, s))
+          } else Iterator.empty
+        }
+      }
+    }
+    ds.groupByKey(_._3)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "session_start", "session_end", "n_events")
+      .select(col("user_id"),
+        tsStr(col("session_start")).as("session_start"),
+        tsStr(col("session_end")).as("session_end"),
+        col("n_events"))
+  }
+
+  /** Batch form of [[timerSessions]] — the gaps-and-islands computation
+    * the timer operator must agree with on bounded in-order input (same
+    * rule as E34 at a 30-minute gap; `session_end` = last event). This
+    * is the oracle-checked `queries` entry: batch execution of
+    * event-time TIMERS is undefined (no watermark exists to fire them),
+    * so the batch side states the semantics relationally and
+    * StreamingSpec pins the real timer query against it. */
+  def timerSessionsBatch(s: SparkSession, d: String, gapMin: Int = 30): DataFrame = {
+    val gapUs = gapMin.toLong * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+      .withColumn("is_new",
+        (col("gap_us").isNull || col("gap_us") > gapUs).cast("long"))
+      .withColumn("sidx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sidx"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        tsStr(col("start_ts")).as("session_start"),
+        tsStr(col("end_ts")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   // ———————————— effectively-once foreachBatch upsert sink ————————————
 
   /** Keyed MERGE of one micro-batch into a parquet state table, made

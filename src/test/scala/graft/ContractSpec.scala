@@ -23,14 +23,14 @@ class ContractSpec extends SparkSpec {
     // the driver records only the last ~2000 chars of bench stdout
     // (BASELINE.md "BENCH key abbreviation"); with sbt's epilogue (~100
     // chars) the JSON line must stay comfortably below that. Uses the
-    // REAL Bench.shortKey over the real query set with worst-case 5-char
-    // values — "99.99" is the widest Bench.fmt can print per query
-    // (2-decimal grain below 100 s, decimals dropped at ≥100 s, and the
-    // 150 s query timeout caps the magnitude at 3 digits) — and models
-    // the all-queries-failed line too (short keys appear in `failed`).
+    // REAL Bench.shortKey over the real query set with worst-case 4-char
+    // values — "99.9" is the widest Bench.fmt can print per query
+    // (2 decimals below 10 s, 1 decimal in [10, 100), none at ≥100 s,
+    // and the 150 s query timeout caps the magnitude at 3 digits) — and
+    // models the all-queries-failed line too (short keys in `failed`).
     val keys = SparkEntry.queries.keys.toSeq
     assert(keys.map(Bench.shortKey).distinct.size === keys.size, "short bench keys collide")
-    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.99").mkString(
+    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.9").mkString(
       """{"metric":"total","value":9999.999,"unit":"sec","queries":{""",
       ",",
       """},"failed":[],"sf":"/root/testdata/sf0.1"}""")

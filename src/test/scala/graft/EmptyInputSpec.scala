@@ -109,6 +109,7 @@ class EmptyInputSpec extends SparkSpec {
       // rounds 7–8
       "streamLeftJoin" -> (Streaming.streamLeftJoin _),
       "runningTotals" -> (Streaming.runningTotalsBatch _),
+      "timerSessionsBatch" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Streaming.timerSessionsBatch(s, d)),
       "payloadStats" -> (Multimodal.payloadStats _),
       "rleStats" -> (Multimodal.rleStats _),
       "hopWindowMeta" -> (Multimodal.hopWindowMeta _)

@@ -154,6 +154,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch === legacyApi, "both state APIs must implement one contract")
   }
 
+  test("s12 timer sessions: timeout emission via event-time timers ≡ batch islands") {
+    // inline-closed sessions emit in their own micro-batch; each user's
+    // FINAL session can only emit through handleExpiredTimer when the
+    // sentinel advances the watermark past last+gap — so equality here
+    // proves the timer path actually fires (dropping it would lose one
+    // session per user, not reorder rows)
+    // no sentinel filter needed: the sentinel shares user 0 with a real
+    // user, where its >30-min gap just closes the last real session
+    // (matching batch) and its own opened session never emits
+    val streamed = runStream("t_timer_sessions", df => Streaming.timerSessions(df))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    val batch = Streaming.timerSessionsBatch(spark, Sf)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("stream-stream join: streaming output equals batch output") {
     implicit val ctx = spark.sqlContext
     val errSrc = MemoryStream[Ev]
