@@ -237,6 +237,7 @@ object SparkEntry {
     // batch gap-based sessionization (gaps-and-islands over events)
     "e34_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "e36_interval_merge" -> (Relational.intervalMerge _),
+    "e37_cooccurrence" -> (Relational.cooccurrence _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
@@ -1088,6 +1089,31 @@ object SparkEntry {
         |  CAST(n_active AS BIGINT)::DOUBLE / n_cohort AS retention
         |FROM m JOIN s USING (cohort)
         |ORDER BY cohort, week_k""".stripMargin,
+    "e37_cooccurrence" ->
+      // basket = per-user top-20 items (freq desc, item asc); pairs
+      // a.item < b.item; support ≥ 2; lift = ONE IEEE division of
+      // exact-integer numerator/denominator.
+      """WITH ev AS (SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events),
+        |cnt AS (SELECT user_id, item, count(*) AS n FROM ev GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, item) AS r FROM cnt),
+        |basket AS (SELECT user_id, item FROM rk WHERE r <= 20),
+        |tot AS (SELECT count(DISTINCT user_id) AS nt FROM basket),
+        |icnt AS (SELECT item, count(*) AS ni FROM basket GROUP BY item),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*) AS support
+        |  FROM basket a JOIN basket b
+        |    ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
+        |  CAST(support * nt AS DOUBLE) / (ia.ni * ib.ni) AS lift
+        |FROM pairs, tot
+        |JOIN icnt ia ON item_a = ia.item
+        |JOIN icnt ib ON item_b = ib.item
+        |WHERE support >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     "e36_interval_merge" ->
       // running-max-of-ends islands (NOT the lag-gap rule — a short
       // interval inside a long one must not split); closed-open

@@ -897,6 +897,52 @@ object Relational {
       .orderBy("cohort", "week_k")
   }
 
+  /** E37 — item CO-OCCURRENCE (market-basket pair mining): which items
+    * appear in the same users' baskets, with support and lift. Basket =
+    * a user's distinct items (`props.k`), CAPPED at the [[BasketCap]]
+    * most frequent per user (freq desc, item asc — deterministic): the
+    * cap is the scale lever, bounding each user's pair fanout at
+    * B(B−1)/2 regardless of how hyperactive the user is — without it
+    * one bot account with 10⁵ distinct items emits 5·10⁹ pairs (the
+    * same guard as the near-dup family's DF cap, applied to users).
+    *
+    * Plan: per-user item counts and the rank window both key on
+    * user_id (high-cardinality partitions, the e30 posture); the
+    * pair-generating self-join is CO-KEYED on user_id (both sides are
+    * the same capped subtree — no new shuffle key); the (a, b) pair
+    * aggregate map-side-combines hot pairs before its exchange. `lift`
+    * = support·N / (nᵢ·nⱼ) is exact-integer numerator and denominator
+    * with ONE IEEE division (Canon note). Pairs below support 2 are
+    * noise and dropped (mirrored in the oracle). */
+  val BasketCap = 20
+
+  def cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val cnt = ev.groupBy("user_id", "item").agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy("user_id").orderBy(col("n").desc, col("item"))
+    val basket = cnt
+      .withColumn("r", row_number().over(rk))
+      .filter(col("r") <= BasketCap)
+      .select("user_id", "item")
+    val total = basket.agg(countDistinct(col("user_id")).as("n_users_total"))
+    val icnt = basket.groupBy("item").agg(count(lit(1)).as("ni"))
+    val a = basket.as("a"); val b = basket.as("b")
+    a.join(b, col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .join(broadcast(total))
+      .join(broadcast(icnt.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("ni", "ni_a")), "item_a")
+      .join(broadcast(icnt.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("ni", "ni_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("support"),
+        ((col("support") * col("n_users_total")).cast("double") /
+          (col("ni_a") * col("ni_b"))).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
   /** E36 — overlapping-INTERVAL merge (the second gaps-and-islands
     * shape): each event opens a hold interval `[ts, ts + (k+1) min)`
     * (k from `props` — the fixture's duration knob; k+1 so every

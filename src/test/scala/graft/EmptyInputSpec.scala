@@ -125,6 +125,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.twap(spark, emptyDir).count() === 0L)
     assert(Relational.retention(spark, emptyDir).count() === 0L)
     assert(Relational.intervalMerge(spark, emptyDir).count() === 0L)
+    assert(Relational.cooccurrence(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.secondarySort(spark, emptyDir).count() === 0L)
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums

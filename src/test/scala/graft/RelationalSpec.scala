@@ -308,6 +308,44 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 1L, 5L * min, 5L * min)))
   }
 
+  test("e37 co-occurrence: support/lift arithmetic, basket cap, frequency priority") {
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cooc").toString
+    // users 1-3: items {10,11,12}, {10,11}, {10,12} → (10,11) and
+    // (10,12) at support 2; (11,12) support 1 is dropped
+    val small = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 12L))
+    // users 4,5: identical 25-item baskets 100..124 (freq 1 each) plus
+    // item 200 at freq 3 → rank keeps {200} ∪ {100..118}; 119..124 must
+    // never reach any pair (the cap), and 200 outranks them all (the
+    // frequency priority)
+    val big = for (u <- Seq(4L, 5L); i <- (100L to 124L) ++ Seq(200L, 200L, 200L))
+      yield (u, i)
+    val evs = (small ++ big).zipWithIndex.map { case ((u, item), i) =>
+      (i.toLong, ts(i), u, "view", 1.0, s"""{"k": $item}""")
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.cooccurrence(spark, dir)
+      .select("item_a", "item_b", "support", "lift")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val gotPairs = got.map(r => (r._1, r._2)).toSet
+    // analytic rows: tot=5 users, ni(10)=3, ni(11)=ni(12)=2
+    assert(got.filter(_._1 == 10L).toSet === Set(
+      (10L, 11L, 2L, 2.0 * 5 / (3 * 2)),
+      (10L, 12L, 2L, 2.0 * 5 / (3 * 2))))
+    assert(!gotPairs.contains((11L, 12L)), "support-1 pair must be dropped")
+    // cap: 119..124 never survive the per-user top-20
+    assert(!got.exists(r => Seq(r._1, r._2).exists(i => i >= 119L && i <= 124L)))
+    // frequency priority: the freq-3 item 200 is in both kept baskets
+    assert(got.filter(r => r._2 == 200L).map(_._3).distinct === Seq(2L))
+    // both big baskets keep exactly {100..118, 200} → C(20,2) pairs at
+    // support 2, all present
+    assert(got.count(_._1 >= 100L) === 190)
+  }
+
   test("e35 retention: staggered cohorts with churn draw the full triangle") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
