@@ -208,6 +208,7 @@ object SparkEntry {
     // snapshot reconciliation: added/removed/changed + per-column counts
     "p06_table_diff" -> (Profiling.tableDiff _),
     "p07_mad_outliers" -> (Profiling.madOutliers _),
+    "p08_skew_profile" -> (Profiling.skewProfile _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
@@ -216,6 +217,7 @@ object SparkEntry {
     // small-file compaction job: fragment 64-way, rewrite to size-derived
     // file count, report content-derived facts from the compacted re-read
     "f10_compaction" -> (Sources.compaction _),
+    "f11_partition_overwrite" -> (Sources.partitionOverwrite _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -238,6 +240,7 @@ object SparkEntry {
     "e34_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "e36_interval_merge" -> (Relational.intervalMerge _),
     "e37_cooccurrence" -> (Relational.cooccurrence _),
+    "e38_ohlc_bars" -> (Relational.ohlcBars _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
@@ -1089,6 +1092,25 @@ object SparkEntry {
         |  CAST(n_active AS BIGINT)::DOUBLE / n_cohort AS retention
         |FROM m JOIN s USING (cohort)
         |ORDER BY cohort, week_k""".stripMargin,
+    "e38_ohlc_bars" ->
+      // open/close = first/last value by (ts, event_id) — the oracle
+      // states them via rank, the Spark side via min_by/max_by on a
+      // struct key; raw doubles carry no arithmetic, mean is dsum/count.
+      s"""WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+         |    event_id, value, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+         |  FROM events),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, day) AS cnt
+         |  FROM e)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  max(CASE WHEN rn = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn = cnt THEN value END) AS close,
+         |  count(*) AS volume,
+         |  ${dsum("value")} / count(value) AS mean_value
+         |FROM r GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin,
     "e37_cooccurrence" ->
       // basket = per-user top-20 items (freq desc, item asc); pairs
       // a.item < b.item; support ≥ 2; lift = ONE IEEE division of
@@ -1256,6 +1278,26 @@ object SparkEntry {
         |                 ((cur_n + 1)::DOUBLE / (nc + 10)))
         |              AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
         |FROM h, tot ORDER BY bin""".stripMargin,
+    "p08_skew_profile" ->
+      // top-10 heavy keys (count desc, key asc) + global distribution;
+      // share and ratio_to_mean are exact-integer numerators with ONE
+      // IEEE division; percentiles round4-contracted (e33 discipline).
+      s"""WITH c AS (SELECT user_id, count(*) AS n FROM events
+         |  GROUP BY user_id),
+         |st AS (SELECT count(*) AS n_keys,
+         |    CAST(sum(n) AS BIGINT) AS total_rows,
+         |    ${round4("quantile_cont(n, 0.5)")} AS p50,
+         |    ${round4("quantile_cont(n, 0.9)")} AS p90,
+         |    ${round4("quantile_cont(n, 0.99)")} AS p99
+         |  FROM c),
+         |top AS (SELECT user_id, n FROM c
+         |  ORDER BY n DESC, user_id LIMIT 10)
+         |SELECT user_id, n,
+         |  CAST(n AS DOUBLE) / total_rows AS share,
+         |  CAST(n * n_keys AS DOUBLE) / total_rows AS ratio_to_mean,
+         |  n_keys, total_rows, p50, p90, p99
+         |FROM top, st
+         |ORDER BY n DESC, user_id""".stripMargin,
     "p07_mad_outliers" ->
       // med/MAD are round4-contracted interpolated medians (the e33
       // contract); threshold = one multiply by the folded constant
@@ -1344,6 +1386,18 @@ object SparkEntry {
     // f09: the derived table is the d01 survivor set, so every audit
     // observation is a deterministic function of `documents`; on this
     // clean input all checks pass and published_rows = survivor count.
+    "f11_partition_overwrite" ->
+      // per-lang checksum after the dynamic overwrite: the min lang
+      // carries UPPERCASED content, every other lang the original — a
+      // static-mode regression would empty the untouched partitions.
+      """WITH t AS (SELECT lang,
+        |    CASE WHEN lang = (SELECT min(lang) FROM documents)
+        |         THEN upper(text) ELSE text END AS text
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(COALESCE(sum(('0x' || substr(md5(text), 1, 8))::BIGINT), 0)
+        |       AS BIGINT) AS content_sum
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "f10_compaction" ->
       // content-derived facts only (layout facts live in StorageSpec);
       // the checksum sums per-doc md5 prefixes — order-independent

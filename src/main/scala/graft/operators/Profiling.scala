@@ -168,6 +168,43 @@ object Profiling {
       .orderBy("event_type")
   }
 
+  /** p08 — shuffle-KEY SKEW profile: the calibration tool that decides
+    * whether a key needs salting / AQE skew handling BEFORE the big job
+    * runs (this repo's own e21/e20b/d42 mitigations all presuppose
+    * knowing WHICH keys are hot). Per-key counts reduce the corpus to
+    * one row per key; the profile is the top-[[SkewTopK]] heavy hitters
+    * (count desc, key asc — TakeOrderedAndProject, never a global sort)
+    * annotated with the global distribution: `share` = n/total,
+    * `ratio_to_mean` = n·n_keys/total (the skew factor AQE's
+    * skewedPartitionFactor thresholds), and round4-contracted p50/p90/
+    * p99 of the per-key count distribution (the e33/p07 discipline for
+    * interpolated medians). The corpus shuffles ONCE (the count
+    * aggregate, map-side combined); everything downstream runs on
+    * key-cardinality rows, and the stats frame broadcasts back.
+    * At extreme key cardinality the exact percentile's per-group buffer
+    * swaps for `approx_percentile`/KLL in the same plan (e09c note). */
+  val SkewTopK = 10
+
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total_rows"),
+      round4(expr("percentile(n, 0.5)")).as("p50"),
+      round4(expr("percentile(n, 0.9)")).as("p90"),
+      round4(expr("percentile(n, 0.99)")).as("p99"))
+    counts
+      .orderBy(col("n").desc, col("user_id")).limit(SkewTopK)
+      .join(broadcast(stats))
+      .select(col("user_id"), col("n"),
+        (col("n").cast("double") / col("total_rows")).as("share"),
+        ((col("n") * col("n_keys")).cast("double") / col("total_rows"))
+          .as("ratio_to_mean"),
+        col("n_keys"), col("total_rows"), col("p50"), col("p90"), col("p99"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** p05 — POPULATION STABILITY INDEX (PSI) drift detection: the
     * standard "did today's data shift against the reference?" check a
     * continuous training pipeline runs before trusting a new snapshot

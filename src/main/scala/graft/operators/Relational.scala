@@ -943,6 +943,37 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** E38 — OHLC BARS (time-bucket downsampling): per (event_type, day),
+    * open = first value, close = last value (both by the total
+    * (ts, event_id) order), high/low = max/min, volume, and a
+    * decimal-exact VWAP-style mean. The resample-to-bars operator every
+    * telemetry/market pipeline runs — and a deliberate contrast with
+    * windows: `min_by`/`max_by` over a STRUCT ordering key make
+    * open/close plain aggregates, so the whole bar is ONE map-side-
+    * combining shuffle keyed on (type, day) — no rank window over raw
+    * events, no per-bucket sort. Values are untouched doubles (open/
+    * high/low/close carry no arithmetic — bit-identical in any engine);
+    * the mean is dsum/count (Canon). At 100 TB the bucket count is
+    * types × days — tiny — but the INPUT per bucket is unbounded,
+    * which is exactly why the bar must be an aggregate (partial
+    * combine) and not a window (single partition per bucket). */
+  def ohlcBars(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"),
+        davg(col("value")).as("mean_value"))
+      .select(col("event_type"), dateStr(col("day")).as("day"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("mean_value"))
+      .orderBy("event_type", "day")
+
   /** E36 — overlapping-INTERVAL merge (the second gaps-and-islands
     * shape): each event opens a hold interval `[ts, ts + (k+1) min)`
     * (k from `props` — the fixture's duration knob; k+1 so every

@@ -363,6 +363,52 @@ object Sources {
   private[graft] def compactionDirs: (String, String) =
     (dir("docs_fragmented"), dir("docs_compacted"))
 
+  /** f11 — DYNAMIC partition overwrite (INSERT OVERWRITE by partition):
+    * the incremental-reprocess primitive. A daily job recomputes ONE
+    * partition's data and overwrites ONLY that partition — with
+    * `partitionOverwriteMode=dynamic` the write replaces exactly the
+    * partitions present in its data, while STATIC mode (the default)
+    * would silently DELETE every other partition first: the difference
+    * is the whole operator, and the re-read proves the sibling
+    * partitions survived byte-identical. At 100 TB this is how backfills
+    * work: reprocess day N, overwrite `dt=N`, never rewrite the table.
+    *
+    * An eager JOB like f09/f10. Seed: `documents` Hive-partitioned by
+    * lang; update: the minimum lang's docs with text UPPERCASED (a
+    * visible, oracle-recomputable transform). Output: per-lang rows +
+    * md5-prefix content checksum from the re-read — the target lang
+    * must carry the UPPERCASED checksum, every other lang the original
+    * (a static-mode regression empties them instead). The session's
+    * overwrite mode is saved/restored around the write. */
+  def partitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val base = dir("po_table")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    docs.write.partitionBy("lang").mode("overwrite").parquet(base)
+    // deterministic target: the minimum lang present (one-scalar head,
+    // the f10 stats discipline)
+    val minLang = docs.agg(min(col("lang"))).head().getString(0)
+    def summarize(df: DataFrame): DataFrame = df
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long")), lit(0L)).as("content_sum"))
+      .orderBy("lang")
+    // empty corpus: the partitioned write emitted no partition files
+    // (nothing to re-read), so the summary runs on the empty source
+    if (minLang == null) return summarize(docs)
+    val upd = docs.filter(col("lang") === minLang)
+      .withColumn("text", upper(col("text")))
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf, "dynamic")
+    try upd.write.partitionBy("lang").mode("overwrite").parquet(base)
+    finally prev match {
+      case Some(v) => s.conf.set(conf, v)
+      case None => s.conf.unset(conf)
+    }
+    summarize(s.read.parquet(base))
+  }
+
   def compaction(s: SparkSession, d: String): DataFrame = {
     val (frag, compacted) = compactionDirs
     Tables.documents(s, d).select(col("doc_id"), col("text"))

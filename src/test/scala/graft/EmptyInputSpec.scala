@@ -126,18 +126,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.retention(spark, emptyDir).count() === 0L)
     assert(Relational.intervalMerge(spark, emptyDir).count() === 0L)
     assert(Relational.cooccurrence(spark, emptyDir).count() === 0L)
+    assert(Relational.ohlcBars(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.secondarySort(spark, emptyDir).count() === 0L)
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums
     val diff = operators.Profiling.tableDiff(spark, emptyDir).head()
     (0 until 7).foreach(i => assert(diff.getLong(i) === 0L, s"p06 col $i"))
     // f10 on an empty table: zero target files, all-zero facts, no throw
+    assert(operators.Sources.partitionOverwrite(spark, emptyDir).count() === 0L)
     val comp = operators.Sources.compaction(spark, emptyDir).head()
     (0 until 4).foreach(i => assert(comp.getLong(i) === 0L, s"f10 col $i"))
     assert(Profiling.histogram(spark, emptyDir).count() === 0L)
     assert(Profiling.equidepthBins(spark, emptyDir).count() === 0L)
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)
     assert(Profiling.madOutliers(spark, emptyDir).count() === 0L)
+    assert(Profiling.skewProfile(spark, emptyDir).count() === 0L)
     // WAP on an empty derived table is a VALID publish: zero expected,
     // zero staged, all audits pass, an empty table goes live (day-one
     // state) — the manifest itself always has its four rows

@@ -259,6 +259,27 @@ class ProfilingSpec extends SparkSpec {
     assert(removed + changed + unchanged === 30L)
   }
 
+  test("p08 skew profile: heavy hitters, shares, ratio-to-mean, top-k cut") {
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // 12 distinct keys: key 100 has 10 events (hot), keys 1..11 one each
+    // → n_keys=12, total=21, mean=1.75; only the top 10 rows emit, so
+    // the two largest single-event keys by id order (10, 11) fall out
+    val evs = (Seq.fill(10)(100L) ++ (1L to 11L)).zipWithIndex.map {
+      case (u, i) => (i.toLong, ts(i), u, "view", 1.0, "{}")
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Profiling.skewProfile(spark, dir)
+      .select("user_id", "n", "share", "ratio_to_mean", "n_keys", "total_rows")
+      .as[(Long, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(got.size === 10)
+    assert(got.head === (100L, 10L, 10.0 / 21, 10.0 * 12 / 21, 12L, 21L))
+    // remaining 9 rows: the smallest-id single-event keys 1..9
+    assert(got.tail.map(_._1) === (1L to 9L))
+    assert(got.tail.forall(r => r._2 == 1L && r._3 == 1.0 / 21))
+  }
+
   test("p07 MAD outliers: analytic fixture — robust to the outlier it flags") {
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString

@@ -346,6 +346,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.count(_._1 >= 100L) === 190)
   }
 
+  test("e38 OHLC bars: first/last by total order, timestamp tie broken by event_id") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ohlc").toString
+    Seq( // written scrambled; day 1 of type "x": open 5, high 9, low 1, close 7
+      (3L, ts("2024-01-01 11:00:00"), 1L, "x", 1.0, "{}"),
+      (1L, ts("2024-01-01 09:00:00"), 1L, "x", 5.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 1L, "x", 7.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "x", 9.0, "{}"),
+      // day 2 of type "x": two events at the SAME timestamp — open/close
+      // fall to the event_id tie-break (open = id 5, close = id 6)
+      (6L, ts("2024-01-02 09:00:00"), 1L, "x", 3.0, "{}"),
+      (5L, ts("2024-01-02 09:00:00"), 1L, "x", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.ohlcBars(spark, dir)
+      .select("day", "open", "high", "low", "close", "volume", "mean_value")
+      .as[(String, Double, Double, Double, Double, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 5.0, 9.0, 1.0, 7.0, 4L, 5.5),
+      ("2024-01-02", 8.0, 8.0, 3.0, 3.0, 2L, 5.5)))
+  }
+
   test("e35 retention: staggered cohorts with churn draw the full triangle") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString

@@ -200,4 +200,33 @@ class StorageSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(back === src)
   }
+
+  test("f11 dynamic overwrite touches ONE partition; siblings survive verbatim") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Sources.partitionOverwrite(spark, Sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val target = Tables.documents(spark, Sf)
+      .agg(min(col("lang"))).head().getString(0)
+    def sums(transformTarget: Boolean) = Tables.documents(spark, Sf)
+      .withColumn("text",
+        when(lit(transformTarget) && col("lang") === target,
+          upper(col("text"))).otherwise(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long")), lit(0L)).as("cs"))
+      .orderBy("lang").as[(String, Long, Long)].collect().toSeq
+    val want = sums(transformTarget = true)
+    assert(got === want)
+    // every lang partition still present with full rows (a STATIC-mode
+    // overwrite would have deleted every non-target partition)...
+    assert(got.map(_._1) === sums(false).map(_._1))
+    // ...and the non-target partitions' content is bit-identical to the
+    // ORIGINAL (untouched files), while the target's differs
+    val orig = sums(transformTarget = false).map(r => r._1 -> r._3).toMap
+    got.foreach { case (lang, _, cs) =>
+      if (lang == target) assert(cs !== orig(lang), "target must be rewritten")
+      else assert(cs === orig(lang), s"sibling $lang must be untouched")
+    }
+  }
 }
