@@ -218,6 +218,7 @@ object SparkEntry {
     // file count, report content-derived facts from the compacted re-read
     "f10_compaction" -> (Sources.compaction _),
     "f11_partition_overwrite" -> (Sources.partitionOverwrite _),
+    "f12_corrupt_records" -> (Sources.corruptRecords _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1386,6 +1387,22 @@ object SparkEntry {
     // f09: the derived table is the d01 survivor set, so every audit
     // observation is a deterministic function of `documents`; on this
     // clean input all checks pass and published_rows = survivor count.
+    "f12_corrupt_records" ->
+      // corruption planted at p_partkey ≡ 0 mod 13; clean-row sums
+      // recomputed from the source (the quarantine contract, not the
+      // version-dependent partial-field behavior of PERMISSIVE).
+      s"""WITH c AS (SELECT p_partkey % 13 = 0 AS bad, p_size,
+         |    p_retailprice FROM part)
+         |SELECT count(*) AS n_rows,
+         |  CAST(COALESCE(sum(CASE WHEN bad THEN 1 END), 0) AS BIGINT)
+         |    AS n_corrupt,
+         |  CAST(COALESCE(sum(CASE WHEN NOT bad THEN 1 END), 0) AS BIGINT)
+         |    AS n_clean,
+         |  CAST(COALESCE(sum(CASE WHEN NOT bad THEN p_size END), 0)
+         |    AS BIGINT) AS size_sum,
+         |  CAST(SUM(CAST((CASE WHEN NOT bad THEN p_retailprice END)
+         |    AS DECIMAL(30,6))) AS DOUBLE) AS retail_sum
+         |FROM c""".stripMargin,
     "f11_partition_overwrite" ->
       // per-lang checksum after the dynamic overwrite: the min lang
       // carries UPPERCASED content, every other lang the original — a

@@ -363,6 +363,53 @@ object Sources {
   private[graft] def compactionDirs: (String, String) =
     (dir("docs_fragmented"), dir("docs_compacted"))
 
+  /** f12 — CORRUPT-record CSV ingestion (PERMISSIVE mode): real feeds
+    * carry malformed rows, and the production pattern is schema-on-read
+    * with `columnNameOfCorruptRecord` — clean rows parse, bad rows land
+    * whole in the corrupt column for quarantine, and NOTHING throws or
+    * is silently dropped (FAILFAST kills the job on one bad row;
+    * DROPMALFORMED loses data without a trace — the corrupt-column mode
+    * is the only auditable one). Corruption is PLANTED deterministically
+    * (every p_partkey ≡ 0 mod 13 writes an unparseable p_size), so the
+    * oracle recomputes both populations from the clean source.
+    *
+    * The output aggregates count rows, corrupt rows, and clean-row
+    * sums, with clean rows identified by a NULL corrupt column —
+    * deliberately not relying on how PERMISSIVE fills the OTHER fields
+    * of a bad row (partial-field preservation is version-dependent;
+    * the quarantine contract is not). Scan-parallel: the CSV read and
+    * the single aggregate are one pass, the write one round-robin
+    * shuffle. */
+  def corruptRecords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = dir("corrupt_csv")
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+    val line = when(col("p_partkey") % 13 === 0,
+      concat_ws(",", col("p_partkey"), col("p_name"), lit("NOT_A_NUMBER"),
+        col("p_retailprice")))
+      .otherwise(concat_ws(",", col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice")))
+    p.select(line.as("value")).write.mode("overwrite").text(base)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_size", LongType),
+      StructField("p_retailprice", DoubleType),
+      StructField("_corrupt", StringType)))
+    val back = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(base)
+    val clean = col("_corrupt").isNull
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("_corrupt").isNotNull.cast("long")), lit(0L)).as("n_corrupt"),
+      coalesce(sum(clean.cast("long")), lit(0L)).as("n_clean"),
+      coalesce(sum(when(clean, col("p_size"))), lit(0L)).as("size_sum"),
+      dsum(when(clean, col("p_retailprice"))).as("retail_sum"))
+  }
+
   /** f11 — DYNAMIC partition overwrite (INSERT OVERWRITE by partition):
     * the incremental-reprocess primitive. A daily job recomputes ONE
     * partition's data and overwrites ONLY that partition — with

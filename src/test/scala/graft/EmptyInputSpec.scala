@@ -134,6 +134,9 @@ class EmptyInputSpec extends SparkSpec {
     (0 until 7).foreach(i => assert(diff.getLong(i) === 0L, s"p06 col $i"))
     // f10 on an empty table: zero target files, all-zero facts, no throw
     assert(operators.Sources.partitionOverwrite(spark, emptyDir).count() === 0L)
+    // f12 on an empty feed: one all-zero-counts row, nothing throws
+    val cr = operators.Sources.corruptRecords(spark, emptyDir).head()
+    (0 until 3).foreach(i => assert(cr.getLong(i) === 0L, s"f12 col $i"))
     val comp = operators.Sources.compaction(spark, emptyDir).head()
     (0 until 4).foreach(i => assert(comp.getLong(i) === 0L, s"f10 col $i"))
     assert(Profiling.histogram(spark, emptyDir).count() === 0L)

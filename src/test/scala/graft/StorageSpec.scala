@@ -201,6 +201,22 @@ class StorageSpec extends SparkSpec {
     assert(back === src)
   }
 
+  test("f12 corrupt records: bad rows quarantined whole, clean rows lossless") {
+    import org.apache.spark.sql.functions._
+    val row = operators.Sources.corruptRecords(spark, Sf).head()
+    val want = Tables.part(spark, Sf)
+      .agg(count(lit(1)),
+        sum((col("p_partkey") % 13 === 0).cast("long")),
+        sum((col("p_partkey") % 13 =!= 0).cast("long")),
+        sum(when(col("p_partkey") % 13 =!= 0, col("p_size"))))
+      .head()
+    assert(row.getLong(0) === want.getLong(0))            // every line arrives
+    assert(row.getLong(1) === want.getLong(1))            // all planted rows corrupt
+    assert(row.getLong(2) === want.getLong(2))            // nothing silently dropped
+    assert(row.getLong(3) === want.getLong(3))            // clean values lossless
+    assert(row.getLong(1) > 0, "fixture must plant at least one corrupt row")
+  }
+
   test("f11 dynamic overwrite touches ONE partition; siblings survive verbatim") {
     import org.apache.spark.sql.functions._
     val got = operators.Sources.partitionOverwrite(spark, Sf)
