@@ -242,6 +242,7 @@ object SparkEntry {
     "e36_interval_merge" -> (Relational.intervalMerge _),
     "e37_cooccurrence" -> (Relational.cooccurrence _),
     "e38_ohlc_bars" -> (Relational.ohlcBars _),
+    "e39_rolling_median" -> (Relational.rollingMedian _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
@@ -1093,6 +1094,23 @@ object SparkEntry {
         |  CAST(n_active AS BIGINT)::DOUBLE / n_cohort AS retention
         |FROM m JOIN s USING (cohort)
         |ORDER BY cohort, week_k""".stripMargin,
+    "e39_rolling_median" ->
+      // trailing 7-day RANGE frame over the integer day number (gaps
+      // bound by VALUE, not row count); med7 round4-contracted.
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    ${dsum("value")} AS daily_sum
+         |  FROM events GROUP BY 1, 2),
+         |n AS (SELECT *, day - DATE '1970-01-01' AS day_num FROM daily)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, daily_sum,
+         |  ${round4("quantile_cont(daily_sum, 0.5) OVER w")} AS med7,
+         |  min(daily_sum) OVER w AS min7,
+         |  max(daily_sum) OVER w AS max7,
+         |  count(*) OVER w AS n7
+         |FROM n
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, day""".stripMargin,
     "e38_ohlc_bars" ->
       // open/close = first/last value by (ts, event_id) — the oracle
       // states them via rank, the Spark side via min_by/max_by on a

@@ -943,6 +943,39 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** E39 — ROLLING median (trailing-window robust baseline): per
+    * event_type, the 7-day trailing median / min / max of the DAILY
+    * value sum — the anomaly-detection baseline dashboards draw (median
+    * baselines survive the spike days that drag a rolling mean toward
+    * the anomaly it should flag; a rolling mean of doubles would also
+    * be ORDER-DEPENDENT FP addition, which no oracle could pin).
+    *
+    * Plan posture (e30): the percentile window runs over the REDUCED
+    * daily table (types × days rows, corpus-size-independent) — the
+    * corpus-sized work is the one map-side-combined daily aggregate.
+    * The frame is a numeric RANGE over the integer day number
+    * (`rangeBetween(-6, 0)` — gaps in the calendar still bound the
+    * frame by VALUE, which a ROWS frame would get wrong), avoiding
+    * interval-typed frames that engines express differently. daily_sum
+    * is Canon-exact; the window median interpolates between two such
+    * doubles → round4-contracted (e33 discipline); min/max exact. */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("daily_sum"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .select(col("event_type"), dateStr(col("day")).as("day"), col("daily_sum"),
+        round4(expr("percentile(daily_sum, 0.5)")
+          .over(w)).as("med7"),
+        min(col("daily_sum")).over(w).as("min7"),
+        max(col("daily_sum")).over(w).as("max7"),
+        count(lit(1)).over(w).as("n7"))
+      .orderBy("event_type", "day")
+  }
+
   /** E38 — OHLC BARS (time-bucket downsampling): per (event_type, day),
     * open = first value, close = last value (both by the total
     * (ts, event_id) order), high/low = max/min, volume, and a

@@ -368,6 +368,27 @@ class RelationalSpec extends SparkSpec {
       ("2024-01-02", 8.0, 8.0, 3.0, 3.0, 2L, 5.5)))
   }
 
+  test("e39 rolling median: RANGE frame bounds by calendar value across gaps") {
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll").toString
+    // days 1,2,3 then a CALENDAR GAP to day 10: the day-10 frame [4..10]
+    // must contain only day 10 — a ROWS(6) frame would wrongly pull in
+    // days 1-3 and report med=12.5 instead of 5
+    Seq(("01", 10.0), ("02", 20.0), ("03", 30.0), ("10", 5.0))
+      .zipWithIndex.map { case ((d0, v), i) =>
+        (i.toLong + 1, ts(d0), 1L, "x", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.rollingMedian(spark, dir)
+      .select("day", "daily_sum", "med7", "min7", "max7", "n7")
+      .as[(String, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 10.0, 10.0, 10.0, 10.0, 1L),
+      ("2024-01-02", 20.0, 15.0, 10.0, 20.0, 2L),
+      ("2024-01-03", 30.0, 20.0, 10.0, 30.0, 3L),
+      ("2024-01-10", 5.0, 5.0, 5.0, 5.0, 1L)))
+  }
+
   test("e35 retention: staggered cohorts with churn draw the full triangle") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
