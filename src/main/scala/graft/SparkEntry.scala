@@ -245,6 +245,7 @@ object SparkEntry {
     "e39_rolling_median" -> (Relational.rollingMedian _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
+    "d53_cluster_keep_best" -> (LlmOps.clusterKeepBest _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
     "e35_retention" -> (Relational.retention _),
   )
@@ -1693,6 +1694,7 @@ object SparkEntry {
     // d49 reads the PUBLISHED pair store (same deterministic d02
     // relation) — d19's oracle applies verbatim, like d47/d48.
     "d49_store_clusters" -> clustersSql,
+    "d53_cluster_keep_best" -> keepBestSql,
     "d26_token_budget" ->
       // flat per-source prefix sum over the md5 order key — equivalent
       // to the Spark side's 16-way bucketed decomposition because the
@@ -2243,21 +2245,46 @@ object SparkEntry {
   /** d19's oracle — transitive closure of the near-dup pair graph via
     * recursive CTE; cluster id = min reachable doc_id, singletons label
     * themselves. Shared verbatim with its store-fed twin d49. */
+  /** The CC labeling CTE chain (transitive closure → min-label →
+    * singleton-complete assignment → sizes) — shared by the d19/d49
+    * cluster oracles and d53's keep-best oracle. */
+  private def clusterCtes =
+    """e AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
+      |reach(src, node) AS (
+      |  SELECT DISTINCT i, i FROM e
+      |  UNION
+      |  SELECT r.src, e2.j FROM reach r JOIN e e2 ON e2.i = r.node),
+      |lbl AS (SELECT src AS doc_id, min(node) AS cluster_id
+      |        FROM reach GROUP BY src),
+      |asg AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN lbl l USING (doc_id)),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)""".stripMargin
+
   private def clustersSql =
     s"""WITH RECURSIVE $pairsCtes,
-       |e AS (SELECT i, j FROM pairs UNION ALL SELECT j, i FROM pairs),
-       |reach(src, node) AS (
-       |  SELECT DISTINCT i, i FROM e
-       |  UNION
-       |  SELECT r.src, e2.j FROM reach r JOIN e e2 ON e2.i = r.node),
-       |lbl AS (SELECT src AS doc_id, min(node) AS cluster_id
-       |        FROM reach GROUP BY src),
-       |asg AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-       |        FROM documents d LEFT JOIN lbl l USING (doc_id)),
-       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+       |$clusterCtes
        |SELECT a.doc_id, a.cluster_id, sz.cluster_size,
        |  a.doc_id = a.cluster_id AS is_canonical
        |FROM asg a JOIN sz USING (cluster_id) ORDER BY a.doc_id""".stripMargin
+
+  /** d53's oracle: the shared cluster chain + the d43 quality
+    * expression + an arg-max by (score desc, doc_id asc) per cluster. */
+  private def keepBestSql =
+    s"""WITH RECURSIVE $pairsCtes,
+       |$clusterCtes,
+       |tq AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |q AS (SELECT doc_id,
+       |        ${round4(s"ln(1.0 + len(t)) * ${round4("len(list_distinct(t))::DOUBLE / len(t)")}")}
+       |          AS quality_score
+       |      FROM tq),
+       |jn AS (SELECT a.doc_id, a.cluster_id, sz.cluster_size, q.quality_score
+       |       FROM asg a JOIN sz USING (cluster_id) JOIN q USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY quality_score DESC, doc_id) AS rnk FROM jn),
+       |k AS (SELECT cluster_id, doc_id AS keep_id FROM r WHERE rnk = 1)
+       |SELECT jn.doc_id, jn.cluster_id, jn.cluster_size, jn.quality_score,
+       |  k.keep_id, jn.doc_id = k.keep_id AS kept
+       |FROM jn JOIN k USING (cluster_id) ORDER BY jn.doc_id""".stripMargin
 
   /** d45's oracle — shared verbatim with its store-fed twin d48. */
   private def editVerifySql =

@@ -43,6 +43,7 @@ class EmptyInputSpec extends SparkSpec {
       // d19's propagation loop must terminate immediately on a pair-free
       // corpus (empty edge set ⇒ converged after one no-op iteration)
       "neardupClusters" -> (LlmOps.neardupClusters _),
+      "clusterKeepBest" -> (LlmOps.clusterKeepBest _),
       "contamination" -> (LlmOps.contamination _),
       "seqPacking" -> (LlmOps.seqPacking _),
       "cdcChunks" -> (LlmOps.cdcChunks _),

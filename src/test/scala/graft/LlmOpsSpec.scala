@@ -1179,4 +1179,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, true), (2L, 5L, false), (3L, 2L, false),
       (4L, 12L, false)))
   }
+
+  test("d53 keep-best: one winner per cluster, winner maximizes (score, -doc_id)") {
+    val rows = LlmOps.clusterKeepBest(spark, Sf)
+      .select("doc_id", "cluster_id", "cluster_size", "quality_score", "keep_id", "kept")
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    // coverage: the fixture corpus must contain at least one real
+    // multi-member family, or the keep rule is never exercised
+    assert(byCluster.exists(_._2.size > 1), "need a multi-member cluster")
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._6) === 1, s"cluster $cid must keep exactly one")
+      val winner = members.maxBy(m => (m._4, -m._1))
+      assert(members.forall(_._5 === winner._1),
+        s"cluster $cid keep_id must be the (score desc, id asc) argmax")
+      assert(winner._6, s"cluster $cid winner must carry kept=true")
+      assert(members.forall(_._3 === members.size.toLong))
+    }
+  }
 }
