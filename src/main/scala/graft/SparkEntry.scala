@@ -149,6 +149,7 @@ object SparkEntry {
     // 2-D ViT-style patchify: strided non-contiguous patch slices
     "m05_patch_grid" -> (Multimodal.patchGrid _),
     "m06_rle_stats" -> (Multimodal.rleStats _),
+    "m07_motion_energy" -> (Multimodal.motionEnergy _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -1920,6 +1921,33 @@ object SparkEntry {
         |  max(v) AS byte_max
         |FROM bv GROUP BY doc_id, pr, pc, n
         |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
+    "m07_motion_energy" ->
+      // frame differencing in HEX space: frame f's bytes start at
+      // global position f*64; the pair compares the tail frame's own
+      // (short) length. Integer energy; mean_sq ONE division.
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, hx, n,
+        |    unnest(range(CAST(ceil(n::DOUBLE / 64) AS BIGINT))) AS fid
+        |  FROM h),
+        |p AS (SELECT doc_id, fid, hx, least(64, n - fid * 64) AS flen
+        |  FROM f WHERE fid >= 1),
+        |k AS (SELECT doc_id, fid, flen, hx,
+        |    unnest(range(CAST(flen AS BIGINT))) AS kk
+        |  FROM p),
+        |v AS (SELECT doc_id, fid, flen,
+        |    CAST(('0x' || substr(hx, CAST((fid * 64 + kk) * 2 + 1 AS BIGINT), 2))
+        |      AS BIGINT) AS va,
+        |    CAST(('0x' || substr(hx, CAST(((fid - 1) * 64 + kk) * 2 + 1 AS BIGINT), 2))
+        |      AS BIGINT) AS vb
+        |  FROM k)
+        |SELECT doc_id, CAST(fid AS BIGINT) AS frame_id,
+        |  CAST(flen AS BIGINT) AS n_common,
+        |  CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS motion_energy,
+        |  CAST(sum((va - vb) * (va - vb)) AS BIGINT)::DOUBLE / flen AS mean_sq
+        |FROM v GROUP BY doc_id, fid, flen
+        |ORDER BY doc_id, frame_id""".stripMargin,
     "m06_rle_stats" ->
       // run counting in HEX space (2 hex chars = 1 byte, byte-true for
       // any payload): change-flag islands over generated positions;

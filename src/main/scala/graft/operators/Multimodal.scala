@@ -276,6 +276,48 @@ object Multimodal {
       .orderBy("doc_id", "patch_row", "patch_col")
   }
 
+  /** m07 — frame-to-frame MOTION energy (the temporal multimodal
+    * feature): per consecutive frame pair (f−1, f) of a payload,
+    * Σ(bᵢ(f) − bᵢ(f−1))² over the common byte length — the
+    * motion-detection / scene-cut signal a video pipeline computes
+    * between decoded frames, here over the raw frame bytes (the same
+    * codec-free stand-in discipline as m02: a real decoder swaps in
+    * upstream, the differencing stage is unchanged). The FIRST frame
+    * has no predecessor and emits nothing; the TAIL frame compares
+    * only its own (short) length.
+    *
+    * Plan: one lag window keyed on doc_id (per-doc frame count is
+    * payload-proportional — bounded partitions, no content key), then
+    * scan-parallel `byte_values` + `zip_with` arithmetic inside one
+    * codegen span. Integer energy, exact in any engine; `mean_sq` is
+    * ONE IEEE division. */
+  def motionEnergy(s: SparkSession, d: String): DataFrame =
+    motionEnergyOver(frames(s, d))
+
+  private[graft] def motionEnergyOver(fr: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_id")
+    val bsA = call_function(graft.functions.ByteValues.Name, col("frame_bytes"))
+    val bsB = call_function(graft.functions.ByteValues.Name, col("prev_bytes"))
+    fr
+      .withColumn("prev_bytes", lag(col("frame_bytes"), 1).over(w))
+      .filter(col("prev_bytes").isNotNull)
+      .withColumn("a", bsA)
+      .withColumn("b", bsB)
+      .withColumn("n_common", least(size(col("a")), size(col("b"))).cast("long"))
+      .withColumn("energy",
+        aggregate(
+          zip_with(
+            slice(col("a"), lit(1), col("n_common").cast("int")),
+            slice(col("b"), lit(1), col("n_common").cast("int")),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .select(col("doc_id"), col("frame_id"), col("n_common"),
+        col("energy").as("motion_energy"),
+        (col("energy").cast("double") / col("n_common")).as("mean_sq"))
+      .orderBy("doc_id", "frame_id")
+  }
+
   /** m06 — RUN-LENGTH compressibility profile of the payload byte
     * stream: maximal equal-byte runs counted in ONE left fold over the
     * `byte_values` array (state = (prev, current-run, max-run, runs) —

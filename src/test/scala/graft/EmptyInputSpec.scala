@@ -113,6 +113,7 @@ class EmptyInputSpec extends SparkSpec {
       "timerSessionsBatch" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Streaming.timerSessionsBatch(s, d)),
       "payloadStats" -> (Multimodal.payloadStats _),
       "rleStats" -> (Multimodal.rleStats _),
+      "motionEnergy" -> (Multimodal.motionEnergy _),
       "hopWindowMeta" -> (Multimodal.hopWindowMeta _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")

@@ -228,6 +228,29 @@ class MultimodalSpec extends SparkSpec {
       (2L, 1L, 1L, 1L, 1.0))) // doc 3 (empty) skipped by contract
   }
 
+  test("m07 motion energy: byte-true frame differencing incl. short tail frame") {
+    // payload of 2.5 frames at FrameBytes=64: frames 0 and 1 full, frame
+    // 2 is 32 bytes — its pair compares only 32 positions. Sign-bit
+    // bytes included so a char-based diff would be wrong.
+    val p = (0 until 64).map(i => (i % 7).toByte).toArray ++
+      (0 until 64).map(i => ((i % 7) + 200).toByte).toArray ++
+      (0 until 32).map(_ => 5.toByte).toArray
+    val media = Seq((1L, p)).toDF("doc_id", "payload")
+    val got = Multimodal.motionEnergyOver(Multimodal.frameRows(media))
+      .select("frame_id", "n_common", "motion_energy", "mean_sq")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val u = p.map(b => (b & 0xff).toLong)
+    def energy(f: Int, n: Int) =
+      (0 until n).map { k =>
+        val d = u(f * 64 + k) - u((f - 1) * 64 + k); d * d
+      }.sum
+    val e1 = energy(1, 64); val e2 = energy(2, 32)
+    assert(got === Seq(
+      (1L, 64L, e1, e1.toDouble / 64),
+      (2L, 32L, e2, e2.toDouble / 32)))
+    assert(e1 > 0 && e2 > 0)
+  }
+
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
