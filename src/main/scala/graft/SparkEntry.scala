@@ -244,6 +244,7 @@ object SparkEntry {
     "e37_cooccurrence" -> (Relational.cooccurrence _),
     "e38_ohlc_bars" -> (Relational.ohlcBars _),
     "e39_rolling_median" -> (Relational.rollingMedian _),
+    "e40_conversion_latency" -> (Relational.conversionLatency _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
     "d53_cluster_keep_best" -> (LlmOps.clusterKeepBest _),
@@ -1096,6 +1097,27 @@ object SparkEntry {
         |  CAST(n_active AS BIGINT)::DOUBLE / n_cohort AS retention
         |FROM m JOIN s USING (cohort)
         |ORDER BY cohort, week_k""".stripMargin,
+    "e40_conversion_latency" ->
+      // purchase strictly after the first view (e32 anchors); integer-µs
+      // latencies, ONE division for the rate, round4 percentiles.
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events),
+         |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS p_ts, min(v.v_ts) AS v_ts2
+         |  FROM e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts GROUP BY 1),
+         |l AS (SELECT epoch_us(p_ts) - epoch_us(v_ts2) AS lat_us,
+         |        (epoch_us(p_ts) - epoch_us(v_ts2)) // 1000000 AS lat_s
+         |      FROM p),
+         |nv AS (SELECT count(*) AS n_viewers FROM v)
+         |SELECT n_viewers, count(*) AS n_converted,
+         |  count(*)::DOUBLE / n_viewers AS conv_rate,
+         |  CAST(min(lat_us) AS BIGINT) AS min_us,
+         |  CAST(max(lat_us) AS BIGINT) AS max_us,
+         |  ${round4("quantile_cont(lat_s, 0.5)")} AS p50_s,
+         |  ${round4("quantile_cont(lat_s, 0.9)")} AS p90_s
+         |FROM l, nv GROUP BY n_viewers""".stripMargin,
     "e39_rolling_median" ->
       // trailing 7-day RANGE frame over the integer day number (gaps
       // bound by VALUE, not row count); med7 round4-contracted.

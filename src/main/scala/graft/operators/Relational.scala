@@ -976,6 +976,54 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** E40 — conversion-LATENCY distribution (the funnel's time axis):
+    * per user, latency = first purchase STRICTLY AFTER the first view,
+    * minus that view (e32's order-sensitive anchor rule); the output is
+    * the one-row distribution summary a growth dashboard reads —
+    * audience size, conversions, rate, and the latency percentiles.
+    * The count-based funnel (e32) says HOW MANY convert; this says HOW
+    * FAST, which is what latency-sensitive experiments actually move.
+    *
+    * Plan: two user_id-keyed conditional-min aggregates (view anchor,
+    * then purchase-after via the co-keyed join — the funnel shape),
+    * then ONE global aggregate over user-cardinality rows. Latencies
+    * are integer µs (engine-exact); the rate is one IEEE division;
+    * median/p90 are round4-contracted interpolated percentiles (e33
+    * discipline) whose exact form buffers user-count values — at
+    * extreme audiences the same plan takes `approx_percentile`
+    * (e09c note). */
+  def conversionLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"), min(col("v_ts")).as("v_ts2"))
+    val lat = p.select((unix_micros(col("p_ts").cast("timestamp")) -
+      unix_micros(col("v_ts2").cast("timestamp"))).as("lat_us"))
+      // percentiles interpolate over integer SECONDS, not µs: at µs
+      // magnitudes (~10¹¹) the interpolation's 1-ulp cross-engine
+      // divergence (~10⁻⁴) can straddle a round4 boundary — observed
+      // once at sf0.01; at second magnitudes the ulp is ~10⁻¹⁰ and the
+      // contract is safe. min/max stay exact µs.
+      .withColumn("lat_s", expr("lat_us div 1000000"))
+    val nViewers = v.agg(count(lit(1)).as("n_viewers"))
+    lat.agg(
+      count(lit(1)).as("n_converted"),
+      min(col("lat_us")).as("min_us"),
+      max(col("lat_us")).as("max_us"),
+      round4(expr("percentile(lat_s, 0.5)")).as("p50_s"),
+      round4(expr("percentile(lat_s, 0.9)")).as("p90_s"))
+      .join(broadcast(nViewers))
+      // a conversion-free corpus has no distribution to report: emit
+      // zero rows (mirrors the oracle's inner FROM over the latency set)
+      .filter(col("n_converted") > 0)
+      .select(col("n_viewers"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_viewers")).as("conv_rate"),
+        col("min_us"), col("max_us"), col("p50_s"), col("p90_s"))
+  }
+
   /** E38 — OHLC BARS (time-bucket downsampling): per (event_type, day),
     * open = first value, close = last value (both by the total
     * (ts, event_id) order), high/low = max/min, volume, and a

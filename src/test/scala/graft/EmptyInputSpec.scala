@@ -130,6 +130,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.cooccurrence(spark, emptyDir).count() === 0L)
     assert(Relational.ohlcBars(spark, emptyDir).count() === 0L)
     assert(Relational.rollingMedian(spark, emptyDir).count() === 0L)
+    assert(Relational.conversionLatency(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.secondarySort(spark, emptyDir).count() === 0L)
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums

@@ -389,6 +389,26 @@ class RelationalSpec extends SparkSpec {
       ("2024-01-10", 5.0, 5.0, 5.0, 5.0, 1L)))
   }
 
+  test("e40 conversion latency: strictly-after anchors, percentiles, audience") {
+    def ts(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    def ev(id: Long, m: Int, u: Long, t: String) = (id, ts(m), u, t, 1.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-convlat").toString
+    val min = 60000000L
+    Seq(
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "purchase"),          // lat 10 min
+      ev(3, 5, 2, "view"), ev(4, 0, 2, "purchase"),           // purchase BEFORE view → not converted
+      ev(5, 0, 3, "view"),                                     // viewer, no purchase
+      ev(6, 0, 4, "purchase"),                                 // no view → not in audience
+      ev(7, 0, 5, "view"), ev(8, 30, 5, "purchase"), ev(9, 20, 5, "purchase")) // first-after = 20
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.conversionLatency(spark, dir)
+      .select("n_viewers", "n_converted", "conv_rate", "min_us", "max_us", "p50_s", "p90_s")
+      .as[(Long, Long, Double, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((4L, 2L, 0.5, 10L * min, 20L * min,
+      15.0 * 60, (10 + 0.9 * 10) * 60)))
+  }
+
   test("e35 retention: staggered cohorts with churn draw the full triangle") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
