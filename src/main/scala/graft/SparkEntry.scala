@@ -210,6 +210,7 @@ object SparkEntry {
     "p06_table_diff" -> (Profiling.tableDiff _),
     "p07_mad_outliers" -> (Profiling.madOutliers _),
     "p08_skew_profile" -> (Profiling.skewProfile _),
+    "p09_fd_profile" -> (Profiling.fdProfile _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
@@ -1321,6 +1322,43 @@ object SparkEntry {
         |                 ((cur_n + 1)::DOUBLE / (nc + 10)))
         |              AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
         |FROM h, tot ORDER BY bin""".stripMargin,
+    "p09_fd_profile" ->
+      // key rules: violations = rows − distinct; FD rules: LHS groups
+      // with >1 distinct RHS. All integer counts.
+      """SELECT 'key_orders_orderkey' AS rule,
+        |  count(*) AS lhs_count,
+        |  count(*) - count(DISTINCT o_orderkey) AS violations,
+        |  count(*) = count(DISTINCT o_orderkey) AS holds
+        |FROM orders
+        |UNION ALL
+        |SELECT 'key_lineitem_orderkey_linenumber', count(*),
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+        |  count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'key_orders_custkey', count(*),
+        |  count(*) - count(DISTINCT o_custkey),
+        |  count(*) = count(DISTINCT o_custkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'fd_orderkey_to_orderdate', count(*),
+        |  CAST(COALESCE(sum(CASE WHEN ny > 1 THEN 1 END), 0) AS BIGINT),
+        |  COALESCE(sum(CASE WHEN ny > 1 THEN 1 END), 0) = 0
+        |FROM (SELECT o_orderkey, count(DISTINCT o_orderdate) AS ny
+        |      FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'fd_custkey_to_orderpriority', count(*),
+        |  CAST(COALESCE(sum(CASE WHEN ny > 1 THEN 1 END), 0) AS BIGINT),
+        |  COALESCE(sum(CASE WHEN ny > 1 THEN 1 END), 0) = 0
+        |FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS ny
+        |      FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'fd_lang_to_source', count(*),
+        |  CAST(COALESCE(sum(CASE WHEN ny > 1 THEN 1 END), 0) AS BIGINT),
+        |  COALESCE(sum(CASE WHEN ny > 1 THEN 1 END), 0) = 0
+        |FROM (SELECT lang, count(DISTINCT source) AS ny
+        |      FROM documents GROUP BY 1)
+        |ORDER BY rule""".stripMargin,
     "p08_skew_profile" ->
       // top-10 heavy keys (count desc, key asc) + global distribution;
       // share and ratio_to_mean are exact-integer numerators with ONE

@@ -168,6 +168,51 @@ object Profiling {
       .orderBy("event_type")
   }
 
+  /** p09 — KEY-candidate and FUNCTIONAL-DEPENDENCY profile (schema
+    * discovery): which columns actually behave as keys, and which
+    * declared X→Y dependencies hold — the checks a catalog/modeling
+    * tool runs before anyone trusts a join key or a dimension
+    * hierarchy. A key rule reports `violations` = rows − distinct
+    * values (0 ⇔ unique); an FD rule reports the number of LHS groups
+    * carrying MORE THAN ONE distinct RHS value (0 ⇔ X→Y holds).
+    *
+    * Plan: each rule is one aggregate pass reduced to a single row
+    * (key rules: count + countDistinct in one scan; FD rules: a keyed
+    * countDistinct then a one-row rollup), then a tiny union — the p02
+    * declarative-rules shape. `countDistinct` shuffles exact distincts
+    * at profile granularity; the 100 TB swap is HLL
+    * (`approx_count_distinct` / the stored sketches) in the same
+    * plans. */
+  def fdProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def keyRule(name: String, df: DataFrame, cols: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        countDistinct(col(cols.head), cols.tail.map(col): _*).as("nd"))
+        .select(lit(name).as("rule"), col("n").as("lhs_count"),
+          (col("n") - col("nd")).as("violations"),
+          (col("n") === col("nd")).as("holds"))
+    def fdRule(name: String, df: DataFrame, x: Column, y: Column): DataFrame =
+      df.groupBy(x.as("x")).agg(countDistinct(y).as("ny"))
+        .agg(count(lit(1)).as("lhs_count"),
+          coalesce(sum((col("ny") > 1).cast("long")), lit(0L)).as("violations"))
+        .select(lit(name).as("rule"), col("lhs_count"), col("violations"),
+          (col("violations") === 0L).as("holds"))
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val docs = Tables.documents(s, d)
+    keyRule("key_orders_orderkey", o, Seq("o_orderkey"))
+      .unionByName(keyRule("key_lineitem_orderkey_linenumber", li,
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(keyRule("key_orders_custkey", o, Seq("o_custkey")))
+      .unionByName(fdRule("fd_orderkey_to_orderdate", o,
+        col("o_orderkey"), col("o_orderdate")))
+      .unionByName(fdRule("fd_custkey_to_orderpriority", o,
+        col("o_custkey"), col("o_orderpriority")))
+      .unionByName(fdRule("fd_lang_to_source", docs,
+        col("lang"), col("source")))
+      .orderBy("rule")
+  }
+
   /** p08 — shuffle-KEY SKEW profile: the calibration tool that decides
     * whether a key needs salting / AQE skew handling BEFORE the big job
     * runs (this repo's own e21/e20b/d42 mitigations all presuppose

@@ -148,6 +148,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)
     assert(Profiling.madOutliers(spark, emptyDir).count() === 0L)
     assert(Profiling.skewProfile(spark, emptyDir).count() === 0L)
+    // p09 is a rule union over GLOBAL aggregates: 6 rule rows, all
+    // vacuously holding with zero counts, never NULL arithmetic
+    val fd = Profiling.fdProfile(spark, emptyDir).collect()
+    assert(fd.length === 6)
+    fd.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getBoolean(3),
+        s"p09 rule ${r.getString(0)} on empty input")
+    }
     // WAP on an empty derived table is a VALID publish: zero expected,
     // zero staged, all audits pass, an empty table goes live (day-one
     // state) — the manifest itself always has its four rows

@@ -280,6 +280,31 @@ class ProfilingSpec extends SparkSpec {
     assert(got.tail.forall(r => r._2 == 1L && r._3 == 1.0 / 21))
   }
 
+  test("p09 FD profile: planted key violations and dependency breaks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fd").toString
+    Seq((1L, 10L, "1994-01-01", "1-URGENT"),
+      (2L, 10L, "1994-01-01", "2-HIGH"),    // cust 10 → two priorities
+      (3L, 20L, "1994-02-01", "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (2L, 1L))
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c")) // en → two sources
+      .toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Profiling.fdProfile(spark, dir)
+      .select("rule", "lhs_count", "violations", "holds")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("fd_custkey_to_orderpriority", 2L, 1L, false),
+      ("fd_lang_to_source", 2L, 1L, false),
+      ("fd_orderkey_to_orderdate", 3L, 0L, true),
+      ("key_lineitem_orderkey_linenumber", 3L, 0L, true),
+      ("key_orders_custkey", 3L, 1L, false),
+      ("key_orders_orderkey", 3L, 0L, true)))
+  }
+
   test("p07 MAD outliers: analytic fixture — robust to the outlier it flags") {
     def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
