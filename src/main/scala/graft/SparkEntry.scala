@@ -246,6 +246,7 @@ object SparkEntry {
     "e38_ohlc_bars" -> (Relational.ohlcBars _),
     "e39_rolling_median" -> (Relational.rollingMedian _),
     "e40_conversion_latency" -> (Relational.conversionLatency _),
+    "e41_usage_apportion" -> (Relational.usageApportion _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
     "d53_cluster_keep_best" -> (LlmOps.clusterKeepBest _),
@@ -1098,6 +1099,30 @@ object SparkEntry {
         |  CAST(n_active AS BIGINT)::DOUBLE / n_cohort AS retention
         |FROM m JOIN s USING (cohort)
         |ORDER BY cohort, week_k""".stripMargin,
+    "e41_usage_apportion" ->
+      // explode to covered days (bounded by duration), clamp to the day
+      // window, one keyed sum — all integer-µs arithmetic.
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + (CAST(json_extract_string(props, '$.k') AS BIGINT) + 1)
+        |        * 60000000 AS end_us
+        |  FROM events),
+        |days AS (SELECT user_id, start_us, end_us,
+        |    unnest(range(start_us // 86400000000,
+        |                 (end_us - 1) // 86400000000 + 1)) AS day_idx
+        |  FROM iv),
+        |c AS (SELECT user_id, day_idx * 86400000000 AS day_start_us,
+        |    least(end_us, day_idx * 86400000000 + 86400000000)
+        |      - greatest(start_us, day_idx * 86400000000) AS covered_us
+        |  FROM days)
+        |SELECT user_id,
+        |  strftime(CAST(to_timestamp(day_start_us // 1000000) AS DATE),
+        |           '%Y-%m-%d') AS day,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(covered_us) AS BIGINT) AS usage_us
+        |FROM c GROUP BY user_id, day_start_us
+        |ORDER BY user_id, day""".stripMargin,
     "e40_conversion_latency" ->
       // purchase strictly after the first view (e32 anchors); integer-µs
       // latencies, ONE division for the rate, round4 percentiles.

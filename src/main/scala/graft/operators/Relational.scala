@@ -976,6 +976,46 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** E41 — usage APPORTIONMENT (interval-to-calendar proration): each
+    * event's hold interval `[ts, ts+(k+1)min)` (the e36 construction)
+    * is split across the calendar days it touches, and per (user, day)
+    * the covered microseconds are summed — the billing/metering shape
+    * ("usage seconds per day"), whose whole difficulty is the interval
+    * that CROSSES MIDNIGHT: neither a groupBy on the start day (books
+    * the spill-over to the wrong day) nor a window can express the
+    * split; the operator is explode-to-covered-days + clamp.
+    *
+    * Plan: the day explode is scan-parallel and BOUNDED (an interval of
+    * ≤ (k+1) ≤ 101 min covers at most 2 days — in general ⌈dur/day⌉+1
+    * rows, duration-proportional, never corpus-proportional), then ONE
+    * (user, day)-keyed aggregate, map-side combined. The clamp
+    * `min(end, day+1) − max(start, day)` is integer-µs arithmetic —
+    * engine-exact. */
+  def usageApportion(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("start_us"),
+        (get_json_object(col("props"), "$.k").cast("long") + 1L).as("dur_min"))
+      .withColumn("end_us", col("start_us") + col("dur_min") * 60000000L)
+    val DayUs = 86400000000L
+    iv
+      .withColumn("day_idx",
+        explode(sequence(expr("start_us div 86400000000"),
+          // last covered day: the half-open end's PREVIOUS µs
+          expr("(end_us - 1) div 86400000000"))))
+      .withColumn("day_start_us", col("day_idx") * DayUs)
+      .withColumn("covered_us",
+        least(col("end_us"), col("day_start_us") + DayUs) -
+          greatest(col("start_us"), col("day_start_us")))
+      .groupBy(col("user_id"),
+        to_date(timestamp_micros(col("day_start_us"))).as("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("covered_us")).as("usage_us"))
+      .select(col("user_id"), dateStr(col("day")).as("day"),
+        col("n_intervals"), col("usage_us"))
+      .orderBy("user_id", "day")
+  }
+
   /** E40 — conversion-LATENCY distribution (the funnel's time axis):
     * per user, latency = first purchase STRICTLY AFTER the first view,
     * minus that view (e32's order-sensitive anchor rule); the output is

@@ -409,6 +409,32 @@ class RelationalSpec extends SparkSpec {
       15.0 * 60, (10 + 0.9 * 10) * 60)))
   }
 
+  test("e41 apportionment: midnight-crossing interval splits exactly across days") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ev(id: Long, t: String, u: Long, k: Long) =
+      (id, ts(t), u, "view", 1.0, s"""{"k": $k}""")
+    val dir = java.nio.file.Files.createTempDirectory("graft-apport").toString
+    val min = 60000000L
+    Seq(
+      // user 1: 23:30 + 90 min (k=89) → 30 min on Jan 1, 60 min on Jan 2
+      ev(1L, "2024-01-01 23:30:00", 1L, 89L),
+      // user 1: fully inside Jan 2: 10:00 + 5 min
+      ev(2L, "2024-01-02 10:00:00", 1L, 4L),
+      // user 2: starts exactly at midnight, 1 min — Jan 3 only
+      ev(3L, "2024-01-03 00:00:00", 2L, 0L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.usageApportion(spark, dir)
+      .select("user_id", "day", "n_intervals", "usage_us")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01", 1L, 30L * min),
+      (1L, "2024-01-02", 2L, 65L * min), // 60 spill-over + 5 local
+      (2L, "2024-01-03", 1L, 1L * min)))
+    // conservation: apportioned mass equals raw durations
+    assert(got.map(_._4).sum === (90L + 5L + 1L) * min)
+  }
+
   test("e35 retention: staggered cohorts with churn draw the full triangle") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     val dir = java.nio.file.Files.createTempDirectory("graft-ret").toString
