@@ -74,12 +74,18 @@ object Sources {
   }
 
   /** f05 — bucketed-table co-located join: both sides written
-    * `bucketBy(8, key)` into the session warehouse, then joined WITHOUT
-    * a shuffle on either side (StorageSpec asserts no
-    * `Exchange hashpartitioning` in this very plan shape) — the storage
+    * `bucketBy(8, key).sortBy(key)` into the session warehouse, then
+    * joined WITHOUT a shuffle OR a sort on either side — the storage
     * layout that turns a repeated 100 TB fact-fact join from
-    * shuffle-bound into scan-bound. The oracle recomputes from the
-    * original parquet, so bucketed write+read fidelity is checked too. */
+    * shuffle-bound into scan-bound. The `repartition(8, key)` before
+    * each write is load-bearing: it makes each bucket exactly ONE file,
+    * and Spark trusts a bucket's sortBy metadata ONLY in the
+    * one-file-per-bucket layout (multiple writer tasks each emit a
+    * sorted file per bucket, whose concatenation is not sorted — so the
+    * reader must re-sort, observed as a SortExec under the SMJ before
+    * this fix). StorageSpec asserts both properties on this very plan
+    * shape. The oracle recomputes from the original parquet, so
+    * bucketed write+read fidelity is checked too. */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     Seq("graft_f05_lineitem", "graft_f05_orders").foreach { t =>
       // clean slate: a crashed previous run leaves a managed-table dir
@@ -90,9 +96,11 @@ object Sources {
       org.apache.commons.io.FileUtils.deleteQuietly(loc)
     }
     Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_f05_lineitem")
     Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_f05_orders")
     s.table("graft_f05_lineitem")

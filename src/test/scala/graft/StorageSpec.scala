@@ -26,16 +26,33 @@ class StorageSpec extends SparkSpec {
     }
     val l = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, Sf).select("o_orderkey", "o_totalprice")
-    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("bkt_lineitem")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("bkt_orders")
+    // one file per bucket (repartition on the bucket key) — Spark only
+    // trusts sortBy metadata in that layout; without it a SortExec
+    // reappears under the merge join
+    l.repartition(8, col("l_orderkey")).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("bkt_lineitem")
+    o.repartition(8, col("o_orderkey")).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bkt_orders")
+    // force the merge join (broadcast would make the no-sort assertion
+    // vacuous at this SF); conf restored after the plan is captured
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThreshold = spark.conf.get(thresholdKey)
+    val plan = try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.sparkPlan.toString
+    } finally spark.conf.set(thresholdKey, prevThreshold)
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join must not re-shuffle either side:\n" + plan.take(1500))
+    assert(!plan.contains("Sort "),
+      "sorted one-file-per-bucket join must not re-sort either side:\n" +
+        plan.take(1500))
     val joined = spark.table("bkt_lineitem")
       .join(spark.table("bkt_orders"),
         col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.sparkPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      "bucketed join must not re-shuffle either side:\n" + plan.take(1500))
     // and it still computes the right thing
     val expected = Tables.lineitem(spark, Sf)
       .join(Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
