@@ -58,6 +58,7 @@ object SparkEntry {
     "e18b_try_funcs" -> (Relational.tryFuncs _),
     "e19_region_supplier" -> (Relational.regionSupplier _),
     "e20_asof_join" -> (AsofJoin.errorAsofPurchase _),
+    "e42_nearest_event" -> (AsofJoin.nearestEvent _),
     // the two-pass (key, time-bucket) variant — same contract, bounded
     // window partitions under key skew; same DuckDB ASOF oracle
     "e20b_asof_bucketed" -> ((s, d) => AsofJoin.errorAsofPurchaseBucketed(s, d)),
@@ -580,6 +581,31 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "e20_asof_join" -> asofSql,
+    "e42_nearest_event" ->
+      // candidates = per-(user, ts) deduped purchases (max event_id —
+      // the e20 dedup mirrored); argmin by (µs |Δt|, back-before-fwd,
+      // ts) — LEFT join keeps purchase-less errors with NULL match.
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS e_ts
+        |  FROM events WHERE event_type = 'error'),
+        |cand AS (SELECT e.event_id, e.user_id, e.e_ts, p.p_id,
+        |    abs(epoch_us(e.e_ts) - epoch_us(CAST(p.ts AS TIMESTAMP)))
+        |      AS adelta,
+        |    CASE WHEN CAST(p.ts AS TIMESTAMP) <= e.e_ts THEN 0 ELSE 1 END
+        |      AS dirp,
+        |    CAST(p.ts AS TIMESTAMP) AS p_ts
+        |  FROM err e JOIN p ON e.user_id = p.user_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY adelta, dirp, p_ts) AS rn FROM cand)
+        |SELECT err.event_id, err.user_id,
+        |  strftime(err.e_ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  r.p_id AS nearest_id,
+        |  CASE WHEN r.p_id IS NULL THEN NULL
+        |       WHEN r.dirp = 0 THEN 'back' ELSE 'fwd' END AS direction,
+        |  CAST(r.adelta AS BIGINT) AS abs_lag_us
+        |FROM err LEFT JOIN r ON err.event_id = r.event_id AND r.rn = 1
+        |ORDER BY err.event_id""".stripMargin,
     // the two-pass bucketed plan has the identical output contract, so
     // the same native-ASOF oracle applies verbatim
     "e20b_asof_bucketed" -> asofSql,

@@ -137,4 +137,48 @@ object AsofJoin {
       .withColumn("m_ts", coalesce(col("in_ts"), col("c").getField("ts")))
       .withColumn("m_value", coalesce(col("in_value"), col("c").getField("p_value"))))
   }
+
+  /** e42 — NEAREST-event join (bidirectional as-of): for each error,
+    * the purchase of the same user with the minimal |Δt| in EITHER
+    * direction — sensor-fusion / log-correlation semantics where the
+    * cause may be recorded just after the effect (a backward-only as-of
+    * (e20) structurally misses the purchase 1 s in the future in favor
+    * of one an hour in the past). Tie (equal µs |Δt| across directions)
+    * resolves BACKWARD — deterministic in both engines; same-ts matches
+    * are backward with Δt = 0 by the tag ordering.
+    *
+    * Plan: the same union-tag stream as e20, with TWO frames over ONE
+    * window sort — carry-back (`last` over unbounded-preceding) and
+    * carry-forward (`first` over unbounded-following) share the
+    * (user_id, (ts, tag)) partitioning and sort, so the whole operator
+    * is still one shuffle and no join. Deltas are integer µs (second
+    * truncation would create false cross-engine ties — two purchases in
+    * the same second straddling a probe). Errors with no purchase either
+    * way keep NULL match columns (left-complete). */
+  def nearestEvent(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_probe").asc)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+    taggedStream(s, d)
+      .withColumn("b_id", last(col("p_event_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_ts", last(when(col("is_probe") === 0, col("ts")),
+        ignoreNulls = true).over(wb))
+      .withColumn("f_id", first(col("p_event_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_ts", first(when(col("is_probe") === 0, col("ts")),
+        ignoreNulls = true).over(wf))
+      .filter(col("is_probe") === 1)
+      .withColumn("b_d", us(col("ts")) - us(col("b_ts")))
+      .withColumn("f_d", us(col("f_ts")) - us(col("ts")))
+      .withColumn("pick_back",
+        col("b_id").isNotNull && (col("f_id").isNull || col("b_d") <= col("f_d")))
+      .select(col("e_event_id").as("event_id"), col("user_id"),
+        tsStr(col("ts")).as("err_ts"),
+        when(col("pick_back"), col("b_id")).otherwise(col("f_id")).as("nearest_id"),
+        when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("string"))
+          .when(col("pick_back"), lit("back")).otherwise(lit("fwd")).as("direction"),
+        when(col("pick_back"), col("b_d")).otherwise(col("f_d")).as("abs_lag_us"))
+      .orderBy("event_id")
+  }
 }

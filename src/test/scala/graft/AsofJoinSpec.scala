@@ -60,4 +60,43 @@ class AsofJoinSpec extends SparkSpec {
         s"bucket $bucket diverged on the hot key")
     }
   }
+
+  test("e42 nearest event: direction choice, exact tie → back, purchase-less null") {
+    import spark.implicits._
+    val t0 = 1700000000L
+    val rows = Seq(
+      // user 1: back 30 s away, fwd 15 s away → fwd wins
+      (1L, t0 + 0, 1L, "purchase", 1.0),
+      (2L, t0 + 30, 1L, "error", 0.0),
+      (3L, t0 + 45, 1L, "purchase", 1.0),
+      // user 2: only an earlier purchase → back
+      (4L, t0 + 0, 2L, "purchase", 1.0),
+      (5L, t0 + 500, 2L, "error", 0.0),
+      // user 3: no purchase at all → null match
+      (6L, t0 + 0, 3L, "error", 0.0),
+      // user 4: exactly equidistant (10 s both ways) → back wins
+      (7L, t0 + 0, 4L, "purchase", 1.0),
+      (8L, t0 + 10, 4L, "error", 0.0),
+      (9L, t0 + 20, 4L, "purchase", 1.0),
+      // user 5: same-timestamp purchase → back with Δ = 0
+      (10L, t0 + 7, 5L, "purchase", 1.0),
+      (11L, t0 + 7, 5L, "error", 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nearest").toString
+    rows.toDF("event_id", "tsec", "user_id", "event_type", "value")
+      .select(col("event_id"), (col("tsec") * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = AsofJoin.nearestEvent(spark, dir)
+      .select("event_id", "nearest_id", "direction", "abs_lag_us")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "none" else r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got === Seq(
+      (2L, 3L, "fwd", 15000000L),
+      (5L, 4L, "back", 500000000L),
+      (6L, -1L, "none", -1L),
+      (8L, 7L, "back", 10000000L),
+      (11L, 10L, "back", 0L)))
+  }
 }

@@ -132,6 +132,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Relational.rollingMedian(spark, emptyDir).count() === 0L)
     assert(Relational.conversionLatency(spark, emptyDir).count() === 0L)
     assert(Relational.usageApportion(spark, emptyDir).count() === 0L)
+    assert(operators.AsofJoin.nearestEvent(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.secondarySort(spark, emptyDir).count() === 0L)
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums
