@@ -205,8 +205,12 @@ object Bench {
 
     val qsShort = timings.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedShort = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    // sf basename only on stdout (the full path is in the file record):
+    // every constant char on this line competes with a query entry
+    // against the driver's tail capture
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedShort$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedShort$extra,"sf":"$sfShort"}"""
     println(line)
     System.out.flush()
   }

@@ -251,6 +251,7 @@ object SparkEntry {
     // C4/Gopher-style composite filter with per-rule flags + bitmask
     "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
     "d53_cluster_keep_best" -> (LlmOps.clusterKeepBest _),
+    "d54_filter_agreement" -> (LlmOps.filterAgreement _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
     "e35_retention" -> (Relational.retention _),
   )
@@ -1807,6 +1808,31 @@ object SparkEntry {
     // relation) — d19's oracle applies verbatim, like d47/d48.
     "d49_store_clusters" -> clustersSql,
     "d53_cluster_keep_best" -> keepBestSql,
+    "d54_filter_agreement" ->
+      // both scorers' CTEs verbatim (d44 model, d52 rules), joined on
+      // doc_id → 2×2 confusion; share is ONE division.
+      s"""WITH $tokCte,
+         |mb AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+         |  FROM tok),
+         |mw AS (SELECT doc_id, (b * 37 + 11) % 101 - 50 AS wnum FROM mb),
+         |ma AS (SELECT doc_id, count(*) AS n,
+         |    CAST(sum(wnum) AS BIGINT) AS z FROM mw GROUP BY doc_id),
+         |mk AS (SELECT doc_id, z::DOUBLE / (n * 100) >= 0.0 AS model_keep
+         |  FROM ma),
+         |rc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+         |ra AS (SELECT doc_id, sum(c) AS n, sum(c * len(word)) AS sl,
+         |    max(c) AS mx, count(*) AS nd FROM rc GROUP BY doc_id),
+         |rk AS (SELECT doc_id, (n >= 12 AND sl * 10 >= n * 40
+         |    AND sl * 10 <= n * 50 AND mx * 5 <= n AND nd * 10 >= n * 3)
+         |    AS rules_keep FROM ra),
+         |j AS (SELECT m.model_keep, r.rules_keep
+         |  FROM mk m JOIN rk r USING (doc_id)),
+         |t AS (SELECT count(*) AS n_docs FROM j)
+         |SELECT model_keep, rules_keep, count(*) AS n,
+         |  count(*)::DOUBLE / n_docs AS share
+         |FROM j, t GROUP BY model_keep, rules_keep, n_docs
+         |ORDER BY model_keep, rules_keep""".stripMargin,
     "d26_token_budget" ->
       // flat per-source prefix sum over the md5 order key — equivalent
       // to the Spark side's 16-way bucketed decomposition because the

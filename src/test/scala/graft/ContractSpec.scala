@@ -31,14 +31,14 @@ class ContractSpec extends SparkSpec {
     val keys = SparkEntry.queries.keys.toSeq
     assert(keys.map(Bench.shortKey).distinct.size === keys.size, "short bench keys collide")
     val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.9").mkString(
-      """{"metric":"total","value":9999.999,"unit":"sec","queries":{""",
+      """{"metric":"total","value":9999.9,"unit":"sec","queries":{""",
       ",",
-      """},"failed":[],"sf":"/root/testdata/sf0.1"}""")
+      """},"failed":[],"sf":"sf0.1"}""")
     assert(ok.length <= 1850, s"bench stdout line too long: ${ok.length} chars")
     val allFailed = keys.map(k => "\"" + Bench.shortKey(k) + "\"").mkString(
       """{"metric":"total","value":0,"unit":"sec","queries":{},"failed":[""",
       ",",
-      """],"sf":"/root/testdata/sf0.1"}""")
+      """],"sf":"sf0.1"}""")
     assert(allFailed.length <= 1850, s"all-failed line too long: ${allFailed.length} chars")
   }
 

@@ -44,6 +44,7 @@ class EmptyInputSpec extends SparkSpec {
       // corpus (empty edge set ⇒ converged after one no-op iteration)
       "neardupClusters" -> (LlmOps.neardupClusters _),
       "clusterKeepBest" -> (LlmOps.clusterKeepBest _),
+      "filterAgreement" -> (LlmOps.filterAgreement _),
       "contamination" -> (LlmOps.contamination _),
       "seqPacking" -> (LlmOps.seqPacking _),
       "cdcChunks" -> (LlmOps.cdcChunks _),

@@ -1180,6 +1180,24 @@ class LlmOpsSpec extends SparkSpec {
       (4L, 12L, false)))
   }
 
+  test("d54 filter agreement: cells partition the corpus, shares sum to 1") {
+    val rows = LlmOps.filterAgreement(spark, Sf)
+      .select("model_keep", "rules_keep", "n", "share")
+      .as[(Boolean, Boolean, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 4)
+    val nDocs = Tables.documents(spark, Sf).count()
+    assert(rows.map(_._3).sum === nDocs, "cells must partition the corpus")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    // cells agree with the registered scorers joined directly
+    val m = LlmOps.qualityClassifier(spark, Sf).select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toMap
+    val r = LlmOps.qualityEnsemble(spark, Sf).select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toMap
+    val want = m.keys.toSeq.map(k => (m(k), r(k))).groupBy(identity)
+      .map { case (cell, xs) => cell -> xs.size.toLong }
+    assert(rows.map(x => (x._1, x._2) -> x._3).toMap === want)
+  }
+
   test("d53 keep-best: one winner per cluster, winner maximizes (score, -doc_id)") {
     val rows = LlmOps.clusterKeepBest(spark, Sf)
       .select("doc_id", "cluster_id", "cluster_size", "quality_score", "keep_id", "kept")
