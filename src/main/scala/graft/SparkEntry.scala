@@ -215,6 +215,7 @@ object SparkEntry {
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
+    "s13_trending_topk" -> (Streaming.trendingTopKBatch _),
     // write-audit-publish staging gate for derived tables
     "f09_write_audit_publish" -> (Sources.writeAuditPublish _),
     // small-file compaction job: fragment 64-way, rewrite to size-derived
@@ -1495,6 +1496,13 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n_events, ${dsum("value")} AS sum_value
          |FROM events WHERE event_type <> 'sentinel'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s13_trending_topk" ->
+      // running item counts ranked desc, item-id tie-break, top 10;
+      // the streaming side re-emits this whole table per batch.
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |  count(*) AS n
+        |FROM events WHERE event_type <> 'sentinel'
+        |GROUP BY 1 ORDER BY n DESC, item LIMIT 10""".stripMargin,
     "s12_timer_sessions" ->
       // gaps-and-islands at a 30-min gap; session_end = LAST EVENT (not
       // last+gap, which is s03's convention). The streaming side is the

@@ -369,6 +369,28 @@ object Streaming {
   def runningTotalsBatch(s: SparkSession, d: String): DataFrame =
     runningTotals(Tables.events(s, d)).orderBy("event_type")
 
+  /** E16h — complete-mode TRENDING top-k (s13): the "top items right
+    * now" dashboard query — running per-item counts, ranked, truncated
+    * to k, the WHOLE ranking re-emitted each micro-batch. Complete mode
+    * is the only output mode that can re-RANK (a row's rank changes
+    * when other rows' counts change — append can never retract, update
+    * can't express a global sort), and it is only correct because the
+    * item domain is LOW-CARDINALITY (s11's selection rule: state = one
+    * row per item). The sort feeds a LIMIT, so each emission is a
+    * top-k heap pass over ≤|items| aggregated rows, never a big sort.
+    * Count ties break by item id — deterministic in both engines. */
+  def trendingTopK(events: DataFrame, k: Int = 10): DataFrame =
+    events.filter(col("event_type") =!= "sentinel")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item"))
+      .limit(k)
+
+  /** Batch entry for [[trendingTopK]] (same oracle shape). */
+  def trendingTopKBatch(s: SparkSession, d: String): DataFrame =
+    trendingTopK(Tables.events(s, d))
+
   /** E17e — TIMER-closed sessions (`transformWithState` + EVENT-TIME
     * timers): the session operator rebuilt on arbitrary state, which is
     * what a pipeline needs when sessions must close on INACTIVITY with

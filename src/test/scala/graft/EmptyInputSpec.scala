@@ -112,6 +112,7 @@ class EmptyInputSpec extends SparkSpec {
       "streamLeftJoin" -> (Streaming.streamLeftJoin _),
       "runningTotals" -> (Streaming.runningTotalsBatch _),
       "timerSessionsBatch" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Streaming.timerSessionsBatch(s, d)),
+      "trendingTopK" -> (Streaming.trendingTopKBatch _),
       "payloadStats" -> (Multimodal.payloadStats _),
       "rleStats" -> (Multimodal.rleStats _),
       "motionEnergy" -> (Multimodal.motionEnergy _),

@@ -255,6 +255,27 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("s13 trending top-k: complete-mode re-ranked table equals batch top-k") {
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streaming.trendingTopK(src.toDF())
+      .writeStream.format("memory").queryName("t_trending")
+      .outputMode("complete").start()
+    try {
+      replay.grouped(math.max(1, replay.size / 4 + 1)).foreach { chunk =>
+        src.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the final re-emission IS the whole-history ranking — equality
+    // proves re-ranking across batches worked (an item that entered the
+    // top-10 late must have displaced an early leader)
+    val streamed = spark.table("t_trending")
+    val batch = Streaming.trendingTopKBatch(spark, Sf)
+    assert(streamed.count() === 10)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("file sink: append-mode windowed agg to parquet files ≡ batch") {
     // the other half of the streaming I/O matrix (file SOURCE is tested
     // above): watermark-finalized windows append to a parquet directory
