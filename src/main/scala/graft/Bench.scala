@@ -174,21 +174,24 @@ object Bench {
 
     val total = timings.map(_._2).sum
     // Graduated stdout precision (full precision still lands in
-    // BENCH_FULL.json): 10 ms grain below 10 s (budgets are 0.05-stepped,
-    // so nothing the gate reads needs more), 0.1 s grain in [10, 100)
-    // and integers above — every real query runs <10 s, so the coarser
-    // tiers only cap the WORST-CASE line width ContractSpec certifies
-    // ("99.9" = 4 chars) against the driver's ~2000-char tail capture.
-    // 2-decimal grain below 10 s, 1 decimal in [10, 100), integer ≥100 —
-    // worst case 4 chars per value, so the short-key stdout line keeps
-    // fitting the driver's ~2000-char tail capture as queries accumulate
-    // (ContractSpec models this exact grain; the FILE record keeps full
-    // precision).
-    def fmt(v: Double): String =
+    // BENCH_FULL.json): fine grain = 10 ms below 10 s (budgets are
+    // 0.05-stepped, so nothing the gate reads needs more), 0.1 s in
+    // [10, 100), integers above. If the assembled FINE line would
+    // outgrow the driver's tail capture (the query count keeps rising),
+    // the emitter degrades to COARSE values (0.1 s below 10, integers
+    // above — worst case 3 chars), trading grain for a line that
+    // arrives whole: a truncated line parses as null and loses
+    // EVERYTHING. ContractSpec certifies the coarse worst case against
+    // the real registry.
+    def fmtAt(v: Double, fine: Boolean): String =
       java.math.BigDecimal.valueOf(v)
-        .setScale(if (v >= 100) 0 else if (v >= 10) 1 else 2,
+        .setScale(
+          if (v >= 100) 0
+          else if (v >= 10) { if (fine) 1 else 0 }
+          else { if (fine) 2 else 1 },
           java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
+    def fmt(v: Double): String = fmtAt(v, fine = true)
     val extra = s""","passes":${ps.size}""" + (if (truncated) s""","truncated":true""" else "")
 
     // Full-fidelity record (full query names, full precision) → file;
@@ -203,14 +206,26 @@ object Bench {
       outFile.foreach(pth => Files.writeString(Paths.get(pth), fullLine + "\n"))
     } catch { case _: Throwable => () } // emitting the stdout line still matters
 
-    val qsShort = timings.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedShort = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     // sf basename only on stdout (the full path is in the file record):
     // every constant char on this line competes with a query entry
     // against the driver's tail capture
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$failedShort$extra,"sf":"$sfShort"}"""
+    def lineAt(fine: Boolean): String = {
+      val qs = timings.map { case (k, v) =>
+        "\"" + shortKey(k) + "\":" + fmtAt(v, fine)
+      }.mkString("{", ",", "}")
+      // failed/passes are our own diagnostics (not driver contract):
+      // omitted when nominal (no failures, full 3 passes) so healthy
+      // lines spend their width on query entries; unhealthy runs carry
+      // them, and those lines are shorter anyway (failed queries have
+      // no timing entry)
+      val failedPart = if (failed.isEmpty) "" else s""","failed":$failedShort"""
+      val passesPart = if (ps.size == 3 && !truncated) "" else extra
+      s"""{"metric":"total","value":${fmtAt(total, fine)},"unit":"sec","queries":$qs$failedPart$passesPart,"sf":"$sfShort"}"""
+    }
+    val fine = lineAt(fine = true)
+    val line = if (fine.length <= 1850) fine else lineAt(fine = false)
     println(line)
     System.out.flush()
   }

@@ -77,6 +77,7 @@ object SparkEntry {
     // typed cogroup: both per-key iterators at once, left-complete
     "t03_typed_cogroup" -> (TypedOps.typedCogroup _),
     "t04_secondary_sort" -> (TypedOps.secondarySort _),
+    "t05_geomean_udaf" -> (TypedOps.geomeanSql _),
     // the Phoenix MapReduce facade (same contract as q_wordcount)
     "t02_phoenix_wordcount" -> ((s, _) => PhoenixApi.phoenixWordCount(s)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
@@ -621,6 +622,14 @@ object SparkEntry {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin,
+    "t05_geomean_udaf" ->
+      // exp(mean of DECIMAL(30,6)-canonicalized ln terms) — the d34 ln
+      // discipline; output round4-contracted (libm exp is 1-ulp).
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${round4("""exp(CAST(SUM(CAST(ln(l_extendedprice)
+         |    AS DECIMAL(30,6))) AS DOUBLE) / count(*))""")} AS geomean
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "t04_secondary_sort" ->
       // the sorted-run fold IS the lag-window computation: max gap and
       // strictly-increasing value steps over consecutive ordered pairs,

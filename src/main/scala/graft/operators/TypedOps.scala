@@ -89,6 +89,57 @@ object TypedOps {
       .orderBy("c_custkey")
   }
 
+  case class GeoBuf(sum: java.math.BigDecimal, n: Long)
+
+  /** Exact-decimal GEOMETRIC-mean Aggregator: buffer = (Σ canonicalized
+    * ln terms as BigDecimal, n). Each ln(x) is rounded to 6 decimals
+    * before the sum (the d34/d18/p05 ln discipline — libm `log`
+    * implementations agree only to ~1 ulp, the canon absorbs it), the
+    * decimal sum is exact and ORDER-INDEPENDENT (so partition merge
+    * order cannot change the result — the property a plain double sum
+    * lacks), and the finish is one division + one `exp`. */
+  class GeoMean extends Aggregator[Double, GeoBuf, Double] {
+    private def term(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(math.log(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    override def zero: GeoBuf = GeoBuf(java.math.BigDecimal.ZERO, 0L)
+    override def reduce(b: GeoBuf, x: Double): GeoBuf =
+      GeoBuf(b.sum.add(term(x)), b.n + 1)
+    override def merge(a: GeoBuf, b: GeoBuf): GeoBuf =
+      GeoBuf(a.sum.add(b.sum), a.n + b.n)
+    override def finish(b: GeoBuf): Double =
+      if (b.n == 0) Double.NaN else math.exp(b.sum.doubleValue / b.n)
+    override def bufferEncoder: Encoder[GeoBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[GeoBuf]()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Registers the typed aggregators as SQL-callable UDAFs — the API
+    * path a library user takes to hand custom aggregation to SQL/BI
+    * consumers (`SELECT graft_geomean(x) …`), completing the typed
+    * surface: t01/t02 port combiners to Datasets, this ports them to
+    * SQL. Idempotent per session. */
+  def registerUdafs(s: SparkSession): Unit =
+    s.udf.register("graft_geomean", udaf(new GeoMean))
+
+  /** t05 — the registered UDAF exercised through the SQL surface:
+    * geometric mean of `l_extendedprice` per return flag (the
+    * multiplicative average — right for ratio-like quantities where one
+    * huge order must not dominate the way it does an arithmetic mean).
+    * The aggregate partial-combines map-side like any Aggregator; the
+    * output is round4-contracted because the final `exp` is libm (1-ulp
+    * cross-engine, same note as the ln terms). */
+  def geomeanSql(s: SparkSession, d: String): DataFrame = {
+    registerUdafs(s)
+    graft.Tables.lineitem(s, d).createOrReplaceTempView("graft_t05_lineitem")
+    s.sql("""SELECT l_returnflag, count(*) AS n,
+        |  graft_geomean(l_extendedprice) AS geomean
+        |FROM graft_t05_lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .select(col("l_returnflag"), col("n"),
+        graft.Canon.round4(col("geomean")).as("geomean"))
+  }
+
   case class SeqEv(user_id: Long, ts_us: Long, event_id: Long,
     event_type: String, value: Double)
   case class SeqStats(user_id: Long, n_events: Long, max_gap_us: Long,

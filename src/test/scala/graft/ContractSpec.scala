@@ -22,23 +22,26 @@ class ContractSpec extends SparkSpec {
   test("bench stdout line stays under the driver's tail-capture budget") {
     // the driver records only the last ~2000 chars of bench stdout
     // (BASELINE.md "BENCH key abbreviation"); with sbt's epilogue (~100
-    // chars) the JSON line must stay comfortably below that. Uses the
-    // REAL Bench.shortKey over the real query set with worst-case 4-char
-    // values — "99.9" is the widest Bench.fmt can print per query
-    // (2 decimals below 10 s, 1 decimal in [10, 100), none at ≥100 s,
-    // and the 150 s query timeout caps the magnitude at 3 digits) — and
-    // models the all-queries-failed line too (short keys in `failed`).
+    // chars) the JSON line must stay comfortably below that. The
+    // emitter degrades fine→coarse values when the fine line outgrows
+    // 1850, so the CERTIFIED scenario is the coarse fallback: worst-case
+    // 3-char values ("9.9" below 10 s, "999" up to the 150 s timeout
+    // cap) over the REAL Bench.shortKey key set — and the
+    // all-queries-failed line (short keys in `failed`).
     val keys = SparkEntry.queries.keys.toSeq
     assert(keys.map(Bench.shortKey).distinct.size === keys.size, "short bench keys collide")
-    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":99.9").mkString(
+    // healthy line: no failed/passes diagnostics (omitted when nominal)
+    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":9.9").mkString(
       """{"metric":"total","value":9999.9,"unit":"sec","queries":{""",
       ",",
-      """},"failed":[],"sf":"sf0.1"}""")
+      """},"sf":"sf0.1"}""")
     assert(ok.length <= 1850, s"bench stdout line too long: ${ok.length} chars")
+    // unhealthy line: every query failed (no timing entries), so the
+    // whole width budget goes to the failed list + diagnostics
     val allFailed = keys.map(k => "\"" + Bench.shortKey(k) + "\"").mkString(
       """{"metric":"total","value":0,"unit":"sec","queries":{},"failed":[""",
       ",",
-      """],"sf":"sf0.1"}""")
+      """],"passes":0,"truncated":true,"sf":"sf0.1"}""")
     assert(allFailed.length <= 1850, s"all-failed line too long: ${allFailed.length} chars")
   }
 

@@ -137,6 +137,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.AsofJoin.nearestEvent(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.typedCogroup(spark, emptyDir).count() === 0L)
     assert(operators.TypedOps.secondarySort(spark, emptyDir).count() === 0L)
+    assert(operators.TypedOps.geomeanSql(spark, emptyDir).count() === 0L)
     // p06 is a GLOBAL aggregate: one all-zero row, never NULL sums
     val diff = operators.Profiling.tableDiff(spark, emptyDir).head()
     (0 until 7).foreach(i => assert(diff.getLong(i) === 0L, s"p06 col $i"))

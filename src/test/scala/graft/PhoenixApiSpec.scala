@@ -74,6 +74,24 @@ class PhoenixApiSpec extends SparkSpec {
     assert(planted === Seq((1L, "alice", 2L, 150.0), (2L, "bob", 0L, 0.0)))
   }
 
+  test("t05 geomean UDAF ≡ relational exp-of-mean-ln recompute") {
+    import org.apache.spark.sql.functions._
+    val got = operators.TypedOps.geomeanSql(spark, Sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val want = Tables.lineitem(spark, Sf)
+      .select(col("l_returnflag"),
+        log(col("l_extendedprice").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("lnp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.Canon.round4(
+          exp(sum(col("lnp")).cast("double") / count(lit(1)))).as("g"))
+      .orderBy("l_returnflag")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === want)
+  }
+
   test("t04 secondary sort ≡ lag-window recompute; scrambled write order is repaired") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
