@@ -134,6 +134,8 @@ object SparkEntry {
     "d34_dsir_weights" -> ((s, d) => LlmOps.dsirWeights(s, d)),
     // SemDeDup-shaped semantic dedup in LSH sign-bit buckets
     "d35_semdedup" -> ((s, d) => LlmOps.semdedup(s, d)),
+    // embedding-space train↔eval leakage (the semantic d20)
+    "d55_semantic_contamination" -> ((s, d) => LlmOps.semanticContamination(s, d)),
     // Gumbel-top-k importance resampling over the d34 weights
     "d36_importance_sample" -> ((s, d) => LlmOps.importanceSample(s, d)),
     // GDPR tombstone purge manifest across source + derived stores
@@ -972,6 +974,35 @@ object SparkEntry {
          |f AS (SELECT *, row_number() OVER (PARTITION BY j ORDER BY i) AS rn
          |      FROM p WHERE sim >= 0.40)
          |SELECT j AS vec_id, i AS kept_id, sim FROM f WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
+    "d55_semantic_contamination" -> {
+      // d35's sig construction on ITS OWN plane table (9) + the d17
+      // split rule keyed on vec_id; argmax train neighbor per eval
+      // vector via row_number (≡ the Spark max_by over (sim, −id))
+      val sig = (0 until 4).map { p =>
+        val arr = (0 until 64).map(j =>
+          graft.operators.LlmOps.planeComp(9, p, j)).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+         |              AS BIGINT) % 100 < 80 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+         |              AS BIGINT) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM embeddings),
+         |sg AS (SELECT vec_id, v, split,
+         |  $sig AS sig FROM e),
+         |p AS (SELECT a.vec_id AS vec_id, a.split AS split,
+         |        b.vec_id AS train_id,
+         |        ${round4(cosSql("a.v", "b.v"))} AS sim
+         |      FROM sg a JOIN sg b ON a.sig = b.sig
+         |      WHERE a.split <> 'train' AND b.split = 'train'),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY sim DESC, train_id ASC) AS rn
+         |      FROM p WHERE sim >= 0.32)
+         |SELECT vec_id, split, train_id, sim FROM f WHERE rn = 1
          |ORDER BY vec_id""".stripMargin
     },
     "d29_matryoshka" ->

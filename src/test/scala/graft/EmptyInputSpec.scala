@@ -62,6 +62,7 @@ class EmptyInputSpec extends SparkSpec {
       "dsirWeights" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.dsirWeights(s, d)),
       "semdedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.semdedup(s, d)),
       "importanceSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.importanceSample(s, d)),
+      "semanticContamination" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.semanticContamination(s, d)),
       // rounds 7–8
       "dupWeights" -> (LlmOps.dupWeights _),
       "bloomGate" -> (LlmOps.bloomGate _),

@@ -1037,6 +1037,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall(_._3 >= 0.95))
   }
 
+  test("d55 semantic contamination: planted cross-split near-identicals leak, argmax tie keeps the smallest train id") {
+    val base = (0 until 64).map(j => math.sin(j * 1.7) + 1.5)
+    val ortho = (0 until 64).map(j => if (j % 2 == 0) 1.0 else -1.0)
+    val e = Seq(
+      (0L, base, "train"),                  // senior train copy
+      (1L, base.map(_ * 2.0), "train"),     // junior train copy, cos = 1 with 0
+      (100L, base.map(_ * 1.5), "val"),     // leaked eval doc (cos = 1 with BOTH)
+      (102L, ortho, "test"))                // clean eval doc
+      .toDF("vec_id", "v", "split")
+    val out = LlmOps.semanticContaminationOver(e, tau = 0.95, nBits = 4, table = 9)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // one row per leaked eval vector; the round4 sim tie (1.0 vs both
+    // train copies) resolves to the SMALLEST train id; the orthogonal
+    // test doc and the train↔train pair never appear
+    assert(out === Seq((100L, "val", 0L, 1.0)), s"got $out")
+  }
+
+  test("d55 on the corpus: every reported neighbor is train-side, best-of-bucket, above τ") {
+    val out = LlmOps.semanticContamination(spark, Sf)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out.nonEmpty, "isotropic fixtures still have τ=0.32 cross-split bucket pairs")
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def split(id: Long): String =
+      if (bucket(id) < 80) "train" else if (bucket(id) < 90) "val" else "test"
+    out.foreach { case (v, sp, t, sim) =>
+      assert(sp === split(v) && sp != "train", s"eval side mislabeled: $v")
+      assert(split(t) === "train", s"neighbor $t not in train")
+      assert(sim >= 0.32)
+    }
+    assert(out.map(_._1).distinct.size === out.size, "one row per eval vector")
+  }
+
   test("semdedup on the corpus ≡ a driver-side recompute of the bucketed rule") {
     val out = LlmOps.semdedup(spark, Sf)
       .select("vec_id", "kept_id", "sim").as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
