@@ -70,6 +70,8 @@ object SparkEntry {
     "e27_stats_agg" -> (Relational.statsAgg _),
     "e28_array_hof" -> (Relational.arrayHof _),
     "e29_locf_fill" -> (Relational.locfFill _),
+    // linear interpolation between bracketing observations (LOCF's twin)
+    "e43_interp_fill" -> (Relational.interpFill _),
     // per-group top-k: rank window over the aggregated (user, type) table
     "e30_topk_per_group" -> (Relational.topkPerGroup _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
@@ -1768,6 +1770,41 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
          |  day_value IS NULL AS was_gap
          |FROM j ORDER BY user_id, day""".stripMargin,
+    "e43_interp_fill" ->
+      // e29's spine + bracketing-observation windows; the interpolation
+      // expression mirrors the Spark side's operand association exactly
+      // (double arithmetic, days/days division, round4 canon)
+      s"""WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |             value FROM events),
+         |daily AS (SELECT user_id, day, ${dsum("value")} AS day_value
+         |          FROM e GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |         FROM daily GROUP BY 1),
+         |spine AS (SELECT user_id,
+         |            CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |          FROM span),
+         |j AS (SELECT s.user_id, s.day, d.day_value
+         |      FROM spine s LEFT JOIN daily d USING (user_id, day)),
+         |w AS (SELECT user_id, day, day_value,
+         |  last_value(day_value IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |  last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |  first_value(day_value IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |  first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j)
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+         |  ${round4("""CASE WHEN day_value IS NOT NULL THEN day_value
+         |    ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+         |    END""")} AS filled_value,
+         |  day_value IS NULL AS was_gap
+         |FROM w ORDER BY user_id, day""".stripMargin,
     "f06_schema_evolution" ->
       // the merged read must reproduce what the unsplit table computes:
       // pre-1995 rows have no o_orderstatus in their files → '<legacy>'

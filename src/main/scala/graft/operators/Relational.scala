@@ -677,6 +677,65 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** E43 — LINEAR-interpolation gap fill: the interpolating companion to
+    * [[locfFill]] (E29). LOCF answers "what was the state on day t"
+    * (step-function semantics — right for statuses and balances); linear
+    * interpolation answers "what was the level on day t" for quantities
+    * that accrue continuously (sensor readings, spend rates) — the fill
+    * every feature-store backfill offers next to LOCF, and one Spark has
+    * no builtin for (`last(ignoreNulls)` exists; bracketing interpolation
+    * does not).
+    *
+    * Per user: the dense daily spine over the observed span (E29's
+    * construction), then each gap day gets
+    * `prev + (next − prev) · (day − prev_day)/(next_day − prev_day)`
+    * where prev/next are the bracketing OBSERVED days — found with one
+    * backward `last(ignoreNulls)` and one forward `first(ignoreNulls)`
+    * window pair. Spine endpoints are observed by construction (min/max
+    * of observed days), so every gap has both brackets — no
+    * extrapolation case exists.
+    *
+    * Scale: all four window functions share ONE partitioning (user_id —
+    * high-cardinality, lint-safe) and ONE sort (day), so Catalyst plans
+    * a single Window node over a single exchange; the spine generation
+    * is distributed (per-user `sequence`, never a driver loop). The
+    * interpolation arithmetic is written with identical operand
+    * association in the oracle (double throughout, round4 canon) — the
+    * division is days/days, small-magnitude integers, per the e40
+    * lesson. */
+  def interpFill(s: SparkSession, d: String): DataFrame =
+    interpFillOver(Tables.events(s, d))
+
+  /** [[interpFill]] over any (user_id, ts, value) event frame — split
+    * out so specs can plant a series with hand-computable gap values. */
+  private[graft] def interpFillOver(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day").agg(dsum(col("value")).as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val back = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("day_value").isNotNull, col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("day_value"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+      .select(col("user_id"), dateStr(col("day")).as("day"),
+        round4(when(col("day_value").isNotNull, col("day_value"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double"))))
+          .as("filled_value"),
+        col("day_value").isNull.as("was_gap"))
+      .orderBy("user_id", "day")
+  }
+
   /** E14c — JSON extraction over events.props + timestamp scalars. */
   def jsonEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

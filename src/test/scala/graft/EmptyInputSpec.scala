@@ -182,6 +182,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(spine.filter(org.apache.spark.sql.functions.col("n_orders") =!= 0L).count() === 0L)
     // LOCF's spine derives from observed spans — empty events ⇒ empty fill
     assert(Relational.locfFill(spark, emptyDir).count() === 0L)
+    assert(Relational.interpFill(spark, emptyDir).count() === 0L)
     assert(Relational.statsAgg(spark, emptyDir).count() === 0L)
     assert(Relational.stringAgg(spark, emptyDir).count() === 0L)
     assert(Relational.arrayHof(spark, emptyDir).count() === 0L)

@@ -125,6 +125,55 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  // e43: planted series with hand-computable interpolants, including an
+  // uneven bracket (3-day gap) and a multi-observation day (dsum).
+  test("interpFill: gaps take the linear value between bracketing observations") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 0.0),
+      (1L, "2024-01-05 09:00:00", 5.0),
+      (1L, "2024-01-05 17:00:00", 3.0),   // day sums to 8.0
+      (1L, "2024-01-07 00:00:00", 2.0),
+      (2L, "2024-03-10 12:00:00", 7.0))   // single-day series: no gaps
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val out = Relational.interpFillOver(ev)
+      .as[(Long, String, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "2024-01-01", 0.0, false),
+      (1L, "2024-01-02", 2.0, true),      // 0 + 8·(1/4)
+      (1L, "2024-01-03", 4.0, true),
+      (1L, "2024-01-04", 6.0, true),
+      (1L, "2024-01-05", 8.0, false),
+      (1L, "2024-01-06", 5.0, true),      // 8 + (2−8)·(1/2)
+      (1L, "2024-01-07", 2.0, false),
+      (2L, "2024-03-10", 7.0, false)), s"got $out")
+  }
+
+  // e43 on the corpus: dense spine, observed days pass through ≡ e29's,
+  // and every gap value lies within its bracketing observations.
+  test("interpFill: corpus gaps stay within brackets; observations match locf") {
+    val interp = Relational.interpFill(spark, Sf)
+      .as[(Long, String, Double, Boolean)].collect()
+    val locf = Relational.locfFill(spark, Sf)
+      .as[(Long, String, Double, Boolean)].collect()
+    assert(interp.length === locf.length)
+    interp.zip(locf).foreach { case ((u1, d1, v1, g1), (u2, d2, v2, g2)) =>
+      assert((u1, d1, g1) === ((u2, d2, g2)))
+      if (!g1) assert(v1 === v2)          // observed days identical
+    }
+    interp.groupBy(_._1).values.foreach { series =>
+      val sorted = series.sortBy(_._2)
+      val obs = sorted.filter(!_._4).map(s => s._2 -> s._3)
+      sorted.filter(_._4).foreach { case (_, day, v, _) =>
+        val prev = obs.filter(_._1 < day).maxBy(_._1)._2
+        val next = obs.filter(_._1 > day).minBy(_._1)._2
+        val (lo, hi) = (math.min(prev, next), math.max(prev, next))
+        assert(v >= lo - 1e-4 && v <= hi + 1e-4,
+          s"gap $day value $v outside bracket [$lo, $hi]")
+      }
+    }
+  }
+
   // The single-scan flag-aggregation setOps plan must reproduce the
   // naive intersect/except/union-over-raw-scans form exactly.
   test("setOps single-scan plan ≡ naive multi-scan set operations") {
