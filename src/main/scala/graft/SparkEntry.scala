@@ -72,6 +72,8 @@ object SparkEntry {
     "e29_locf_fill" -> (Relational.locfFill _),
     // linear interpolation between bracketing observations (LOCF's twin)
     "e43_interp_fill" -> (Relational.interpFill _),
+    // quantity-weighted price quartiles (exact cum-weight crossing rule)
+    "e44_weighted_quantiles" -> (Relational.weightedQuantiles _),
     // per-group top-k: rank window over the aggregated (user, type) table
     "e30_topk_per_group" -> (Relational.topkPerGroup _),
     // typed Dataset + custom Aggregator surface (same contract as q_topk)
@@ -1805,6 +1807,23 @@ object SparkEntry {
          |    END""")} AS filled_value,
          |  day_value IS NULL AS was_gap
          |FROM w ORDER BY user_id, day""".stripMargin,
+    "e44_weighted_quantiles" ->
+      // exact-decimal cumulative weights (Canon.dsum's rule applied to a
+      // window); crossing comparisons are integer-scaled decimals; the
+      // selected prices are raw input doubles — no rounding canon needed
+      """WITH t AS (SELECT l_suppkey, l_extendedprice AS price,
+        |             CAST(l_quantity AS DECIMAL(30,6)) AS w FROM lineitem),
+        |c AS (SELECT l_suppkey, price,
+        |        sum(w) OVER (PARTITION BY l_suppkey ORDER BY price
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |        sum(w) OVER (PARTITION BY l_suppkey) AS tot
+        |      FROM t)
+        |SELECT l_suppkey, count(*) AS n_items,
+        |  CAST(max(tot) AS DOUBLE) AS total_qty,
+        |  min(CASE WHEN cumw * 4 >= tot THEN price END) AS wq1,
+        |  min(CASE WHEN cumw * 2 >= tot THEN price END) AS w_median,
+        |  min(CASE WHEN cumw * 4 >= tot * 3 THEN price END) AS wq3
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "f06_schema_evolution" ->
       // the merged read must reproduce what the unsplit table computes:
       // pre-1995 rows have no o_orderstatus in their files → '<legacy>'

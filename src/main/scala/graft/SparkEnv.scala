@@ -38,10 +38,15 @@ object SparkEnv {
       // (diagnosed round 8: d03 after d02 ran 3.4–4.5 s vs 2.0 s with a
       // warm class cache; a second consecutive d03 run dropped back to
       // 1.9 s — eviction/refill, not data or GC, and System.gc() between
-      // queries did not recover it). Classes are tens of KB; 2000 entries
-      // is noise against the 128 GiB heap and is what a long-lived
-      // production session wants anyway.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // queries did not recover it). Classes are tens of KB; a large
+      // cache is noise against the 128 GiB heap and is what a long-lived
+      // production session wants anyway. Sized with headroom over the
+      // suite's demand: 2000 sufficed at ~127 queries but thrashed again
+      // at ~163 (round 9: the shingle family — the biggest codegen
+      // consumers — ran 2.2× slower suite-context while flat isolated,
+      // the same eviction signature), so keep ~50 generated classes per
+      // registered query of headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // RocksDB state store: required by transformWithState (the HDFS-
       // backed provider lacks its column families) and the production
       // choice for all stateful streaming at scale (incremental

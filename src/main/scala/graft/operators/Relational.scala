@@ -191,6 +191,56 @@ object Relational {
         round4(expr("percentile(l_extendedprice, 0.5)")).as("price_median"))
       .orderBy("l_returnflag")
 
+  /** E44 — WEIGHTED quantiles: per supplier, the quantity-weighted
+    * quartiles of unit price — "half the VOLUME moved at or below this
+    * price", the distribution question behind VWAP bands, spend
+    * analysis, and cost curves, which the unweighted `percentile` (E9c)
+    * cannot answer and Spark has no builtin for.
+    *
+    * Semantics (exact, interpolation-free — deliberately): the weighted
+    * p-quantile is the smallest price whose cumulative weight reaches
+    * p·total. Cumulative weights are EXACT decimal sums (the inputs are
+    * doubles; a double cumsum would be order-dependent FP the oracle
+    * can't pin — Canon.dsum's rule applied to a window), and the
+    * crossing comparison `cumw·k ≥ total·j` is integer-scaled decimal
+    * arithmetic, identical in both engines. Price ties make the
+    * crossing ROW engine-dependent but never the crossing PRICE (all
+    * candidates share it), and the selected prices are raw input
+    * doubles — bit-identical cross-engine, so no rounding canon is
+    * needed (round4's own caveat).
+    *
+    * Scale: ONE window partitioning (l_suppkey — key column, high
+    * cardinality, lint-safe) carries the cumulative sum; the quartile
+    * pick is a conditional-min aggregate over the same shuffle, and the
+    * map-side-combining group totals ride a frameless window on the
+    * identical partitioning — one exchange end to end. */
+  def weightedQuantiles(s: SparkSession, d: String): DataFrame =
+    weightedQuantilesOver(Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_quantity")))
+
+  /** [[weightedQuantiles]] over any (l_suppkey, l_extendedprice,
+    * l_quantity) frame — split out so specs can plant hand-computable
+    * weight distributions, ties, and single-row groups. */
+  private[graft] def weightedQuantilesOver(li: DataFrame): DataFrame = {
+    val t = li
+      .select(col("l_suppkey"), col("l_extendedprice").as("price"),
+        dec(col("l_quantity")).as("w"))
+    val cum = Window.partitionBy("l_suppkey").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("l_suppkey")
+    t.select(col("l_suppkey"), col("price"),
+        sum(col("w")).over(cum).as("cumw"),
+        sum(col("w")).over(all).as("tot"))
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        max(col("tot")).cast("double").as("total_qty"),
+        min(when(col("cumw") * 4 >= col("tot"), col("price"))).as("wq1"),
+        min(when(col("cumw") * 2 >= col("tot"), col("price"))).as("w_median"),
+        min(when(col("cumw") * 4 >= col("tot") * 3, col("price"))).as("wq3"))
+      .orderBy("l_suppkey")
+  }
+
   /** E14b — ANSI-safe `try_*` functions. Spark 4 runs ANSI mode by
     * default (overflow/bad-cast/div-zero THROW), so `try_divide` /
     * `try_cast` / `try_element_at` are the sanctioned null-on-error

@@ -183,6 +183,7 @@ class EmptyInputSpec extends SparkSpec {
     // LOCF's spine derives from observed spans — empty events ⇒ empty fill
     assert(Relational.locfFill(spark, emptyDir).count() === 0L)
     assert(Relational.interpFill(spark, emptyDir).count() === 0L)
+    assert(Relational.weightedQuantiles(spark, emptyDir).count() === 0L)
     assert(Relational.statsAgg(spark, emptyDir).count() === 0L)
     assert(Relational.stringAgg(spark, emptyDir).count() === 0L)
     assert(Relational.arrayHof(spark, emptyDir).count() === 0L)

@@ -174,6 +174,52 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  // e44: hand-computed weighted quartiles, including a price tie at the
+  // median crossing, a single-row group, and an exactly-half boundary.
+  test("weightedQuantiles: crossing rule matches hand computation on planted weights") {
+    val li = Seq(
+      // supp 1: prices 10(w1) 20(w1) 30(w6) 40(w2) — tot 10
+      //   cum: 1, 2, 8, 10 → q1 crosses at 30 (cum·4=8·4≥10 first at 30),
+      //   median at 30, q3 at 30 (8·4=32 ≥ 30)
+      (1L, 10.0, 1.0), (1L, 20.0, 1.0), (1L, 30.0, 6.0), (1L, 40.0, 2.0),
+      // supp 2: tie at the crossing — 5(w2) 7(w1) 7(w1) — tot 4, cum
+      //   2,3,4: median = smallest price with cum·2 ≥ 4 → 5 (2·2=4, boundary)
+      (2L, 5.0, 2.0), (2L, 7.0, 1.0), (2L, 7.0, 1.0),
+      // supp 3: single row — all quartiles are its price
+      (3L, 99.0, 0.5))
+      .toDF("l_suppkey", "l_extendedprice", "l_quantity")
+    val out = Relational.weightedQuantilesOver(li)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 10.0, 30.0, 30.0, 30.0),
+      (2L, 3L, 4.0, 5.0, 5.0, 7.0),
+      (3L, 1L, 0.5, 99.0, 99.0, 99.0)), s"got $out")
+  }
+
+  // e44 on the corpus: quartiles are ordered, drawn from the group's own
+  // prices, and the median crossing holds against a driver-side recompute.
+  test("weightedQuantiles: corpus medians match a driver-side recompute") {
+    val out = Relational.weightedQuantiles(spark, Sf)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val raw = Tables.lineitem(spark, Sf)
+      .select("l_suppkey", "l_extendedprice", "l_quantity")
+      .as[(Long, Double, Double)].collect().groupBy(_._1)
+    out.foreach { case (k, n, tot, q1, med, q3) =>
+      assert(q1 <= med && med <= q3)
+      val rows = raw(k).map(r => (r._2, BigDecimal(r._3))).sortBy(_._1)
+      assert(n === rows.length)
+      assert(math.abs(tot - rows.map(_._2).sum.toDouble) < 1e-9)
+      val total = rows.map(_._2).sum
+      var cum = BigDecimal(0)
+      val expectMed = rows.collectFirst {
+        case (p, w) if { cum += w; cum * 2 >= total } => p
+      }.get
+      assert(med === expectMed, s"supp $k")
+      assert(rows.exists(_._1 == q1) && rows.exists(_._1 == q3))
+    }
+  }
+
   // The single-scan flag-aggregation setOps plan must reproduce the
   // naive intersect/except/union-over-raw-scans form exactly.
   test("setOps single-scan plan ≡ naive multi-scan set operations") {
