@@ -129,6 +129,8 @@ object SparkEntry {
     "d29_matryoshka" -> ((s, d) => LlmOps.matryoshka(s, d)),
     // delta-batch admission gate against the ingested corpus
     "d30_incremental_dedup" -> (LlmOps.incrementalDedup _),
+    // the same gate fed from the published pair store (read side)
+    "d30b_store_incremental" -> (PairStore.storeIncrementalDedup _),
     "d31_bm25" -> ((s, d) => LlmOps.bm25(s, d)),
     // PII-scrub-shaped pattern redaction (zero-shuffle projection)
     "d32_pii_redact" -> ((s, d) => LlmOps.redact(s, d)),
@@ -825,25 +827,10 @@ object SparkEntry {
         |      FROM c)
         |SELECT user_id, event_type, n_events, rnk
         |FROM r WHERE rnk <= 2 ORDER BY user_id, rnk""".stripMargin,
-    "d30_incremental_dedup" ->
-      // batch = doc_id % 10 ≥ 8; near-dup partners from the shared d02
-      // pair CTE decide dup_existing / dup_batch / new
-      s"""WITH $pairsCtes,
-         |e AS (SELECT i AS b, j AS p FROM pairs
-         |      UNION ALL SELECT j AS b, i AS p FROM pairs),
-         |f AS (SELECT b AS doc_id,
-         |        max(CASE WHEN p % 10 < 8 THEN 1 ELSE 0 END) AS has_existing,
-         |        max(CASE WHEN p % 10 >= 8 AND p < b THEN 1 ELSE 0 END)
-         |          AS has_earlier
-         |      FROM e WHERE b % 10 >= 8 GROUP BY b),
-         |s AS (SELECT d.doc_id,
-         |        COALESCE(CASE WHEN f.has_existing = 1 THEN 'dup_existing'
-         |                      WHEN f.has_earlier = 1 THEN 'dup_batch' END,
-         |                 'new') AS status
-         |      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
-         |      LEFT JOIN f ON d.doc_id = f.doc_id)
-         |SELECT doc_id, status, status = 'new' AS admitted
-         |FROM s ORDER BY doc_id""".stripMargin,
+    "d30_incremental_dedup" -> incrementalDedupSql,
+    // d30b reads the PUBLISHED pair store (the deterministic d02
+    // relation), so d30's oracle applies verbatim, like d47/d48/d49.
+    "d30b_store_incremental" -> incrementalDedupSql,
     "d31_bm25" ->
       // same IEEE evaluation order as the Spark side: idf * (tf*(k1+1))
       // / (tf + k1*(1-b + b*dl/avgdl)), summed over the 3 query terms
@@ -2499,6 +2486,27 @@ object SparkEntry {
        |  FROM common
        |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
        |  WHERE n_common::DOUBLE / (si.n_sh + sj.n_sh - n_common) >= 0.8)""".stripMargin
+
+  /** d30's oracle — shared verbatim with its store-fed twin d30b.
+    * Batch = doc_id % 10 ≥ 8; near-dup partners from the shared d02
+    * pair CTE decide dup_existing / dup_batch / new. */
+  private def incrementalDedupSql =
+    s"""WITH $pairsCtes,
+       |e AS (SELECT i AS b, j AS p FROM pairs
+       |      UNION ALL SELECT j AS b, i AS p FROM pairs),
+       |f AS (SELECT b AS doc_id,
+       |        max(CASE WHEN p % 10 < 8 THEN 1 ELSE 0 END) AS has_existing,
+       |        max(CASE WHEN p % 10 >= 8 AND p < b THEN 1 ELSE 0 END)
+       |          AS has_earlier
+       |      FROM e WHERE b % 10 >= 8 GROUP BY b),
+       |s AS (SELECT d.doc_id,
+       |        COALESCE(CASE WHEN f.has_existing = 1 THEN 'dup_existing'
+       |                      WHEN f.has_earlier = 1 THEN 'dup_batch' END,
+       |                 'new') AS status
+       |      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+       |      LEFT JOIN f ON d.doc_id = f.doc_id)
+       |SELECT doc_id, status, status = 'new' AS admitted
+       |FROM s ORDER BY doc_id""".stripMargin
 
   /** d20's oracle — shared verbatim with its store-fed twin d47: both
     * must equal the same SQL over `documents`, making store-fed ≡

@@ -103,6 +103,16 @@ object PairStore {
   def storeEditVerify(s: SparkSession, d: String): DataFrame =
     LlmOps.editVerifyOver(s, d, pairs(s, d), Threshold)
 
+  /** d30b — [[LlmOps.incrementalDedup]] fed from the published store:
+    * the delta-admission gate probes the materialized pair relation
+    * directly, so each incremental batch costs one output-sized store
+    * scan plus the O(Δ) flag aggregation and left join — the corpus
+    * pair graph is never re-derived per delta. This is the production
+    * incremental-dedup read path (d30 is its standalone twin, kept for
+    * the pipelines that have no published store to probe). */
+  def storeIncrementalDedup(s: SparkSession, d: String): DataFrame =
+    LlmOps.incrementalDedupOver(s, d, pairs(s, d))
+
   /** d49 — [[LlmOps.neardupClusters]] fed from the published store: the
     * large/small-star CC loop runs over the stored edge list, so a
     * cluster refresh (the keep-one-per-family pass every dedup pipeline

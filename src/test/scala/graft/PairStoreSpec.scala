@@ -31,6 +31,12 @@ class PairStoreSpec extends SparkSpec {
     assert(store === recomputed)
   }
 
+  test("d30b store-fed incremental dedup ≡ recomputed d30, row for row") {
+    val store = PairStore.storeIncrementalDedup(spark, Sf).collect().toSeq
+    val recomputed = LlmOps.incrementalDedup(spark, Sf).collect().toSeq
+    assert(store === recomputed)
+  }
+
   test("d49 store-fed clusters ≡ recomputed d19, row for row") {
     val store = PairStore.storeClusters(spark, Sf).collect().toSeq
     val recomputed = LlmOps.neardupClusters(spark, Sf).collect().toSeq
