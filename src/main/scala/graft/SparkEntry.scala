@@ -232,6 +232,8 @@ object SparkEntry {
     "f10_compaction" -> (Sources.compaction _),
     "f11_partition_overwrite" -> (Sources.partitionOverwrite _),
     "f12_corrupt_records" -> (Sources.corruptRecords _),
+    // batch keyed MERGE (Type-1 upsert/delete) through the WAP gate
+    "f13_merge_upsert" -> (Sources.mergeUpsert _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1574,6 +1576,33 @@ object SparkEntry {
          |  CAST(SUM(CAST((CASE WHEN NOT bad THEN p_retailprice END)
          |    AS DECIMAL(30,6))) AS DOUBLE) AS retail_sum
          |FROM c""".stripMargin,
+    "f13_merge_upsert" ->
+      // the change feed is re-derived from `customer` (mod-10 rules),
+      // then merged: tombstoned keys absent, updates overwrite in
+      // place, new keys offset by 10⁶ — the published snapshot re-read
+      // must equal this row for row (storage round-trip included)
+      s"""WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         |u AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+         |        'upsert' AS op FROM customer WHERE c_custkey % 10 = 2
+         |      UNION ALL
+         |      SELECT c_custkey + 1000000, 'New#' || CAST(c_custkey AS VARCHAR),
+         |        CAST(c_custkey AS DOUBLE), 'upsert' FROM customer
+         |      WHERE c_custkey % 10 = 8),
+         |merged AS (
+         |  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+         |    CASE WHEN u.op IS NOT NULL THEN u.c_name ELSE t.c_name END
+         |      AS c_name,
+         |    CASE WHEN u.op IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END
+         |      AS c_acctbal,
+         |    CASE WHEN u.op IS NOT NULL AND t.c_custkey IS NOT NULL
+         |           THEN 'updated'
+         |         WHEN u.op IS NOT NULL THEN 'inserted'
+         |         ELSE 'kept' END AS action
+         |  FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey)
+         |SELECT c_custkey, c_name, c_acctbal, action FROM merged
+         |WHERE c_custkey NOT IN
+         |  (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5)
+         |ORDER BY c_custkey""".stripMargin,
     "f11_partition_overwrite" ->
       // per-lang checksum after the dynamic overwrite: the min lang
       // carries UPPERCASED content, every other lang the original — a

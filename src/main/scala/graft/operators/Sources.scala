@@ -298,6 +298,82 @@ object Sources {
     writeAuditPublishStaged(s, survivors, expected, base.toString)
   }
 
+  /** f13 — batch keyed MERGE (SCD Type-1 / CDC upsert-delete): the
+    * warehouse MERGE-INTO shape — one pass reconciles a keyed snapshot
+    * with a change feed (matched rows updated in place, unmatched
+    * upserts inserted, tombstoned keys deleted) and publishes the new
+    * snapshot through the same WAP gate as f09. The streaming
+    * [[Streaming.upsertBatch]] applies the same algebra per micro-batch;
+    * e31 builds the HISTORY-keeping (Type-2) intervals of the same idea
+    * — Scd2Props cross-checks Type-1 over a change stream ≡ e31's
+    * `is_current` rows.
+    *
+    * Fixture: target = the `customer` (key, name, acctbal) snapshot;
+    * the change feed is derived deterministically from it (custkey
+    * % 10 = 2 → balance update, = 5 → tombstone, = 8 → a new key offset
+    * by 10⁶) so the DuckDB oracle can re-derive feed and merge verbatim.
+    * Output = the PUBLISHED snapshot re-read (proving the write path),
+    * each row tagged kept / updated / inserted; deleted keys absent.
+    * The +100.0 update is one IEEE double add of exactly-representable
+    * operands — bit-identical cross-engine, no rounding canon. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+    val deletes = cust.filter(pmod(col("c_custkey"), lit(10L)) === 5)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    val inserts = cust.filter(pmod(col("c_custkey"), lit(10L)) === 8)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("New#"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_custkey").cast("double").as("c_acctbal"),
+        lit("upsert").as("op"))
+    val merged =
+      mergeUpsertOver(target, updates.unionByName(deletes).unionByName(inserts),
+        "c_custkey")
+    // eager JOB like f09/f10: count, stage, audit, promote — then the
+    // returned frame scans the PUBLISHED files, so row identity through
+    // storage is part of the oracle check
+    val expected = merged.count()
+    val base = java.nio.file.Files.createTempDirectory("graft-merge").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    writeAuditPublishStaged(s, merged, expected, base.toString,
+      keyCols = Seq("c_custkey"))
+    s.read.parquet(s"$base/published").orderBy("c_custkey")
+  }
+
+  /** The merge algebra, generic over the payload columns: `changes`
+    * carries `key`, every non-key column of `target`, and `op` ∈
+    * {'upsert', 'delete'}. upsert = update-if-matched / insert-if-not
+    * (SCD Type-1 overwrite); delete = drop-if-matched / no-op-if-not.
+    * PRECONDITION: the feed is key-unique (one op per key — dedupe
+    * upstream, s04's job); the WAP dup-key audit enforces it on the
+    * output side.
+    *
+    * Scale: ONE full-outer shuffle join on the key — both sides are
+    * corpus-sized so neither broadcasts, and the key shuffle is the
+    * minimal data movement any keyed merge needs; AQE splits skewed
+    * keys. Everything else is per-row projection. At 100 TB the same
+    * plan runs unchanged; a table bucketed on the key skips the
+    * snapshot-side exchange entirely (the f05 layout lever). */
+  private[graft] def mergeUpsertOver(target: DataFrame, changes: DataFrame,
+      key: String): DataFrame = {
+    val payload = target.columns.filterNot(_ == key).toSeq
+    val t = target.select(col(key) +:
+      (payload.map(c => col(c).as(s"t_$c")) :+ lit(true).as("t_present")): _*)
+    val c = changes.select(col(key) +:
+      (payload.map(p => col(p).as(s"c_$p")) :+ col("op")): _*)
+    t.join(c, Seq(key), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col(key) +: (payload.map(p =>
+        when(col("op").isNotNull, col(s"c_$p")).otherwise(col(s"t_$p")).as(p)) :+
+        when(col("op").isNotNull && col("t_present"), lit("updated"))
+          .when(col("op").isNotNull, lit("inserted"))
+          .otherwise(lit("kept")).as("action")): _*)
+  }
+
   private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
       expectedRows: Long, base: String,
       keyCols: Seq[String] = Seq("doc_id")): DataFrame = {

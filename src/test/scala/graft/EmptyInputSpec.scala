@@ -144,6 +144,8 @@ class EmptyInputSpec extends SparkSpec {
     (0 until 7).foreach(i => assert(diff.getLong(i) === 0L, s"p06 col $i"))
     // f10 on an empty table: zero target files, all-zero facts, no throw
     assert(operators.Sources.partitionOverwrite(spark, emptyDir).count() === 0L)
+    // f13 on an empty snapshot + empty feed: a valid zero-row publish
+    assert(operators.Sources.mergeUpsert(spark, emptyDir).count() === 0L)
     // f12 on an empty feed: one all-zero-counts row, nothing throws
     val cr = operators.Sources.corruptRecords(spark, emptyDir).head()
     (0 until 3).foreach(i => assert(cr.getLong(i) === 0L, s"f12 col $i"))
