@@ -142,6 +142,8 @@ object SparkEntry {
     "d35_semdedup" -> ((s, d) => LlmOps.semdedup(s, d)),
     // embedding-space train↔eval leakage (the semantic d20)
     "d55_semantic_contamination" -> ((s, d) => LlmOps.semanticContamination(s, d)),
+    // per-language exact-k deterministic reservoir draw
+    "d56_reservoir" -> ((s, d) => LlmOps.reservoirSample(s, d)),
     // Gumbel-top-k importance resampling over the d34 weights
     "d36_importance_sample" -> ((s, d) => LlmOps.importanceSample(s, d)),
     // GDPR tombstone purge manifest across source + derived stores
@@ -1857,6 +1859,19 @@ object SparkEntry {
         |         AS BIGINT) % 100
         |    < CASE WHEN lang = 'en' THEN 30 ELSE 90 END AS sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d56_reservoir" ->
+      // single-window bottom-k by the seeded md5 tag — equal to the
+      // Spark side's salted two-phase form by bottom-k associativity
+      """WITH t AS (SELECT doc_id, lang,
+        |             substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 16)
+        |               AS tag
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY tag, doc_id) AS BIGINT) AS draw_rank
+        |      FROM t)
+        |SELECT doc_id, lang, draw_rank FROM r WHERE draw_rank <= 10
+        |ORDER BY lang, draw_rank""".stripMargin,
     "d24_seq_packing" ->
       // per-shard running token total; bins are pure integer divisions
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
