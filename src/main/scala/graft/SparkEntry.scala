@@ -206,6 +206,8 @@ object SparkEntry {
     "d41_partialdup_clusters" -> (LlmOps.partialDupClusters _),
     // C4-style cross-document span dedup at 32-token chunk granularity
     "d42_span_dedup" -> (LlmOps.spanDedup _),
+    // C4-style paragraph-grain dedup (newline split, first-seen keep)
+    "d57_paragraph_dedup" -> (LlmOps.paragraphDedup _),
     // per-source (domain-cap) top-K by quality score
     "d43_source_cap" -> (LlmOps.sourceCap _),
     // exact equi-depth quantile binning via distributed rank (no global
@@ -2409,6 +2411,37 @@ object SparkEntry {
         |  CAST(length(cleaned) AS BIGINT) AS cleaned_len,
         |  md5(cleaned) AS cleaned_md5
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "d57_paragraph_dedup" ->
+      // boundary every 8 tokens (the single-line fixture's stand-in
+      // for real newlines), trim-normalized paragraphs, first
+      // occurrence by (doc_id, pos) wins, in-order reassembly
+      """WITH p AS (SELECT doc_id,
+        |             regexp_replace(text, '((?:\S+ ){8})', '\1' || chr(10), 'g')
+        |               AS pt
+        |           FROM documents),
+        |sp AS (SELECT doc_id,
+        |         CAST(generate_subscripts(string_split(pt, chr(10)), 1) - 1
+        |           AS BIGINT) AS pos,
+        |         trim(unnest(string_split(pt, chr(10)))) AS norm
+        |       FROM p),
+        |spn AS (SELECT * FROM sp WHERE len(norm) > 0),
+        |r AS (SELECT doc_id, pos, norm,
+        |        row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos)
+        |          AS rn
+        |      FROM spn),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(norm, chr(10) ORDER BY pos) AS kept_text
+        |      FROM r WHERE rn = 1 GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_paras FROM spn GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(length(COALESCE(k.kept_text, '')) AS BIGINT) AS kept_len,
+        |  md5(COALESCE(k.kept_text, '')) AS kept_md5
+        |FROM documents d
+        |LEFT JOIN t ON d.doc_id = t.doc_id
+        |LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // d43: the d08 quality score (same round4'd expression), ranked desc
     // within source with doc_id tie-break, capped at 15.
     "d43_source_cap" ->

@@ -54,6 +54,7 @@ class EmptyInputSpec extends SparkSpec {
       "matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.matryoshka(s, d)),
       "incrementalDedup" -> (LlmOps.incrementalDedup _),
       "reservoirSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.reservoirSample(s, d)),
+      "paragraphDedup" -> (LlmOps.paragraphDedup _),
       // bm25's single-row stats aggregate yields n_docs = 0 / null Σdl
       // on an empty corpus; the cross join against zero corpus rows must
       // still produce zero rows (never a null-scored phantom row)

@@ -458,6 +458,37 @@ class LlmOpsSpec extends SparkSpec {
       (3L, 1L, 1L, m(toks("z")))))
   }
 
+  test("d57 paragraph dedup: first-seen keep + in-order reassembly, all-dup doc empties") {
+    // paragraphs P/Q shared across docs; first occurrence by (doc_id,
+    // pos) wins. Doc 3 is ALL previously-seen paragraphs → kept empty.
+    // Doc 1's duplicate of its own P (pos 2) is also dropped.
+    val docs = Seq(
+      (1L, "p p\nq q\np p"),   // keeps P (pos 0), Q (pos 1); drops pos-2 P
+      (2L, "q q\nr r"),        // Q seen in doc 1 → keeps only R
+      (3L, "p p\nq q"))        // nothing novel
+      .toDF("doc_id", "text")
+    val got = LlmOps.paragraphDedupOver(docs)
+      .select("doc_id", "n_paras", "n_kept", "kept_len", "kept_md5")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    def m(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Seq(
+      (1L, 3L, 2L, 7L, m("p p\nq q")),
+      (2L, 2L, 1L, 3L, m("r r")),
+      (3L, 2L, 0L, 0L, m(""))))
+  }
+
+  test("d57 registry paragraphizer: boundary every 8 tokens, reassembly covers all kept") {
+    // on the real corpus: n_paras ≥ 1 per doc, kept ≤ total, and at
+    // least one cross-doc duplicate paragraph exists (the planted
+    // near-dup families share aligned 8-token runs)
+    val got = LlmOps.paragraphDedup(spark, Sf)
+      .select("doc_id", "n_paras", "n_kept")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(r => r._2 >= 1 && r._3 <= r._2))
+    assert(got.exists(r => r._3 < r._2), "some paragraph must dedup away")
+  }
+
   test("d42 hot tile: a chunk present in EVERY doc runs without any window partition") {
     // the boilerplate-frequency skew case span dedup exists for: one
     // 32-token tile planted in all 200 documents. The old
