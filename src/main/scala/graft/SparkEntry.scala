@@ -244,6 +244,8 @@ object SparkEntry {
     "e33_twap" -> (Relational.twap _),
     // edit-distance verification over the d02 near-dup pair relation
     "d45_edit_verify" -> ((s, d) => LlmOps.editVerify(s, d)),
+    // delete-1-blocked fuzzy equi-join (exact recall at distance 1)
+    "d58_fuzzy_join" -> (LlmOps.fuzzyJoin _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -2037,6 +2039,21 @@ object SparkEntry {
     // recomputed definitional.
     "d47_store_contamination" -> contaminationSql,
     "d48_store_edit_verify" -> editVerifySql,
+    "d58_fuzzy_join" ->
+      // UNBLOCKED mirror: cross join + levenshtein ≤ 1 — hash equality
+      // also proves the Spark side's delete-1 blocking lost no pair
+      """WITH pert AS (SELECT c_custkey AS r_id,
+        |    substr(c_name, 1, p - 1)
+        |      || CAST((CAST(substr(c_name, p, 1) AS INT) + 1) % 10 AS VARCHAR)
+        |      || substr(c_name, p + 1) AS r_key
+        |  FROM (SELECT c_custkey, c_name,
+        |          CAST(c_custkey % 9 + 10 AS INT) AS p FROM customer
+        |        WHERE c_custkey % 7 = 3)),
+        |l AS (SELECT c_custkey AS l_id, c_name AS l_key FROM customer)
+        |SELECT l_id, l_key, r_id, r_key,
+        |  CAST(levenshtein(l_key, r_key) AS BIGINT) AS lev
+        |FROM l, pert WHERE levenshtein(l_key, r_key) <= 1
+        |ORDER BY l_id, r_id""".stripMargin,
     // d46: every manifest observation is a deterministic function of
     // `documents` (the pair count via the shared pair CTEs); clean
     // input ⇒ all audits pass, published_rows = pair count.

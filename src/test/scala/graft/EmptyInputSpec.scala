@@ -55,6 +55,7 @@ class EmptyInputSpec extends SparkSpec {
       "incrementalDedup" -> (LlmOps.incrementalDedup _),
       "reservoirSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.reservoirSample(s, d)),
       "paragraphDedup" -> (LlmOps.paragraphDedup _),
+      "fuzzyJoin" -> (LlmOps.fuzzyJoin _),
       // bm25's single-row stats aggregate yields n_docs = 0 / null Σdl
       // on an empty corpus; the cross join against zero corpus rows must
       // still produce zero rows (never a null-scored phantom row)

@@ -543,6 +543,51 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d58 fuzzy join: planted sub/ins/del typos found, distance-2 rejected") {
+    val left = Seq((1L, "walnut"), (2L, "orange"), (3L, "quartz"))
+      .toDF("id", "key")
+    val right = Seq(
+      (10L, "walnot"),  // substitution → matches 1
+      (11L, "oranges"), // insertion → matches 2
+      (12L, "ornge"),   // deletion... of 'a' → matches 2
+      (13L, "quortz"),  // substitution → matches 3
+      (14L, "quortzz")) // distance 2 from quartz → rejected
+      .toDF("id", "key")
+    val got = LlmOps.fuzzyJoinOver(left, right)
+      .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L, 1L), (2L, 11L, 1L), (2L, 12L, 1L),
+      (3L, 13L, 1L)))
+  }
+
+  test("d58 fuzzy join ≡ brute-force all-pairs levenshtein ≤ 1 (exact recall)") {
+    // reference DP in-memory; deterministic pseudo-random short keys
+    // (short strings are the adversarial case for delete blocking)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val alpha = "abc"
+    def key(seed: Long): String = {
+      val n = 1 + (seed % 4).toInt
+      (0 until n).map(i => alpha(((seed * 31 + i * 7) % 3).toInt)).mkString
+    }
+    val ls = (0L until 25L).map(i => (i, key(i * 13 + 5)))
+    val rs = (0L until 25L).map(i => (i, key(i * 17 + 2)))
+    val got = LlmOps.fuzzyJoinOver(ls.toDF("id", "key"), rs.toDF("id", "key"))
+      .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (li, lk) <- ls; (ri, rk) <- rs
+      d = lev(lk, rk) if d <= 1
+    } yield (li, ri, d.toLong)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate fixture: no close pairs generated")
+  }
+
   test("d45 edit verify: reference-DP recompute over every d02 pair") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
