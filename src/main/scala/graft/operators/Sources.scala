@@ -363,8 +363,18 @@ object Sources {
     val payload = target.columns.filterNot(_ == key).toSeq
     val t = target.select(col(key) +:
       (payload.map(c => col(c).as(s"t_$c")) :+ lit(true).as("t_present")): _*)
+    // op-domain guard: a malformed feed value ('update', 'UPSERT', …)
+    // must fail the job loudly, not merge silently as an upsert — the
+    // key-uniqueness precondition is audited by WAP, but op validity
+    // can only be checked here, before delete-filtering erases the
+    // evidence. raise_error is per-row and codegen'd: zero cost on
+    // clean feeds.
+    val opChecked = when(col("op").isin("upsert", "delete"), col("op"))
+      .otherwise(raise_error(concat(
+        lit("mergeUpsertOver: op must be 'upsert' or 'delete', got '"),
+        col("op"), lit("'"))))
     val c = changes.select(col(key) +:
-      (payload.map(p => col(p).as(s"c_$p")) :+ col("op")): _*)
+      (payload.map(p => col(p).as(s"c_$p")) :+ opChecked.as("op")): _*)
     t.join(c, Seq(key), "full_outer")
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(col(key) +: (payload.map(p =>

@@ -559,6 +559,23 @@ class LlmOpsSpec extends SparkSpec {
       (3L, 13L, 1L)))
   }
 
+  test("d58 fuzzy join: empty and null keys neither crash nor fabricate matches") {
+    // "" is distance ≤ 1 from every 1-char key and from itself; null
+    // matches nothing (equi-join null semantics). Before the guard, ""
+    // hit sequence(1, 0) = [1, 0] and emitted phantom variants.
+    val left = Seq((1L, ""), (2L, "a"), (3L, "xy")).toDF("id", "key")
+    val right = Seq((10L, ""), (11L, "b"), (12L, Option.empty[String].orNull))
+      .toDF("id", "key")
+    val got = LlmOps.fuzzyJoinOver(left, right)
+      .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 10L, 0L), // "" ≡ ""
+      (1L, 11L, 1L), // "" → "b" is one insertion
+      (2L, 10L, 1L), // "a" → "" is one deletion
+      (2L, 11L, 1L)) // "a" → "b" is one substitution; null row absent
+    )
+  }
+
   test("d58 fuzzy join ≡ brute-force all-pairs levenshtein ≤ 1 (exact recall)") {
     // reference DP in-memory; deterministic pseudo-random short keys
     // (short strings are the adversarial case for delete blocking)

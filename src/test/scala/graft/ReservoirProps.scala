@@ -76,4 +76,25 @@ object ReservoirProps extends Properties("Reservoir") {
           survivors.map(_._3) == (1L to survivors.size.toLong).toList
       }
     }
+
+  property("null lang: tag nulls out (oracle's || semantics), stratum still exact-k") =
+    Prop.forAllNoShrink(corpusGen) { rows =>
+      import spark.implicits._
+      // half the ids lose their lang: they form one NULL stratum whose
+      // tags are ALL null (concat propagates, matching the oracle's
+      // lang || ':' || id), so the draw falls to the doc_id tie-break —
+      // engine-identical; the non-null strata are untouched.
+      val mixed = rows.map { case (id, lang) =>
+        (id, if (id % 2 == 0) lang else null)
+      }
+      val got = LlmOps.reservoirSampleOver(mixed.toDF("doc_id", "lang"), K)
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+        .toSet
+      val nullIds = mixed.filter(_._2 == null).map(_._1).sorted.take(K)
+      val wantNull = nullIds.zipWithIndex
+        .map { case (id, i) => (id, Option.empty[String], i.toLong + 1) }.toSet
+      val wantRest = model(mixed.filter(_._2 != null))
+        .map { case (id, l, r) => (id, Option(l), r) }
+      got == (wantNull ++ wantRest)
+    }
 }

@@ -280,6 +280,20 @@ class StorageSpec extends SparkSpec {
       (4L, "d", 40.0, "inserted")))
   }
 
+  test("f13 merge rejects a malformed op instead of merging it silently") {
+    val target = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
+    val bad = Seq((1L, "a2", 11.0, "update")) // not in {upsert, delete}
+      .toDF("k", "name", "bal", "op")
+    val ex = intercept[Exception] {
+      operators.Sources.mergeUpsertOver(target, bad, "k").collect()
+    }
+    // the raise_error message survives Spark's task-failure wrapping
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("op must be 'upsert' or 'delete'")),
+      s"unexpected failure: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("f13 row identity through storage: published re-read ≡ in-memory merge") {
     val published = operators.Sources.mergeUpsert(spark, Sf)
       .as[(Long, String, Double, String)].collect().toSeq
