@@ -238,6 +238,8 @@ object SparkEntry {
     "f12_corrupt_records" -> (Sources.corruptRecords _),
     // batch keyed MERGE (Type-1 upsert/delete) through the WAP gate
     "f13_merge_upsert" -> (Sources.mergeUpsert _),
+    // snapshot AS-OF read over retained WAP versions (time travel)
+    "f14_time_travel" -> (Sources.timeTravel _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1609,6 +1611,41 @@ object SparkEntry {
          |WHERE c_custkey NOT IN
          |  (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5)
          |ORDER BY c_custkey""".stripMargin,
+    "f14_time_travel" ->
+      // version 1 = the customer snapshot; version 2 = the f13 merge
+      // applied; both re-derived here, aggregated per bucket and
+      // full-outer joined — the Spark side reads the two versions from
+      // the RETAINED directories, so the archive bytes must reproduce
+      // this exactly (bucket 2 balance drift, bucket 5 tombstoned out
+      // of current, bucket 8 count doubled by the offset inserts).
+      s"""WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+         |u AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+         |        'upsert' AS op FROM customer WHERE c_custkey % 10 = 2
+         |      UNION ALL
+         |      SELECT c_custkey + 1000000, CAST(c_custkey AS DOUBLE),
+         |        'upsert' FROM customer WHERE c_custkey % 10 = 8),
+         |cur AS (
+         |  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+         |    CASE WHEN u.op IS NOT NULL THEN u.c_acctbal
+         |         ELSE t.c_acctbal END AS c_acctbal
+         |  FROM v1 t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+         |  WHERE COALESCE(u.c_custkey, t.c_custkey) NOT IN
+         |    (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5)),
+         |a AS (SELECT c_custkey % 10 AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n_v1,
+         |        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+         |          AS bal_v1
+         |      FROM v1 GROUP BY 1),
+         |c AS (SELECT c_custkey % 10 AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n_cur,
+         |        CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+         |          AS bal_cur
+         |      FROM cur GROUP BY 1)
+         |SELECT COALESCE(a.bucket, c.bucket) AS bucket,
+         |  COALESCE(n_v1, 0) AS n_v1, COALESCE(bal_v1, 0.0) AS bal_v1,
+         |  COALESCE(n_cur, 0) AS n_cur, COALESCE(bal_cur, 0.0) AS bal_cur
+         |FROM a FULL OUTER JOIN c ON a.bucket = c.bucket
+         |ORDER BY bucket""".stripMargin,
     "f11_partition_overwrite" ->
       // per-lang checksum after the dynamic overwrite: the min lang
       // carries UPPERCASED content, every other lang the original — a

@@ -384,9 +384,98 @@ object Sources {
           .otherwise(lit("kept")).as("action")): _*)
   }
 
+  /** Archived-version directories under a WAP base: `v1`, `v2`, … in
+    * publish order; `published` is always the LATEST version (number =
+    * archived count + 1). */
+  private def archivedVersions(base: String): Seq[Int] =
+    Option(new java.io.File(base).list()).getOrElse(Array.empty[String])
+      .toSeq.collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .sorted
+
+  /** The table's current version number: 1 + the archived count (0 if
+    * nothing has ever published). */
+  private[graft] def currentVersion(base: String): Int = {
+    val hasPublished = new java.io.File(s"$base/published").exists
+    if (!hasPublished) 0 else archivedVersions(base).size + 1
+  }
+
+  /** f14 — snapshot AS-OF read (time travel): scan the table as it was
+    * at `version`. Version n < current reads the retained `v<n>/`
+    * directory; version == current reads `published/` — both are plain
+    * parquet scans, so filters and pruning push down identically on
+    * historical and current reads. Out-of-range versions fail loudly
+    * (a silent fallback to current is the one bug a time-travel API
+    * must never have).
+    *
+    * Retention layout: [[writeAuditPublishStaged]] with
+    * `retainVersions = true` renames the replaced `published/` to the
+    * next `v<N>/` during promote — O(1) metadata on any real
+    * filesystem, atomic for readers like the promote itself. Each
+    * retained version is a FULL directory here (the local-FS manifest
+    * layout); a 100 TB table format (Iceberg/Delta) gets the same API
+    * from snapshot manifests that SHARE unchanged data files across
+    * versions, so retention costs O(changed files) — the read-side
+    * contract (this function) is identical, which is the point: the
+    * query layer never knows which layout is underneath. */
+  def readAsOf(s: SparkSession, base: String, version: Int): DataFrame = {
+    val current = currentVersion(base)
+    require(version >= 1 && version <= current,
+      s"version $version out of range: table at $base has versions 1..$current")
+    if (version == current) s.read.parquet(s"$base/published")
+    else s.read.parquet(s"$base/v$version")
+  }
+
+  /** The f14 registry query: the WAP → MERGE → history ladder end to
+    * end. Publish the `customer` snapshot (version 1), advance it with
+    * the f13 merge feed (version 2 — updates, inserts, tombstones), then
+    * read BOTH versions back AS-OF and compare their per-bucket
+    * aggregates side by side. The divergence is the proof the history
+    * read works: bucket 2 differs in balance (updated +100), bucket 5
+    * is absent from current (tombstoned), bucket 8 doubles its count
+    * (inserted keys land on the same mod); every other bucket is
+    * identical. Both sides are scans of what PROMOTE left on disk, so
+    * the archived bytes — not a cached plan — are what is checked. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+    val deletes = cust.filter(pmod(col("c_custkey"), lit(10L)) === 5)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    val inserts = cust.filter(pmod(col("c_custkey"), lit(10L)) === 8)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("New#"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_custkey").cast("double").as("c_acctbal"),
+        lit("upsert").as("op"))
+    val merged = mergeUpsertOver(target,
+      updates.unionByName(deletes).unionByName(inserts), "c_custkey")
+      .drop("action") // versions share one schema: the snapshot's
+    val base = java.nio.file.Files.createTempDirectory("graft-asof").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    writeAuditPublishStaged(s, target, target.count(), base.toString,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    writeAuditPublishStaged(s, merged, merged.count(), base.toString,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    def byBucket(df: DataFrame, nc: String, bc: String): DataFrame =
+      df.groupBy(pmod(col("c_custkey"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as(nc), dsum(col("c_acctbal")).as(bc))
+    val v1 = byBucket(readAsOf(s, base.toString, 1), "n_v1", "bal_v1")
+    val cur = byBucket(readAsOf(s, base.toString, 2), "n_cur", "bal_cur")
+    v1.join(cur, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("bal_v1"), lit(0.0)).as("bal_v1"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("bal_cur"), lit(0.0)).as("bal_cur"))
+      .orderBy("bucket")
+  }
+
   private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
       expectedRows: Long, base: String,
-      keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
+      keyCols: Seq[String] = Seq("doc_id"),
+      retainVersions: Boolean = false): DataFrame = {
     import s.implicits._
     val staging = new java.io.File(s"$base/staging")
     val published = new java.io.File(s"$base/published")
@@ -412,8 +501,14 @@ object Sources {
       // is the residual local-FS gap — production object stores close
       // it with a transactional table commit, per the scaladoc.
       import java.nio.file.{Files => NioFiles, StandardCopyOption}
-      val aside = new java.io.File(s"$base/published.old")
-      org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      // retainVersions: the replaced table becomes the next archived
+      // version (f14's history); otherwise it parks at published.old
+      // (single-slot undo) as before
+      val aside =
+        if (retainVersions)
+          new java.io.File(s"$base/v${archivedVersions(base).size + 1}")
+        else new java.io.File(s"$base/published.old")
+      if (!retainVersions) org.apache.commons.io.FileUtils.deleteQuietly(aside)
       if (published.exists)
         NioFiles.move(published.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
       NioFiles.move(staging.toPath, published.toPath, StandardCopyOption.ATOMIC_MOVE)

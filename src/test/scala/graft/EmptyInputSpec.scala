@@ -149,6 +149,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.Sources.partitionOverwrite(spark, emptyDir).count() === 0L)
     // f13 on an empty snapshot + empty feed: a valid zero-row publish
     assert(operators.Sources.mergeUpsert(spark, emptyDir).count() === 0L)
+    // f14 on an empty corpus: two zero-row versions publish and both
+    // AS-OF reads aggregate to zero groups
+    assert(operators.Sources.timeTravel(spark, emptyDir).count() === 0L)
     // f12 on an empty feed: one all-zero-counts row, nothing throws
     val cr = operators.Sources.corruptRecords(spark, emptyDir).head()
     (0 until 3).foreach(i => assert(cr.getLong(i) === 0L, s"f12 col $i"))

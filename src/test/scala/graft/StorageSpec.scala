@@ -317,6 +317,57 @@ class StorageSpec extends SparkSpec {
     assert(published.map(_._4).toSet === Set("kept", "updated", "inserted"))
   }
 
+  test("f14 version ladder: three publishes readable AS-OF, out-of-range throws") {
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-spec").toString
+    def pub(rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("k", "v")
+      operators.Sources.writeAuditPublishStaged(spark, df, rows.size.toLong,
+        base, keyCols = Seq("k"), retainVersions = true)
+    }
+    val gens = Seq(
+      Seq((1L, "a")),
+      Seq((1L, "a2"), (2L, "b")),
+      Seq((2L, "b"), (3L, "c")))
+    gens.foreach(pub)
+    assert(operators.Sources.currentVersion(base) === 3)
+    gens.zipWithIndex.foreach { case (want, i) =>
+      val got = operators.Sources.readAsOf(spark, base, i + 1)
+        .orderBy("k").as[(Long, String)].collect().toSeq
+      assert(got === want, s"version ${i + 1}")
+    }
+    intercept[IllegalArgumentException] {
+      operators.Sources.readAsOf(spark, base, 4)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Sources.readAsOf(spark, base, 0)
+    }
+  }
+
+  test("f14 AS-OF v1 ≡ pre-merge snapshot bytes; current diverges") {
+    // run the registry flow's publishes by hand so we hold the base dir
+    val cust = Tables.customer(spark, Sf)
+    val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val merged = operators.Sources.mergeUpsertOver(target,
+      cust.filter(col("c_custkey") % 10 === 5)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("delete").as("op")), "c_custkey").drop("action")
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-spec2").toString
+    operators.Sources.writeAuditPublishStaged(spark, target, target.count(),
+      base, keyCols = Seq("c_custkey"), retainVersions = true)
+    operators.Sources.writeAuditPublishStaged(spark, merged, merged.count(),
+      base, keyCols = Seq("c_custkey"), retainVersions = true)
+    val asof = operators.Sources.readAsOf(spark, base, 1)
+      .orderBy("c_custkey").as[(Long, String, Double)].collect().toSeq
+    val preMerge = target
+      .orderBy("c_custkey").as[(Long, String, Double)].collect().toSeq
+    assert(asof === preMerge, "AS-OF v1 must be the pre-merge snapshot, byte for byte")
+    val cur = operators.Sources.readAsOf(spark, base, 2)
+      .orderBy("c_custkey").as[(Long, String, Double)].collect().toSeq
+    assert(cur !== asof, "current must have advanced past v1")
+    assert(cur === preMerge.filterNot(_._1 % 10 == 5),
+      "current ≡ merge applied to v1")
+  }
+
   test("f13 Type-1 merge of the latest-change feed ≡ e31 SCD2 current rows") {
     // SCD Type-2 keeps history; Type-1 keeps only the latest value. So
     // merging each user's LAST event (by the e31 (ts, event_id) order)
