@@ -274,6 +274,8 @@ object SparkEntry {
     "d54_filter_agreement" -> (LlmOps.filterAgreement _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
     "e35_retention" -> (Relational.retention _),
+    // directed transitive closure with min hop count (BFS, no recursive CTE)
+    "e45_transitive_closure" -> (TransitiveClosure.bomReachability _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1611,6 +1613,25 @@ object SparkEntry {
          |WHERE c_custkey NOT IN
          |  (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5)
          |ORDER BY c_custkey""".stripMargin,
+    "e45_transitive_closure" ->
+      // the engine-native recursive-CTE form of the BFS kernel: same
+      // fixture edges (p div 2 / p div 3), same mod-97 roots; UNION
+      // (distinct) bounds the recursion on the DAG and the min() picks
+      // the shortest of the multiple paths the shared substructure
+      // creates.
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part
+        |  WHERE p_partkey >= 2
+        |  UNION ALL
+        |  SELECT p_partkey, p_partkey // 3 FROM part WHERE p_partkey >= 3),
+        |r AS (
+        |  SELECT p_partkey AS root, p_partkey AS node, 0 AS hops
+        |  FROM part WHERE p_partkey % 97 = 1
+        |  UNION
+        |  SELECT r.root, e.dst, r.hops + 1
+        |  FROM r JOIN e ON e.src = r.node)
+        |SELECT root, node, CAST(min(hops) AS BIGINT) AS min_hops
+        |FROM r GROUP BY root, node ORDER BY root, node""".stripMargin,
     "f14_time_travel" ->
       // version 1 = the customer snapshot; version 2 = the f13 merge
       // applied; both re-derived here, aggregated per bucket and

@@ -53,7 +53,7 @@ object ConnectedComponents {
     * recompute through it once the next round's checkpoint exists, so
     * unpersisting is safe. Non-blocking: removal proceeds while the next
     * round's jobs run. */
-  private def dropCheckpoint(df: DataFrame): Unit =
+  private[operators] def dropCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -152,6 +152,9 @@ class EmptyInputSpec extends SparkSpec {
     // f14 on an empty corpus: two zero-row versions publish and both
     // AS-OF reads aggregate to zero groups
     assert(operators.Sources.timeTravel(spark, emptyDir).count() === 0L)
+    // e45 with no parts: no roots, no edges, the BFS loop never enters
+    assert(operators.TransitiveClosure.bomReachability(spark, emptyDir)
+      .count() === 0L)
     // f12 on an empty feed: one all-zero-counts row, nothing throws
     val cr = operators.Sources.corruptRecords(spark, emptyDir).head()
     (0 until 3).foreach(i => assert(cr.getLong(i) === 0L, s"f12 col $i"))
