@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, BloomFunctions, ByteValues, CosineSimilarity, TokenNgrams}
+import graft.functions.{ArrayDotProduct, BloomFunctions, ByteValues, CosineSimilarity, NfcNormalize, TokenNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TokenNgrams.info, TokenNgrams.builder))
     ext.injectFunction((FunctionIdentifier(ByteValues.Name),
       ByteValues.info, ByteValues.builder))
+    ext.injectFunction((FunctionIdentifier(NfcNormalize.Name),
+      NfcNormalize.info, NfcNormalize.builder))
     // Spark's own runtime-bloom-filter expressions, surfaced as callable
     // functions (scan-time membership gate — see BloomFunctions)
     ext.injectFunction((FunctionIdentifier(BloomFunctions.AggName),

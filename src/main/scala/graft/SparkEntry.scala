@@ -248,6 +248,8 @@ object SparkEntry {
     "d45_edit_verify" -> ((s, d) => LlmOps.editVerify(s, d)),
     // delete-1-blocked fuzzy equi-join (exact recall at distance 1)
     "d58_fuzzy_join" -> (LlmOps.fuzzyJoin _),
+    // recursive-delete-blocked fuzzy join at distance 2 (per-key decision row)
+    "d58b_fuzzy_join2" -> (LlmOps.fuzzyJoin2 _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -684,7 +686,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |  CAST(length(norm) AS BIGINT) AS norm_len
         |FROM (SELECT doc_id,
-        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |        lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS norm
         |      FROM documents)
         |GROUP BY norm ORDER BY keep_id""".stripMargin,
     "d02_ngram_jaccard" ->
@@ -1068,7 +1070,7 @@ object SparkEntry {
       // same intermediate round4 on the ratio) → d14 (chunk CTEs).
       """WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM (
-        |    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |    SELECT doc_id, lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS norm
         |    FROM documents)
         |  GROUP BY norm),
         |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1696,7 +1698,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "f09_write_audit_publish" ->
       """WITH n AS (SELECT count(DISTINCT
-        |             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |             lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))))
         |             AS cnt FROM documents)
         |SELECT * FROM (
         |  SELECT 'rows_match_expected' AS check_name, cnt AS observed,
@@ -2112,6 +2114,32 @@ object SparkEntry {
         |  CAST(levenshtein(l_key, r_key) AS BIGINT) AS lev
         |FROM l, pert WHERE levenshtein(l_key, r_key) <= 1
         |ORDER BY l_id, r_id""".stripMargin,
+    "d58b_fuzzy_join2" ->
+      // UNBLOCKED mirror at distance 2: cross join + levenshtein ≤ 2,
+      // aggregated per batch key — hash equality proves the recursive
+      // delete-2 blocking lost no pair. best_master decodes the integer
+      // min over (lev, master id) — deterministic in both engines
+      // (DuckDB arg_min leaves ties unspecified, so neither side uses it).
+      """WITH pert AS (SELECT c_custkey AS r_id,
+        |    substr(c_name, 1, p - 1)
+        |      || CAST((CAST(substr(c_name, p, 1) AS INT) + 1) % 10 AS VARCHAR)
+        |      || CAST((CAST(substr(c_name, p + 1, 1) AS INT) + 1) % 10 AS VARCHAR)
+        |      || substr(c_name, p + 2) AS r_key
+        |  FROM (SELECT c_custkey, c_name,
+        |          CAST(c_custkey % 8 + 10 AS INT) AS p FROM customer
+        |        WHERE c_custkey % 101 = 3)),
+        |l AS (SELECT c_custkey AS l_id, c_name AS l_key FROM customer),
+        |m AS (SELECT r_id, r_key, l_id,
+        |        CAST(levenshtein(l_key, r_key) AS BIGINT) AS lev
+        |      FROM l, pert WHERE levenshtein(l_key, r_key) <= 2)
+        |SELECT r_id, r_key,
+        |  CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(COALESCE(sum(CASE WHEN lev = 0 THEN 1 END), 0) AS BIGINT) AS n_d0,
+        |  CAST(COALESCE(sum(CASE WHEN lev = 1 THEN 1 END), 0) AS BIGINT) AS n_d1,
+        |  CAST(COALESCE(sum(CASE WHEN lev = 2 THEN 1 END), 0) AS BIGINT) AS n_d2,
+        |  min(lev) AS min_lev,
+        |  min(lev * 10000000000 + l_id) % 10000000000 AS best_master
+        |FROM m GROUP BY r_id, r_key ORDER BY r_id""".stripMargin,
     // d46: every manifest observation is a deterministic function of
     // `documents` (the pair count via the shared pair CTEs); clean
     // input ⇒ all audits pass, published_rows = pair count.
@@ -2401,7 +2429,7 @@ object SparkEntry {
     // operands — bit-exact, no rounding (Canon.round4 note).
     "d38_dup_weights" ->
       """WITH n AS (SELECT doc_id,
-        |             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |             lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS norm
         |           FROM documents)
         |SELECT doc_id,
         |  count(*) OVER (PARTITION BY norm) AS n_copies,
@@ -2413,7 +2441,7 @@ object SparkEntry {
     // collision note applies).
     "d39_bloom_gate" ->
       """WITH doc AS (SELECT doc_id,
-        |               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |               lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS norm
         |             FROM documents),
         |hist AS (SELECT norm FROM doc WHERE doc_id % 10 < 8),
         |batch AS (SELECT doc_id, norm FROM doc WHERE doc_id % 10 >= 8)
@@ -2497,7 +2525,7 @@ object SparkEntry {
         |sp AS (SELECT doc_id,
         |         CAST(generate_subscripts(string_split(pt, chr(10)), 1) - 1
         |           AS BIGINT) AS pos,
-        |         trim(unnest(string_split(pt, chr(10)))) AS norm
+        |         trim(nfc_normalize(unnest(string_split(pt, chr(10))))) AS norm
         |       FROM p),
         |spn AS (SELECT * FROM sp WHERE len(norm) > 0),
         |r AS (SELECT doc_id, pos, norm,
@@ -2719,7 +2747,7 @@ object SparkEntry {
   private def editVerifySql =
     s"""WITH $pairsCtes,
        |nrm AS (SELECT doc_id,
-       |          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |          lower(trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))) AS norm
        |        FROM documents)
        |SELECT p.i, p.j,
        |  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev,

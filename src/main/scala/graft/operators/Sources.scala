@@ -286,7 +286,10 @@ object Sources {
     * table (duplicate keys) and asserts nothing publishes. */
   def writeAuditPublish(s: SparkSession, d: String): DataFrame = {
     val survivors = Tables.documents(s, d)
-      .groupBy(lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+      // the d01 dedup identity, NFC included (see LlmOps.normText)
+      .groupBy(lower(trim(regexp_replace(
+        call_function(graft.functions.NfcNormalize.Name, col("text")),
+        "\\s+", " "))).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), length(col("norm")).cast("long").as("norm_len"))
     val expected = survivors.count()

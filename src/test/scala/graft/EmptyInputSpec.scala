@@ -82,7 +82,9 @@ class EmptyInputSpec extends SparkSpec {
       "gramNovelty" -> (LlmOps.gramNovelty _),
       "qualityEnsemble" -> (LlmOps.qualityEnsemble _),
       "sessionize" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Relational.sessionize(s, d)),
-      "patchGrid" -> (Multimodal.patchGrid _)
+      "patchGrid" -> (Multimodal.patchGrid _),
+      // round 11: empty master + empty batch → no variants, no matches
+      "fuzzyJoin2" -> (LlmOps.fuzzyJoin2 _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }

@@ -113,4 +113,27 @@ class FunctionsSpec extends SparkSpec {
       .as[Seq[String]].collect().head
     assert(utf8 === Seq("héllo wörld", "wörld ünïcode"))
   }
+
+  test("nfc_normalize: composes NFD, fixes ASCII/NFC, nulls through, SQL-callable") {
+    val composed = "caf\u00e9"          // e-acute as one codepoint
+    val decomposed = "cafe\u0301"       // e + combining acute
+    assert(composed != decomposed, "fixture must start canonically distinct")
+    val got = Seq(composed, decomposed, "plain ascii", "")
+      .toDF("text")
+      .select(call_function("nfc_normalize", col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(got === Seq(composed, composed, "plain ascii", ""))
+    // null -> null (null-intolerant unary contract)
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("nfc_normalize", col("text"))).collect().head
+    assert(r.isNullAt(0))
+    // registered for SQL consumers too, and correct on a multi-mark
+    // cluster: a + combining-acute + combining-dot-below must reorder
+    // the marks canonically (dot-below has the lower combining class)
+    // and compose the base pair to U+1EA1, acute kept as a mark
+    val sql = spark.sql(
+      "SELECT nfc_normalize('a\u0301\u0323') = '\u1ea1\u0301'")
+      .collect().head.getBoolean(0)
+    assert(sql)
+  }
 }

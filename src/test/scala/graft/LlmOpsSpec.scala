@@ -559,6 +559,31 @@ class LlmOpsSpec extends SparkSpec {
       (3L, 13L, 1L)))
   }
 
+  test("NFC identity: composed vs decomposed duplicates collapse in d01/d38/d57") {
+    // same text, two canonical encodings — invisible provenance noise
+    // (macOS emits NFD, the web NFC) that must land in ONE family
+    val composed = "the caf\u00e9 menu is very good"
+    val decomposed = "the cafe\u0301 menu is very good"
+    assert(composed != decomposed)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nfc").toString
+    Seq((1L, composed), (2L, decomposed), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // d01: one survivor for the pair (min doc_id), 2 copies counted
+    val d01 = LlmOps.exactDedup(spark, dir)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(d01 === Set((1L, 2L), (3L, 1L)))
+    // d38: both members carry weight 1/2; the singleton keeps 1.0
+    val d38 = LlmOps.dupWeights(spark, dir)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(d38 === Map(1L -> 0.5, 2L -> 0.5, 3L -> 1.0))
+    // d57: doc 2's only paragraph is a cross-encoding dup of doc 1's
+    val d57 = LlmOps.paragraphDedup(spark, dir)
+      .select("doc_id", "n_paras", "n_kept").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(d57 === Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 1L)))
+  }
+
   test("d58 fuzzy join: empty and null keys neither crash nor fabricate matches") {
     // "" is distance ≤ 1 from every 1-char key and from itself; null
     // matches nothing (equi-join null semantics). Before the guard, ""
@@ -603,6 +628,52 @@ class LlmOpsSpec extends SparkSpec {
     } yield (li, ri, d.toLong)).toSet
     assert(got === want)
     assert(want.nonEmpty, "degenerate fixture: no close pairs generated")
+  }
+
+  test("d58b distance-2: transposition and double typo found, distance 3 rejected") {
+    val left = Seq((1L, "walnut"), (2L, "orange"), (3L, "quartz"))
+      .toDF("id", "key")
+    val right = Seq(
+      (10L, "wanlut"),   // transposition (= two substitutions) → 1 at lev 2
+      (11L, "wolnot"),   // double substitution → 1 at lev 2
+      (12L, "oranges"),  // single insertion → 2 at lev 1
+      (13L, "orangutan"), // distance 4 from orange → rejected
+      (14L, "quatz"),    // single deletion → 3 at lev 1
+      (15L, "qrtz"))     // double deletion → 3 at lev 2
+      .toDF("id", "key")
+    val got = LlmOps.fuzzyJoin2Over(left, right)
+      .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L, 2L), (1L, 11L, 2L), (2L, 12L, 1L),
+      (3L, 14L, 1L), (3L, 15L, 2L)))
+  }
+
+  test("d58b ≡ brute-force all-pairs levenshtein ≤ 2 (exact recall at d=2)") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // short keys over a tiny alphabet: the adversarial case for delete
+    // blocking (many strings within distance 2, incl. via empty "")
+    val alpha = "abc"
+    def key(seed: Long): String = {
+      val n = 1 + (seed % 5).toInt
+      (0 until n).map(i => alpha(((seed * 31 + i * 7) % 3).toInt)).mkString
+    }
+    val ls = (0L until 20L).map(i => (i, key(i * 13 + 5)))
+    val rs = (0L until 20L).map(i => (i, key(i * 17 + 2)))
+    val got = LlmOps.fuzzyJoin2Over(ls.toDF("id", "key"), rs.toDF("id", "key"))
+      .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (li, lk) <- ls; (ri, rk) <- rs
+      d = lev(lk, rk) if d <= 2
+    } yield (li, ri, d.toLong)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 2L), "degenerate fixture: no distance-2 pairs")
   }
 
   test("d45 edit verify: reference-DP recompute over every d02 pair") {

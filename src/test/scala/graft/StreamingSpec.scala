@@ -465,6 +465,58 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("s14 AvailableNow incremental backfill: two staged drops, shared " +
+    "checkpoint — union of runs ≡ one batch, exactly-once across restarts") {
+    // THE production incremental-backfill shape: a scheduled job wakes,
+    // processes whatever landed since its last run (file-source log in
+    // the checkpoint remembers processed files), appends to the output
+    // table, and terminates. Two runs over a growing directory must
+    // together equal ONE batch pass — no missed rows, no re-emission.
+    val base = java.nio.file.Files.createTempDirectory("graft-s14").toString
+    val evs = replay.filter(_.event_id != SentinelId)
+    // drop A must NOT already cover every (user, type) key — keep it
+    // small so run 2 provably contributes new keys
+    val (dropA, dropB) = evs.splitAt(math.min(20, evs.size / 2))
+    val schema = dropA.toDF().schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // several micro-batches per run
+        .parquet(s"$base/in")
+      val q = Streaming.streamingDedup(src)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run must self-terminate")
+    }
+    // drop A (2 files, event-time order), run 1
+    dropA.grouped(dropA.size / 2 + 1).foreach { c =>
+      c.toDF().coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    runOnce()
+    val afterRun1 = spark.read.parquet(s"$base/out").count()
+    // drop B lands, run 2 resumes from the same checkpoint
+    dropB.grouped(dropB.size / 2 + 1).foreach { c =>
+      c.toDF().coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    runOnce()
+    val union = spark.read.parquet(s"$base/out")
+    // exactly-once: run 2 added only drop-B firsts, re-emitted nothing
+    // (every key seen in run 1 is still in the restored dedup state)
+    val batch = Streaming.dedupFirst(spark, Sf)
+    assert(union.count() === batch.count(),
+      s"run1=$afterRun1, union=${union.count()}, batch=${batch.count()}")
+    assert(afterRun1 < union.count(), "run 2 must contribute new keys")
+    // union-of-runs ≡ one batch pass, row for row (dedupFirst's key set
+    // and first-arrival rows; arrival order = event-time order here)
+    val got = union
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        Canon.tsStr(col("ts")).as("first_ts"))
+    assert(sortedRows(got) === sortedRows(batch))
+  }
+
   test("within-watermark dedup: firsts ⊆ emitted ⊊ input (state eviction re-emits)") {
     val emitted = runStream("t_dedup_wm", Streaming.streamingDedupWithinWatermark)
       .filter(col("event_id") =!= SentinelId)
