@@ -85,69 +85,69 @@ object SparkEntry {
     // the Phoenix MapReduce facade (same contract as q_wordcount)
     "t02_phoenix_wordcount" -> ((s, _) => PhoenixApi.phoenixWordCount(s)),
     // — LLM-data-pipeline surface (SURVEY §2.4 E18–E21) —
-    "d01_exact_dedup" -> (LlmOps.exactDedup _),
-    "d02_ngram_jaccard" -> (LlmOps.ngramJaccard _),
-    "d03_minhash_lsh" -> (LlmOps.minhashNearDup _),
-    "d04_cosine_topk" -> (LlmOps.cosineTopK _),
-    "d05_embed_neardup" -> (LlmOps.embedNearDup _),
-    "d06_ann_lsh" -> (LlmOps.annLsh _),               // no SQL oracle: bucket recall is probabilistic by design; spec-checked vs brute force
-    "d06b_ivf_ann" -> ((s, d) => LlmOps.ivfAnn(s, d)),
-    "d07_tfidf" -> (LlmOps.tfidf _),
-    "d08_text_stats" -> (LlmOps.textStats _),
-    "d09_lang_profile" -> (LlmOps.langProfile _),
-    "d10_lang_id" -> (LlmOps.langId _),
-    "d11_fingerprint" -> (LlmOps.fingerprint _),
-    "d12_simhash" -> (LlmOps.simhash _),
-    "d13_simhash_pairs" -> (LlmOps.simhashPairs _),
-    "d14_doc_chunks" -> (LlmOps.docChunks _),
-    "d15_quantize" -> (LlmOps.quantizeEmbeddings _),
+    "d01_exact_dedup" -> (DedupOps.exactDedup _),
+    "d02_ngram_jaccard" -> (PairGraph.ngramJaccard _),
+    "d03_minhash_lsh" -> (PairGraph.minhashNearDup _),
+    "d04_cosine_topk" -> (EmbeddingOps.cosineTopK _),
+    "d05_embed_neardup" -> (EmbeddingOps.embedNearDup _),
+    "d06_ann_lsh" -> (EmbeddingOps.annLsh _),               // no SQL oracle: bucket recall is probabilistic by design; spec-checked vs brute force
+    "d06b_ivf_ann" -> ((s, d) => EmbeddingOps.ivfAnn(s, d)),
+    "d07_tfidf" -> (QualityOps.tfidf _),
+    "d08_text_stats" -> (QualityOps.textStats _),
+    "d09_lang_profile" -> (QualityOps.langProfile _),
+    "d10_lang_id" -> (QualityOps.langId _),
+    "d11_fingerprint" -> (PairGraph.fingerprint _),
+    "d12_simhash" -> (PairGraph.simhash _),
+    "d13_simhash_pairs" -> (PairGraph.simhashPairs _),
+    "d14_doc_chunks" -> (SamplingOps.docChunks _),
+    "d15_quantize" -> (EmbeddingOps.quantizeEmbeddings _),
     // composed prep pipeline: dedup → quality gate → chunk, one plan
-    "d16_prep_pipeline" -> (LlmOps.prepPipeline _),
-    "d17_hash_split" -> (LlmOps.hashSplit _),
-    "d18_bigram_lm" -> (LlmOps.bigramLm _),
+    "d16_prep_pipeline" -> (SamplingOps.prepPipeline _),
+    "d17_hash_split" -> (SamplingOps.hashSplit _),
+    "d18_bigram_lm" -> (QualityOps.bigramLm _),
     // near-dup groups (transitive closure of d02's pair graph) and
     // train/test split contamination (d02 pairs × d17 splits)
-    "d19_neardup_clusters" -> (LlmOps.neardupClusters _),
-    "d20_contamination" -> (LlmOps.contamination _),
+    "d19_neardup_clusters" -> (PairGraph.neardupClusters _),
+    "d20_contamination" -> (PairGraph.contamination _),
     // Gopher-style within-document repetition quality rule
-    "d21_repetition" -> (LlmOps.repetition _),
+    "d21_repetition" -> (QualityOps.repetition _),
     // corpus top-K vocabulary + per-document OOV rate
-    "d22_vocab_coverage" -> ((s, d) => LlmOps.vocabCoverage(s, d)),
+    "d22_vocab_coverage" -> ((s, d) => QualityOps.vocabCoverage(s, d)),
     // deterministic per-language stratified sampling (corpus rebalance)
-    "d23_stratified_sample" -> (LlmOps.stratifiedSample _),
+    "d23_stratified_sample" -> (SamplingOps.stratifiedSample _),
     // sharded concat-and-chunk packing into fixed context windows
-    "d24_seq_packing" -> (LlmOps.seqPacking _),
+    "d24_seq_packing" -> (SamplingOps.seqPacking _),
     // content-defined (rolling-hash-boundary) chunking
-    "d25_cdc_chunks" -> (LlmOps.cdcChunks _),
+    "d25_cdc_chunks" -> (SamplingOps.cdcChunks _),
     // token-budget domain mixing via bucketed distributed prefix sum
-    "d26_token_budget" -> ((s, d) => LlmOps.tokenBudget(s, d)),
+    "d26_token_budget" -> ((s, d) => SamplingOps.tokenBudget(s, d)),
     // per-document unigram Shannon entropy quality score
-    "d27_token_entropy" -> (LlmOps.tokenEntropy _),
+    "d27_token_entropy" -> (QualityOps.tokenEntropy _),
     // per-language percentile length trim (histogram-based percent_rank)
-    "d28_length_trim" -> ((s, d) => LlmOps.lengthTrim(s, d)),
+    "d28_length_trim" -> ((s, d) => QualityOps.lengthTrim(s, d)),
     // Matryoshka truncation: normalize → k-dim prefix → requantize
-    "d29_matryoshka" -> ((s, d) => LlmOps.matryoshka(s, d)),
+    "d29_matryoshka" -> ((s, d) => EmbeddingOps.matryoshka(s, d)),
     // delta-batch admission gate against the ingested corpus
-    "d30_incremental_dedup" -> (LlmOps.incrementalDedup _),
+    "d30_incremental_dedup" -> (PairGraph.incrementalDedup _),
     // the same gate fed from the published pair store (read side)
     "d30b_store_incremental" -> (PairStore.storeIncrementalDedup _),
-    "d31_bm25" -> ((s, d) => LlmOps.bm25(s, d)),
+    "d31_bm25" -> ((s, d) => QualityOps.bm25(s, d)),
     // PII-scrub-shaped pattern redaction (zero-shuffle projection)
-    "d32_pii_redact" -> ((s, d) => LlmOps.redact(s, d)),
+    "d32_pii_redact" -> ((s, d) => QualityOps.redact(s, d)),
     // benchmark-leakage check: train/test 5-gram overlap, capped equi-join
-    "d33_decontam_ngram" -> ((s, d) => LlmOps.decontamNgrams(s, d)),
+    "d33_decontam_ngram" -> ((s, d) => QualityOps.decontamNgrams(s, d)),
     // DSIR importance weights over hashed-bigram bucket distributions
-    "d34_dsir_weights" -> ((s, d) => LlmOps.dsirWeights(s, d)),
+    "d34_dsir_weights" -> ((s, d) => QualityOps.dsirWeights(s, d)),
     // SemDeDup-shaped semantic dedup in LSH sign-bit buckets
-    "d35_semdedup" -> ((s, d) => LlmOps.semdedup(s, d)),
+    "d35_semdedup" -> ((s, d) => EmbeddingOps.semdedup(s, d)),
     // embedding-space train↔eval leakage (the semantic d20)
-    "d55_semantic_contamination" -> ((s, d) => LlmOps.semanticContamination(s, d)),
+    "d55_semantic_contamination" -> ((s, d) => EmbeddingOps.semanticContamination(s, d)),
     // per-language exact-k deterministic reservoir draw
-    "d56_reservoir" -> ((s, d) => LlmOps.reservoirSample(s, d)),
+    "d56_reservoir" -> ((s, d) => SamplingOps.reservoirSample(s, d)),
     // Gumbel-top-k importance resampling over the d34 weights
-    "d36_importance_sample" -> ((s, d) => LlmOps.importanceSample(s, d)),
+    "d36_importance_sample" -> ((s, d) => SamplingOps.importanceSample(s, d)),
     // GDPR tombstone purge manifest across source + derived stores
-    "d37_tombstone_purge" -> ((s, d) => LlmOps.tombstonePurge(s, d)),
+    "d37_tombstone_purge" -> ((s, d) => DedupOps.tombstonePurge(s, d)),
     // — multimodal binary-column plumbing —
     "m01_binary_meta" -> (Multimodal.binaryMeta _),
     // flat projection (f0..f3) of the ARRAY<FLOAT> stub-decode features:
@@ -196,25 +196,25 @@ object SparkEntry {
     // SCD Type-2 validity intervals from the append-only event log
     "e31_scd2_intervals" -> (Relational.scd2Intervals _),
     // duplicate-multiplicity sampling weights (soft dedup)
-    "d38_dup_weights" -> (LlmOps.dupWeights _),
+    "d38_dup_weights" -> (DedupOps.dupWeights _),
     // bloom-gated cross-corpus membership (scan-time incremental dedup)
-    "d39_bloom_gate" -> (LlmOps.bloomGate _),
+    "d39_bloom_gate" -> (DedupOps.bloomGate _),
     // shingle-set containment pairs (partial-duplicate / subset detector)
-    "d40_containment" -> ((s, d) => LlmOps.containmentPairs(s, d)),
+    "d40_containment" -> ((s, d) => PairGraph.containmentPairs(s, d)),
     // clusters over the UNION of jaccard + containment edges (what
     // substring-level dedup pipelines actually group on)
-    "d41_partialdup_clusters" -> (LlmOps.partialDupClusters _),
+    "d41_partialdup_clusters" -> (PairGraph.partialDupClusters _),
     // C4-style cross-document span dedup at 32-token chunk granularity
-    "d42_span_dedup" -> (LlmOps.spanDedup _),
+    "d42_span_dedup" -> (DedupOps.spanDedup _),
     // C4-style paragraph-grain dedup (newline split, first-seen keep)
-    "d57_paragraph_dedup" -> (LlmOps.paragraphDedup _),
+    "d57_paragraph_dedup" -> (DedupOps.paragraphDedup _),
     // per-source (domain-cap) top-K by quality score
-    "d43_source_cap" -> (LlmOps.sourceCap _),
+    "d43_source_cap" -> (DedupOps.sourceCap _),
     // exact equi-depth quantile binning via distributed rank (no global
     // single-task sort)
     "p04_equidepth_bins" -> ((s, d) => Profiling.equidepthBins(s, d)),
     // hashed-feature linear quality classifier (model-based filter)
-    "d44_quality_classifier" -> (LlmOps.qualityClassifier _),
+    "d44_quality_classifier" -> (QualityOps.qualityClassifier _),
     // stream-stream LEFT OUTER join, batch form (errors without a recent
     // purchase surface with null purchase columns)
     "s10_stream_stream_left" -> (Streaming.streamLeftJoin _),
@@ -245,11 +245,11 @@ object SparkEntry {
     // time-weighted average per user (irregular-sampling TWAP)
     "e33_twap" -> (Relational.twap _),
     // edit-distance verification over the d02 near-dup pair relation
-    "d45_edit_verify" -> ((s, d) => LlmOps.editVerify(s, d)),
+    "d45_edit_verify" -> ((s, d) => PairGraph.editVerify(s, d)),
     // delete-1-blocked fuzzy equi-join (exact recall at distance 1)
-    "d58_fuzzy_join" -> (LlmOps.fuzzyJoin _),
+    "d58_fuzzy_join" -> (DedupOps.fuzzyJoin _),
     // recursive-delete-blocked fuzzy join at distance 2 (per-key decision row)
-    "d58b_fuzzy_join2" -> (LlmOps.fuzzyJoin2 _),
+    "d58b_fuzzy_join2" -> (DedupOps.fuzzyJoin2 _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -259,9 +259,9 @@ object SparkEntry {
     // d19 cluster refresh fed from the published pair store (read side)
     "d49_store_clusters" -> (PairStore.storeClusters _),
     // CCNet-style perplexity terciles via the p04 distributed-rank kernel
-    "d50_perplexity_buckets" -> ((s, d) => LlmOps.perplexityBuckets(s, d)),
+    "d50_perplexity_buckets" -> ((s, d) => QualityOps.perplexityBuckets(s, d)),
     // per-document novel-shingle fraction (marginal-contribution score)
-    "d51_gram_novelty" -> (LlmOps.gramNovelty _),
+    "d51_gram_novelty" -> (QualityOps.gramNovelty _),
     // batch gap-based sessionization (gaps-and-islands over events)
     "e34_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "e36_interval_merge" -> (Relational.intervalMerge _),
@@ -271,9 +271,9 @@ object SparkEntry {
     "e40_conversion_latency" -> (Relational.conversionLatency _),
     "e41_usage_apportion" -> (Relational.usageApportion _),
     // C4/Gopher-style composite filter with per-rule flags + bitmask
-    "d52_quality_ensemble" -> (LlmOps.qualityEnsemble _),
-    "d53_cluster_keep_best" -> (LlmOps.clusterKeepBest _),
-    "d54_filter_agreement" -> (LlmOps.filterAgreement _),
+    "d52_quality_ensemble" -> (QualityOps.qualityEnsemble _),
+    "d53_cluster_keep_best" -> (DedupOps.clusterKeepBest _),
+    "d54_filter_agreement" -> (QualityOps.filterAgreement _),
     // cohort retention matrix (per-user anchor → (cohort, week k) grid)
     "e35_retention" -> (Relational.retention _),
     // directed transitive closure with min hop count (BFS, no recursive CTE)
@@ -875,7 +875,7 @@ object SparkEntry {
       // (pattern i counts on the text after patterns 1..i-1 applied);
       // 'g' flag — DuckDB replaces first-match-only by default where
       // Spark's regexp_replace is global
-      val ps = graft.operators.LlmOps.DefaultRedactions
+      val ps = graft.operators.QualityOps.DefaultRedactions
       var cur = "text"
       val counts = ps.map { case (nm, re, tok) =>
         val c = s"CAST(len(regexp_extract_all($cur, '$re')) AS INTEGER) AS n_$nm"
@@ -903,7 +903,7 @@ object SparkEntry {
          |te AS (SELECT g.doc_id AS test_doc, gram
          |       FROM g JOIN sp USING (doc_id) WHERE split = 'test'),
          |cold AS (SELECT gram FROM te GROUP BY gram
-         |         HAVING count(DISTINCT test_doc) <= ${graft.operators.LlmOps.MaxShingleDf}),
+         |         HAVING count(DISTINCT test_doc) <= ${graft.operators.PairGraph.MaxShingleDf}),
          |tec AS (SELECT te.* FROM te JOIN cold USING (gram))
          |SELECT train_doc AS doc_id,
          |  count(DISTINCT gram) AS n_shared_grams,
@@ -967,7 +967,7 @@ object SparkEntry {
       // list_inner_product matches the native array_dot's in-order fold
       val sig = (0 until 4).map { p =>
         val arr = (0 until 64).map(j =>
-          graft.operators.LlmOps.planeComp(7, p, j)).mkString("[", ", ", "]")
+          graft.operators.EmbeddingOps.planeComp(7, p, j)).mkString("[", ", ", "]")
         s"(CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString("\n|    + ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -987,7 +987,7 @@ object SparkEntry {
       // vector via row_number (≡ the Spark max_by over (sim, −id))
       val sig = (0 until 4).map { p =>
         val arr = (0 until 64).map(j =>
-          graft.operators.LlmOps.planeComp(9, p, j)).mkString("[", ", ", "]")
+          graft.operators.EmbeddingOps.planeComp(9, p, j)).mkString("[", ", ", "]")
         s"(CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString("\n|    + ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -2649,7 +2649,7 @@ object SparkEntry {
     s"""$shingleCte,
        |sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
        |rare AS (SELECT doc_id, shingle FROM sh JOIN sdf USING (shingle)
-       |         WHERE df <= ${graft.operators.LlmOps.MaxShingleDf}),
+       |         WHERE df <= ${graft.operators.PairGraph.MaxShingleDf}),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM rare a JOIN rare b
        |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
@@ -2781,7 +2781,7 @@ object SparkEntry {
 
   /** The d17 deterministic hash-split assignment as a CTE (`sp`) —
     * shared by the d17, d20, and d33 oracles so all three stay
-    * definitionally in sync with `LlmOps.splitAssign`. */
+    * definitionally in sync with `SamplingOps.splitAssign`. */
   private def splitCte =
     """sp AS (SELECT doc_id, bucket,
       |  CASE WHEN bucket < 80 THEN 'train'
@@ -2811,7 +2811,7 @@ object SparkEntry {
       |        FROM documents)""".stripMargin
 
   /** Add-one-smoothed bigram log-probs per occurrence — mirrors
-    * LlmOps.bigramLm's scoring stage; shared by the d18 and d50
+    * QualityOps.bigramLm's scoring stage; shared by the d18 and d50
     * oracles so the LM contract can never diverge between them. */
   private val bigramLpCtes =
     """t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *    Components in MapReduce and Beyond", SoCC'14). Each round is two
   *    equi-join + aggregate passes over the EDGE set, and the edge set
   *    converges to a star forest in O(log n) rounds regardless of
-  *    diameter — the 100 TB-safe choice, and what [[LlmOps.neardupClusters]]
+  *    diameter — the 100 TB-safe choice, and what [[PairGraph.neardupClusters]]
   *    ships. ConnectedComponentsSpec proves both agree on the real pair
   *    graph and that large/small-star converges on a planted
   *    high-diameter chain far beyond label-propagation's round bound.

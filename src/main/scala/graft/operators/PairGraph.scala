@@ -1,0 +1,613 @@
+package graft.operators
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The near-duplicate PAIR-RELATION family (E19 and its consumers):
+  * shingle/MinHash/SimHash candidate generation, exact verification,
+  * connected-component clustering, and the pair-relation decision
+  * queries (contamination, incremental admission, edit verification).
+  * Split out of the original LlmOps module (round 11) — shared text
+  * primitives stay in [[LlmOps]]; behavior is unchanged and every
+  * registry key kept its oracle. Scale posture: candidate generation is
+  * always a BUCKETED equi-join (shared rare shingle, MinHash band, sign
+  * bucket) — never an all-pairs cross product. */
+object PairGraph {
+  import Canon._
+  import LlmOps._
+  import DedupOps._
+  import EmbeddingOps._
+  import QualityOps._
+  import SamplingOps._
+
+
+  val MaxShingleDf = 20L
+
+  /** Exact Jaccard over candidate pairs from a shared-shingle bucketed
+    * self-join. Candidate generation joins only on shingles with
+    * document frequency ≤ `maxShingleDf` (see [[MaxShingleDf]] for the
+    * zipfian-skew rationale), so bucket occupancy — and with it the
+    * worst-case pair blowup — is capped at O(maxShingleDf²) per shingle.
+    * Verification then counts common shingles over the FULL shingle
+    * sets, so every reported Jaccard is exact (the cap affects recall
+    * only, never the value; hot shingles still count toward n_common).
+    * Never forms a cross product: both joins are equi-joins (shingle;
+    * candidate doc_id). */
+  /** The pair relation as CONSUMERS see it. At the published threshold
+    * this reads the [[PairStore]] table (publish-if-absent: the first
+    * consumer in a JVM pays one build, every later consumer pays an
+    * output-sized parquet scan) — the production composition the
+    * round-10 verdict priced: of the ~107 s bench total, ~25 s was the
+    * same shingle → capped-candidate → exact-verify subtree re-derived
+    * by eight queries. The derivation is IDENTICAL (the store is
+    * published from [[jaccardPairsRaw]] through the WAP gate), so
+    * every consumer's rows are byte-equal to its recomputing form —
+    * PairStoreSpec pins that with the knob off.
+    *
+    * Conf `spark.graft.sharePairStore=false` forces per-query
+    * re-derivation (the no-store-available deployment; also how specs
+    * exercise the standalone path). Non-default thresholds always
+    * re-derive — the store is a single-threshold relation. */
+
+  private[graft] def jaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    if (threshold == PairStore.Threshold &&
+        s.conf.get("spark.graft.sharePairStore", "true").toBoolean)
+      PairStore.pairs(s, d)
+    else jaccardPairsRaw(s, d, threshold)
+
+  /** The self-contained derivation — what d02 reports and what the d46
+    * publisher job materializes. Never reads the store (the publisher
+    * calling a store-reading form would recurse). */
+
+  private[graft] def jaccardPairsRaw(s: SparkSession, d: String, threshold: Double): DataFrame =
+    jaccardPairsOver(docShingles(s, d), threshold, MaxShingleDf)
+
+  /** [[jaccardPairs]] over an explicit (doc_id, shingle) set — package-
+    * visible so specs can exercise the DF cap on synthetic corpora.
+    *
+    * Three stages, each with a provable property:
+    *   1. capped candidate counting — the pair self-join runs over the
+    *      corpus MINUS the zipf head (an anti-join against the tiny
+    *      over-cap shingle set: AQE broadcasts it, the corpus side never
+    *      shuffles for the cap), aggregating the rare-common count
+    *      inline exactly like the uncapped plan did; a size-ratio
+    *      prefilter (jac ≤ min(|A|,|B|)/max(|A|,|B|)) rejects hopeless
+    *      pairs inside the join. Lossless apart from the documented cap
+    *      recall tradeoff.
+    *   2. sound upper-bound pruning — true common ≤ rare-common +
+    *      min(hot_i, hot_j) (a shared hot shingle must be hot in BOTH
+    *      docs), and jac is increasing in the common count, so pairs
+    *      whose bound misses the threshold are rejected exactly; only
+    *      near-threshold pairs survive (a tiny, output-sized set).
+    *   3. exact verification — survivors' FULL shingle sets (hot
+    *      included, restricted to survivor docs by a semi-join) meet in
+    *      an `array_intersect`, so every reported jac is exact. The cap
+    *      affects recall only, never a value.
+    */
+
+  private[graft] def jaccardPairsOver(shingles: DataFrame, threshold: Double,
+      maxShingleDf: Long): DataFrame = {
+    val sh = persistCorpus(shingles)
+    // the zipf head: shingles in more than maxShingleDf documents (df
+    // counts docs because sh is distinct per doc). TINY at any corpus
+    // scale — that is the point of a frequency cap — so joining it back
+    // is a broadcast probe, never a corpus shuffle.
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("shingle"), lit(1L).as("is_hot"))
+    // ONE flagging pass feeds everything: per-doc sizes AND hot counts
+    // from a single aggregate, and the capped candidate stream is just
+    // a filter on the flag (no separate anti-join / hot-count passes).
+    val shFlag = sh.join(hot, Seq("shingle"), "left")
+    val sizes = shFlag.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+    // corpus-sized (all rare shingles + sizes): honor the persist knob,
+    // not a memory-first cache
+    val shSized = persistCorpus(shFlag.filter(col("is_hot").isNull).drop("is_hot")
+      .join(sizes, "doc_id"))
+    val commonRare = shSized.as("a")
+      .join(shSized.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_sh") * threshold <= col("b.n_sh") &&
+        col("b.n_sh") * threshold <= col("a.n_sh"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("n_cr"),
+        first(col("a.n_sh")).as("n_i"), first(col("b.n_sh")).as("n_j"),
+        first(col("a.n_hot")).as("h_i"), first(col("b.n_hot")).as("h_j"))
+    // reduced, output-sized data read twice below (survivor docs + the
+    // verify probe) — safe to cache at any scale.
+    val bounded = commonRare
+      .withColumn("ub", col("n_cr") + least(col("h_i"), col("h_j")))
+      .filter(col("ub").cast("double") / (col("n_i") + col("n_j") - col("ub")) >= threshold)
+      .select("i", "j", "n_cr", "n_i", "n_j")
+      .cache()
+    // one explode, not union(i-side, j-side): keeps the (cached but
+    // still plan-heavy) `bounded` subtree out of the closure twice
+    val survivorDocs = bounded
+      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+    val docsets = sh.join(survivorDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
+    bounded
+      .join(docsets.select(col("doc_id").as("i"), col("ss").as("ss_i")), "i")
+      .join(docsets.select(col("doc_id").as("j"), col("ss").as("ss_j")), "j")
+      .withColumn("n_common",
+        size(array_intersect(col("ss_i"), col("ss_j"))).cast("long"))
+      .withColumn("jac",
+        col("n_common").cast("double") / (col("n_i") + col("n_j") - col("n_common")))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "n_common", "n_i", "n_j", "jac")
+  }
+
+  /** d40 — shingle-set CONTAINMENT pairs: the partial-duplicate detector
+    * Jaccard can't be. A 50-token quote embedded in a 5,000-token page
+    * has near-zero Jaccard (union is huge) but containment
+    * `|A∩B| / min(|A|,|B|)` ≈ 1 — exactly the "document swallowed by
+    * another" shape (quoted articles, boilerplate-wrapped reposts,
+    * chunk-level copies) that substring-level dedup targets.
+    *
+    * Same three-stage plan as [[jaccardPairsOver]] — capped candidate
+    * generation, sound upper bound, exact verify — with two deliberate
+    * differences:
+    *   - NO size-ratio prefilter: wildly different sizes are the point
+    *     here, where for Jaccard they are a rejection certificate;
+    *   - the bound and the final score divide by `least(n_i, n_j)`
+    *     (containment of the smaller set), still monotone in the common
+    *     count, so the pruning stays exact-value-preserving.
+    * The containment value is one IEEE division of engine-identical
+    * integers — bit-exact, no rounding (Canon.round4 note). */
+
+  def containmentPairs(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame =
+    containmentPairsOver(docShingles(s, d), threshold, MaxShingleDf)
+
+  /** [[containmentPairs]] over an explicit (doc_id, shingle) set —
+    * package-visible so specs can plant a true subset document (the
+    * fixtures' near-dups are same-size edits). */
+
+  private[graft] def containmentPairsOver(shingles: DataFrame, threshold: Double,
+      maxShingleDf: Long): DataFrame = {
+    val sh = persistCorpus(shingles)
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("shingle"), lit(1L).as("is_hot"))
+    val shFlag = sh.join(hot, Seq("shingle"), "left")
+    val sizes = shFlag.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+    val shSized = persistCorpus(shFlag.filter(col("is_hot").isNull).drop("is_hot")
+      .join(sizes, "doc_id"))
+    val commonRare = shSized.as("a")
+      .join(shSized.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("n_cr"),
+        first(col("a.n_sh")).as("n_i"), first(col("b.n_sh")).as("n_j"),
+        first(col("a.n_hot")).as("h_i"), first(col("b.n_hot")).as("h_j"))
+    val bounded = commonRare
+      .withColumn("ub", col("n_cr") + least(col("h_i"), col("h_j")))
+      .filter(col("ub").cast("double") / least(col("n_i"), col("n_j")) >= threshold)
+      .select("i", "j", "n_i", "n_j")
+      .cache()
+    val survivorDocs = bounded
+      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+    val docsets = sh.join(survivorDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
+    bounded
+      .join(docsets.select(col("doc_id").as("i"), col("ss").as("ss_i")), "i")
+      .join(docsets.select(col("doc_id").as("j"), col("ss").as("ss_j")), "j")
+      .withColumn("n_common",
+        size(array_intersect(col("ss_i"), col("ss_j"))).cast("long"))
+      .withColumn("cont",
+        col("n_common").cast("double") / least(col("n_i"), col("n_j")))
+      .filter(col("cont") >= threshold)
+      .select("i", "j", "n_i", "n_j", "cont")
+      .orderBy("i", "j")
+  }
+
+  // ————————————————————————— E18: exact dedup —————————————————————————
+
+  /** E18 — exact deduplication of `documents` by normalized text.
+    *
+    * Grouping key is the normalized text itself (grouping equality is the
+    * contract; Spark shuffles on its hash anyway, which is exactly the
+    * "hash the text, shuffle on the hash" plan — at 100 TB you'd shuffle
+    * `xxhash64(norm)` + verify text equality within the group to keep
+    * shuffle rows narrow). Deterministic keep-rule: min doc_id per group,
+    * so the oracle can reproduce the survivor set exactly. */
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairsRaw(s, d, 0.8)
+      .select(col("i"), col("j"), round4(col("jac")).as("jac"))
+      .orderBy("i", "j")
+
+  /** E19b — banded MinHash LSH near-dup: the 100 TB plan.
+    *
+    * 64 minhashes banded 16×4: docs agreeing on all 4 rows of any band
+    * become candidates (P[candidate | jac=0.9] = 1−(1−0.9⁴)¹⁶ ≈
+    * 1−1.5e-7; at the 0.8 threshold boundary ≈ 99.98%), then candidates
+    * are verified with exact Jaccard — same output contract as
+    * [[ngramJaccard]]. Candidate generation joins on (band, band
+    * signature), so work scales with bucket occupancy, not n². No SQL
+    * oracle (the signature is engine-specific); LlmOpsSpec asserts it
+    * reproduces [[ngramJaccard]] exactly at test scale. */
+
+  def minhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val nHashes = 64
+    val rowsPerBand = 4
+    // shingle rows feed signature building AND both sides of the exact
+    // verify join — persist the one corpus-sized table all stages share.
+    val sh = persistCorpus(docShingles(s, d))
+    // ONE expensive string hash per shingle, then nHashes cheap linear
+    // permutations h_i = (a_i·x + b_i) mod p over a 32-bit base hash —
+    // the classic universal-hash MinHash family, same construction as
+    // spark.ml's MinHashLSH; coefficient bounds keep ANSI-mode long
+    // arithmetic overflow-free. The signature is built as nHashes
+    // parallel `min` AGGREGATE COLUMNS over the shingle stream (the
+    // same buffer layout as [[simhash]]'s 32 bit-counters): one
+    // codegen'd groupBy(doc_id) computes all 64 permutations with NO
+    // row expansion — the earlier (shingle × seed) broadcast-join form
+    // materialized 64× the shingle stream and re-shuffled (doc, seed)
+    // rows into a second band aggregation (measured 2.8 → 1.7 s at
+    // sf0.1; a `transform`/`aggregate` HOF fold is worse still — it
+    // runs interpreted, measured ~3× slower than even the join form).
+    val (as, bs) = LinearPerms(nHashes)
+    val nBands = nHashes / rowsPerBand
+    val sigs = sh
+      .select(col("doc_id"),
+        pmod(xxhash64(col("shingle")), lit(4294967296L)).as("base"))
+      .groupBy("doc_id")
+      .agg(
+        min(pmod(col("base") * as(0) + bs(0), lit(MinHashP))).as("mh0"),
+        (1 until nHashes).map(i =>
+          min(pmod(col("base") * as(i) + bs(i), lit(MinHashP))).as(s"mh$i")): _*)
+    // band bucket key: hash of the band's rows in seed order — derived
+    // by a plain projection + explode over the one-row-per-doc
+    // signatures (reduced data). Cached: the bucket self-join reads
+    // this twice, and it is nBands rows per doc — safe at any scale.
+    val bands = sigs
+      .select(col("doc_id"), posexplode(array((0 until nBands).map(b =>
+        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")): _*))): _*)))
+      .toDF("doc_id", "band", "band_sig")
+      .cache()
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // exact-verify candidates only. NO broadcast hint on `candidates`:
+    // its size scales with near-dup density, not corpus size — a
+    // duplicate-heavy corpus (web crawls run ~30% dup) would blow a
+    // forced broadcast. AQE broadcasts it while small and degrades to a
+    // shuffle join gracefully (PlanSpec pins the degraded plan).
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(candidates, col("a.doc_id") === col("i"))
+      .join(sh.as("b"), col("b.doc_id") === col("j") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n_sh", "n_i"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n_sh", "n_j"), "j")
+      .withColumn("jac",
+        col("n_common").cast("double") / (col("n_i") + col("n_j") - col("n_common")))
+      .filter(col("jac") >= 0.8)
+      .select(col("i"), col("j"), round4(col("jac")).as("jac"))
+      .orderBy("i", "j")
+  }
+
+  /** SimHash near-dup: 32-bit simhash from per-token md5, pairs within
+    * Hamming distance ≤ 2 (the planted near-dup families sit at ≤ 2 on
+    * this corpus; ≥ 3 admits thousands of tiny-vocabulary noise pairs).
+    * md5 is identical across engines, and the
+    * simhash is pure integer arithmetic → exact oracle.
+    *
+    * Candidate generation is BANDED, not all-pairs: the 32-bit simhash
+    * splits into 4 byte chunks, and by pigeonhole a pair within Hamming
+    * distance 2 has ≥ 2 undamaged chunks, so it MUST agree on at least
+    * one (chunk_id, chunk_value) bucket — the equi-join below therefore
+    * has no false negatives (this plan and the all-pairs form produce
+    * identical rows; the oracle runs the all-pairs SQL). Work scales
+    * with bucket occupancy instead of n². */
+
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // reduced data (one long per doc), read by both join sides → cache.
+    val sims = simhash(s, d).cache()
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 8) & 255)")))
+      .toDF("doc_id", "simhash", "chunk_id", "chunk_val")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy("i", "j")
+  }
+
+  /** 32-bit SimHash per document: per token occurrence, h = first 8 hex
+    * chars of md5(token); bit i of the simhash is 1 iff the (+1/−1) vote
+    * sum over tokens of bit i is > 0.
+    *
+    * The 32 per-bit votes are 32 conditional-sum buffers in ONE
+    * aggregation pass over the token stream — the same shape p01 uses
+    * for its per-column profiles (Profiling.scala) — instead of an
+    * `explode(sequence(0, 31))` that would Generate 32 rows per token
+    * occurrence before the first aggregate (partial aggregation bounds
+    * the shuffle either way, but the 32× row expansion through the scan
+    * stage is pure waste; measured ~2× faster as buffers). Bit positions
+    * are Scala literals, so the DSL shiftright/shiftleft apply. */
+
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tokenHash = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    tokenHash
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: min md5 over the doc's 3-token shingles (the
+    * MinHash idea with one cross-engine-stable hash function) — a
+    * compact near-dup prefilter key. */
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    docShingles(s, d)
+      .groupBy("doc_id")
+      .agg(min(md5(col("shingle"))).as("fp"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+
+  // ——————————————— E20: vector similarity search ———————————————
+
+  /** Cosine similarity of two ARRAY<DOUBLE> columns — the native codegen
+    * expression [[graft.functions.CosineSimilarity]] (same in-order
+    * accumulation as an `aggregate(zip_with(...))` fold and DuckDB's
+    * `list_inner_product`, so oracle hashes are unaffected; ~3× faster
+    * on the pair-join hot path because it stays in whole-stage codegen). */
+
+  def editVerify(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
+    editVerifyOver(s, d, jaccardPairs(s, d, 0.8), threshold)
+
+  /** [[editVerify]] over an explicit verified-pair relation (i, j, …) —
+    * the read-side entry [[PairStore]] feeds from the published store
+    * (d48). */
+
+  private[graft] def editVerifyOver(s: SparkSession, d: String,
+      pairs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val norm = Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+    pairs.select(col("i"), col("j"))
+      .join(norm.select(col("doc_id").as("i"), col("norm").as("norm_i")), "i")
+      .join(norm.select(col("doc_id").as("j"), col("norm").as("norm_j")), "j")
+      .select(col("i"), col("j"),
+        levenshtein(col("norm_i"), col("norm_j")).cast("long").as("lev"),
+        greatest(length(col("norm_i")), length(col("norm_j"))).as("mx"))
+      .select(col("i"), col("j"), col("lev"),
+        (lit(1.0) - col("lev").cast("double") / col("mx")).as("edit_sim"))
+      .withColumn("verified", col("edit_sim") >= threshold)
+      .orderBy("i", "j")
+  }
+
+  /** d58 — generic blocked FUZZY equi-join (entity resolution's core
+    * primitive: match keys that are typo-distance, not string-equal).
+    * Blocking is the SymSpell delete-neighborhood: every key emits
+    * itself plus its |s| single-character deletions, and two keys
+    * within Levenshtein distance 1 PROVABLY share a variant (equal →
+    * identity; deletion/insertion → the shorter string is a variant of
+    * both; substitution at p → both sides' delete-at-p agree), so the
+    * candidate equi-join on the variant has EXACT recall — unlike the
+    * d02-style shared-gram blocking, whose DF cap trades recall for
+    * skew safety. Precision comes from one exact `levenshtein` pass
+    * over the candidate pairs.
+    *
+    * Scale: fanout is |s|+1 variants per key (for distance d it is the
+    * recursive delete set, C(|s|, d)-bounded — the standard SymSpell
+    * tradeoff; this operator fixes d = 1, the dominant typo case). The
+    * join is a plain equi-join on the variant string — never a cross
+    * product — and bucket occupancy is bounded by how many keys share
+    * a variant: distinct-key corpora give singleton-ish buckets, and a
+    * duplicated-key corpus should dedupe to DISTINCT keys before
+    * blocking and map ids back after (key-cardinality work, the d01
+    * posture). The verify runs on candidate pairs only — output-sized,
+    * the d45 rule.
+    *
+    * NULL keys match nothing (the variant array is null, so the explode
+    * emits no rows) — the same null semantics as the plain equi-join
+    * this operator fuzzes; rows that must not be dropped should be
+    * null-filtered (and audited) upstream. Empty keys are handled: ""
+    * has only itself as a variant (a bare `sequence(1, length)` would
+    * yield the descending [1,0] and fabricate spurious variants). */
+
+  def neardupClusters(s: SparkSession, d: String): DataFrame =
+    clusterAssign(s, d, jaccardPairs(s, d, 0.8).select(col("i"), col("j")))
+
+  /** Shared d19/d41 labeling: CC over `edges`, every document labeled
+    * (non-pair docs become singletons via the left join), cluster sizes
+    * and the min-id canonical flag attached. */
+
+  private[graft] def clusterAssign(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
+    val labels = ConnectedComponents.largeSmallStar(edges)
+    val asg = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val sizes = asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    asg.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** d53 — cluster KEEP-BEST selection (the quality-aware keep rule):
+    * per near-dup cluster (the d19 CC assignment), keep the member with
+    * the HIGHEST d08 quality score (doc_id tie-break) — C4 keeps
+    * first-seen, but quality-aware pipelines keep the best copy of each
+    * duplicate family, because the family's members differ exactly in
+    * the boilerplate/noise the score measures. This is the "keep-one-
+    * per-family pass" the pair-store scaladocs (d49) reference, made a
+    * first-class operator.
+    *
+    * Plan: the CC labeling + a quality projection joined on doc_id,
+    * then the per-cluster winner via `max_by` over a (score, −doc_id)
+    * struct — an AGGREGATE, not a rank window: a boilerplate family can
+    * have millions of members, and the aggregate partial-combines
+    * map-side where a cluster-keyed window would funnel the family
+    * through one partition (the d42 lesson). One extra broadcast-able
+    * join carries the winner back. Scores reuse [[qualityScore]] — one
+    * definition, no drift. */
+
+  def partialDupClusters(s: SparkSession, d: String): DataFrame =
+    clusterAssign(s, d, partialDupEdges(docShingles(s, d), 0.8, 0.9, MaxShingleDf))
+
+  private[graft] def partialDupEdges(shingles: DataFrame, jacT: Double,
+      contT: Double, maxShingleDf: Long): DataFrame = {
+    val sh = persistCorpus(shingles)
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select(col("shingle"), lit(1L).as("is_hot"))
+    val shFlag = sh.join(hot, Seq("shingle"), "left")
+    val sizes = shFlag.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+    val shSized = persistCorpus(shFlag.filter(col("is_hot").isNull).drop("is_hot")
+      .join(sizes, "doc_id"))
+    val commonRare = shSized.as("a")
+      .join(shSized.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("n_cr"),
+        first(col("a.n_sh")).as("n_i"), first(col("b.n_sh")).as("n_j"),
+        first(col("a.n_hot")).as("h_i"), first(col("b.n_hot")).as("h_j"))
+    // survive if EITHER metric's sound upper bound clears its threshold
+    val bounded = commonRare
+      .withColumn("ub", col("n_cr") + least(col("h_i"), col("h_j")))
+      .filter(
+        col("ub").cast("double") / (col("n_i") + col("n_j") - col("ub")) >= jacT ||
+        col("ub").cast("double") / least(col("n_i"), col("n_j")) >= contT)
+      .select("i", "j", "n_i", "n_j")
+      .cache()
+    val survivorDocs = bounded
+      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+    val docsets = sh.join(survivorDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
+    bounded
+      .join(docsets.select(col("doc_id").as("i"), col("ss").as("ss_i")), "i")
+      .join(docsets.select(col("doc_id").as("j"), col("ss").as("ss_j")), "j")
+      .withColumn("n_common",
+        size(array_intersect(col("ss_i"), col("ss_j"))).cast("long"))
+      .filter(
+        col("n_common").cast("double") /
+          (col("n_i") + col("n_j") - col("n_common")) >= jacT ||
+        col("n_common").cast("double") / least(col("n_i"), col("n_j")) >= contT)
+      .select("i", "j")
+  }
+
+  /** d20 — train/test CONTAMINATION check: near-dup pairs that straddle
+    * the [[hashSplit]] boundary. An eval split leaks whenever a test/val
+    * document has a near-duplicate in train — the standard benchmark-
+    * decontamination question asked of every pretraining corpus. Output
+    * is every near-dup pair with both splits and a `contaminated` flag
+    * (splits differ), so the clean pairs double as the negative control.
+    * Two broadcast-size probes against the pair set; at corpus scale the
+    * split table joins by doc_id (shuffle on a unique key, no skew). */
+
+  def contamination(s: SparkSession, d: String): DataFrame =
+    contaminationOver(s, d, jaccardPairs(s, d, 0.8))
+
+  /** [[contamination]] over an explicit verified-pair relation
+    * (i, j, jac) — the read-side entry [[PairStore]] feeds from the
+    * published store (d47). */
+
+  private[graft] def contaminationOver(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+    val splits = splitAssign(s, d).select(col("doc_id"), col("split"))
+    pairs
+      .select(col("i"), col("j"), round4(col("jac")).as("jac"))
+      .join(splits.select(col("doc_id").as("i"), col("split").as("split_i")), "i")
+      .join(splits.select(col("doc_id").as("j"), col("split").as("split_j")), "j")
+      .select(col("i"), col("j"), col("jac"), col("split_i"), col("split_j"),
+        (col("split_i") =!= col("split_j")).as("contaminated"))
+      .orderBy("i", "j")
+  }
+
+  /** Bigram language-model scoring — the perplexity-style quality signal
+    * (CCNet-style pipelines drop documents whose LM score is an outlier).
+    * The corpus is its own training data: P(w1|w0) = (c(w0,w1)+1) /
+    * (heads(w0)+V) with add-one smoothing, and each document's score is
+    * the mean ln P over its bigrams.
+    *
+    * Float discipline: like [[langId]], each bigram's ln P is
+    * canonicalized to DECIMAL(30,6) BEFORE the per-document sum (exact,
+    * order-independent); `avg_logp` is then ONE division of
+    * engine-identical doubles and ships RAW — per the [[graft.Canon]]
+    * round4 note, rounding identical doubles can itself diverge.
+    * Counts shuffle on bigram/word keys; V broadcasts. */
+
+  def incrementalDedup(s: SparkSession, d: String): DataFrame =
+    incrementalDedupOver(s, d, jaccardPairs(s, d, 0.8))
+
+  /** [[incrementalDedup]] over an explicit verified-pair relation — the
+    * read-side entry [[PairStore]] feeds from the published store
+    * (d30b). This is the PRODUCTION incremental shape: a daily delta
+    * gate should probe the corpus pair relation that the d46 publisher
+    * job already materialized, never rebuild the shingle → candidate →
+    * verify chain per delta (the rebuild made the pre-share standalone
+    * d30 the most expensive — and most box-variance-exposed — query in
+    * the registry; since round 11 d30 itself reads the shared store by
+    * default via [[jaccardPairs]], and d30b remains the explicit
+    * store-composition surface). */
+
+  private[graft] def incrementalDedupOver(s: SparkSession, d: String,
+      pairsIn: DataFrame): DataFrame = {
+    def inBatch(c: Column): Column = pmod(c, lit(10L)) >= 8
+    val pairs = pairsIn.select(col("i"), col("j"))
+    // both edge directions from ONE explode, not union(pairs, swap):
+    // the union form embedded the whole pair-build subtree TWICE in
+    // every downstream stage closure — measured 12.2 MiB task binaries
+    // (the round-5 bench-tail warning), halved by the single-subtree
+    // form
+    val edges = pairs.select(explode(array(
+        struct(col("i").as("b"), col("j").as("p")),
+        struct(col("j").as("b"), col("i").as("p")))).as("e"))
+      .select("e.b", "e.p")
+    val flags = edges.filter(inBatch(col("b")))
+      .groupBy(col("b").as("doc_id"))
+      .agg(max(when(!inBatch(col("p")), 1L).otherwise(0L)).as("has_existing"),
+        max(when(inBatch(col("p")) && col("p") < col("b"), 1L).otherwise(0L))
+          .as("has_earlier"))
+    Tables.documents(s, d).select(col("doc_id")).filter(inBatch(col("doc_id")))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("has_existing") === 1L, lit("dup_existing"))
+          .when(col("has_earlier") === 1L, lit("dup_batch"))
+          .otherwise(lit("new")).as("status"))
+      .withColumn("admitted", col("status") === "new")
+      .orderBy("doc_id")
+  }
+
+  // ———————————— d32–d35: redaction / decontamination / DSIR / semdedup ————————————
+
+  /** Default binding for [[redact]]: one real-world PII pattern (email —
+    * the fixtures contain none, exercising the zero-match path end to
+    * end) and one corpus-visible stand-in (the entity words that DO
+    * occur), so the oracle checks both the no-op and the rewrite path.
+    * Real deployments swap in their own (name, regex, token) list —
+    * phone/SSN/IP/credit-card — the plan shape is invariant in the list. */
+}

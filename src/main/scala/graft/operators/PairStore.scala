@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * recomputing twins d20/d45 (PairStoreSpec pins store-fed ≡
   * recomputed with the share knob off, and the DuckDB oracles are
   * literally shared). Since round 11 EVERY threshold-0.8 consumer
-  * ([[LlmOps.jaccardPairs]]: d19/d20/d30/d45/d53) reads this store by
+  * ([[PairGraph.jaccardPairs]]: d19/d20/d30/d45/d53) reads this store by
   * default — d02 (the reported pair derivation) and d46 (the publisher)
   * are the two self-contained producers; conf
   * `spark.graft.sharePairStore=false` restores per-query re-derivation.
@@ -63,7 +63,7 @@ object PairStore {
     * atomically only if all audits pass. Returns the audit manifest. */
   def publish(s: SparkSession, d: String): DataFrame = lockFor(d).synchronized {
     import org.apache.spark.sql.functions.col
-    val pairs = LlmOps.jaccardPairsRaw(s, d, Threshold)
+    val pairs = PairGraph.jaccardPairsRaw(s, d, Threshold)
     val expected = pairs.count()
     val manifest = Sources.writeAuditPublishStaged(s, pairs, expected,
       baseFor(d), keyCols = Seq("i", "j"))
@@ -93,19 +93,19 @@ object PairStore {
     s.read.parquet(path)
   }
 
-  /** d47 — [[LlmOps.contamination]] fed from the published store:
+  /** d47 — [[PairGraph.contamination]] fed from the published store:
     * two split probes against an output-sized parquet scan, zero
     * shingle/candidate work on the read path. */
   def storeContamination(s: SparkSession, d: String): DataFrame =
-    LlmOps.contaminationOver(s, d, pairs(s, d))
+    PairGraph.contaminationOver(s, d, pairs(s, d))
 
-  /** d48 — [[LlmOps.editVerify]] fed from the published store: the
+  /** d48 — [[PairGraph.editVerify]] fed from the published store: the
     * O(|a|·|b|)-per-pair levenshtein runs over the store relation
     * directly — the candidate chain is never re-derived. */
   def storeEditVerify(s: SparkSession, d: String): DataFrame =
-    LlmOps.editVerifyOver(s, d, pairs(s, d), Threshold)
+    PairGraph.editVerifyOver(s, d, pairs(s, d), Threshold)
 
-  /** d30b — [[LlmOps.incrementalDedup]] fed from the published store:
+  /** d30b — [[PairGraph.incrementalDedup]] fed from the published store:
     * the delta-admission gate probes the materialized pair relation
     * directly, so each incremental batch costs one output-sized store
     * scan plus the O(Δ) flag aggregation and left join — the corpus
@@ -113,15 +113,15 @@ object PairStore {
     * incremental-dedup read path (d30 is its standalone twin, kept for
     * the pipelines that have no published store to probe). */
   def storeIncrementalDedup(s: SparkSession, d: String): DataFrame =
-    LlmOps.incrementalDedupOver(s, d, pairs(s, d))
+    PairGraph.incrementalDedupOver(s, d, pairs(s, d))
 
-  /** d49 — [[LlmOps.neardupClusters]] fed from the published store: the
+  /** d49 — [[PairGraph.neardupClusters]] fed from the published store: the
     * large/small-star CC loop runs over the stored edge list, so a
     * cluster refresh (the keep-one-per-family pass every dedup pipeline
     * re-runs after any upstream change) costs the CC rounds alone — the
     * shingle → candidate → verify chain is never re-derived. */
   def storeClusters(s: SparkSession, d: String): DataFrame =
-    LlmOps.clusterAssign(s, d,
+    PairGraph.clusterAssign(s, d,
       pairs(s, d).select(org.apache.spark.sql.functions.col("i"),
         org.apache.spark.sql.functions.col("j")))
 }

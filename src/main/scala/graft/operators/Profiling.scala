@@ -396,7 +396,7 @@ object Profiling {
   /** Distributed exact GLOBAL zero-based rank of `df`'s rows under the
     * total order `sortExprs` (which must be a unique key for a
     * deterministic result) — the shared kernel behind [[equidepthBins]]
-    * (p04) and [[LlmOps.perplexityBuckets]] (d50). Adds `rank0` (0-based
+    * (p04) and [[QualityOps.perplexityBuckets]] (d50). Adds `rank0` (0-based
     * global rank) and `n` (total rows) to `df`'s columns; see the p04
     * scaladoc above for the shard/offset construction, the persist-once
     * boundary-stability argument, and the `corpusPersistLevel=NONE`

@@ -1,0 +1,744 @@
+package graft.operators
+
+import graft.{Canon, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TEXT-QUALITY / ANALYSIS family (E21 + filters): stats, language
+  * id, LM scoring and perplexity buckets, quality classifiers and
+  * ensembles, tf-idf/BM25 ranking, redaction, decontamination, DSIR.
+  * Split out of the original LlmOps module (round 11). Scale posture:
+  * scan-parallel projections and key-partitioned aggregates; reduced
+  * stats broadcast back, corpora never re-shuffle for scoring. */
+object QualityOps {
+  import Canon._
+  import LlmOps._
+  import PairGraph._
+  import DedupOps._
+  import EmbeddingOps._
+  import SamplingOps._
+
+
+  def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"),
+          lit(64L)).as("b"))
+      .select(col("doc_id"),
+        (pmod(col("b") * 37 + 11, lit(101L)) - 50).as("wnum"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wnum")).as("znum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("znum").cast("double") / (col("n_tokens") * 100)).as("logit"))
+      .withColumn("keep", col("logit") >= 0.0)
+      .orderBy("doc_id")
+
+  /** Training-data chunking: overlapping token windows of [[ChunkTokens]]
+    * tokens at stride [[ChunkStride]] — the standard context-window
+    * preparation step (overlap = size − stride tokens preserves
+    * cross-boundary context). One output row per chunk, identified by
+    * (doc_id, chunk_id); the chunk body travels as an md5 + head token +
+    * length so rows stay narrow for the compare harness — a real sink
+    * would keep the token slice column itself. Scan-parallel: the
+    * explode is per-document, no shuffle before the final order. */
+
+  private[operators] def qualityScore(t: Column): Column =
+    round4(log(lit(1.0) + size(t).cast("double")) *
+      round4(size(array_distinct(t)).cast("double") / size(t)))
+
+  /** Capstone composition — the minimal end-to-end training-data prep
+    * pipeline, each stage an operator declared above, composed as lazy
+    * DataFrames (ONE Catalyst plan, no materialization barriers):
+    *
+    *   1. exact dedup (E18 keep-rule: min doc_id per normalized text),
+    *   2. quality gate (d08's composite score ≥ 1.8 — drops ~half the
+    *      corpus; the score range at sf0.01 is 1.26–2.77),
+    *   3. context-window chunking (d14's 50-token / stride-40 windows).
+    *
+    * Everything shuffles on high-cardinality keys (norm-text hash,
+    * doc_id) — the composition adds no new scale hazard beyond its
+    * stages. */
+
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val grams = gramStream(s, d).withColumnRenamed("shingle", "g")
+    val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round4(when(col("n_grams").isNull, lit(0.0))
+          .otherwise((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams")))
+          .as("dup_frac"),
+        round4(when(col("n_grams").isNull, lit(0.0))
+          .otherwise(col("top_count").cast("double") / col("n_grams")))
+          .as("top_share"))
+      .withColumn("keep", col("dup_frac") < 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** d22 — vocabulary coverage / OOV rate: the corpus top-K vocabulary
+    * by token frequency (deterministic boundary tie-break on the token
+    * itself) and each document's out-of-vocabulary token rate — the
+    * metric that drives tokenizer/vocab sizing and flags domain-shifted
+    * documents a fixed vocab would shred into rare pieces. One token
+    * shuffle to build the vocab, then a broadcast membership join (the
+    * vocab is K rows — broadcast by construction at any corpus scale)
+    * and a per-doc aggregation. */
+
+  def vocabCoverage(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    // K is the vocabulary size — a real corpus binds K ~ tokenizer vocab
+    // size; the registered d22 query binds 20 because the synthetic
+    // corpus draws from a 31-word vocabulary (verified at every sf), so
+    // K=20 keeps the metric non-degenerate (the 11 rarest words are OOV).
+    // the token stream feeds BOTH the vocab build and the membership
+    // join — persist the one corpus-sized table both passes share
+    // (Verify/Bench clear caches per query)
+    val tok = persistCorpus(Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word")))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word")).limit(k)
+      .select(col("word"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round4(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** d23 — deterministic STRATIFIED sampling: per-language keep rates
+    * (the dominant language downsampled to rebalance the corpus — the
+    * domain/language mixing step of every multilingual pretraining
+    * recipe), assigned by an md5 bucket salted with the stratum so the
+    * choice is reproducible, engine-portable, independent of d17's
+    * split buckets, and stable under corpus growth (a row's fate
+    * depends only on its own id, lang, and its stratum's rate — never
+    * on what other rows exist, unlike `sampleBy`'s RNG). Per-row
+    * arithmetic, no shuffle before the output order. */
+
+  def filterAgreement(s: SparkSession, d: String): DataFrame = {
+    val model = qualityClassifier(s, d).select(col("doc_id"),
+      col("keep").as("model_keep"))
+    val rules = qualityEnsemble(s, d).select(col("doc_id"),
+      col("keep").as("rules_keep"))
+    val joined = model.join(rules, "doc_id")
+    val total = joined.agg(count(lit(1)).as("n_docs"))
+    joined.groupBy("model_keep", "rules_keep")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(total))
+      .select(col("model_keep"), col("rules_keep"), col("n"),
+        (col("n").cast("double") / col("n_docs")).as("share"))
+      .orderBy("model_keep", "rules_keep")
+  }
+
+  /** d41 — PARTIAL-duplicate clusters: connected components over the
+    * UNION of the Jaccard pair graph (d02, symmetric near-dups) and the
+    * containment pair graph (d40, subset/partial dups). This is the edge
+    * set substring-level dedup pipelines actually cluster on: a page
+    * that quotes a small doc wholesale (containment edge) and a light
+    * edit of that page (Jaccard edge) must land in ONE family even
+    * though the quote and the edit relate under different metrics.
+    *
+    * The union is built in ONE candidate pass, not two: the
+    * rare-shingle pair self-join runs once WITHOUT d02's size-ratio
+    * prefilter (the prefilter is a necessary condition for jac ≥ θ, so
+    * dropping it only admits extra candidates the threshold filter
+    * rejects — values never change), both upper bounds prune from the
+    * same counted stats, and ONE exact-verify join scores the union of
+    * survivors with both metrics (edge ⇔ jac ≥ 0.8 ∨ cont ≥ 0.9).
+    * Versus unioning d02's and d40's outputs this halves the pair-join
+    * and verify work — the dominant cost — while the CC loop stays the
+    * same O(log n) large/small-star as d19. LlmOpsSpec pins
+    * edge-set ≡ union-of-query-outputs. */
+
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    // w0/w1 recovered from the joined bigram: tokens never contain the
+    // separator, so the first/last space split is exact (empty tokens
+    // included)
+    val bigrams = gramOccurrences(s, d, 2)
+      .select(col("doc_id"),
+        substring_index(col("gram"), " ", 1).as("w0"),
+        substring_index(col("gram"), " ", -1).as("w1"))
+    val c2 = bigrams.groupBy("w0", "w1").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w0").agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word")).distinct()
+      .select(count(lit(1)).as("v"))
+    bigrams
+      .join(c2, Seq("w0", "w1"))
+      .join(c1, Seq("w0"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        dec(log((col("c2") + 1).cast("double") / (col("c1") + col("v"))))
+          .as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp")).cast("double").as("sum_logp"))
+      .withColumn("avg_logp", col("sum_logp") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** d50 — CCNet-style perplexity bucketing: rank every document by its
+    * LM score ([[bigramLm]]'s `avg_logp` — higher = more probable =
+    * lower perplexity) and split the corpus into exact terciles:
+    * `head` (most fluent), `middle`, `tail` — the quality partition
+    * CCNet/RedPajama pipelines feed to sampling (train mostly on head,
+    * downweight tail) after scoring with a KenLM.
+    *
+    * The trap is the ranking: NTILE over a corpus is a GLOBAL window —
+    * one task sorts 100 TB. This plan instead reuses the p04
+    * distributed-rank kernel ([[Profiling.globalRankByRange]]): a range
+    * repartition on (avg_logp DESC, doc_id) gives ordered shards, a
+    * shard-count-sized prefix sum gives offsets, and the global rank is
+    * offset + per-shard row_number. NTILE(k) is then pure integer
+    * arithmetic on (rank0, n) — the first n mod k tiles hold
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — so the oracle's single-window
+    * `ntile(3)` reproduces the bucket ids exactly. Ranking consumes
+    * engine-identical doubles (avg_logp is one division of
+    * decimal-exact operands, the d18 discipline), tie-broken by doc_id.
+    * Docs with <2 tokens have no bigrams and are absent, as in d18. */
+
+  def perplexityBuckets(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val scores = bigramLm(s, d).select(col("doc_id"), col("avg_logp"))
+    val ranked = Profiling.globalRankByRange(scores,
+      Seq(col("avg_logp").desc, col("doc_id")))
+    // NTILE(k) from (rank0, n): big tiles first, integer arithmetic only
+    // (n < k never reaches the ELSE division: every rank0 < n = bigSpan)
+    val tile = expr(
+      s"""CASE WHEN rank0 < (n % $k) * ((n div $k) + 1)
+         |     THEN rank0 div ((n div $k) + 1)
+         |     ELSE (n % $k) + (rank0 - (n % $k) * ((n div $k) + 1)) div (n div $k)
+         |END + 1""".stripMargin)
+    ranked
+      .withColumn("bucket", tile.cast("long"))
+      .select(col("doc_id"), col("avg_logp"), col("bucket"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === k, "tail")
+          .otherwise("middle").as("band"))
+      .orderBy("doc_id")
+  }
+
+  /** d51 — per-document n-gram NOVELTY: the fraction of a document's
+    * distinct 3-gram shingles whose globally-FIRST occurrence (min
+    * doc_id) is this document — the marginal-contribution/redundancy
+    * signal data-curation pipelines use to rank sources ("how much text
+    * does this document add that the corpus doesn't already have?"),
+    * the scoring-side complement of d42's span REMOVAL.
+    *
+    * Same scale shape as the d38/d42 rewrites: the first owner per
+    * shingle is `groupBy(shingle).agg(min(doc_id))` — partial
+    * aggregation collapses a boilerplate shingle map-side, never a
+    * content-keyed window — and the join back on `shingle` has a
+    * one-row-per-shingle build side, so a hot shingle skews only a
+    * shuffle partition AQE can split. Per-doc novelty is then a keyed
+    * aggregate on doc_id. At 100 TB the shingle key becomes
+    * `xxhash64(shingle)` (d01 note) to keep shuffle rows narrow.
+    * `novelty` is one IEEE division of engine-identical integers —
+    * ships raw (Canon round4 note). Docs with <3 tokens have no
+    * shingles and are absent, as across the shingle family. */
+
+  def gramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** d52 — composite quality-filter ENSEMBLE (the C4/Gopher shape:
+    * several cheap rules evaluated in one pass, a document keeps only
+    * if ALL pass, and the output says WHICH rules failed): minimum
+    * length, mean-word-length band, max single-token share, and
+    * distinct-token ratio, each surfaced as a flag plus a reasons
+    * BITMASK — the "why was this dropped" diagnostic a production
+    * filter pipeline reports, where single-signal operators (d08 stats,
+    * d21 repetition, d27 entropy) each return only their own score.
+    *
+    * Every threshold compares by INTEGER cross-multiplication
+    * (`sum_len·10 ≥ n·40` instead of `sum_len/n ≥ 4.0`) so the
+    * verdicts are bit-exact across engines — no float division ever
+    * happens. One (doc_id, token) count aggregation then a doc_id
+    * rollup: two keyed shuffles, both partial-aggregated map-side, no
+    * window, no content-keyed anything; at 100 TB the token key becomes
+    * xxhash64 like the rest of the family. Note the split semantics:
+    * `split("", " ")` is `[""]` in BOTH engines, so an empty-text doc
+    * still emits one row (an empty token counts toward n_tokens, and
+    * r_len rejects it) — unlike the shingle family, whose n-gram window
+    * genuinely yields zero rows under 3 tokens. */
+
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * length(col("w"))).as("sum_len"),
+        max(col("c")).as("max_cnt"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") >= 12).as("r_len"),
+        (col("sum_len") * 10 >= col("n_tokens") * 40 &&
+          col("sum_len") * 10 <= col("n_tokens") * 50).as("r_wordlen"),
+        (col("max_cnt") * 5 <= col("n_tokens")).as("r_maxshare"),
+        (col("n_distinct") * 10 >= col("n_tokens") * 3).as("r_distinct"))
+      .withColumn("reasons",
+        (when(col("r_len"), 0L).otherwise(1L) +
+          when(col("r_wordlen"), 0L).otherwise(2L) +
+          when(col("r_maxshare"), 0L).otherwise(4L) +
+          when(col("r_distinct"), 0L).otherwise(8L)).as("reasons"))
+      .withColumn("keep", col("reasons") === 0L)
+      .orderBy("doc_id")
+  }
+
+  // ————————————————— E21: text analysis / tf-idf —————————————————
+
+  /** E21a — tf-idf: top-3 terms per document by tf × ln(N/df), ties
+    * broken by word. All shuffle-based: tf is a (doc, word) aggregate,
+    * df a word aggregate, N a scalar broadcast. */
+
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tokens.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("score",
+        round4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("word"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** D31 — BM25 keyword retrieval (the Okapi formula with Lucene's
+    * `ln(1 + …)` idf floor, so every matching term contributes a
+    * positive score).
+    *
+    * For a FIXED small query-term set, retrieval needs none of the
+    * corpus-wide token explode that indexing (d07 tf-idf) pays:
+    *   1. one scan pass computes each document's length and its per-term
+    *      tf via array `filter` over the already-split token array —
+    *      q extra columns, zero extra rows;
+    *   2. ONE single-row aggregate (N, Σdl, one df per term) is
+    *      broadcast back to the corpus side;
+    *   3. scoring is per-row arithmetic and the top-k collapses into
+    *      TakeOrderedAndProject — scan-parallel, no global sort, no
+    *      single-partition window.
+    * Total: one corpus scan (the per-doc tf table feeds both the stats
+    * aggregate and the scoring join, so it is persisted via
+    * [[persistCorpus]] — without it the scan runs twice), zero
+    * corpus-sized shuffles — retrieval for a known query is strictly
+    * cheaper than building the index, and the plan shows it. Ordering
+    * ties break on the ROUNDED score then doc_id, so the order is
+    * reproducible across engines.
+    * Reference analogue: scoring over phoenixLab's inverted-index output
+    * (invert/invert.cpp:67-105 builds the postings; BM25 is the standard
+    * ranking the reference stops short of). */
+
+  def bm25(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct == terms, "bm25 query terms must be distinct")
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "bm25 terms must be column-name-safe tokens ([A-Za-z0-9_]+)")
+    val t = toks(col("text"))
+    // read by BOTH the stats aggregate and the scoring join — persist so
+    // the corpus really is scanned once (the documented plan claim)
+    val perDoc = persistCorpus(Tables.documents(s, d).select(
+      col("doc_id") +: size(t).cast("long").as("dl") +:
+        terms.map(q =>
+          size(filter(t, w => w === lit(q))).cast("long").as(s"tf_$q")): _*))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl")) ++
+      terms.map(q => sum((col(s"tf_$q") > 0).cast("long")).as(s"df_$q"))
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    // the tf > 0 guard keeps ANSI mode from evaluating 0/0 at k1 = 0
+    // (for k1 > 0 the unmatched branch is already exactly 0)
+    val score = terms.map { q =>
+      val tf = col(s"tf_$q").cast("double")
+      val df = col(s"df_$q").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      when(col(s"tf_$q") > 0,
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(q => col(s"tf_$q")) :+ round4(score).as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** E21b — per-document text statistics / quality scoring: token
+    * counts, lexical diversity, length agreement with the `n_chars`
+    * metadata column, and a simple composite quality score. */
+
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("text_len"),
+        (col("n_chars") === length(col("text"))).as("chars_match"),
+        round4(size(array_distinct(t)).cast("double") / size(t)).as("distinct_ratio"),
+        // avg token length: exact integer sums → identical double division
+        round4((length(col("text")) - (size(t) - 1)).cast("double") / size(t))
+          .as("avg_token_len"),
+        round4(size(filter(t, w => length(w) >= 6)).cast("double") / size(t))
+          .as("long_token_ratio"),
+        // BPE-ish subword proxy: maximal word-char runs OR single
+        // non-space symbols — the pre-tokenization regex a byte-pair
+        // tokenizer segments on (≡ whitespace count on clean text, and
+        // diverges exactly where punctuation appears)
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long").as("n_subword_tokens"),
+        // the SAME function the d16 pipeline gates on — one definition,
+        // not a drift-prone inline copy
+        qualityScore(t).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** E21c — corpus profile per language: doc/token counts and the most
+    * frequent word (deterministic tie-break by word). */
+
+  def langProfile(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), explode(toks(col("text"))).as("word"))
+    val perWord = tokens.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word").asc)
+    val top = perWord.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("lang"), col("word").as("top_word"), col("cnt").as("top_word_cnt"))
+    val stats = tokens.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct_words"))
+    stats.join(top, "lang")
+      .withColumn("avg_tokens_per_doc",
+        round4(col("n_tokens").cast("double") / col("n_docs")))
+      .orderBy("lang")
+  }
+
+  /** E21d — language-ID: add-one-smoothed naive-Bayes over the corpus's
+    * own per-language unigram profiles (the n-gram-heuristic classifier
+    * with n=1 over words; the synthetic corpus shares one vocabulary
+    * across languages, so accuracy is weak by construction — the
+    * operator contract is the deterministic scoring pipeline).
+    *
+    * Float discipline: each token's ln P(w|L) is canonicalized to
+    * DECIMAL(30,6) *before* the per-document sum, so the score is an
+    * exact order-independent decimal sum — same trick as [[Canon.dsum]]
+    * — and argmax ties break by language code. */
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // four consumers re-derive this stream; measured WORSE persisted
+    // (2.2 → 2.8 s at sf0.1) — the explode recompute off the page-
+    // cached scan is cheaper than materializing the token stream
+    val tokens = docs.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
+    val langTotals = tokens.groupBy(col("lang").as("l"))
+      .agg(count(lit(1)).as("total"))
+    val vocab = tokens.select(col("word")).distinct()
+    val vSize = vocab.select(count(lit(1)).as("v"))
+    val counts = tokens.groupBy(col("lang").as("l"), col("word")).agg(count(lit(1)).as("cnt"))
+    // dense lang × vocab grid so unseen words get the +1 smoothing mass.
+    val grid = langTotals.crossJoin(vocab)
+      .join(counts, Seq("l", "word"), "left_outer")
+      .crossJoin(broadcast(vSize))
+      .select(col("l"), col("word"),
+        dec(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("total") + col("v")))).as("logp"))
+    // NO broadcast hint on `grid`: it is lang × vocab rows — tiny at the
+    // 31-word test vocab, but a real ~1M-word vocabulary would blow a
+    // forced broadcast. AQE broadcasts it while small and degrades to a
+    // shuffle join at real vocab scale.
+    val scores = tokens
+      .join(grid, "word")
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(col("logp")).cast("double").as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("l").asc)
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("l").as("pred"),
+        round4(col("score")).as("score"),
+        (col("l") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  // ———————————— corpus selection / quality scoring (round 5) ————————————
+
+  /** d26 — token-BUDGET corpus selection under per-source budgets (the
+    * domain-mixing step of a pretraining recipe: each source/domain gets
+    * a token allowance, documents are consumed in a deterministic
+    * shuffled order until the allowance runs out). A document is
+    * `selected` iff its STARTING offset in its source's md5-ordered
+    * stream is below the source budget (greedy take-while-open; the
+    * boundary document may overshoot — the standard packing-cut rule,
+    * same convention as [[seqPacking]]'s boundary bins).
+    *
+    * The running token offset is a distributed PREFIX SUM, not one
+    * per-source window: a per-source window serializes each source into
+    * a single task, and real corpora have dominant sources (a 50%-share
+    * source = 50 TB through one task). Instead the md5 order key is
+    * range-split on its first hex character into 16 buckets — the bucket
+    * is a PREFIX of the order key, so (bucket, h) ordering equals plain
+    * h ordering — then: (1) one tiny aggregate of per-(source, bucket)
+    * token totals (n_sources × 16 rows) produces each bucket's starting
+    * offset and the source totals; (2) the corpus-sized window runs per
+    * (source, bucket), bounding any task at ~1/16 of a source.
+    * `prefixLen` is the skew knob: 2 hex chars give 256-way splitting,
+    * n chars 16ⁿ-way — results are IDENTICAL at any width (LlmOpsSpec
+    * pins prefixLen 1 ≡ 2) because the decomposition only re-groups the
+    * same ordered prefix sum. The budget itself is corpus-relative
+    * (`frac` × source tokens) so the operator is scale-free. */
+
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val wDoc = Window.partitionBy("doc_id")
+    counts
+      .withColumn("n", sum(col("c")).over(wDoc))
+      .withColumn("nd", count(lit(1)).over(wDoc))
+      .select(col("doc_id"), col("n"), col("nd"),
+        dec(col("c") * (log(col("n")) - log(col("c")))).as("term"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"), max(col("nd")).as("n_distinct"),
+        sum(col("term")).cast("double").as("sum_t"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("sum_t") / col("n_tokens")).as("entropy"))
+      .withColumn("keep", col("entropy") >= 2.5)
+      .orderBy("doc_id")
+  }
+
+  /** d28 — corpus-RELATIVE length outlier trim: drop each language's
+    * shortest and longest 10% of documents by token count (truncation
+    * fragments and concatenation blobs — the C4/CCNet length gate, but
+    * percentile-based so it needs no hand-tuned absolute cutoffs and
+    * survives corpus drift). `pct` is SQL `percent_rank` over
+    * (lang, n_tokens): ties share a rank, so equal-length documents
+    * share a fate — the flag never depends on an arbitrary tie-break.
+    *
+    * Scale design: percent_rank depends only on the (lang, n_tokens)
+    * VALUE, so it is computed on the length HISTOGRAM — a
+    * `groupBy(lang, n_tokens).count` of at most langs × max_doc_len rows
+    * — via a running sum ordered by length (rank of length L = rows
+    * strictly shorter + 1), then broadcast-joined back to the corpus.
+    * No corpus-sized window: the per-lang serial pass that a direct
+    * `percent_rank().over(partitionBy(lang))` would cost at 100 TB
+    * never happens, and the histogram window is O(distinct lengths).
+    * Single-doc languages guard to pct = 0 (percent_rank's n = 1 case). */
+
+  def lengthTrim(s: SparkSession, d: String, lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(toks(col("text"))).cast("long").as("n_tokens"))
+    val wLen = Window.partitionBy("lang").orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = docs.groupBy("lang", "n_tokens").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wLen))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("n_tokens"),
+        when(col("total") === 1, lit(0.0))
+          .otherwise((col("cum") - col("cnt")).cast("double") / (col("total") - 1))
+          .as("pct"))
+    docs.join(broadcast(hist), Seq("lang", "n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pct"),
+        (col("pct") >= lo && col("pct") <= hi).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** d29 — embedding POST-PROCESS pipeline: L2-normalize, truncate to a
+    * prefix of `k` dimensions (the Matryoshka/MRL deployment trick —
+    * serve a cheap k-dim prefix of a full-width embedding), re-normalize
+    * the prefix, and symmetric-int8 requantize it ([[quantizeEmbeddings]]'
+    * scheme on the truncated unit vector). Reports the energy the prefix
+    * retains (‖v[..k]‖²/‖v‖² — the quality signal that decides how small
+    * k can go) and exact integer summaries of the quantized prefix.
+    *
+    * Float discipline: the two squared norms are sums of per-element
+    * x² terms canonicalized to DECIMAL(30,6) BEFORE the fold (exact,
+    * order-independent — [[graft.Canon]]); energy is ONE division of
+    * engine-identical doubles; the quantized values land as exact longs
+    * via the same decimal-cast rounding as d15. Everything is per-row
+    * arithmetic — scan-parallel, zero shuffles before the output order,
+    * so the pipeline runs at full scan bandwidth on any corpus. */
+
+  val DefaultRedactions: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("entity", "\\b(customer|supplier)\\b", "<ENT>"))
+
+  /** d32 — pattern redaction (the PII-scrub stage of a training-data
+    * pipeline): per-pattern match counts plus the text with every match
+    * replaced by its token, applied in list order.
+    *
+    * Pure per-row projection — `regexp_extract_all` / `regexp_replace`
+    * are codegen'd and the plan has ZERO exchanges (one scan, one
+    * project, plus the presentation sort), so the operator is embarrass-
+    * ingly parallel at any corpus size; regex cost is linear in text
+    * length. Patterns stay in the Java/RE2 common subset (no backrefs,
+    * no lookaround) so the DuckDB oracle (`regexp_replace(..., 'g')` —
+    * DuckDB replaces first-match-only without the flag; Spark is global
+    * by default) matches byte for byte. */
+
+  def redact(s: SparkSession, d: String,
+      patterns: Seq[(String, String, String)] = DefaultRedactions): DataFrame = {
+    // sequential semantics: pattern i is counted on the text AFTER
+    // patterns 1..i-1 have been applied, so every count states exactly
+    // how many of ITS tokens appear in `redacted` — overlapping
+    // patterns ("customer@x.com": email consumes the entity word)
+    // can't over-report. The chained regex subexpressions stay one
+    // codegen'd projection.
+    var cur = col("text")
+    val counts = patterns.map { case (nm, re, tok) =>
+      val c = size(regexp_extract_all(cur, lit(re), lit(0))).as(s"n_$nm")
+      cur = regexp_replace(cur, re, tok)
+      c
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id") +: counts :+ cur.as("redacted"): _*)
+      .withColumn("n_redacted_chars", length(col("redacted")))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct word-n-grams per document — [[docShingles]] generalized to
+    * n tokens over the shared [[gramOccurrences]] stream. */
+
+  private[operators] def nGramSet(s: SparkSession, d: String, n: Int): DataFrame =
+    gramOccurrences(s, d, n).distinct()
+
+  /** d33 — train/test n-gram decontamination (the GPT-3/PaLM-style
+    * benchmark-leakage check, run here between the md5-hash train and
+    * test splits of [[hashSplit]]): a train document is contaminated if
+    * it shares at least one word-n-gram with any test document. Reports
+    * the distinct shared grams and the number of distinct test documents
+    * hit. n = 5 on this corpus: the 31-word vocabulary makes 3-grams
+    * collide by chance (31⁵ ≈ 28.6M possible 5-grams ≫ the ~50k gram
+    * stream, so surviving overlaps are genuine planted near-duplicates
+    * that straddle the split).
+    *
+    * Scale: candidate generation is a bucketed equi-join on the gram —
+    * never all-pairs — with the test side's zipf head excluded by the
+    * same document-frequency cap as [[MaxShingleDf]] (an ultra-frequent
+    * gram is boilerplate, not leakage signal, and is what would blow a
+    * join bucket; the cap never fires at sf0.1 — measured max 5-gram DF
+    * is 3 — so the oracle mirrors it exactly). The test side is a
+    * fraction of the corpus, so the join's build side is the small one. */
+
+  def decontamNgrams(s: SparkSession, d: String, n: Int = 5,
+      maxTestDf: Long = MaxShingleDf): DataFrame = {
+    // three consumers (train filter, test filter, hot-gram aggregate)
+    // re-read this corpus-sized stream — persist it once
+    val grams = persistCorpus(nGramSet(s, d, n)
+      .join(splitAssign(s, d).select(col("doc_id"), col("split")), "doc_id"))
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    val test = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("gram"))
+    val hot = test.groupBy("gram")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxTestDf)
+      .select("gram")
+    train.join(test.join(hot, Seq("gram"), "left_anti"), "gram")
+      .groupBy(col("train_doc").as("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("test_doc")).as("n_test_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** d34 — DSIR-style importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * score every document by how target-like its hashed-n-gram feature
+    * distribution is. Features are word bigrams hashed into `nBuckets`
+    * buckets (md5-based so the oracle reproduces the bucketing exactly);
+    * the weight is the log-likelihood ratio Σ_g ln(p̂_target(b(g)) /
+    * p̂_raw(b(g))) over the document's bigram OCCURRENCES, with add-1
+    * smoothing on both bucket distributions. Target = the `targetLang`
+    * documents, raw = the whole corpus; positive weight ⇒ resample-in.
+    *
+    * Scale: two bucket histograms (≤ nBuckets rows each — reduced
+    * data, broadcast back), one corpus-sized bigram stream consumed
+    * twice (persisted via [[persistCorpus]]), and a final groupBy
+    * doc_id. The per-occurrence ln is canonicalized to DECIMAL(30,6)
+    * pre-sum (the [[bigramLm]] pattern) so the cross-engine sum is
+    * order-independent. */
+
+  def dsirWeights(s: SparkSession, d: String, targetLang: String = "en",
+      nBuckets: Int = 64): DataFrame =
+    dsirRaw(s, d, targetLang, nBuckets).orderBy("doc_id")
+
+  /** [[dsirWeights]] without the presentation sort — reusable inside
+    * [[importanceSample]] where a buried ORDER BY is dead weight. */
+
+  private[operators] def dsirRaw(s: SparkSession, d: String, targetLang: String,
+      nBuckets: Int): DataFrame = {
+    val bi = persistCorpus(gramOccurrences(s, d, 2, extra = Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)).as("b")))
+    val tgt = bi.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = bi.groupBy("b").agg(count(lit(1)).as("cr"))
+    // totals fold the ≤64-row histograms, NOT a third pass over the
+    // corpus-sized bigram stream (rt = Σcr, tt = Σct by construction)
+    val totals = raw.agg(sum(col("cr")).as("rt"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val ratios = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        dec(log(((col("ct") + 1).cast("double") / (col("tt") + nBuckets)) /
+          ((col("cr") + 1).cast("double") / (col("rt") + nBuckets)))).as("logr"))
+    bi.join(broadcast(ratios), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logr")).cast("double").as("weight"))
+  }
+
+  /** d36 — importance RESAMPLING over the [[dsirWeights]] scores (the
+    * second half of DSIR): draw a `frac` sample biased toward
+    * target-like documents via the Gumbel-top-k trick — adding Gumbel
+    * noise g = −ln(−ln(u)) to a log-weight and taking the top k is
+    * equivalent to sampling k items without replacement with
+    * probability ∝ exp(weight). The uniforms come from salted md5 of
+    * the doc id (engine-portable, reproducible — no RNG state), and the
+    * ranking key is DECIMAL(30,6)-canonicalized with a doc_id tiebreak
+    * so both engines rank identically.
+    *
+    * Scale: a GLOBAL top-k at 25% of a 100 TB corpus would funnel the
+    * sort into one task (or a driver-sized TakeOrdered), so the take is
+    * SHARDED — the same d24/d26 discipline: documents hash into 16 md5
+    * buckets and each bucket takes its own top ⌈frac·n_b⌉. This is a
+    * STRATIFIED draw, not the global top-k: each random stratum admits
+    * its local top fraction, so per-bucket thresholds fluctuate around
+    * the global one by O(1/√n_b) — the price of removing the
+    * single-task sort, and statistically immaterial once buckets hold
+    * thousands of documents. Every window partitions by bucket — no
+    * single-task stage anywhere.
+    *
+    * `nShards` ≤ 0 (the registered default) SCALES WITH THE CORPUS:
+    * max(16, ⌈n_docs / 250 000⌉), so each shard's single-task sort is
+    * bounded at ~250k rows no matter the corpus size — a fixed 16
+    * would quietly regrow the single-task stage at 100× (round-5
+    * verdict finding 3). The count is one column-pruned aggregate
+    * scan; the oracle mirrors the formula with a scalar subquery so
+    * both engines derive identical strata at any scale. */
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.LlmOps
+import graft.operators.{LlmOps, SamplingOps}
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
 /** Property-based invariants for context-window chunking (d14/d16's
@@ -14,8 +14,8 @@ object ChunkProps extends Properties("Chunking") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 
-  private val Size = LlmOps.ChunkTokens
-  private val Stride = LlmOps.ChunkStride
+  private val Size = SamplingOps.ChunkTokens
+  private val Stride = SamplingOps.ChunkStride
 
   private val docsGen: Gen[List[Int]] = Gen.nonEmptyListOf(Gen.chooseNum(1, 173))
 
@@ -25,7 +25,7 @@ object ChunkProps extends Properties("Chunking") {
       val tokenized = lens.zipWithIndex
         .map { case (n, id) => (id.toLong, (0 until n).map(i => s"w$i")) }
         .toDF("doc_id", "t")
-      val out = LlmOps.chunkRows(tokenized)
+      val out = SamplingOps.chunkRows(tokenized)
         .select("doc_id", "chunk_id", "start_tok", "n_chunk_toks", "head_tok")
         .as[(Long, Long, Long, Long, String)].collect()
       val byDoc = out.groupBy(_._1)
@@ -48,7 +48,7 @@ object ChunkProps extends Properties("Chunking") {
       import spark.implicits._
       val tokenized = Seq((0L, (0 until n).map(i => s"w$i")))
         .toDF("doc_id", "t")
-      val spans = LlmOps.chunkRows(tokenized)
+      val spans = SamplingOps.chunkRows(tokenized)
         .select("start_tok", "n_chunk_toks").as[(Long, Long)].collect()
       val covered = spans.flatMap { case (st, len) => st until (st + len) }.toSet
       (0L until n.toLong).forall(covered)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ConnectedComponents, LlmOps}
+import graft.operators.{ConnectedComponents, LlmOps, PairGraph}
 import org.apache.spark.sql.DataFrame
 
 /** The two CC algorithms must agree with each other (and with a local
@@ -59,7 +59,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("both algorithms agree on the real near-dup pair graph") {
-    val edges = LlmOps.ngramJaccard(spark, Sf).select("i", "j")
+    val edges = PairGraph.ngramJaccard(spark, Sf).select("i", "j")
     val ls = labelsOf(ConnectedComponents.largeSmallStar(edges))
     val lp = labelsOf(ConnectedComponents.minLabelPropagation(edges))
     assert(ls.nonEmpty, "corpus should contain planted near-dup pairs")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LlmOps, Multimodal, Relational, Streaming}
+import graft.operators.{DedupOps, EmbeddingOps, LlmOps, Multimodal, PairGraph, QualityOps, Relational, SamplingOps, Streaming}
 import org.apache.spark.sql.types.StructType
 
 /** Empty-input robustness: every operator family must return an EMPTY
@@ -23,68 +23,68 @@ class EmptyInputSpec extends SparkSpec {
 
   test("LLM-pipeline operators yield zero rows on an empty corpus") {
     Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
-      "exactDedup" -> (LlmOps.exactDedup _),
-      "ngramJaccard" -> (LlmOps.ngramJaccard _),
-      "minhashNearDup" -> (LlmOps.minhashNearDup _),
-      "simhashPairs" -> (LlmOps.simhashPairs _),
-      "fingerprint" -> (LlmOps.fingerprint _),
-      "cosineTopK" -> (LlmOps.cosineTopK _),
-      "embedNearDup" -> (LlmOps.embedNearDup _),
-      "annLsh" -> (LlmOps.annLsh _),
-      "ivfAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.ivfAnn(s, d)),
-      "tfidf" -> (LlmOps.tfidf _),
-      "textStats" -> (LlmOps.textStats _),
-      "langProfile" -> (LlmOps.langProfile _),
-      "langId" -> (LlmOps.langId _),
-      "docChunks" -> (LlmOps.docChunks _),
-      "quantize" -> (LlmOps.quantizeEmbeddings _),
-      "prepPipeline" -> (LlmOps.prepPipeline _),
-      "hashSplit" -> (LlmOps.hashSplit _),
+      "exactDedup" -> (DedupOps.exactDedup _),
+      "ngramJaccard" -> (PairGraph.ngramJaccard _),
+      "minhashNearDup" -> (PairGraph.minhashNearDup _),
+      "simhashPairs" -> (PairGraph.simhashPairs _),
+      "fingerprint" -> (PairGraph.fingerprint _),
+      "cosineTopK" -> (EmbeddingOps.cosineTopK _),
+      "embedNearDup" -> (EmbeddingOps.embedNearDup _),
+      "annLsh" -> (EmbeddingOps.annLsh _),
+      "ivfAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.ivfAnn(s, d)),
+      "tfidf" -> (QualityOps.tfidf _),
+      "textStats" -> (QualityOps.textStats _),
+      "langProfile" -> (QualityOps.langProfile _),
+      "langId" -> (QualityOps.langId _),
+      "docChunks" -> (SamplingOps.docChunks _),
+      "quantize" -> (EmbeddingOps.quantizeEmbeddings _),
+      "prepPipeline" -> (SamplingOps.prepPipeline _),
+      "hashSplit" -> (SamplingOps.hashSplit _),
       // d19's propagation loop must terminate immediately on a pair-free
       // corpus (empty edge set ⇒ converged after one no-op iteration)
-      "neardupClusters" -> (LlmOps.neardupClusters _),
-      "clusterKeepBest" -> (LlmOps.clusterKeepBest _),
-      "filterAgreement" -> (LlmOps.filterAgreement _),
-      "contamination" -> (LlmOps.contamination _),
-      "seqPacking" -> (LlmOps.seqPacking _),
-      "cdcChunks" -> (LlmOps.cdcChunks _),
-      "tokenBudget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.tokenBudget(s, d)),
-      "tokenEntropy" -> (LlmOps.tokenEntropy _),
-      "lengthTrim" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.lengthTrim(s, d)),
-      "matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.matryoshka(s, d)),
-      "incrementalDedup" -> (LlmOps.incrementalDedup _),
-      "reservoirSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.reservoirSample(s, d)),
-      "paragraphDedup" -> (LlmOps.paragraphDedup _),
-      "fuzzyJoin" -> (LlmOps.fuzzyJoin _),
+      "neardupClusters" -> (PairGraph.neardupClusters _),
+      "clusterKeepBest" -> (DedupOps.clusterKeepBest _),
+      "filterAgreement" -> (QualityOps.filterAgreement _),
+      "contamination" -> (PairGraph.contamination _),
+      "seqPacking" -> (SamplingOps.seqPacking _),
+      "cdcChunks" -> (SamplingOps.cdcChunks _),
+      "tokenBudget" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SamplingOps.tokenBudget(s, d)),
+      "tokenEntropy" -> (QualityOps.tokenEntropy _),
+      "lengthTrim" -> ((s: org.apache.spark.sql.SparkSession, d: String) => QualityOps.lengthTrim(s, d)),
+      "matryoshka" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.matryoshka(s, d)),
+      "incrementalDedup" -> (PairGraph.incrementalDedup _),
+      "reservoirSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SamplingOps.reservoirSample(s, d)),
+      "paragraphDedup" -> (DedupOps.paragraphDedup _),
+      "fuzzyJoin" -> (DedupOps.fuzzyJoin _),
       // bm25's single-row stats aggregate yields n_docs = 0 / null Σdl
       // on an empty corpus; the cross join against zero corpus rows must
       // still produce zero rows (never a null-scored phantom row)
-      "bm25" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.bm25(s, d)),
-      "redact" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.redact(s, d)),
-      "decontamNgrams" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.decontamNgrams(s, d)),
-      "dsirWeights" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.dsirWeights(s, d)),
-      "semdedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.semdedup(s, d)),
-      "importanceSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.importanceSample(s, d)),
-      "semanticContamination" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.semanticContamination(s, d)),
+      "bm25" -> ((s: org.apache.spark.sql.SparkSession, d: String) => QualityOps.bm25(s, d)),
+      "redact" -> ((s: org.apache.spark.sql.SparkSession, d: String) => QualityOps.redact(s, d)),
+      "decontamNgrams" -> ((s: org.apache.spark.sql.SparkSession, d: String) => QualityOps.decontamNgrams(s, d)),
+      "dsirWeights" -> ((s: org.apache.spark.sql.SparkSession, d: String) => QualityOps.dsirWeights(s, d)),
+      "semdedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.semdedup(s, d)),
+      "importanceSample" -> ((s: org.apache.spark.sql.SparkSession, d: String) => SamplingOps.importanceSample(s, d)),
+      "semanticContamination" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.semanticContamination(s, d)),
       // rounds 7–8
-      "dupWeights" -> (LlmOps.dupWeights _),
-      "bloomGate" -> (LlmOps.bloomGate _),
-      "containmentPairs" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.containmentPairs(s, d)),
-      "partialDupClusters" -> (LlmOps.partialDupClusters _),
-      "spanDedup" -> (LlmOps.spanDedup _),
-      "sourceCap" -> (LlmOps.sourceCap _),
-      "qualityClassifier" -> (LlmOps.qualityClassifier _),
-      "editVerify" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.editVerify(s, d)),
+      "dupWeights" -> (DedupOps.dupWeights _),
+      "bloomGate" -> (DedupOps.bloomGate _),
+      "containmentPairs" -> ((s: org.apache.spark.sql.SparkSession, d: String) => PairGraph.containmentPairs(s, d)),
+      "partialDupClusters" -> (PairGraph.partialDupClusters _),
+      "spanDedup" -> (DedupOps.spanDedup _),
+      "sourceCap" -> (DedupOps.sourceCap _),
+      "qualityClassifier" -> (QualityOps.qualityClassifier _),
+      "editVerify" -> ((s: org.apache.spark.sql.SparkSession, d: String) => PairGraph.editVerify(s, d)),
       // round 9: the rank kernel must survive a zero-row range
       // repartition (no boundary samples), the novelty/ensemble aggs an
       // empty token stream, e34/m05 empty events/payload tables
-      "perplexityBuckets" -> ((s: org.apache.spark.sql.SparkSession, d: String) => LlmOps.perplexityBuckets(s, d)),
-      "gramNovelty" -> (LlmOps.gramNovelty _),
-      "qualityEnsemble" -> (LlmOps.qualityEnsemble _),
+      "perplexityBuckets" -> ((s: org.apache.spark.sql.SparkSession, d: String) => QualityOps.perplexityBuckets(s, d)),
+      "gramNovelty" -> (QualityOps.gramNovelty _),
+      "qualityEnsemble" -> (QualityOps.qualityEnsemble _),
       "sessionize" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Relational.sessionize(s, d)),
       "patchGrid" -> (Multimodal.patchGrid _),
       // round 11: empty master + empty batch → no variants, no matches
-      "fuzzyJoin2" -> (LlmOps.fuzzyJoin2 _)
+      "fuzzyJoin2" -> (DedupOps.fuzzyJoin2 _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
@@ -98,7 +98,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(b.getLong(0) === 0L && b.getLong(1) === 0L,
       "binarySource totals on empty input")
     // d37 is three GLOBAL aggregates: all-zero manifest, never a throw
-    LlmOps.tombstonePurge(spark, emptyDir).collect().foreach { r =>
+    DedupOps.tombstonePurge(spark, emptyDir).collect().foreach { r =>
       assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
     }
   }

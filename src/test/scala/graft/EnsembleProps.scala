@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.LlmOps
+import graft.operators.{LlmOps, QualityOps}
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
 /** Property-based invariants for the d52 quality ensemble: on generated
@@ -49,7 +49,7 @@ object EnsembleProps extends Properties("QualityEnsemble") {
         (i.toLong + 1, t.mkString(" "), "en", "s", 0L)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val got = LlmOps.qualityEnsemble(spark, dir)
+      val got = QualityOps.qualityEnsemble(spark, dir)
         .select("doc_id", "n_tokens", "n_distinct", "reasons", "keep")
         .as[(Long, Long, Long, Long, Boolean)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap

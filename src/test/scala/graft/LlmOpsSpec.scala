@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.LlmOps
+import graft.operators.{DedupOps, EmbeddingOps, LlmOps, PairGraph, QualityOps, SamplingOps}
 import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
@@ -21,20 +21,20 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("exact dedup groups normalized text and keeps min doc_id") {
-    val out = LlmOps.exactDedup(spark, dupDir)
+    val out = DedupOps.exactDedup(spark, dupDir)
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
     assert(out === Seq((3L, 3L), (5L, 1L)))
   }
 
   test("banded MinHash LSH reproduces the exact Jaccard pairs") {
-    val exact = LlmOps.ngramJaccard(spark, Sf).collect().toSeq
-    val lsh = LlmOps.minhashNearDup(spark, Sf).collect().toSeq
+    val exact = PairGraph.ngramJaccard(spark, Sf).collect().toSeq
+    val lsh = PairGraph.minhashNearDup(spark, Sf).collect().toSeq
     assert(exact.nonEmpty, "corpus should contain planted near-dup pairs")
     assert(lsh === exact)
   }
 
   test("ANN-LSH reported neighbors carry the true cosine similarity") {
-    val ann = LlmOps.annLsh(spark, Sf)
+    val ann = EmbeddingOps.annLsh(spark, Sf)
       .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
     assert(ann.nonEmpty)
     // brute-force recompute each reported pair's cosine
@@ -51,7 +51,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("IVF-ANN reported neighbors share a cell and carry the true cosine") {
-    val ivf = LlmOps.ivfAnn(spark, Sf)
+    val ivf = EmbeddingOps.ivfAnn(spark, Sf)
       .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
     assert(ivf.nonEmpty && ivf.length <= 10)
     val e = Tables.embeddings(spark, Sf)
@@ -67,7 +67,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("cosine top-k: vec 0 is its own nearest neighbor with sim 1.0") {
-    val top = LlmOps.cosineTopK(spark, Sf)
+    val top = EmbeddingOps.cosineTopK(spark, Sf)
       .select("vec_id", "sim").as[(Long, Double)].collect()
     assert(top.length === 20)
     assert(top.head === ((0L, 1.0)))
@@ -75,16 +75,16 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("simhash is deterministic and hamming pairs are within threshold") {
-    val a = LlmOps.simhash(spark, Sf).collect().toSeq
-    val b = LlmOps.simhash(spark, Sf).collect().toSeq
+    val a = PairGraph.simhash(spark, Sf).collect().toSeq
+    val b = PairGraph.simhash(spark, Sf).collect().toSeq
     assert(a === b)
-    val pairs = LlmOps.simhashPairs(spark, Sf)
+    val pairs = PairGraph.simhashPairs(spark, Sf)
       .select("hamming").as[Long].collect()
     assert(pairs.forall(_ <= 2))
   }
 
   test("tf-idf scores are positive for corpus-rare terms and ranked per doc") {
-    val rows = LlmOps.tfidf(spark, Sf)
+    val rows = QualityOps.tfidf(spark, Sf)
       .select("doc_id", "rnk", "score").as[(Long, Long, Double)].collect()
     val byDoc = rows.groupBy(_._1)
     assert(byDoc.size > 400)
@@ -100,7 +100,7 @@ class LlmOpsSpec extends SparkSpec {
     val nTokens = Tables.documents(spark, Sf)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
       .as[(Long, Int)].collect().toMap
-    val chunks = LlmOps.docChunks(spark, Sf)
+    val chunks = SamplingOps.docChunks(spark, Sf)
       .select("doc_id", "chunk_id", "start_tok", "n_chunk_toks")
       .as[(Long, Long, Long, Long)].collect()
     assert(chunks.map(_._1).distinct.length === nTokens.size)
@@ -109,8 +109,8 @@ class LlmOpsSpec extends SparkSpec {
       val sorted = cs.sortBy(_._2)
       assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
       sorted.foreach { case (_, cid, start, len) =>
-        assert(start === cid * LlmOps.ChunkStride)
-        assert(len === math.min(LlmOps.ChunkTokens.toLong, n - start))
+        assert(start === cid * SamplingOps.ChunkStride)
+        assert(len === math.min(SamplingOps.ChunkTokens.toLong, n - start))
       }
       // stride < size ⇒ windows overlap; last chunk must end exactly at n
       val last = sorted.last
@@ -121,16 +121,16 @@ class LlmOpsSpec extends SparkSpec {
   test("chunkRows on an empty token array yields zero chunks (no ANSI abort)") {
     val tokenized = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b")))
       .toDF("doc_id", "t")
-    val rows = LlmOps.chunkRows(tokenized)
+    val rows = SamplingOps.chunkRows(tokenized)
       .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSeq
     assert(rows === Seq((2L, 0L)))
   }
 
   test("prep pipeline = gated subset of plain chunking (stage consistency)") {
-    val all = LlmOps.docChunks(spark, Sf)
+    val all = SamplingOps.docChunks(spark, Sf)
       .select("doc_id", "chunk_id", "chunk_md5")
       .as[(Long, Long, String)].collect().toSet
-    val piped = LlmOps.prepPipeline(spark, Sf)
+    val piped = SamplingOps.prepPipeline(spark, Sf)
       .select("doc_id", "chunk_id", "chunk_md5")
       .as[(Long, Long, String)].collect().toSet
     assert(piped.nonEmpty && piped.size < all.size, "gate must drop some docs")
@@ -145,7 +145,7 @@ class LlmOpsSpec extends SparkSpec {
     Seq((0L, Array.fill(4)(0.0f), 1L), (1L, Array(1.0f, -2.0f, 0.5f, 0.0f), 1L))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val rows = LlmOps.quantizeEmbeddings(spark, dir)
+    val rows = EmbeddingOps.quantizeEmbeddings(spark, dir)
       .select("vec_id", "scale4", "q_norm2", "q_max", "q_min")
       .as[(Long, Double, Long, Long, Long)].collect().sortBy(_._1)
     assert(rows(0) === ((0L, 0.0, 0L, 0L, 0L)), "zero vector quantizes to zeros")
@@ -162,7 +162,7 @@ class LlmOpsSpec extends SparkSpec {
       (2L, "a b")                                        // <3 tokens: no grams, kept
     ).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = LlmOps.repetition(spark, dir)
+    val rows = QualityOps.repetition(spark, dir)
       .select("doc_id", "n_grams", "n_distinct", "dup_frac", "keep")
       .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
     val (spam, fresh, tiny) = (rows(0), rows(1), rows(2))
@@ -173,7 +173,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("stratified sample rebalances languages and is growth-stable") {
-    val rows = LlmOps.stratifiedSample(spark, Sf)
+    val rows = SamplingOps.stratifiedSample(spark, Sf)
       .select("doc_id", "lang", "sampled")
       .as[(Long, String, Boolean)].collect()
     assert(rows.length === 500)
@@ -189,13 +189,13 @@ class LlmOpsSpec extends SparkSpec {
     val subsetDir = java.nio.file.Files.createTempDirectory("graft-strat").toString
     Tables.documents(spark, Sf).filter(col("doc_id") < 100)
       .write.mode("overwrite").parquet(s"$subsetDir/documents.parquet")
-    val sub = LlmOps.stratifiedSample(spark, subsetDir)
+    val sub = SamplingOps.stratifiedSample(spark, subsetDir)
       .select("doc_id", "sampled").as[(Long, Boolean)].collect().toMap
     rows.filter(_._1 < 100).foreach { case (id, _, s) => assert(sub(id) === s) }
   }
 
   test("vocab coverage: rates bounded, metric non-degenerate, vocab honored") {
-    val rows = LlmOps.vocabCoverage(spark, Sf)
+    val rows = QualityOps.vocabCoverage(spark, Sf)
       .select("doc_id", "n_tokens", "n_oov", "oov_rate")
       .as[(Long, Long, Long, Double)].collect()
     assert(rows.length === 500)
@@ -211,9 +211,9 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("neardup clusters are the connected components of the pair graph") {
-    val pairs = LlmOps.ngramJaccard(spark, Sf)
+    val pairs = PairGraph.ngramJaccard(spark, Sf)
       .select("i", "j").as[(Long, Long)].collect()
-    val assign = LlmOps.neardupClusters(spark, Sf)
+    val assign = PairGraph.neardupClusters(spark, Sf)
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
       .as[(Long, Long, Long, Boolean)].collect()
     val cluster = assign.map(r => r._1 -> r._2).toMap
@@ -241,11 +241,11 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("contamination rows are exactly the near-dup pairs with split flags") {
-    val pairs = LlmOps.ngramJaccard(spark, Sf)
+    val pairs = PairGraph.ngramJaccard(spark, Sf)
       .select("i", "j", "jac").as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
-    val split = LlmOps.hashSplit(spark, Sf)
+    val split = SamplingOps.hashSplit(spark, Sf)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
-    val cont = LlmOps.contamination(spark, Sf)
+    val cont = PairGraph.contamination(spark, Sf)
       .select("i", "j", "jac", "split_i", "split_j", "contaminated")
       .as[(Long, Long, Double, String, String, Boolean)].collect().sortBy(p => (p._1, p._2))
     assert(cont.map(c => (c._1, c._2, c._3)).toSeq === pairs.toSeq)
@@ -256,7 +256,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("int8 quantization: q in [-127,127], dequantization error ≤ scale/2") {
-    val qs = LlmOps.quantizeEmbeddings(spark, Sf)
+    val qs = EmbeddingOps.quantizeEmbeddings(spark, Sf)
       .select("vec_id", "scale4", "q_max", "q_min")
       .as[(Long, Double, Long, Long)].collect()
     assert(qs.length === 500)
@@ -294,12 +294,12 @@ class LlmOpsSpec extends SparkSpec {
       (5L, "H"), (5L, "A"), (5L, "B"), (6L, "H"), (6L, "A"), (6L, "B")) ++
       (100L to 129L).flatMap(k => Seq((k, "H"), (k, s"u$k"))))
       .toDF("doc_id", "shingle")
-    val capped = LlmOps.jaccardPairsOver(sh, 0.8, 20L)
+    val capped = PairGraph.jaccardPairsOver(sh, 0.8, 20L)
       .select("i", "j", "n_common", "jac")
       .as[(Long, Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
     assert(capped.toSeq === Seq((1L, 2L, 2L, 1.0), (5L, 6L, 3L, 1.0)))
     // uncapped finds the hot-only pair too — and agrees on shared pairs
-    val uncapped = LlmOps.jaccardPairsOver(sh, 0.8, Long.MaxValue)
+    val uncapped = PairGraph.jaccardPairsOver(sh, 0.8, Long.MaxValue)
       .select("i", "j", "n_common", "jac")
       .as[(Long, Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
     assert(uncapped.toSeq === Seq((1L, 2L, 2L, 1.0), (3L, 4L, 1L, 1.0), (5L, 6L, 3L, 1.0)))
@@ -307,13 +307,13 @@ class LlmOpsSpec extends SparkSpec {
 
   test("DF cap on the real corpus: capped ⊆ uncapped with identical values") {
     val shingles = LlmOps.docShingles(spark, Sf)
-    val uncapped = LlmOps.jaccardPairsOver(shingles, 0.8, Long.MaxValue)
+    val uncapped = PairGraph.jaccardPairsOver(shingles, 0.8, Long.MaxValue)
       .select("i", "j", "jac").as[(Long, Long, Double)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap
     // the registered cap loses nothing at this scale (oracle-pinned
     // too); the query rounds jac to 4 decimals, so compare keys exactly
     // and values to rounding tolerance
-    val registered = LlmOps.ngramJaccard(spark, Sf)
+    val registered = PairGraph.ngramJaccard(spark, Sf)
       .select("i", "j", "jac").as[(Long, Long, Double)].collect()
     assert(registered.map(p => (p._1, p._2)).toSet === uncapped.keySet)
     registered.foreach { case (i, j, jac4) =>
@@ -322,7 +322,7 @@ class LlmOpsSpec extends SparkSpec {
     // an aggressive cap may LOSE pairs but must never alter a value —
     // at sf0.001 the worst pair's rarest shared shingle has df 4, so
     // cap 3 genuinely drops pairs while plenty of shingles survive it
-    val aggressive = LlmOps.jaccardPairsOver(shingles, 0.8, 3L)
+    val aggressive = PairGraph.jaccardPairsOver(shingles, 0.8, 3L)
       .select("i", "j", "jac").as[(Long, Long, Double)].collect()
     assert(aggressive.length < uncapped.size, "cap 3 should cost recall here")
     aggressive.foreach { case (i, j, jac) =>
@@ -337,11 +337,11 @@ class LlmOpsSpec extends SparkSpec {
     val sh = ((1L to 5L).map(k => (1L, s"s$k")) ++
       (1L to 50L).map(k => (2L, s"s$k")) ++
       (1L to 40L).map(k => (3L, s"t$k"))).toDF("doc_id", "shingle")
-    val cont = LlmOps.containmentPairsOver(sh, 0.9, 20L)
+    val cont = PairGraph.containmentPairsOver(sh, 0.9, 20L)
       .select("i", "j", "n_i", "n_j", "cont")
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(cont === Seq((1L, 2L, 5L, 50L, 1.0)))
-    assert(LlmOps.jaccardPairsOver(sh, 0.8, 20L).isEmpty,
+    assert(PairGraph.jaccardPairsOver(sh, 0.8, 20L).isEmpty,
       "Jaccard at 0.8 must miss the subset pair (that is d40's reason to exist)")
   }
 
@@ -355,7 +355,7 @@ class LlmOpsSpec extends SparkSpec {
       (1L to 8L).map(k => (2L, s"x$k")) ++
       (100L to 129L).flatMap(k => Seq((k, "H"), (k, s"u$k"))))
       .toDF("doc_id", "shingle")
-    val got = LlmOps.containmentPairsOver(sh, 0.9, 20L)
+    val got = PairGraph.containmentPairsOver(sh, 0.9, 20L)
       .select("i", "j", "n_i", "n_j", "cont")
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 2L, 10L, 1.0)))
@@ -373,12 +373,12 @@ class LlmOpsSpec extends SparkSpec {
     val want = (for {
       (i, ii) <- docs.zipWithIndex; j <- docs.drop(ii + 1)
       common = sets(i) & sets(j)
-      if common.exists(g => df(g) <= LlmOps.MaxShingleDf)
+      if common.exists(g => df(g) <= PairGraph.MaxShingleDf)
       m = math.min(sets(i).size, sets(j).size)
       cont = common.size.toDouble / m
       if cont >= 0.9
     } yield (i, j, sets(i).size.toLong, sets(j).size.toLong, cont)).toSeq
-    val got = LlmOps.containmentPairs(spark, Sf)
+    val got = PairGraph.containmentPairs(spark, Sf)
       .select("i", "j", "n_i", "n_j", "cont")
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(got === want.sortBy(p => (p._1, p._2)))
@@ -395,8 +395,8 @@ class LlmOpsSpec extends SparkSpec {
       (1L to 5L).map(k => (2L, s"s$k")) ++
       ((1L to 5L).map(k => (3L, s"s$k")) :+ (3L, "t1")))
       .toDF("doc_id", "shingle")
-    val jac = LlmOps.jaccardPairsOver(sh, 0.8, 20L).select("i", "j")
-    val cont = LlmOps.containmentPairsOver(sh, 0.9, 20L).select("i", "j")
+    val jac = PairGraph.jaccardPairsOver(sh, 0.8, 20L).select("i", "j")
+    val cont = PairGraph.containmentPairsOver(sh, 0.9, 20L).select("i", "j")
     assert(jac.as[(Long, Long)].collect().toSet === Set((2L, 3L)))
     assert(cont.as[(Long, Long)].collect().toSet === Set((1L, 2L), (2L, 3L)))
     val labels = graft.operators.ConnectedComponents
@@ -407,12 +407,12 @@ class LlmOpsSpec extends SparkSpec {
 
   test("d41 one-pass union edges ≡ union of the d02 and d40 query outputs") {
     val shingles = LlmOps.docShingles(spark, Sf)
-    val onePass = LlmOps.partialDupEdges(shingles, 0.8, 0.9, LlmOps.MaxShingleDf)
+    val onePass = PairGraph.partialDupEdges(shingles, 0.8, 0.9, PairGraph.MaxShingleDf)
       .as[(Long, Long)].collect().toSet
     val twoPass =
-      LlmOps.jaccardPairsOver(shingles, 0.8, LlmOps.MaxShingleDf)
+      PairGraph.jaccardPairsOver(shingles, 0.8, PairGraph.MaxShingleDf)
         .select("i", "j").as[(Long, Long)].collect().toSet ++
-      LlmOps.containmentPairsOver(shingles, 0.9, LlmOps.MaxShingleDf)
+      PairGraph.containmentPairsOver(shingles, 0.9, PairGraph.MaxShingleDf)
         .select("i", "j").as[(Long, Long)].collect().toSet
     assert(onePass === twoPass)
     assert(onePass.nonEmpty)
@@ -421,9 +421,9 @@ class LlmOpsSpec extends SparkSpec {
   test("d41 on the real corpus: d19's clusters are a refinement of d41's") {
     // adding edges can only MERGE components — every d19 cluster must
     // map into exactly one d41 cluster, and canonical ids stay minima
-    val d19 = LlmOps.neardupClusters(spark, Sf)
+    val d19 = PairGraph.neardupClusters(spark, Sf)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
-    val d41 = LlmOps.partialDupClusters(spark, Sf)
+    val d41 = PairGraph.partialDupClusters(spark, Sf)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(d41.keySet === d19.keySet)
     d19.groupBy(_._2).values.foreach { members =>
@@ -447,7 +447,7 @@ class LlmOpsSpec extends SparkSpec {
       (3L, toks("z"), "en", "c", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = LlmOps.spanDedup(spark, dir)
+    val got = DedupOps.spanDedup(spark, dir)
       .select("doc_id", "n_chunks", "n_kept", "cleaned_md5")
       .as[(Long, Long, Long, String)].collect().toSeq
     def m(t: String) = java.security.MessageDigest.getInstance("MD5")
@@ -467,7 +467,7 @@ class LlmOpsSpec extends SparkSpec {
       (2L, "q q\nr r"),        // Q seen in doc 1 → keeps only R
       (3L, "p p\nq q"))        // nothing novel
       .toDF("doc_id", "text")
-    val got = LlmOps.paragraphDedupOver(docs)
+    val got = DedupOps.paragraphDedupOver(docs)
       .select("doc_id", "n_paras", "n_kept", "kept_len", "kept_md5")
       .as[(Long, Long, Long, Long, String)].collect().toSeq
     def m(t: String) = java.security.MessageDigest.getInstance("MD5")
@@ -482,7 +482,7 @@ class LlmOpsSpec extends SparkSpec {
     // on the real corpus: n_paras ≥ 1 per doc, kept ≤ total, and at
     // least one cross-doc duplicate paragraph exists (the planted
     // near-dup families share aligned 8-token runs)
-    val got = LlmOps.paragraphDedup(spark, Sf)
+    val got = DedupOps.paragraphDedup(spark, Sf)
       .select("doc_id", "n_paras", "n_kept")
       .as[(Long, Long, Long)].collect()
     assert(got.nonEmpty && got.forall(r => r._2 >= 1 && r._3 <= r._2))
@@ -499,7 +499,7 @@ class LlmOpsSpec extends SparkSpec {
     val hot = toks("hot")
     val docs = (0L until 200L).map(d => (d, s"$hot ${toks(s"u$d-")}"))
       .toDF("doc_id", "text")
-    val q = LlmOps.spanDedupOver(docs)
+    val q = DedupOps.spanDedupOver(docs)
     val windows = q.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
@@ -513,17 +513,17 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("d43 source cap: exactly min(K, |source|) kept, ranks contiguous") {
-    val rows = LlmOps.sourceCap(spark, Sf)
+    val rows = DedupOps.sourceCap(spark, Sf)
       .select("source", "rnk", "kept").as[(String, Long, Boolean)].collect()
     rows.groupBy(_._1).foreach { case (src, rs) =>
       assert(rs.map(_._2).sorted.toSeq === (1L to rs.length), s"ranks not contiguous in $src")
-      assert(rs.count(_._3) === math.min(LlmOps.SourceCapK, rs.length), s"cap wrong in $src")
-      rs.foreach { case (_, r, k) => assert(k === (r <= LlmOps.SourceCapK)) }
+      assert(rs.count(_._3) === math.min(DedupOps.SourceCapK, rs.length), s"cap wrong in $src")
+      rs.foreach { case (_, r, k) => assert(k === (r <= DedupOps.SourceCapK)) }
     }
   }
 
   test("d44 classifier: first-principles logit recompute, non-trivial split") {
-    val got = LlmOps.qualityClassifier(spark, Sf)
+    val got = QualityOps.qualityClassifier(spark, Sf)
       .select("doc_id", "n_tokens", "logit", "keep")
       .as[(Long, Long, Double, Boolean)].collect()
     assert(got.exists(_._4) && got.exists(!_._4), "threshold must split the corpus")
@@ -553,7 +553,7 @@ class LlmOpsSpec extends SparkSpec {
       (13L, "quortz"),  // substitution → matches 3
       (14L, "quortzz")) // distance 2 from quartz → rejected
       .toDF("id", "key")
-    val got = LlmOps.fuzzyJoinOver(left, right)
+    val got = DedupOps.fuzzyJoinOver(left, right)
       .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 10L, 1L), (2L, 11L, 1L), (2L, 12L, 1L),
       (3L, 13L, 1L)))
@@ -570,15 +570,15 @@ class LlmOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
     // d01: one survivor for the pair (min doc_id), 2 copies counted
-    val d01 = LlmOps.exactDedup(spark, dir)
+    val d01 = DedupOps.exactDedup(spark, dir)
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
     assert(d01 === Set((1L, 2L), (3L, 1L)))
     // d38: both members carry weight 1/2; the singleton keeps 1.0
-    val d38 = LlmOps.dupWeights(spark, dir)
+    val d38 = DedupOps.dupWeights(spark, dir)
       .select("doc_id", "weight").as[(Long, Double)].collect().toMap
     assert(d38 === Map(1L -> 0.5, 2L -> 0.5, 3L -> 1.0))
     // d57: doc 2's only paragraph is a cross-encoding dup of doc 1's
-    val d57 = LlmOps.paragraphDedup(spark, dir)
+    val d57 = DedupOps.paragraphDedup(spark, dir)
       .select("doc_id", "n_paras", "n_kept").as[(Long, Long, Long)]
       .collect().toSet
     assert(d57 === Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 1L)))
@@ -591,7 +591,7 @@ class LlmOpsSpec extends SparkSpec {
     val left = Seq((1L, ""), (2L, "a"), (3L, "xy")).toDF("id", "key")
     val right = Seq((10L, ""), (11L, "b"), (12L, Option.empty[String].orNull))
       .toDF("id", "key")
-    val got = LlmOps.fuzzyJoinOver(left, right)
+    val got = DedupOps.fuzzyJoinOver(left, right)
       .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
     assert(got === Set(
       (1L, 10L, 0L), // "" ≡ ""
@@ -620,7 +620,7 @@ class LlmOpsSpec extends SparkSpec {
     }
     val ls = (0L until 25L).map(i => (i, key(i * 13 + 5)))
     val rs = (0L until 25L).map(i => (i, key(i * 17 + 2)))
-    val got = LlmOps.fuzzyJoinOver(ls.toDF("id", "key"), rs.toDF("id", "key"))
+    val got = DedupOps.fuzzyJoinOver(ls.toDF("id", "key"), rs.toDF("id", "key"))
       .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
     val want = (for {
       (li, lk) <- ls; (ri, rk) <- rs
@@ -641,7 +641,7 @@ class LlmOpsSpec extends SparkSpec {
       (14L, "quatz"),    // single deletion → 3 at lev 1
       (15L, "qrtz"))     // double deletion → 3 at lev 2
       .toDF("id", "key")
-    val got = LlmOps.fuzzyJoin2Over(left, right)
+    val got = DedupOps.fuzzyJoin2Over(left, right)
       .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 10L, 2L), (1L, 11L, 2L), (2L, 12L, 1L),
       (3L, 14L, 1L), (3L, 15L, 2L)))
@@ -666,7 +666,7 @@ class LlmOpsSpec extends SparkSpec {
     }
     val ls = (0L until 20L).map(i => (i, key(i * 13 + 5)))
     val rs = (0L until 20L).map(i => (i, key(i * 17 + 2)))
-    val got = LlmOps.fuzzyJoin2Over(ls.toDF("id", "key"), rs.toDF("id", "key"))
+    val got = DedupOps.fuzzyJoin2Over(ls.toDF("id", "key"), rs.toDF("id", "key"))
       .select("l_id", "r_id", "lev").as[(Long, Long, Long)].collect().toSet
     val want = (for {
       (li, lk) <- ls; (ri, rk) <- rs
@@ -693,10 +693,10 @@ class LlmOpsSpec extends SparkSpec {
     def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
     val texts = Tables.documents(spark, Sf).select("doc_id", "text")
       .as[(Long, String)].collect().toMap.map { case (k, v) => k -> norm(v) }
-    val got = LlmOps.editVerify(spark, Sf)
+    val got = PairGraph.editVerify(spark, Sf)
       .select("i", "j", "lev", "edit_sim", "verified")
       .as[(Long, Long, Long, Double, Boolean)].collect()
-    val d02 = LlmOps.ngramJaccard(spark, Sf).select("i", "j")
+    val d02 = PairGraph.ngramJaccard(spark, Sf).select("i", "j")
       .as[(Long, Long)].collect().toSet
     assert(got.map(r => (r._1, r._2)).toSet === d02, "one row per d02 pair")
     got.foreach { case (i, j, l, sim, v) =>
@@ -710,12 +710,12 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("near-dup results do not depend on corpus persistence level") {
-    val defaults = (LlmOps.ngramJaccard(spark, Sf).collect().toSeq,
-      LlmOps.minhashNearDup(spark, Sf).collect().toSeq)
+    val defaults = (PairGraph.ngramJaccard(spark, Sf).collect().toSeq,
+      PairGraph.minhashNearDup(spark, Sf).collect().toSeq)
     spark.conf.set("spark.graft.corpusPersistLevel", "NONE")
     try {
-      assert(LlmOps.ngramJaccard(spark, Sf).collect().toSeq === defaults._1)
-      assert(LlmOps.minhashNearDup(spark, Sf).collect().toSeq === defaults._2)
+      assert(PairGraph.ngramJaccard(spark, Sf).collect().toSeq === defaults._1)
+      assert(PairGraph.minhashNearDup(spark, Sf).collect().toSeq === defaults._2)
     } finally spark.conf.unset("spark.graft.corpusPersistLevel")
   }
 
@@ -736,7 +736,7 @@ class LlmOpsSpec extends SparkSpec {
         .maxBy { case (id, s) => (s, -id) }._1
     }.toMap
     def recall(nprobe: Int): Double = {
-      val got = LlmOps.ivfAnn(spark, Sf, nprobe)
+      val got = EmbeddingOps.ivfAnn(spark, Sf, nprobe)
         .select("qid", "nid").as[(Long, Long)].collect().toMap
       got.count { case (q, n) => trueNN(q) == n }.toDouble / trueNN.size
     }
@@ -747,7 +747,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
-    val rows = LlmOps.seqPacking(spark, Sf)
+    val rows = SamplingOps.seqPacking(spark, Sf)
       .select("doc_id", "shard", "n_tokens", "start_off", "first_bin", "last_bin")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(rows.length === 500)
@@ -756,10 +756,10 @@ class LlmOpsSpec extends SparkSpec {
       // concat-and-chunk: each doc starts exactly where the previous ended
       var expectedOff = 0L
       sorted.foreach { case (doc, sh, n, off, fb, lb) =>
-        assert(sh === doc % LlmOps.PackShards)
+        assert(sh === doc % SamplingOps.PackShards)
         assert(off === expectedOff, s"gap in shard $shard at doc $doc")
-        assert(fb === off / LlmOps.PackTokens)
-        assert(lb === (off + n - 1) / LlmOps.PackTokens)
+        assert(fb === off / SamplingOps.PackTokens)
+        assert(lb === (off + n - 1) / SamplingOps.PackTokens)
         assert(fb <= lb)
         expectedOff += n
       }
@@ -772,7 +772,7 @@ class LlmOpsSpec extends SparkSpec {
     val nTokens = Tables.documents(spark, Sf)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
       .as[(Long, Int)].collect().toMap
-    val chunks = LlmOps.cdcChunks(spark, Sf)
+    val chunks = SamplingOps.cdcChunks(spark, Sf)
       .select("doc_id", "chunk_id", "n_toks", "start_tok")
       .as[(Long, Long, Long, Long)].collect()
     chunks.groupBy(_._1).foreach { case (doc, cs) =>
@@ -797,7 +797,7 @@ class LlmOpsSpec extends SparkSpec {
     Seq((0L, base), (1L, "inserted prefix tokens " + base))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val byDoc = LlmOps.cdcChunks(spark, dir)
+    val byDoc = SamplingOps.cdcChunks(spark, dir)
       .select("doc_id", "chunk_id", "chunk_md5")
       .as[(Long, Long, String)].collect()
       .groupBy(_._1).map { case (d, cs) => d -> cs.sortBy(_._2).map(_._3).toSeq }
@@ -810,21 +810,21 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("vocab coverage K is a real parameter: K≥vocab ⇒ no OOV, smaller K ⇒ more OOV") {
-    val at20 = LlmOps.vocabCoverage(spark, Sf)
+    val at20 = QualityOps.vocabCoverage(spark, Sf)
       .select("doc_id", "n_oov").as[(Long, Long)].collect().toMap
     // the corpus vocabulary is 31 words: K=31 swallows it whole
-    val at31 = LlmOps.vocabCoverage(spark, Sf, 31)
+    val at31 = QualityOps.vocabCoverage(spark, Sf, 31)
       .select("doc_id", "n_oov").as[(Long, Long)].collect()
     assert(at31.forall(_._2 === 0L))
     // shrinking the vocab can only grow each document's OOV count
-    val at5 = LlmOps.vocabCoverage(spark, Sf, 5)
+    val at5 = QualityOps.vocabCoverage(spark, Sf, 5)
       .select("doc_id", "n_oov").as[(Long, Long)].collect()
     at5.foreach { case (doc, oov) => assert(oov >= at20(doc)) }
   }
 
   test("token budget: bucketed prefix sum ≡ flat window, selection is a greedy prefix") {
     import org.apache.spark.sql.expressions.Window
-    val out = LlmOps.tokenBudget(spark, Sf)
+    val out = SamplingOps.tokenBudget(spark, Sf)
       .select("doc_id", "source", "n_tokens", "cum_before", "budget", "selected")
       .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
     assert(out.nonEmpty)
@@ -850,11 +850,11 @@ class LlmOpsSpec extends SparkSpec {
     // frac = 0.5 must actually split the corpus
     assert(out.exists(_._6) && out.exists(!_._6))
     // frac is a real parameter: everything fits under a full budget
-    assert(LlmOps.tokenBudget(spark, Sf, frac = 1.0)
+    assert(SamplingOps.tokenBudget(spark, Sf, frac = 1.0)
       .filter(!col("selected")).count() === 0L)
     // the bucket-width skew knob re-groups the same prefix sum: a
     // 256-way decomposition must reproduce the 16-way result exactly
-    val wide = LlmOps.tokenBudget(spark, Sf, prefixLen = 2)
+    val wide = SamplingOps.tokenBudget(spark, Sf, prefixLen = 2)
       .select("doc_id", "cum_before", "selected")
       .as[(Long, Long, Boolean)].collect()
       .map { case (id, cb, sel) => id -> ((cb, sel)) }.toMap
@@ -864,7 +864,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("bm25: scores match a driver-side recomputation; k1=0 is presence-only") {
     val terms = Seq("spark", "join", "window")
-    val out = LlmOps.bm25(spark, Sf, terms, topK = 50)
+    val out = QualityOps.bm25(spark, Sf, terms, topK = 50)
       .select("doc_id", "dl", "tf_spark", "tf_join", "tf_window", "score")
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(out.size === 50)
@@ -888,7 +888,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall { case (_, _, a, b, c, _) => a + b + c > 0 })
     // k1 = 0 degenerates to presence-only scoring: any two docs matching
     // the same SET of terms tie exactly, regardless of tf and length
-    val flat = LlmOps.bm25(spark, Sf, terms, k1 = 0.0, topK = 50)
+    val flat = QualityOps.bm25(spark, Sf, terms, k1 = 0.0, topK = 50)
       .select("tf_spark", "tf_join", "tf_window", "score")
       .as[(Long, Long, Long, Double)].collect().toSeq
     val bySet = flat.groupBy { case (a, b, c, _) => (a > 0, b > 0, c > 0) }
@@ -898,7 +898,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("token entropy: information-theoretic bounds and analytic fixtures") {
-    val out = LlmOps.tokenEntropy(spark, Sf)
+    val out = QualityOps.tokenEntropy(spark, Sf)
       .select("doc_id", "n_tokens", "n_distinct", "entropy", "keep")
       .as[(Long, Long, Long, Double, Boolean)].collect()
     assert(out.nonEmpty)
@@ -911,14 +911,14 @@ class LlmOpsSpec extends SparkSpec {
     Seq((1L, "x x x x", "en", "s0", 7L), (2L, "a b c d", "en", "s0", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val m = LlmOps.tokenEntropy(spark, dir)
+    val m = QualityOps.tokenEntropy(spark, dir)
       .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
     assert(math.abs(m(1L)) < 1e-9)
     assert(math.abs(m(2L) - math.log(4.0)) < 1e-5)
   }
 
   test("length trim: histogram rank ≡ native percent_rank, ties share fate") {
-    val out = LlmOps.lengthTrim(spark, Sf)
+    val out = QualityOps.lengthTrim(spark, Sf)
       .select("doc_id", "lang", "n_tokens", "pct", "keep")
       .as[(Long, String, Long, Double, Boolean)].collect().toSeq
     assert(out.nonEmpty)
@@ -943,7 +943,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("matryoshka: energy bounds and monotonicity, int8 range pinned to ±127") {
-    val at16 = LlmOps.matryoshka(spark, Sf)
+    val at16 = EmbeddingOps.matryoshka(spark, Sf)
       .select("vec_id", "d_full", "energy", "q_norm2", "q_max", "q_min")
       .as[(Long, Long, Double, Long, Long, Long)].collect()
     assert(at16.nonEmpty)
@@ -959,16 +959,16 @@ class LlmOpsSpec extends SparkSpec {
     // a wider prefix can only retain MORE of the vector's energy, and
     // the full width retains all of it
     val e16 = at16.map(r => r._1 -> r._3).toMap
-    val at32 = LlmOps.matryoshka(spark, Sf, 32)
+    val at32 = EmbeddingOps.matryoshka(spark, Sf, 32)
       .select("vec_id", "energy").as[(Long, Double)].collect()
     at32.foreach { case (id, e) => assert(e >= e16(id) - 1e-9, s"vec $id") }
-    LlmOps.matryoshka(spark, Sf, 64)
+    EmbeddingOps.matryoshka(spark, Sf, 64)
       .select("energy").as[Double].collect()
       .foreach(e => assert(math.abs(e - 1.0) < 1e-9))
   }
 
   test("incremental dedup: statuses derive from the pair graph; earlier-batch rule") {
-    val out = LlmOps.incrementalDedup(spark, Sf)
+    val out = PairGraph.incrementalDedup(spark, Sf)
       .select("doc_id", "status", "admitted")
       .as[(Long, String, Boolean)].collect()
     assert(out.nonEmpty)
@@ -979,7 +979,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.exists(_._2 == "dup_existing"), "planted cross-split pairs exist")
     // recompute every decision from the pair graph directly
     def inBatch(x: Long) = x % 10 >= 8
-    val pairs = LlmOps.ngramJaccard(spark, Sf)
+    val pairs = PairGraph.ngramJaccard(spark, Sf)
       .select("i", "j").as[(Long, Long)].collect()
     val partners = (pairs ++ pairs.map(p => (p._2, p._1)))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
@@ -1001,7 +1001,7 @@ class LlmOpsSpec extends SparkSpec {
       (38L, "totally different tokens in this document", "en", "s2", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val m = LlmOps.incrementalDedup(spark, dir)
+    val m = PairGraph.incrementalDedup(spark, dir)
       .select("doc_id", "status").as[(Long, String)].collect().toMap
     assert(m(18L) === "new", "earliest batch copy is admitted")
     assert(m(28L) === "dup_batch", "later batch copy defers to the earlier one")
@@ -1023,9 +1023,9 @@ class LlmOpsSpec extends SparkSpec {
       (101L, "seven eight nine ten eleven twelve", "en", "s1", 10L))
     (family ++ others).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    assert(LlmOps.ngramJaccard(spark, dir).count() === 0L,
+    assert(PairGraph.ngramJaccard(spark, dir).count() === 0L,
       "every shared shingle is over the DF cap — the capped plan abstains")
-    val caught = LlmOps.minhashNearDup(spark, dir)
+    val caught = PairGraph.minhashNearDup(spark, dir)
       .select("i", "j", "jac").as[(Long, Long, Double)].collect()
     assert(caught.length === 22 * 21 / 2,
       "identical docs band-collide regardless of shingle frequency")
@@ -1045,7 +1045,7 @@ class LlmOpsSpec extends SparkSpec {
       (4L, "customer@example.com writes the customer daily", "en", "s2", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = LlmOps.redact(spark, dir)
+    val out = QualityOps.redact(spark, dir)
       .select("doc_id", "n_email", "n_entity", "redacted")
       .as[(Long, Int, Int, String)].collect().toSeq.sortBy(_._1)
     assert(out.map(r => (r._1, r._2, r._3)) ===
@@ -1055,7 +1055,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2)._4 === "no sensitive content here")
     assert(out(3)._4 === "<EMAIL> writes the <ENT> daily")
     // real corpus: email never fires; length bookkeeping is consistent
-    val real = LlmOps.redact(spark, Sf)
+    val real = QualityOps.redact(spark, Sf)
       .select("n_email", "redacted", "n_redacted_chars")
       .as[(Int, String, Int)].collect()
     assert(real.forall(_._1 === 0))
@@ -1064,7 +1064,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("decontam: rows ≡ a driver-side recompute of capped 5-gram overlap") {
-    val out = LlmOps.decontamNgrams(spark, Sf)
+    val out = QualityOps.decontamNgrams(spark, Sf)
       .select("doc_id", "n_shared_grams", "n_test_docs")
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(out.nonEmpty, "planted near-dups straddle the hash split")
@@ -1082,7 +1082,7 @@ class LlmOpsSpec extends SparkSpec {
     val train = docs.filter(d => md5bucket(d._1) < 80).map(d => (d._1, grams(d._2)))
     val test = docs.filter(d => md5bucket(d._1) >= 90).map(d => (d._1, grams(d._2)))
     val testDf = test.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.size }
-    val cold = testDf.filter(_._2 <= LlmOps.MaxShingleDf).keySet
+    val cold = testDf.filter(_._2 <= PairGraph.MaxShingleDf).keySet
     val expect = train.flatMap { case (id, gs) =>
       val hits = test.filter { case (_, tg) => gs.exists(g => cold(g) && tg(g)) }
       val shared = gs.filter(g => cold(g) && test.exists(_._2(g)))
@@ -1092,7 +1092,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("dsir weights: target-language documents score higher on average") {
-    val out = LlmOps.dsirWeights(spark, Sf)
+    val out = QualityOps.dsirWeights(spark, Sf)
       .select("doc_id", "n_bigrams", "weight")
       .as[(Long, Long, Double)].collect()
     val langs = Tables.documents(spark, Sf)
@@ -1105,7 +1105,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(enAvg > restAvg,
       s"per-bigram LLR must separate target from raw ($enAvg vs $restAvg)")
     // a second target language re-ranks: the op is not corpus-shaped
-    val de = LlmOps.dsirWeights(spark, Sf, targetLang = "de")
+    val de = QualityOps.dsirWeights(spark, Sf, targetLang = "de")
       .select("doc_id", "n_bigrams", "weight").as[(Long, Long, Double)].collect()
     val (deT, deR) = de.partition(r => langs(r._1) == "de")
     assert(deT.map(r => r._3 / r._2).sum / deT.length >
@@ -1113,9 +1113,9 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("importance sample: per-shard take size, selection bias, frac monotone") {
-    val all = LlmOps.dsirWeights(spark, Sf)
+    val all = QualityOps.dsirWeights(spark, Sf)
       .select("doc_id", "weight").as[(Long, Double)].collect().toMap
-    val sampled = LlmOps.importanceSample(spark, Sf)
+    val sampled = SamplingOps.importanceSample(spark, Sf)
       .select("doc_id", "bucket", "weight", "key")
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(sampled.nonEmpty)
@@ -1136,18 +1136,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"selection must bias toward high weights ($sampleMean vs $corpusMean)")
     // larger frac is a superset: same per-bucket ordering, deeper take
-    val wider = LlmOps.importanceSample(spark, Sf, frac = 0.5)
+    val wider = SamplingOps.importanceSample(spark, Sf, frac = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(sampled.map(_._1).toSet.subsetOf(wider))
     // the auto default (nShards=0) resolves to max(16, ⌈n/250k⌉) = 16
     // at this scale — identical to an explicit 16
-    val explicit16 = LlmOps.importanceSample(spark, Sf, nShards = 16)
+    val explicit16 = SamplingOps.importanceSample(spark, Sf, nShards = 16)
       .select("doc_id", "bucket").as[(Long, Long)].collect().toSet
     assert(sampled.map(r => (r._1, r._2)).toSet === explicit16)
     // the shard-width knob preserves the stratified-draw law at any
     // width: at 64 shards every bucket still takes exactly ⌈frac·n_b⌉
     // of ITS documents (strata differ, the law doesn't)
-    val at64 = LlmOps.importanceSample(spark, Sf, nShards = 64)
+    val at64 = SamplingOps.importanceSample(spark, Sf, nShards = 64)
       .select("doc_id", "bucket").as[(Long, Long)].collect().toSeq
     def bucket64(id: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -1162,7 +1162,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("tombstone purge: manifest arithmetic, compaction drops exactly the tombstones") {
-    val rows = LlmOps.tombstonePurge(spark, Sf)
+    val rows = DedupOps.tombstonePurge(spark, Sf)
       .select("store", "n_before", "n_purged", "n_after")
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(rows.map(_._1) === Seq("documents", "embeddings", "fingerprints"))
@@ -1177,12 +1177,12 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.find(_._1 == "documents").get === (("documents", nDoc, nTomb, nDoc - nTomb)))
     // the manifest's shuffle-free fingerprint count ≡ the real store
     assert(rows.find(_._1 == "fingerprints").get._2 ===
-      LlmOps.fingerprint(spark, Sf).count())
+      PairGraph.fingerprint(spark, Sf).count())
     // the compaction itself: no tombstoned id survives, counts agree,
     // and the derived store stays referentially consistent
-    val kept = LlmOps.purgeDocStore(docs, 17).select("doc_id").as[Long].collect().toSet
+    val kept = DedupOps.purgeDocStore(docs, 17).select("doc_id").as[Long].collect().toSet
     assert(kept.forall(_ % 17 != 0) && kept.size.toLong === nDoc - nTomb)
-    val fpKept = LlmOps.purgeDocStore(LlmOps.fingerprint(spark, Sf), 17)
+    val fpKept = DedupOps.purgeDocStore(PairGraph.fingerprint(spark, Sf), 17)
       .select("doc_id").as[Long].collect().toSet
     assert(fpKept.subsetOf(kept), "derived store must not reference purged docs")
   }
@@ -1194,7 +1194,7 @@ class LlmOpsSpec extends SparkSpec {
     val ortho = (0 until 64).map(j => if (j % 2 == 0) 1.0 else -1.0)
     val e = Seq((0L, base), (1L, noisy), (2L, scaled), (3L, ortho))
       .toDF("vec_id", "v")
-    val out = LlmOps.semdedupOver(e, tau = 0.95, nBits = 4, table = 7)
+    val out = EmbeddingOps.semdedupOver(e, tau = 0.95, nBits = 4, table = 7)
       .select("vec_id", "kept_id", "sim").as[(Long, Long, Double)].collect().toSeq
     assert(out.map(r => (r._1, r._2)) === Seq((1L, 0L), (2L, 0L)),
       s"copies drop to vec 0, the orthogonal vector survives: $out")
@@ -1210,7 +1210,7 @@ class LlmOpsSpec extends SparkSpec {
       (100L, base.map(_ * 1.5), "val"),     // leaked eval doc (cos = 1 with BOTH)
       (102L, ortho, "test"))                // clean eval doc
       .toDF("vec_id", "v", "split")
-    val out = LlmOps.semanticContaminationOver(e, tau = 0.95, nBits = 4, table = 9)
+    val out = EmbeddingOps.semanticContaminationOver(e, tau = 0.95, nBits = 4, table = 9)
       .as[(Long, String, Long, Double)].collect().toSeq
     // one row per leaked eval vector; the round4 sim tie (1.0 vs both
     // train copies) resolves to the SMALLEST train id; the orthogonal
@@ -1219,7 +1219,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("d55 on the corpus: every reported neighbor is train-side, best-of-bucket, above τ") {
-    val out = LlmOps.semanticContamination(spark, Sf)
+    val out = EmbeddingOps.semanticContamination(spark, Sf)
       .as[(Long, String, Long, Double)].collect().toSeq
     assert(out.nonEmpty, "isotropic fixtures still have τ=0.32 cross-split bucket pairs")
     def bucket(id: Long): Long = {
@@ -1238,14 +1238,14 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("semdedup on the corpus ≡ a driver-side recompute of the bucketed rule") {
-    val out = LlmOps.semdedup(spark, Sf)
+    val out = EmbeddingOps.semdedup(spark, Sf)
       .select("vec_id", "kept_id", "sim").as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(out.nonEmpty, "isotropic fixtures still have τ=0.40 bucket pairs")
     val vecs = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     def sig(v: Seq[Double]): Int = (0 until 4).map { p =>
-      val dot = v.indices.map(j => v(j) * LlmOps.planeComp(7, p, j)).sum
+      val dot = v.indices.map(j => v(j) * EmbeddingOps.planeComp(7, p, j)).sum
       if (dot > 0) 1 << p else 0
     }.sum
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
@@ -1269,7 +1269,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("d38 soft dedup: each duplicate family carries exactly unit mass") {
-    val out = LlmOps.dupWeights(spark, dupDir)
+    val out = DedupOps.dupWeights(spark, dupDir)
       .select("doc_id", "n_copies", "weight")
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
     assert(out === Seq((3L, 3L, 1.0 / 3), (5L, 1L, 1.0), (7L, 3L, 1.0 / 3),
@@ -1277,7 +1277,7 @@ class LlmOpsSpec extends SparkSpec {
     // family mass: weights within a family sum to one document's worth
     // (m × (1/m) — exact for the binary-representable 1/1, and within
     // one ulp-fold otherwise); total mass = number of families (d01)
-    val families = LlmOps.exactDedup(spark, dupDir).count()
+    val families = DedupOps.exactDedup(spark, dupDir).count()
     assert(math.abs(out.map(_._3).sum - families) < 1e-12)
   }
 
@@ -1297,7 +1297,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("d39 bloom gate: exact membership after verify, gate in the plan") {
-    val df = LlmOps.bloomGate(spark, bloomDir)
+    val df = DedupOps.bloomGate(spark, bloomDir)
     // the bloom predicate must actually be in the executed plan (the
     // scan-time gate, not optimized away)
     assert(df.queryExecution.executedPlan.toString.contains("might_contain"))
@@ -1316,7 +1316,7 @@ class LlmOpsSpec extends SparkSpec {
     val expect = batch.join(histSet, Seq("n"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("dup"))
       .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
-    val got = LlmOps.bloomGate(spark, Sf).as[(Long, Boolean)].collect().toSeq
+    val got = DedupOps.bloomGate(spark, Sf).as[(Long, Boolean)].collect().toSeq
     assert(got === expect)
   }
 
@@ -1326,9 +1326,9 @@ class LlmOpsSpec extends SparkSpec {
     // the uneven split (500 % 7 ≠ 0): big tiles first, sizes differ ≤1.
     import org.apache.spark.sql.expressions.Window
     for (k <- Seq(3, 7)) {
-      val got = LlmOps.perplexityBuckets(spark, Sf, k)
+      val got = QualityOps.perplexityBuckets(spark, Sf, k)
         .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
-      val exp = LlmOps.bigramLm(spark, Sf)
+      val exp = QualityOps.bigramLm(spark, Sf)
         .select(col("doc_id"), col("avg_logp"))
         .withColumn("bucket", ntile(k).over(
           Window.orderBy(col("avg_logp").desc, col("doc_id"))).cast("long"))
@@ -1338,7 +1338,7 @@ class LlmOpsSpec extends SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"k=$k tile sizes $sizes")
     }
     // band labels follow the bucket: 1 = head (most fluent), 3 = tail
-    val bands = LlmOps.perplexityBuckets(spark, Sf)
+    val bands = QualityOps.perplexityBuckets(spark, Sf)
       .select("bucket", "band").distinct().as[(Long, String)].collect().toMap
     assert(bands === Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
   }
@@ -1352,7 +1352,7 @@ class LlmOpsSpec extends SparkSpec {
       (4L, "x y", "en", "s", 0L))       // <3 tokens → no shingles → absent
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = LlmOps.gramNovelty(spark, dir)
+    val got = QualityOps.gramNovelty(spark, dir)
       .select("doc_id", "n_shingles", "n_novel", "novelty")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
@@ -1373,7 +1373,7 @@ class LlmOpsSpec extends SparkSpec {
       (4L, Seq.fill(20)("spam").mkString(" "), "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = LlmOps.qualityEnsemble(spark, dir)
+    val got = QualityOps.qualityEnsemble(spark, dir)
       .select("doc_id", "reasons", "keep").as[(Long, Long, Boolean)]
       .collect().toSeq
     assert(got === Seq((1L, 0L, true), (2L, 5L, false), (3L, 2L, false),
@@ -1381,7 +1381,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("d54 filter agreement: cells partition the corpus, shares sum to 1") {
-    val rows = LlmOps.filterAgreement(spark, Sf)
+    val rows = QualityOps.filterAgreement(spark, Sf)
       .select("model_keep", "rules_keep", "n", "share")
       .as[(Boolean, Boolean, Long, Double)].collect().toSeq
     assert(rows.nonEmpty && rows.size <= 4)
@@ -1389,9 +1389,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum === nDocs, "cells must partition the corpus")
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
     // cells agree with the registered scorers joined directly
-    val m = LlmOps.qualityClassifier(spark, Sf).select("doc_id", "keep")
+    val m = QualityOps.qualityClassifier(spark, Sf).select("doc_id", "keep")
       .as[(Long, Boolean)].collect().toMap
-    val r = LlmOps.qualityEnsemble(spark, Sf).select("doc_id", "keep")
+    val r = QualityOps.qualityEnsemble(spark, Sf).select("doc_id", "keep")
       .as[(Long, Boolean)].collect().toMap
     val want = m.keys.toSeq.map(k => (m(k), r(k))).groupBy(identity)
       .map { case (cell, xs) => cell -> xs.size.toLong }
@@ -1399,7 +1399,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("d53 keep-best: one winner per cluster, winner maximizes (score, -doc_id)") {
-    val rows = LlmOps.clusterKeepBest(spark, Sf)
+    val rows = DedupOps.clusterKeepBest(spark, Sf)
       .select("doc_id", "cluster_id", "cluster_size", "quality_score", "keep_id", "kept")
       .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
     assert(rows.nonEmpty)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LlmOps, PairStore}
+import graft.operators.{LlmOps, PairGraph, PairStore}
 
 /** The materialized-pair-relation composition (d46–d48): the store-fed
   * consumers must be indistinguishable from their recomputing twins,
@@ -25,7 +25,7 @@ class PairStoreSpec extends SparkSpec {
     val manifest = PairStore.publish(spark, Sf)
       .select("check_name", "observed", "ok")
       .as[(String, Long, Boolean)].collect().toMap2
-    val expected = LlmOps.jaccardPairsRaw(spark, Sf, PairStore.Threshold).count()
+    val expected = PairGraph.jaccardPairsRaw(spark, Sf, PairStore.Threshold).count()
     assert(manifest("rows_match_expected") === ((expected, true)))
     assert(manifest("null_keys") === ((0L, true)))
     assert(manifest("dup_keys") === ((0L, true)))
@@ -34,37 +34,37 @@ class PairStoreSpec extends SparkSpec {
 
   test("d47 store-fed contamination ≡ recomputed d20, row for row") {
     val store = PairStore.storeContamination(spark, Sf).collect().toSeq
-    val recomputed = recomputing(LlmOps.contamination(spark, Sf).collect().toSeq)
+    val recomputed = recomputing(PairGraph.contamination(spark, Sf).collect().toSeq)
     assert(store === recomputed)
   }
 
   test("d48 store-fed edit verify ≡ recomputed d45, row for row") {
     val store = PairStore.storeEditVerify(spark, Sf).collect().toSeq
-    val recomputed = recomputing(LlmOps.editVerify(spark, Sf).collect().toSeq)
+    val recomputed = recomputing(PairGraph.editVerify(spark, Sf).collect().toSeq)
     assert(store === recomputed)
   }
 
   test("d30b store-fed incremental dedup ≡ recomputed d30, row for row") {
     val store = PairStore.storeIncrementalDedup(spark, Sf).collect().toSeq
     val recomputed = recomputing(
-      LlmOps.incrementalDedup(spark, Sf).collect().toSeq)
+      PairGraph.incrementalDedup(spark, Sf).collect().toSeq)
     assert(store === recomputed)
   }
 
   test("d49 store-fed clusters ≡ recomputed d19, row for row") {
     val store = PairStore.storeClusters(spark, Sf).collect().toSeq
     val recomputed = recomputing(
-      LlmOps.neardupClusters(spark, Sf).collect().toSeq)
+      PairGraph.neardupClusters(spark, Sf).collect().toSeq)
     assert(store === recomputed)
   }
 
   test("share knob default: consumers read the store; raw producers never do") {
     // default-on: the d20 plan scans the published parquet (no shingle
     // work — the plan has no Generate for the n-gram explode)...
-    val fed = LlmOps.contamination(spark, Sf).queryExecution.sparkPlan.toString
+    val fed = PairGraph.contamination(spark, Sf).queryExecution.sparkPlan.toString
     assert(!fed.contains("token_ngrams"), "store-fed d20 must not build shingles")
     // ...while d02's raw derivation always re-derives, knob or not
-    val raw = LlmOps.ngramJaccard(spark, Sf).queryExecution.sparkPlan.toString
+    val raw = PairGraph.ngramJaccard(spark, Sf).queryExecution.sparkPlan.toString
     assert(raw.contains("token_ngrams"), "d02 must stay self-contained")
   }
 
@@ -75,7 +75,7 @@ class PairStoreSpec extends SparkSpec {
     // table still feeds consumers correctly
     assert(second === first)
     assert(PairStore.storeEditVerify(spark, Sf).count() ===
-      recomputing(LlmOps.editVerify(spark, Sf).count()))
+      recomputing(PairGraph.editVerify(spark, Sf).count()))
   }
 
   private implicit class ToMap2(val rows: Array[(String, Long, Boolean)]) {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.LlmOps
+import graft.operators.{LlmOps, SamplingOps}
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
 /** Property-based invariants for d56 per-group exact-k reservoir
@@ -40,7 +40,7 @@ object ReservoirProps extends Properties("Reservoir") {
 
   private def run(rows: List[(Long, String)]): Set[(Long, String, Long)] = {
     import spark.implicits._
-    LlmOps.reservoirSampleOver(rows.toDF("doc_id", "lang"), K)
+    SamplingOps.reservoirSampleOver(rows.toDF("doc_id", "lang"), K)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
   }
 
@@ -87,7 +87,7 @@ object ReservoirProps extends Properties("Reservoir") {
       val mixed = rows.map { case (id, lang) =>
         (id, if (id % 2 == 0) lang else null)
       }
-      val got = LlmOps.reservoirSampleOver(mixed.toDF("doc_id", "lang"), K)
+      val got = SamplingOps.reservoirSampleOver(mixed.toDF("doc_id", "lang"), K)
         .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
         .toSet
       val nullIds = mixed.filter(_._2 == null).map(_._1).sorted.take(K)

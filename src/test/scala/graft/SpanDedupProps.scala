@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.LlmOps
+import graft.operators.{DedupOps, LlmOps}
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
 /** Property-based invariants for d42 span dedup on GENERATED corpora —
@@ -16,7 +16,7 @@ object SpanDedupProps extends Properties("SpanDedup") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(8)
 
-  private val C = LlmOps.SpanTokens
+  private val C = DedupOps.SpanTokens
 
   /** A doc = 1..3 whole tiles drawn from a 4-tile pool + a partial tail
     * of 0..C-1 tokens from a tiny vocab (tails can also repeat). */
@@ -61,7 +61,7 @@ object SpanDedupProps extends Properties("SpanDedup") {
       val docs = corpus.zipWithIndex.map { case (t, id) => (id.toLong, t) }
       val df = docs.map { case (id, t) => (id, t.mkString(" ")) }
         .toDF("doc_id", "text")
-      val got = LlmOps.spanDedupOver(df)
+      val got = DedupOps.spanDedupOver(df)
         .select("doc_id", "n_chunks", "n_kept", "cleaned_len", "cleaned_md5")
         .as[(Long, Long, Long, Long, String)].collect()
       val want = model(docs)
