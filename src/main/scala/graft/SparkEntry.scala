@@ -240,6 +240,8 @@ object SparkEntry {
     "f13_merge_upsert" -> (Sources.mergeUpsert _),
     // snapshot AS-OF read over retained WAP versions (time travel)
     "f14_time_travel" -> (Sources.timeTravel _),
+    // change-data-feed read between two retained versions (CDC diff)
+    "f15_change_feed" -> (Sources.changeFeed _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1634,6 +1636,46 @@ object SparkEntry {
         |  FROM r JOIN e ON e.src = r.node)
         |SELECT root, node, CAST(min(hops) AS BIGINT) AS min_hops
         |FROM r GROUP BY root, node ORDER BY root, node""".stripMargin,
+    "f15_change_feed" ->
+      // v1 and the merged current re-derived (the f14 CTEs with names),
+      // then the four CDC row kinds: inserts = keys only in current,
+      // deletes = keys only in v1, update pre/post pairs = keys whose
+      // payload changed; unchanged keys emit nothing.
+      s"""WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         |u AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+         |        'upsert' AS op FROM customer WHERE c_custkey % 10 = 2
+         |      UNION ALL
+         |      SELECT c_custkey + 1000000, 'New#' || CAST(c_custkey AS VARCHAR),
+         |        CAST(c_custkey AS DOUBLE), 'upsert' FROM customer
+         |      WHERE c_custkey % 10 = 8),
+         |cur AS (
+         |  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+         |    CASE WHEN u.op IS NOT NULL THEN u.c_name ELSE t.c_name END
+         |      AS c_name,
+         |    CASE WHEN u.op IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END
+         |      AS c_acctbal
+         |  FROM v1 t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+         |  WHERE COALESCE(u.c_custkey, t.c_custkey) NOT IN
+         |    (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5)),
+         |upd AS (SELECT t.c_custkey,
+         |          t.c_name AS pre_name, t.c_acctbal AS pre_bal,
+         |          c.c_name AS post_name, c.c_acctbal AS post_bal
+         |        FROM v1 t JOIN cur c ON t.c_custkey = c.c_custkey
+         |        WHERE t.c_name IS DISTINCT FROM c.c_name
+         |           OR t.c_acctbal IS DISTINCT FROM c.c_acctbal)
+         |SELECT c_custkey, c_name, c_acctbal, change_type FROM (
+         |  SELECT c.c_custkey, c.c_name, c.c_acctbal, 'insert' AS change_type
+         |  FROM cur c LEFT JOIN v1 t ON c.c_custkey = t.c_custkey
+         |  WHERE t.c_custkey IS NULL
+         |  UNION ALL
+         |  SELECT t.c_custkey, t.c_name, t.c_acctbal, 'delete'
+         |  FROM v1 t LEFT JOIN cur c ON t.c_custkey = c.c_custkey
+         |  WHERE c.c_custkey IS NULL
+         |  UNION ALL
+         |  SELECT c_custkey, pre_name, pre_bal, 'update_preimage' FROM upd
+         |  UNION ALL
+         |  SELECT c_custkey, post_name, post_bal, 'update_postimage' FROM upd)
+         |ORDER BY c_custkey, change_type""".stripMargin,
     "f14_time_travel" ->
       // version 1 = the customer snapshot; version 2 = the f13 merge
       // applied; both re-derived here, aggregated per bucket and

@@ -475,6 +475,78 @@ object Sources {
       .orderBy("bucket")
   }
 
+  /** f15 — CHANGE-DATA-FEED read between two retained versions: the
+    * keyed diff of AS-OF `from` vs AS-OF `to`, emitted in the CDC shape
+    * streaming consumers apply (Delta CDF's contract): one `insert` row
+    * per new key (payload = `to`), one `delete` per vanished key
+    * (payload = `from`), and an `update_preimage` + `update_postimage`
+    * PAIR per key whose payload changed; unchanged keys emit NOTHING —
+    * the property that makes a change feed O(changes), not O(table),
+    * to consume. Inverse of f13: MERGE applies a feed, f15 recovers
+    * the minimal feed between any two versions after the fact.
+    *
+    * Plan: ONE full-outer key join of two plain parquet scans, then a
+    * per-row conditional array + explode (unchanged rows produce a
+    * null array the explode drops — no second pass, no union of four
+    * filtered scans). Payload comparison is null-safe struct equality.
+    * Scale: the key shuffle is the minimal movement any keyed diff
+    * needs (p06's argument); a table format with file-level change
+    * manifests skips the unchanged-file scans entirely — same output
+    * contract. */
+  def changesBetween(s: SparkSession, base: String, from: Int, to: Int,
+      key: String): DataFrame = {
+    val a = readAsOf(s, base, from)
+    val payload = a.columns.filterNot(_ == key).toSeq
+    def packed(df: DataFrame, side: String) = df.select(col(key) +:
+      Seq(struct(payload.map(col): _*).as(s"p_$side"),
+        lit(true).as(s"in_$side")): _*)
+    val joined = packed(a, "a")
+      .join(packed(readAsOf(s, base, to), "b"), Seq(key), "full_outer")
+    val change = when(col("in_a").isNull,
+        array(struct(col("p_b").as("p"), lit("insert").as("t"))))
+      .when(col("in_b").isNull,
+        array(struct(col("p_a").as("p"), lit("delete").as("t"))))
+      .when(!(col("p_a") <=> col("p_b")),
+        array(struct(col("p_a").as("p"), lit("update_preimage").as("t")),
+          struct(col("p_b").as("p"), lit("update_postimage").as("t"))))
+    // unchanged → null array → explode emits nothing
+    joined.select(col(key), explode(change).as("c"))
+      .select(col(key) +: (payload.map(p => col(s"c.p.$p").as(p)) :+
+        col("c.t").as("change_type")): _*)
+  }
+
+  /** The f15 registry query: the f14 two-version flow (customer
+    * snapshot → f13 merge), then the change feed between them. The
+    * result is exactly the merge's effect re-derived from STORAGE:
+    * bucket-5 deletes, bucket-2 update pairs, offset-8 inserts; every
+    * untouched customer absent. */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+    val deletes = cust.filter(pmod(col("c_custkey"), lit(10L)) === 5)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    val inserts = cust.filter(pmod(col("c_custkey"), lit(10L)) === 8)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("New#"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_custkey").cast("double").as("c_acctbal"),
+        lit("upsert").as("op"))
+    val merged = mergeUpsertOver(target,
+      updates.unionByName(deletes).unionByName(inserts), "c_custkey")
+      .drop("action")
+    val base = java.nio.file.Files.createTempDirectory("graft-cdf").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    writeAuditPublishStaged(s, target, target.count(), base.toString,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    writeAuditPublishStaged(s, merged, merged.count(), base.toString,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    changesBetween(s, base.toString, 1, 2, "c_custkey")
+      .orderBy("c_custkey", "change_type")
+  }
+
   private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
       expectedRows: Long, base: String,
       keyCols: Seq[String] = Seq("doc_id"),

@@ -368,6 +368,56 @@ class StorageSpec extends SparkSpec {
       "current ≡ merge applied to v1")
   }
 
+  test("f15 change feed: planted versions yield exact CDC rows; unchanged silent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdf-spec").toString
+    def pub(rows: Seq[(Long, String, Double)]): Unit =
+      operators.Sources.writeAuditPublishStaged(spark,
+        rows.toDF("k", "name", "bal"), rows.size.toLong, base,
+        keyCols = Seq("k"), retainVersions = true)
+    pub(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    pub(Seq((2L, "b", 20.0),          // unchanged → silent
+      (3L, "c2", 30.0),               // name changed → update pair
+      (4L, "d", 40.0)))               // new → insert; 1 gone → delete
+    val got = operators.Sources.changesBetween(spark, base, 1, 2, "k")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 10.0, "delete"),
+      (3L, "c", 30.0, "update_preimage"),
+      (3L, "c2", 30.0, "update_postimage"),
+      (4L, "d", 40.0, "insert")))
+  }
+
+  test("f15 inverse property: applying the change feed to v1 reproduces v2") {
+    // the CDC contract: v2 = v1 − deletes − preimages + inserts + postimages
+    val cust = Tables.customer(spark, Sf)
+    val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val merged = operators.Sources.mergeUpsertOver(target,
+      cust.filter(col("c_custkey") % 10 === 2)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 5)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit("delete").as("op"))), "c_custkey").drop("action")
+    val base = java.nio.file.Files.createTempDirectory("graft-cdf-spec2").toString
+    operators.Sources.writeAuditPublishStaged(spark, target, target.count(),
+      base, keyCols = Seq("c_custkey"), retainVersions = true)
+    operators.Sources.writeAuditPublishStaged(spark, merged, merged.count(),
+      base, keyCols = Seq("c_custkey"), retainVersions = true)
+    val feed = operators.Sources.changesBetween(spark, base, 1, 2, "c_custkey")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+      df.select("c_custkey", "c_name", "c_acctbal")
+        .as[(Long, String, Double)].collect().toSet
+    val v1 = rows(operators.Sources.readAsOf(spark, base, 1))
+    val v2 = rows(operators.Sources.readAsOf(spark, base, 2))
+    val minus = rows(feed.filter(
+      col("change_type").isin("delete", "update_preimage")))
+    val plus = rows(feed.filter(
+      col("change_type").isin("insert", "update_postimage")))
+    assert((v1 -- minus) ++ plus === v2)
+    assert(minus.subsetOf(v1) && plus.subsetOf(v2))
+    assert((v1 & plus).isEmpty, "postimages must differ from their preimages")
+  }
+
   test("f13 Type-1 merge of the latest-change feed ≡ e31 SCD2 current rows") {
     // SCD Type-2 keeps history; Type-1 keeps only the latest value. So
     // merging each user's LAST event (by the e31 (ts, event_id) order)
