@@ -20,6 +20,14 @@ object DedupOps {
   import SamplingOps._
 
 
+  /** E18 — exact deduplication of `documents` by normalized text.
+    *
+    * Grouping key is the normalized text itself (grouping equality is the
+    * contract; Spark shuffles on its hash anyway, which is exactly the
+    * "hash the text, shuffle on the hash" plan — at 100 TB you'd shuffle
+    * `xxhash64(norm)` + verify text equality within the group to keep
+    * shuffle rows narrow). Deterministic keep-rule: min doc_id per group,
+    * so the oracle can reproduce the survivor set exactly. */
   def exactDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .groupBy(normText(col("text")).as("norm"))
@@ -30,10 +38,35 @@ object DedupOps {
 
   // ———————————————————— E19: near-dup (two plans) ————————————————————
 
-  /** E19a — exact n-gram Jaccard near-duplicate pairs (threshold 0.8;
-    * the corpus has a planted family of ~25 pairs ≥ 0.8 with the next
-    * pair below 0.1, so the threshold is far from any boundary). */
 
+  /** d42 — cross-document SPAN dedup (the C4/RefinedWeb "remove any span
+    * seen elsewhere" rule, at fixed-chunk granularity): the corpus is
+    * tiled into DISJOINT [[SpanTokens]]-token chunks, and a chunk
+    * occurrence survives only if it is the globally-FIRST occurrence of
+    * that chunk content (lexicographic (doc_id, chunk_id) min — a
+    * deterministic keep rule the oracle reproduces). Each document is
+    * then reassembled from its surviving chunks in order. Document-level
+    * dedup (d01/d02/d03) cannot do this: a boilerplate paragraph pasted
+    * into a thousand otherwise-unique pages survives document-level
+    * filters but is exactly what span dedup strips.
+    *
+    * Plan — NO content-keyed window anywhere (that is the d42 scale
+    * trap: hot 32-token tiles — licenses, navboxes, boilerplate — repeat
+    * millions of times, and a `Window.partitionBy(chunk_text)` puts every
+    * occurrence of a hot tile in ONE partition that AQE cannot split).
+    * Instead the global first occurrence per chunk content is a partial
+    * aggregation: `groupBy(chunk_text).agg(min(struct(doc_id, chunk_id)))`
+    * collapses a hot tile to one row PER MAP TASK before the shuffle, so
+    * the exchange carries ~tasks×distinct rows however hot the tile is.
+    * The keep flag then joins back on the OCCURRENCE COORDINATE
+    * `(doc_id, chunk_id)` — unique, uniformly distributed, 16 bytes —
+    * so no content key survives into any join or window at all (strictly
+    * better than the hashed-content join-back: zero skew by construction,
+    * not AQE-mitigated skew). Reassembly is ONE shuffle on doc_id. At
+    * 100 TB the groupBy key becomes `xxhash64(chunk_text)` with a
+    * within-group verify to keep shuffle rows narrow — same note as d01.
+    * The reassembled text travels as md5 + length so output rows stay
+    * narrow (d14 note); a real sink keeps the text. */
   val SpanTokens = 32
 
   def spanDedup(s: SparkSession, d: String): DataFrame =
@@ -166,19 +199,36 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** d45 — EDIT-DISTANCE verification of near-dup candidate pairs: the
-    * character-level second opinion on the shingle-level d02 relation
-    * (pipelines that act destructively on dedup output often gate on
-    * edit similarity, which token shingles approximate but don't
-    * guarantee — transpositions and in-token edits read differently at
-    * the two granularities). Levenshtein is O(|a|·|b|) PER PAIR, so it
-    * can never run on candidates at scale — here it runs on the
-    * OUTPUT-sized verified pair set (the d02 relation), each side's
-    * normalized text fetched by a keyed semi-join-shaped lookup. The
-    * distance is integer DP (identical in any engine) and `edit_sim` is
-    * one IEEE division of engine-identical integers — bit-exact, no
-    * rounding. */
 
+  /** d58 — generic blocked FUZZY equi-join (entity resolution's core
+    * primitive: match keys that are typo-distance, not string-equal).
+    * Blocking is the SymSpell delete-neighborhood: every key emits
+    * itself plus its |s| single-character deletions, and two keys
+    * within Levenshtein distance 1 PROVABLY share a variant (equal →
+    * identity; deletion/insertion → the shorter string is a variant of
+    * both; substitution at p → both sides' delete-at-p agree), so the
+    * candidate equi-join on the variant has EXACT recall — unlike the
+    * d02-style shared-gram blocking, whose DF cap trades recall for
+    * skew safety. Precision comes from one exact `levenshtein` pass
+    * over the candidate pairs.
+    *
+    * Scale: fanout is |s|+1 variants per key (for distance d it is the
+    * recursive delete set, C(|s|, d)-bounded — the standard SymSpell
+    * tradeoff; this operator fixes d = 1, the dominant typo case). The
+    * join is a plain equi-join on the variant string — never a cross
+    * product — and bucket occupancy is bounded by how many keys share
+    * a variant: distinct-key corpora give singleton-ish buckets, and a
+    * duplicated-key corpus should dedupe to DISTINCT keys before
+    * blocking and map ids back after (key-cardinality work, the d01
+    * posture). The verify runs on candidate pairs only — output-sized,
+    * the d45 rule.
+    *
+    * NULL keys match nothing (the variant array is null, so the explode
+    * emits no rows) — the same null semantics as the plain equi-join
+    * this operator fuzzes; rows that must not be dropped should be
+    * null-filtered (and audited) upstream. Empty keys are handled: ""
+    * has only itself as a variant (a bare `sequence(1, length)` would
+    * yield the descending [1,0] and fabricate spurious variants). */
   private[graft] def fuzzyJoinOver(left: DataFrame, right: DataFrame): DataFrame = {
     // s plus its |s| delete-1 variants, deduped (adjacent equal chars
     // make duplicate deletions); the when() guards the empty key, whose
@@ -309,22 +359,24 @@ object DedupOps {
       .orderBy("r_id")
   }
 
-  /** d44 — hashed-feature LINEAR quality classifier (the fastText-style
-    * model-based quality filter — the stage that scores each document
-    * with a trained linear model over hashed bag-of-words features and
-    * keeps the high scorers). Tokens hash into 64 feature buckets (the
-    * d34 md5-bucket idiom); the logit is Σ c_b·w_b / (100·n) with c_b
-    * the doc's bucket counts. The weight VECTOR here is a deterministic
-    * closed form over the bucket id, w_b = ((37·b + 11) mod 101 − 50)
-    * (a stand-in the oracle recomputes — a real deployment broadcasts
-    * its trained vector; the plan is identical). Weight numerators are
-    * INTEGERS, so the per-doc sum is exact in any engine and the logit
-    * is ONE IEEE division of engine-identical integers — bit-exact, no
-    * rounding (Canon.round4 note). `keep` thresholds the logit at 0
-    * (the sigmoid is monotone in the logit, so scoring and gating need
-    * no exp/division chain). ONE shuffle keyed by doc_id; at 100 TB the
-    * hash-and-weight projection is scan-parallel map work. */
 
+  /** d53 — cluster KEEP-BEST selection (the quality-aware keep rule):
+    * per near-dup cluster (the d19 CC assignment), keep the member with
+    * the HIGHEST d08 quality score (doc_id tie-break) — C4 keeps
+    * first-seen, but quality-aware pipelines keep the best copy of each
+    * duplicate family, because the family's members differ exactly in
+    * the boilerplate/noise the score measures. This is the "keep-one-
+    * per-family pass" the pair-store scaladocs (d49) reference, made a
+    * first-class operator.
+    *
+    * Plan: the CC labeling + a quality projection joined on doc_id,
+    * then the per-cluster winner via `max_by` over a (score, −doc_id)
+    * struct — an AGGREGATE, not a rank window: a boilerplate family can
+    * have millions of members, and the aggregate partial-combines
+    * map-side where a cluster-keyed window would funnel the family
+    * through one partition (the d42 lesson). One extra broadcast-able
+    * join carries the winner back. Scores reuse [[qualityScore]] — one
+    * definition, no drift. */
   def clusterKeepBest(s: SparkSession, d: String): DataFrame = {
     val clusters = neardupClusters(s, d)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
@@ -341,19 +393,22 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** d54 — FILTER-agreement audit (learned vs rule-based): the 2×2
-    * confusion table between the d44 linear classifier's keep and the
-    * d52 ensemble's keep, plus each cell's share — the governance check
-    * a pipeline runs BEFORE swapping a rule-based filter for a learned
-    * one (the disagreement cells are exactly the documents to audit;
-    * a swap that silently flips 30% of verdicts is a dataset change,
-    * not a refactor). Both scorers are the registered operators reused
-    * verbatim — one definition each, no drift.
-    *
-    * Plan: two scan-parallel scoring subtrees join co-keyed on doc_id,
-    * then a 4-group aggregate; the share denominator is a one-row
-    * broadcast. All counts integer; `share` is ONE IEEE division. */
 
+  /** d37 — tombstone purge manifest (the GDPR/right-to-be-forgotten
+    * shape): given a deletion predicate over source ids, report
+    * before/purged/after counts for the source table AND each derived
+    * store that must purge consistently — here the fingerprint store
+    * (doc-keyed derivative) and the embedding store (its own id space).
+    *
+    * At 100 TB deletion is not per-row mutation: each store rewrites as
+    * one ANTI-JOIN compaction (`filter(!tombstoned)` when the predicate
+    * is computable, a broadcast anti-join against the tombstone id set
+    * when it arrives as a list — the manifest is identical). This query
+    * is the audit artifact a deletion job emits; LlmOpsSpec pins that
+    * the compacted stores contain no tombstoned ids and stay
+    * referentially consistent with the compacted source. Scale: three
+    * independent scan-parallel aggregates, no joins, no shuffles beyond
+    * the three single-row aggregations. */
   def tombstonePurge(s: SparkSession, d: String, everyNth: Long = 17): DataFrame = {
     def stat(name: String, df: DataFrame, tomb: Column): DataFrame =
       df.agg(lit(name).as("store"), count(lit(1)).as("n_before"),
@@ -380,43 +435,31 @@ object DedupOps {
   private[graft] def purgeDocStore(df: DataFrame, everyNth: Long): DataFrame =
     df.filter(pmod(col("doc_id"), lit(everyNth)) =!= 0)
 
-  /** d35 — SemDeDup (Abbas et al., 2023) shaped semantic dedup: bucket
-    * the embedding space, compare pairs only WITHIN a bucket, and drop
-    * every vector that has ANY more-senior (smaller-id) neighbor above
-    * the similarity threshold — the seniority-dominance rule. Output:
-    * one row per dropped vector with its most senior over-threshold
-    * neighbor and their (rounded) cosine.
-    *
-    * Contract, precisely: the KEPT set is `vec_ids ∖ output` — exactly
-    * the vectors with no senior τ-neighbor in their bucket. `kept_id`
-    * is blame, not membership: in a chain a<b<c with sim(a,b)≥τ,
-    * sim(b,c)≥τ, sim(a,c)<τ, both b and c are dropped and c blames b
-    * (itself dropped; following blame pointers reaches the kept root).
-    * The sequential greedy keep-first scan (which would keep c) is
-    * order-dependent and inherently serial; the dominance rule is the
-    * one-pass distributed analog and dedups strictly more aggressively
-    * — the right direction for a dedup gate. LlmOpsSpec's recompute
-    * pins exactly this rule.
-    *
-    * Buckets here are `nBits` sign bits of deterministic hyperplane dots
-    * ([[planeComp]], its own table id so the planes are independent of
-    * [[annLsh]]'s) — the paper's k-means cells swap in transparently
-    * (see [[ivfAnn]]'s assignment stage) but hyperplane signs are
-    * reproducible in the SQL oracle, which inlines the same plane
-    * literals. The fixtures' embeddings are isotropic (no planted
-    * high-sim families — measured max pairwise cosine ≈ 0.51), so the
-    * registered binding demonstrates the pipeline at τ = 0.40; real
-    * embedding corpora bind τ ≈ 0.95+. LlmOpsSpec exercises true
-    * near-identical planted vectors through [[semdedupOver]].
-    *
-    * Scale: the pair join is a bucketed equi-join on the signature —
-    * never all-pairs (candidate volume ~ n²/2^nBits per the random-
-    * hyperplane collision bound, and a skewed bucket is split by AQE);
-    * the dominance rule is one row_number window per dropped doc. Like any
-    * single-table LSH it trades recall (a cross-bucket pair is missed)
-    * for the sub-linear plan; multi-table OR-ing ([[annLsh]]'s nTables)
-    * is the standard recall knob. */
 
+  /** d38 — duplicate-multiplicity sampling weights ("soft dedup").
+    *
+    * Hard dedup (d01) keeps one copy per exact-duplicate family and
+    * drops the rest; the soft variant keeps EVERY copy but assigns
+    * weight 1/m (m = family size) so the family contributes one
+    * document's worth of expected training mass under weighted
+    * sampling — the standard alternative when dropping is too blunt
+    * (duplicated ≠ worthless: boilerplate-heavy crawls often duplicate
+    * exactly the high-quality pages).
+    *
+    * Plan: family sizes come from `groupBy(norm).count()` — NOT a
+    * count window partitioned by the content key. The two are
+    * semantically identical here (the count needs no ordering), but the
+    * window puts every member of a hot family in ONE partition AQE
+    * cannot split, while the groupBy's partial aggregation collapses a
+    * hot family to one row per map task before the shuffle. The count
+    * then joins back on `norm`; a skewed family skews only this join,
+    * which AQE's skew-join handling CAN split (the build side is one
+    * row per family). At 100 TB both the groupBy and join key become
+    * `xxhash64(norm)` per the d01 scaladoc, shuffling 8-byte keys
+    * instead of document bodies. `weight` is a single IEEE division on
+    * engine-identical operands — bit-exact across engines, no rounding
+    * needed (Canon.round4 note).
+    */
   def dupWeights(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), normText(col("text")).as("norm"))

@@ -21,6 +21,11 @@ object EmbeddingOps {
   import SamplingOps._
 
 
+  /** Cosine similarity of two ARRAY<DOUBLE> columns — the native codegen
+    * expression [[graft.functions.CosineSimilarity]] (same in-order
+    * accumulation as an `aggregate(zip_with(...))` fold and DuckDB's
+    * `list_inner_product`, so oracle hashes are unaffected; ~3× faster
+    * on the pair-join hot path because it stays in whole-stage codegen). */
   private[operators] def cosine(a: Column, b: Column): Column =
     call_function(graft.functions.CosineSimilarity.Name, a, b)
 
@@ -209,35 +214,14 @@ object EmbeddingOps {
 
   // ———————————— context-window chunking & quantization ————————————
 
-  /** d42 — cross-document SPAN dedup (the C4/RefinedWeb "remove any span
-    * seen elsewhere" rule, at fixed-chunk granularity): the corpus is
-    * tiled into DISJOINT [[SpanTokens]]-token chunks, and a chunk
-    * occurrence survives only if it is the globally-FIRST occurrence of
-    * that chunk content (lexicographic (doc_id, chunk_id) min — a
-    * deterministic keep rule the oracle reproduces). Each document is
-    * then reassembled from its surviving chunks in order. Document-level
-    * dedup (d01/d02/d03) cannot do this: a boilerplate paragraph pasted
-    * into a thousand otherwise-unique pages survives document-level
-    * filters but is exactly what span dedup strips.
-    *
-    * Plan — NO content-keyed window anywhere (that is the d42 scale
-    * trap: hot 32-token tiles — licenses, navboxes, boilerplate — repeat
-    * millions of times, and a `Window.partitionBy(chunk_text)` puts every
-    * occurrence of a hot tile in ONE partition that AQE cannot split).
-    * Instead the global first occurrence per chunk content is a partial
-    * aggregation: `groupBy(chunk_text).agg(min(struct(doc_id, chunk_id)))`
-    * collapses a hot tile to one row PER MAP TASK before the shuffle, so
-    * the exchange carries ~tasks×distinct rows however hot the tile is.
-    * The keep flag then joins back on the OCCURRENCE COORDINATE
-    * `(doc_id, chunk_id)` — unique, uniformly distributed, 16 bytes —
-    * so no content key survives into any join or window at all (strictly
-    * better than the hashed-content join-back: zero skew by construction,
-    * not AQE-mitigated skew). Reassembly is ONE shuffle on doc_id. At
-    * 100 TB the groupBy key becomes `xxhash64(chunk_text)` with a
-    * within-group verify to keep shuffle rows narrow — same note as d01.
-    * The reassembled text travels as md5 + length so output rows stay
-    * narrow (d14 note); a real sink keeps the text. */
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * format a 100 TB vector corpus actually ships (4× smaller than
+    * float32). Per vector: scale = max|v|/127, qᵢ = round(vᵢ/scale)
+    * half-away-from-zero via DECIMAL cast (deterministic across engines,
+    * unlike double `round`). Outputs are integer aggregates of the
+    * quantized vector (exact — no float drift): squared norm, L1 norm,
+    * and the q range, plus the rounded scale. Scan-parallel, no shuffle. */
   def quantizeEmbeddings(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -257,13 +241,22 @@ object EmbeddingOps {
       .orderBy("vec_id")
   }
 
-  /** Reproducible corpus splitting: 80/10/10 train/val/test by a hash
-    * bucket of the document id — the split a training pipeline must hold
-    * fixed across runs, engines, and corpus growth (a row's assignment
-    * never depends on what other rows exist, unlike `sample()`/RNG
-    * splits which reshuffle under repartitioning). md5 keeps the bucket
-    * engine-portable; per-row arithmetic, no shuffle. */
 
+  /** d29 — embedding POST-PROCESS pipeline: L2-normalize, truncate to a
+    * prefix of `k` dimensions (the Matryoshka/MRL deployment trick —
+    * serve a cheap k-dim prefix of a full-width embedding), re-normalize
+    * the prefix, and symmetric-int8 requantize it ([[quantizeEmbeddings]]'
+    * scheme on the truncated unit vector). Reports the energy the prefix
+    * retains (‖v[..k]‖²/‖v‖² — the quality signal that decides how small
+    * k can go) and exact integer summaries of the quantized prefix.
+    *
+    * Float discipline: the two squared norms are sums of per-element
+    * x² terms canonicalized to DECIMAL(30,6) BEFORE the fold (exact,
+    * order-independent — [[graft.Canon]]); energy is ONE division of
+    * engine-identical doubles; the quantized values land as exact longs
+    * via the same decimal-cast rounding as d15. Everything is per-row
+    * arithmetic — scan-parallel, zero shuffles before the output order,
+    * so the pipeline runs at full scan bandwidth on any corpus. */
   def matryoshka(s: SparkSession, d: String, k: Int = 16): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -301,24 +294,43 @@ object EmbeddingOps {
       .orderBy("vec_id")
   }
 
-  /** d30 — INCREMENTAL ingestion dedup: the admission decision for a new
-    * batch of documents arriving against an already-ingested corpus —
-    * the shape every continuously-fed training corpus runs daily (dedup
-    * the delta, never re-dedup the whole corpus). The batch is the
-    * `doc_id % 10 ≥ 8` slice (a stand-in for "today's crawl"); a batch
-    * document is rejected as `dup_existing` if it has a near-dup partner
-    * (the [[ngramJaccard]] pair relation at 0.8) already in the corpus,
-    * else `dup_batch` if an EARLIER batch document (smaller doc_id — the
-    * same deterministic keep rule as [[exactDedup]]) is its near-dup,
-    * else admitted as `new`. The rule is pairwise by design: transitive
-    * closure is [[neardupClusters]]' job; the delta gate stays a cheap
-    * join.
-    *
-    * Scale: the pair build is the capped candidate join (see
-    * [[jaccardPairsOver]]); the decision itself is one edge-table
-    * aggregation keyed by batch doc_id plus a left join — O(Δ) work per
-    * delta, independent of corpus history size beyond the pair probe. */
 
+  /** d35 — SemDeDup (Abbas et al., 2023) shaped semantic dedup: bucket
+    * the embedding space, compare pairs only WITHIN a bucket, and drop
+    * every vector that has ANY more-senior (smaller-id) neighbor above
+    * the similarity threshold — the seniority-dominance rule. Output:
+    * one row per dropped vector with its most senior over-threshold
+    * neighbor and their (rounded) cosine.
+    *
+    * Contract, precisely: the KEPT set is `vec_ids ∖ output` — exactly
+    * the vectors with no senior τ-neighbor in their bucket. `kept_id`
+    * is blame, not membership: in a chain a<b<c with sim(a,b)≥τ,
+    * sim(b,c)≥τ, sim(a,c)<τ, both b and c are dropped and c blames b
+    * (itself dropped; following blame pointers reaches the kept root).
+    * The sequential greedy keep-first scan (which would keep c) is
+    * order-dependent and inherently serial; the dominance rule is the
+    * one-pass distributed analog and dedups strictly more aggressively
+    * — the right direction for a dedup gate. LlmOpsSpec's recompute
+    * pins exactly this rule.
+    *
+    * Buckets here are `nBits` sign bits of deterministic hyperplane dots
+    * ([[planeComp]], its own table id so the planes are independent of
+    * [[annLsh]]'s) — the paper's k-means cells swap in transparently
+    * (see [[ivfAnn]]'s assignment stage) but hyperplane signs are
+    * reproducible in the SQL oracle, which inlines the same plane
+    * literals. The fixtures' embeddings are isotropic (no planted
+    * high-sim families — measured max pairwise cosine ≈ 0.51), so the
+    * registered binding demonstrates the pipeline at τ = 0.40; real
+    * embedding corpora bind τ ≈ 0.95+. LlmOpsSpec exercises true
+    * near-identical planted vectors through [[semdedupOver]].
+    *
+    * Scale: the pair join is a bucketed equi-join on the signature —
+    * never all-pairs (candidate volume ~ n²/2^nBits per the random-
+    * hyperplane collision bound, and a skewed bucket is split by AQE);
+    * the dominance rule is one row_number window per dropped doc. Like any
+    * single-table LSH it trades recall (a cross-bucket pair is missed)
+    * for the sub-linear plan; multi-table OR-ing ([[annLsh]]'s nTables)
+    * is the standard recall knob. */
   def semdedup(s: SparkSession, d: String, tau: Double = 0.40,
       nBits: Int = 4, table: Int = 7): DataFrame =
     semdedupOver(Tables.embeddings(s, d)
@@ -414,28 +426,4 @@ object EmbeddingOps {
       .orderBy("vec_id")
   }
 
-  /** d38 — duplicate-multiplicity sampling weights ("soft dedup").
-    *
-    * Hard dedup (d01) keeps one copy per exact-duplicate family and
-    * drops the rest; the soft variant keeps EVERY copy but assigns
-    * weight 1/m (m = family size) so the family contributes one
-    * document's worth of expected training mass under weighted
-    * sampling — the standard alternative when dropping is too blunt
-    * (duplicated ≠ worthless: boilerplate-heavy crawls often duplicate
-    * exactly the high-quality pages).
-    *
-    * Plan: family sizes come from `groupBy(norm).count()` — NOT a
-    * count window partitioned by the content key. The two are
-    * semantically identical here (the count needs no ordering), but the
-    * window puts every member of a hot family in ONE partition AQE
-    * cannot split, while the groupBy's partial aggregation collapses a
-    * hot family to one row per map task before the shuffle. The count
-    * then joins back on `norm`; a skewed family skews only this join,
-    * which AQE's skew-join handling CAN split (the build side is one
-    * row per family). At 100 TB both the groupBy and join key become
-    * `xxhash64(norm)` per the d01 scaladoc, shuffling 8-byte keys
-    * instead of document bodies. `weight` is a single IEEE division on
-    * engine-identical operands — bit-exact across engines, no rounding
-    * needed (Canon.round4 note).
-    */
 }

@@ -23,6 +23,22 @@ object PairGraph {
   import SamplingOps._
 
 
+  /** Document-frequency cap for shared-shingle candidate generation.
+    *
+    * Shingle frequency is zipfian in a real corpus; a shingle occurring
+    * in k documents emits O(k²) candidate pairs inside ONE join bucket —
+    * AQE skew-join can split the shuffle partition but cannot shrink the
+    * inherent pair-count blowup, so hot shingles must be excluded from
+    * candidate generation. The cap introduces a bounded recall tradeoff
+    * (a pair is missed only if EVERY shared shingle is hotter than the
+    * cap — near-duplicate documents share many shingles, almost all
+    * rare), and the banded-MinHash path ([[minhashNearDup]]) is the
+    * recall backstop: its bands hash the full signature, unaffected by
+    * per-shingle frequency. 20 keeps every planted pair at every test
+    * scale while actually dropping hot shingles at sf0.1 (measured:
+    * max shingle DF 25, worst pair's rarest shared shingle DF 10);
+    * a 100 TB run tunes it to the corpus (typical: 100–1000, or a
+    * quantile of the DF distribution). */
   val MaxShingleDf = 20L
 
   /** Exact Jaccard over candidate pairs from a shared-shingle bucketed
@@ -208,15 +224,10 @@ object PairGraph {
 
   // ————————————————————————— E18: exact dedup —————————————————————————
 
-  /** E18 — exact deduplication of `documents` by normalized text.
-    *
-    * Grouping key is the normalized text itself (grouping equality is the
-    * contract; Spark shuffles on its hash anyway, which is exactly the
-    * "hash the text, shuffle on the hash" plan — at 100 TB you'd shuffle
-    * `xxhash64(norm)` + verify text equality within the group to keep
-    * shuffle rows narrow). Deterministic keep-rule: min doc_id per group,
-    * so the oracle can reproduce the survivor set exactly. */
 
+  /** E19a — exact n-gram Jaccard near-duplicate pairs (threshold 0.8;
+    * the corpus has a planted family of ~25 pairs ≥ 0.8 with the next
+    * pair below 0.1, so the threshold is far from any boundary). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     jaccardPairsRaw(s, d, 0.8)
       .select(col("i"), col("j"), round4(col("jac")).as("jac"))
@@ -377,12 +388,19 @@ object PairGraph {
 
   // ——————————————— E20: vector similarity search ———————————————
 
-  /** Cosine similarity of two ARRAY<DOUBLE> columns — the native codegen
-    * expression [[graft.functions.CosineSimilarity]] (same in-order
-    * accumulation as an `aggregate(zip_with(...))` fold and DuckDB's
-    * `list_inner_product`, so oracle hashes are unaffected; ~3× faster
-    * on the pair-join hot path because it stays in whole-stage codegen). */
 
+  /** d45 — EDIT-DISTANCE verification of near-dup candidate pairs: the
+    * character-level second opinion on the shingle-level d02 relation
+    * (pipelines that act destructively on dedup output often gate on
+    * edit similarity, which token shingles approximate but don't
+    * guarantee — transpositions and in-token edits read differently at
+    * the two granularities). Levenshtein is O(|a|·|b|) PER PAIR, so it
+    * can never run on candidates at scale — here it runs on the
+    * OUTPUT-sized verified pair set (the d02 relation), each side's
+    * normalized text fetched by a keyed semi-join-shaped lookup. The
+    * distance is integer DP (identical in any engine) and `edit_sim` is
+    * one IEEE division of engine-identical integers — bit-exact, no
+    * rounding. */
   def editVerify(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
     editVerifyOver(s, d, jaccardPairs(s, d, 0.8), threshold)
 
@@ -406,36 +424,25 @@ object PairGraph {
       .orderBy("i", "j")
   }
 
-  /** d58 — generic blocked FUZZY equi-join (entity resolution's core
-    * primitive: match keys that are typo-distance, not string-equal).
-    * Blocking is the SymSpell delete-neighborhood: every key emits
-    * itself plus its |s| single-character deletions, and two keys
-    * within Levenshtein distance 1 PROVABLY share a variant (equal →
-    * identity; deletion/insertion → the shorter string is a variant of
-    * both; substitution at p → both sides' delete-at-p agree), so the
-    * candidate equi-join on the variant has EXACT recall — unlike the
-    * d02-style shared-gram blocking, whose DF cap trades recall for
-    * skew safety. Precision comes from one exact `levenshtein` pass
-    * over the candidate pairs.
-    *
-    * Scale: fanout is |s|+1 variants per key (for distance d it is the
-    * recursive delete set, C(|s|, d)-bounded — the standard SymSpell
-    * tradeoff; this operator fixes d = 1, the dominant typo case). The
-    * join is a plain equi-join on the variant string — never a cross
-    * product — and bucket occupancy is bounded by how many keys share
-    * a variant: distinct-key corpora give singleton-ish buckets, and a
-    * duplicated-key corpus should dedupe to DISTINCT keys before
-    * blocking and map ids back after (key-cardinality work, the d01
-    * posture). The verify runs on candidate pairs only — output-sized,
-    * the d45 rule.
-    *
-    * NULL keys match nothing (the variant array is null, so the explode
-    * emits no rows) — the same null semantics as the plain equi-join
-    * this operator fuzzes; rows that must not be dropped should be
-    * null-filtered (and audited) upstream. Empty keys are handled: ""
-    * has only itself as a variant (a bare `sequence(1, length)` would
-    * yield the descending [1,0] and fabricate spurious variants). */
 
+  /** d19 — near-duplicate CLUSTERS: connected components over the exact
+    * Jaccard pair graph ([[ngramJaccard]]'s edges), every document
+    * labeled with the smallest doc_id reachable through near-dup edges.
+    * Pairwise near-dup output is not what a dedup pipeline actually
+    * consumes — it keeps ONE representative per duplicate GROUP, and
+    * groups are the transitive closure of the pair relation (A≈B, B≈C ⇒
+    * {A,B,C} even if A,C don't pair directly).
+    *
+    * Algorithm: [[ConnectedComponents.largeSmallStar]] (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — O(log n) rounds
+    * of edge-proportional equi-join work regardless of component
+    * diameter, so a pathological chain-shaped duplicate family
+    * (serially edited boilerplate) cannot blow the round count the way
+    * diameter-bound label propagation would. Non-pair docs never enter
+    * the loop and are labeled as singletons at the end by a left join;
+    * ConnectedComponentsSpec pins the algorithm against label
+    * propagation on the real pair graph and against planted
+    * high-diameter chains. */
   def neardupClusters(s: SparkSession, d: String): DataFrame =
     clusterAssign(s, d, jaccardPairs(s, d, 0.8).select(col("i"), col("j")))
 
@@ -455,24 +462,26 @@ object PairGraph {
       .orderBy("doc_id")
   }
 
-  /** d53 — cluster KEEP-BEST selection (the quality-aware keep rule):
-    * per near-dup cluster (the d19 CC assignment), keep the member with
-    * the HIGHEST d08 quality score (doc_id tie-break) — C4 keeps
-    * first-seen, but quality-aware pipelines keep the best copy of each
-    * duplicate family, because the family's members differ exactly in
-    * the boilerplate/noise the score measures. This is the "keep-one-
-    * per-family pass" the pair-store scaladocs (d49) reference, made a
-    * first-class operator.
-    *
-    * Plan: the CC labeling + a quality projection joined on doc_id,
-    * then the per-cluster winner via `max_by` over a (score, −doc_id)
-    * struct — an AGGREGATE, not a rank window: a boilerplate family can
-    * have millions of members, and the aggregate partial-combines
-    * map-side where a cluster-keyed window would funnel the family
-    * through one partition (the d42 lesson). One extra broadcast-able
-    * join carries the winner back. Scores reuse [[qualityScore]] — one
-    * definition, no drift. */
 
+  /** d41 — PARTIAL-duplicate clusters: connected components over the
+    * UNION of the Jaccard pair graph (d02, symmetric near-dups) and the
+    * containment pair graph (d40, subset/partial dups). This is the edge
+    * set substring-level dedup pipelines actually cluster on: a page
+    * that quotes a small doc wholesale (containment edge) and a light
+    * edit of that page (Jaccard edge) must land in ONE family even
+    * though the quote and the edit relate under different metrics.
+    *
+    * The union is built in ONE candidate pass, not two: the
+    * rare-shingle pair self-join runs once WITHOUT d02's size-ratio
+    * prefilter (the prefilter is a necessary condition for jac ≥ θ, so
+    * dropping it only admits extra candidates the threshold filter
+    * rejects — values never change), both upper bounds prune from the
+    * same counted stats, and ONE exact-verify join scores the union of
+    * survivors with both metrics (edge ⇔ jac ≥ 0.8 ∨ cont ≥ 0.9).
+    * Versus unioning d02's and d40's outputs this halves the pair-join
+    * and verify work — the dominant cost — while the CC loop stays the
+    * same O(log n) large/small-star as d19. LlmOpsSpec pins
+    * edge-set ≡ union-of-query-outputs. */
   def partialDupClusters(s: SparkSession, d: String): DataFrame =
     clusterAssign(s, d, partialDupEdges(docShingles(s, d), 0.8, 0.9, MaxShingleDf))
 
@@ -547,19 +556,24 @@ object PairGraph {
       .orderBy("i", "j")
   }
 
-  /** Bigram language-model scoring — the perplexity-style quality signal
-    * (CCNet-style pipelines drop documents whose LM score is an outlier).
-    * The corpus is its own training data: P(w1|w0) = (c(w0,w1)+1) /
-    * (heads(w0)+V) with add-one smoothing, and each document's score is
-    * the mean ln P over its bigrams.
-    *
-    * Float discipline: like [[langId]], each bigram's ln P is
-    * canonicalized to DECIMAL(30,6) BEFORE the per-document sum (exact,
-    * order-independent); `avg_logp` is then ONE division of
-    * engine-identical doubles and ships RAW — per the [[graft.Canon]]
-    * round4 note, rounding identical doubles can itself diverge.
-    * Counts shuffle on bigram/word keys; V broadcasts. */
 
+  /** d30 — INCREMENTAL ingestion dedup: the admission decision for a new
+    * batch of documents arriving against an already-ingested corpus —
+    * the shape every continuously-fed training corpus runs daily (dedup
+    * the delta, never re-dedup the whole corpus). The batch is the
+    * `doc_id % 10 ≥ 8` slice (a stand-in for "today's crawl"); a batch
+    * document is rejected as `dup_existing` if it has a near-dup partner
+    * (the [[ngramJaccard]] pair relation at 0.8) already in the corpus,
+    * else `dup_batch` if an EARLIER batch document (smaller doc_id — the
+    * same deterministic keep rule as [[exactDedup]]) is its near-dup,
+    * else admitted as `new`. The rule is pairwise by design: transitive
+    * closure is [[neardupClusters]]' job; the delta gate stays a cheap
+    * join.
+    *
+    * Scale: the pair build is the capped candidate join (see
+    * [[jaccardPairsOver]]); the decision itself is one edge-table
+    * aggregation keyed by batch doc_id plus a left join — O(Δ) work per
+    * delta, independent of corpus history size beyond the pair probe. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame =
     incrementalDedupOver(s, d, jaccardPairs(s, d, 0.8))
 
@@ -604,10 +618,4 @@ object PairGraph {
 
   // ———————————— d32–d35: redaction / decontamination / DSIR / semdedup ————————————
 
-  /** Default binding for [[redact]]: one real-world PII pattern (email —
-    * the fixtures contain none, exercising the zero-match path end to
-    * end) and one corpus-visible stand-in (the entity words that DO
-    * occur), so the oracle checks both the no-op and the rewrite path.
-    * Real deployments swap in their own (name, regex, token) list —
-    * phone/SSN/IP/credit-card — the plan shape is invariant in the list. */
 }

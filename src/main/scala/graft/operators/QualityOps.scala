@@ -20,6 +20,21 @@ object QualityOps {
   import SamplingOps._
 
 
+  /** d44 — hashed-feature LINEAR quality classifier (the fastText-style
+    * model-based quality filter — the stage that scores each document
+    * with a trained linear model over hashed bag-of-words features and
+    * keeps the high scorers). Tokens hash into 64 feature buckets (the
+    * d34 md5-bucket idiom); the logit is Σ c_b·w_b / (100·n) with c_b
+    * the doc's bucket counts. The weight VECTOR here is a deterministic
+    * closed form over the bucket id, w_b = ((37·b + 11) mod 101 − 50)
+    * (a stand-in the oracle recomputes — a real deployment broadcasts
+    * its trained vector; the plan is identical). Weight numerators are
+    * INTEGERS, so the per-doc sum is exact in any engine and the logit
+    * is ONE IEEE division of engine-identical integers — bit-exact, no
+    * rounding (Canon.round4 note). `keep` thresholds the logit at 0
+    * (the sigmoid is monotone in the logit, so scoring and gating need
+    * no exp/division chain). ONE shuffle keyed by doc_id; at 100 TB the
+    * hash-and-weight projection is scan-parallel map work. */
   def qualityClassifier(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("word"))
@@ -35,32 +50,24 @@ object QualityOps {
       .withColumn("keep", col("logit") >= 0.0)
       .orderBy("doc_id")
 
-  /** Training-data chunking: overlapping token windows of [[ChunkTokens]]
-    * tokens at stride [[ChunkStride]] — the standard context-window
-    * preparation step (overlap = size − stride tokens preserves
-    * cross-boundary context). One output row per chunk, identified by
-    * (doc_id, chunk_id); the chunk body travels as an md5 + head token +
-    * length so rows stay narrow for the compare harness — a real sink
-    * would keep the token slice column itself. Scan-parallel: the
-    * explode is per-document, no shuffle before the final order. */
 
+  /** The composite quality score of [[textStats]] (d08), factored out so
+    * the gate in [[prepPipeline]] is definitionally the same number. */
   private[operators] def qualityScore(t: Column): Column =
     round4(log(lit(1.0) + size(t).cast("double")) *
       round4(size(array_distinct(t)).cast("double") / size(t)))
 
-  /** Capstone composition — the minimal end-to-end training-data prep
-    * pipeline, each stage an operator declared above, composed as lazy
-    * DataFrames (ONE Catalyst plan, no materialization barriers):
-    *
-    *   1. exact dedup (E18 keep-rule: min doc_id per normalized text),
-    *   2. quality gate (d08's composite score ≥ 1.8 — drops ~half the
-    *      corpus; the score range at sf0.01 is 1.26–2.77),
-    *   3. context-window chunking (d14's 50-token / stride-40 windows).
-    *
-    * Everything shuffles on high-cardinality keys (norm-text hash,
-    * doc_id) — the composition adds no new scale hazard beyond its
-    * stages. */
 
+  /** d21 — within-document repetition filter (the Gopher/MassiveText
+    * quality rule): the fraction of a document's word-3-gram OCCURRENCES
+    * that repeat an already-counted 3-gram, plus the share of the single
+    * most frequent 3-gram. Boilerplate/template/spam text scores high
+    * and gets dropped; `keep` applies the 0.2 duplicate-fraction
+    * threshold. Same shingle OCCURRENCE stream as [[docShingles]] but
+    * WITHOUT the distinct (occurrence counts are the point); one
+    * shuffle keyed by doc_id, ratios are single divisions of exact
+    * counts (round4 for the multi-op top-share chain). Docs with <3
+    * tokens have no 3-grams and are kept by definition. */
   def repetition(s: SparkSession, d: String): DataFrame = {
     val grams = gramStream(s, d).withColumnRenamed("shingle", "g")
     val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -114,16 +121,19 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
-  /** d23 — deterministic STRATIFIED sampling: per-language keep rates
-    * (the dominant language downsampled to rebalance the corpus — the
-    * domain/language mixing step of every multilingual pretraining
-    * recipe), assigned by an md5 bucket salted with the stratum so the
-    * choice is reproducible, engine-portable, independent of d17's
-    * split buckets, and stable under corpus growth (a row's fate
-    * depends only on its own id, lang, and its stratum's rate — never
-    * on what other rows exist, unlike `sampleBy`'s RNG). Per-row
-    * arithmetic, no shuffle before the output order. */
 
+  /** d54 — FILTER-agreement audit (learned vs rule-based): the 2×2
+    * confusion table between the d44 linear classifier's keep and the
+    * d52 ensemble's keep, plus each cell's share — the governance check
+    * a pipeline runs BEFORE swapping a rule-based filter for a learned
+    * one (the disagreement cells are exactly the documents to audit;
+    * a swap that silently flips 30% of verdicts is a dataset change,
+    * not a refactor). Both scorers are the registered operators reused
+    * verbatim — one definition each, no drift.
+    *
+    * Plan: two scan-parallel scoring subtrees join co-keyed on doc_id,
+    * then a 4-group aggregate; the share denominator is a one-row
+    * broadcast. All counts integer; `share` is ONE IEEE division. */
   def filterAgreement(s: SparkSession, d: String): DataFrame = {
     val model = qualityClassifier(s, d).select(col("doc_id"),
       col("keep").as("model_keep"))
@@ -139,26 +149,19 @@ object QualityOps {
       .orderBy("model_keep", "rules_keep")
   }
 
-  /** d41 — PARTIAL-duplicate clusters: connected components over the
-    * UNION of the Jaccard pair graph (d02, symmetric near-dups) and the
-    * containment pair graph (d40, subset/partial dups). This is the edge
-    * set substring-level dedup pipelines actually cluster on: a page
-    * that quotes a small doc wholesale (containment edge) and a light
-    * edit of that page (Jaccard edge) must land in ONE family even
-    * though the quote and the edit relate under different metrics.
-    *
-    * The union is built in ONE candidate pass, not two: the
-    * rare-shingle pair self-join runs once WITHOUT d02's size-ratio
-    * prefilter (the prefilter is a necessary condition for jac ≥ θ, so
-    * dropping it only admits extra candidates the threshold filter
-    * rejects — values never change), both upper bounds prune from the
-    * same counted stats, and ONE exact-verify join scores the union of
-    * survivors with both metrics (edge ⇔ jac ≥ 0.8 ∨ cont ≥ 0.9).
-    * Versus unioning d02's and d40's outputs this halves the pair-join
-    * and verify work — the dominant cost — while the CC loop stays the
-    * same O(log n) large/small-star as d19. LlmOpsSpec pins
-    * edge-set ≡ union-of-query-outputs. */
 
+  /** Bigram language-model scoring — the perplexity-style quality signal
+    * (CCNet-style pipelines drop documents whose LM score is an outlier).
+    * The corpus is its own training data: P(w1|w0) = (c(w0,w1)+1) /
+    * (heads(w0)+V) with add-one smoothing, and each document's score is
+    * the mean ln P over its bigrams.
+    *
+    * Float discipline: like [[langId]], each bigram's ln P is
+    * canonicalized to DECIMAL(30,6) BEFORE the per-document sum (exact,
+    * order-independent); `avg_logp` is then ONE division of
+    * engine-identical doubles and ships RAW — per the [[graft.Canon]]
+    * round4 note, rounding identical doubles can itself diverge.
+    * Counts shuffle on bigram/word keys; V broadcasts. */
   def bigramLm(s: SparkSession, d: String): DataFrame = {
     // w0/w1 recovered from the joined bigram: tokens never contain the
     // separator, so the first/last space split is exact (empty tokens
@@ -487,31 +490,22 @@ object QualityOps {
 
   // ———————————— corpus selection / quality scoring (round 5) ————————————
 
-  /** d26 — token-BUDGET corpus selection under per-source budgets (the
-    * domain-mixing step of a pretraining recipe: each source/domain gets
-    * a token allowance, documents are consumed in a deterministic
-    * shuffled order until the allowance runs out). A document is
-    * `selected` iff its STARTING offset in its source's md5-ordered
-    * stream is below the source budget (greedy take-while-open; the
-    * boundary document may overshoot — the standard packing-cut rule,
-    * same convention as [[seqPacking]]'s boundary bins).
-    *
-    * The running token offset is a distributed PREFIX SUM, not one
-    * per-source window: a per-source window serializes each source into
-    * a single task, and real corpora have dominant sources (a 50%-share
-    * source = 50 TB through one task). Instead the md5 order key is
-    * range-split on its first hex character into 16 buckets — the bucket
-    * is a PREFIX of the order key, so (bucket, h) ordering equals plain
-    * h ordering — then: (1) one tiny aggregate of per-(source, bucket)
-    * token totals (n_sources × 16 rows) produces each bucket's starting
-    * offset and the source totals; (2) the corpus-sized window runs per
-    * (source, bucket), bounding any task at ~1/16 of a source.
-    * `prefixLen` is the skew knob: 2 hex chars give 256-way splitting,
-    * n chars 16ⁿ-way — results are IDENTICAL at any width (LlmOpsSpec
-    * pins prefixLen 1 ≡ 2) because the decomposition only re-groups the
-    * same ordered prefix sum. The budget itself is corpus-relative
-    * (`frac` × source tokens) so the operator is scale-free. */
 
+  /** d27 — unigram token-ENTROPY quality score: Shannon entropy of each
+    * document's token distribution, H = (1/n)·Σ c·(ln n − ln c) over the
+    * per-token counts c. Low entropy = repetitive/templated text (the
+    * within-doc complement of [[bigramLm]]'s corpus-relative LM score;
+    * a keyword-stuffed page scores near 0, diverse prose near ln V).
+    * `keep` applies a 2.5-nat floor — on the synthetic corpus entropy
+    * spans 1.64–3.35 with median 3.09, so the flag is non-degenerate.
+    *
+    * Float discipline (see [[graft.Canon]]): every ln lives INSIDE a
+    * per-term `dec` canonicalization — the decimal sum is exact and
+    * order-independent, and the final entropy is ONE division of
+    * engine-identical doubles, shipped raw (same contract as
+    * [[bigramLm]]'s avg_logp). The per-doc totals n and n_distinct ride
+    * the same doc_id shuffle as the count aggregation (window over the
+    * grouped counts, not a second corpus scan). */
   def tokenEntropy(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
@@ -567,22 +561,13 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
-  /** d29 — embedding POST-PROCESS pipeline: L2-normalize, truncate to a
-    * prefix of `k` dimensions (the Matryoshka/MRL deployment trick —
-    * serve a cheap k-dim prefix of a full-width embedding), re-normalize
-    * the prefix, and symmetric-int8 requantize it ([[quantizeEmbeddings]]'
-    * scheme on the truncated unit vector). Reports the energy the prefix
-    * retains (‖v[..k]‖²/‖v‖² — the quality signal that decides how small
-    * k can go) and exact integer summaries of the quantized prefix.
-    *
-    * Float discipline: the two squared norms are sums of per-element
-    * x² terms canonicalized to DECIMAL(30,6) BEFORE the fold (exact,
-    * order-independent — [[graft.Canon]]); energy is ONE division of
-    * engine-identical doubles; the quantized values land as exact longs
-    * via the same decimal-cast rounding as d15. Everything is per-row
-    * arithmetic — scan-parallel, zero shuffles before the output order,
-    * so the pipeline runs at full scan bandwidth on any corpus. */
 
+  /** Default binding for [[redact]]: one real-world PII pattern (email —
+    * the fixtures contain none, exercising the zero-match path end to
+    * end) and one corpus-visible stand-in (the entity words that DO
+    * occur), so the oracle checks both the no-op and the rewrite path.
+    * Real deployments swap in their own (name, regex, token) list —
+    * phone/SSN/IP/credit-card — the plan shape is invariant in the list. */
   val DefaultRedactions: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("entity", "\\b(customer|supplier)\\b", "<ENT>"))
@@ -713,32 +698,4 @@ object QualityOps {
         sum(col("logr")).cast("double").as("weight"))
   }
 
-  /** d36 — importance RESAMPLING over the [[dsirWeights]] scores (the
-    * second half of DSIR): draw a `frac` sample biased toward
-    * target-like documents via the Gumbel-top-k trick — adding Gumbel
-    * noise g = −ln(−ln(u)) to a log-weight and taking the top k is
-    * equivalent to sampling k items without replacement with
-    * probability ∝ exp(weight). The uniforms come from salted md5 of
-    * the doc id (engine-portable, reproducible — no RNG state), and the
-    * ranking key is DECIMAL(30,6)-canonicalized with a doc_id tiebreak
-    * so both engines rank identically.
-    *
-    * Scale: a GLOBAL top-k at 25% of a 100 TB corpus would funnel the
-    * sort into one task (or a driver-sized TakeOrdered), so the take is
-    * SHARDED — the same d24/d26 discipline: documents hash into 16 md5
-    * buckets and each bucket takes its own top ⌈frac·n_b⌉. This is a
-    * STRATIFIED draw, not the global top-k: each random stratum admits
-    * its local top fraction, so per-bucket thresholds fluctuate around
-    * the global one by O(1/√n_b) — the price of removing the
-    * single-task sort, and statistically immaterial once buckets hold
-    * thousands of documents. Every window partitions by bucket — no
-    * single-task stage anywhere.
-    *
-    * `nShards` ≤ 0 (the registered default) SCALES WITH THE CORPUS:
-    * max(16, ⌈n_docs / 250 000⌉), so each shard's single-task sort is
-    * bounded at ~250k rows no matter the corpus size — a fixed 16
-    * would quietly regrow the single-task stage at 100× (round-5
-    * verdict finding 3). The count is one column-pruned aggregate
-    * scan; the oracle mirrors the formula with a scalar subquery so
-    * both engines derive identical strata at any scale. */
 }

@@ -20,6 +20,14 @@ object SamplingOps {
   import QualityOps._
 
 
+  /** Training-data chunking: overlapping token windows of [[ChunkTokens]]
+    * tokens at stride [[ChunkStride]] — the standard context-window
+    * preparation step (overlap = size − stride tokens preserves
+    * cross-boundary context). One output row per chunk, identified by
+    * (doc_id, chunk_id); the chunk body travels as an md5 + head token +
+    * length so rows stay narrow for the compare harness — a real sink
+    * would keep the token slice column itself. Scan-parallel: the
+    * explode is per-document, no shuffle before the final order. */
   val ChunkTokens = 50
 
   val ChunkStride = 40
@@ -56,9 +64,19 @@ object SamplingOps {
     chunkRows(Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t")))
 
-  /** The composite quality score of [[textStats]] (d08), factored out so
-    * the gate in [[prepPipeline]] is definitionally the same number. */
 
+  /** Capstone composition — the minimal end-to-end training-data prep
+    * pipeline, each stage an operator declared above, composed as lazy
+    * DataFrames (ONE Catalyst plan, no materialization barriers):
+    *
+    *   1. exact dedup (E18 keep-rule: min doc_id per normalized text),
+    *   2. quality gate (d08's composite score ≥ 1.8 — drops ~half the
+    *      corpus; the score range at sf0.01 is 1.26–2.77),
+    *   3. context-window chunking (d14's 50-token / stride-40 windows).
+    *
+    * Everything shuffles on high-cardinality keys (norm-text hash,
+    * doc_id) — the composition adds no new scale hazard beyond its
+    * stages. */
   def prepPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val keep = docs
@@ -72,14 +90,13 @@ object SamplingOps {
     chunkRows(gated)
   }
 
-  /** Symmetric int8 quantization of the embedding column — the storage
-    * format a 100 TB vector corpus actually ships (4× smaller than
-    * float32). Per vector: scale = max|v|/127, qᵢ = round(vᵢ/scale)
-    * half-away-from-zero via DECIMAL cast (deterministic across engines,
-    * unlike double `round`). Outputs are integer aggregates of the
-    * quantized vector (exact — no float drift): squared norm, L1 norm,
-    * and the q range, plus the rounded scale. Scan-parallel, no shuffle. */
 
+  /** Reproducible corpus splitting: 80/10/10 train/val/test by a hash
+    * bucket of the document id — the split a training pipeline must hold
+    * fixed across runs, engines, and corpus growth (a row's assignment
+    * never depends on what other rows exist, unlike `sample()`/RNG
+    * splits which reshuffle under repartitioning). md5 keeps the bucket
+    * engine-portable; per-row arithmetic, no shuffle. */
   def hashSplit(s: SparkSession, d: String): DataFrame =
     splitAssign(s, d).orderBy("doc_id")
 
@@ -96,17 +113,16 @@ object SamplingOps {
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
 
-  /** d21 — within-document repetition filter (the Gopher/MassiveText
-    * quality rule): the fraction of a document's word-3-gram OCCURRENCES
-    * that repeat an already-counted 3-gram, plus the share of the single
-    * most frequent 3-gram. Boilerplate/template/spam text scores high
-    * and gets dropped; `keep` applies the 0.2 duplicate-fraction
-    * threshold. Same shingle OCCURRENCE stream as [[docShingles]] but
-    * WITHOUT the distinct (occurrence counts are the point); one
-    * shuffle keyed by doc_id, ratios are single divisions of exact
-    * counts (round4 for the multi-op top-share chain). Docs with <3
-    * tokens have no 3-grams and are kept by definition. */
 
+  /** d23 — deterministic STRATIFIED sampling: per-language keep rates
+    * (the dominant language downsampled to rebalance the corpus — the
+    * domain/language mixing step of every multilingual pretraining
+    * recipe), assigned by an md5 bucket salted with the stratum so the
+    * choice is reproducible, engine-portable, independent of d17's
+    * split buckets, and stable under corpus growth (a row's fate
+    * depends only on its own id, lang, and its stratum's rate — never
+    * on what other rows exist, unlike `sampleBy`'s RNG). Per-row
+    * arithmetic, no shuffle before the output order. */
   def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     val rate = when(col("lang") === "en", 30L).otherwise(90L) // ≈ balance en vs rest
     Tables.documents(s, d)
@@ -246,25 +262,31 @@ object SamplingOps {
 
   // ————————————— near-dup clusters & contamination —————————————
 
-  /** d19 — near-duplicate CLUSTERS: connected components over the exact
-    * Jaccard pair graph ([[ngramJaccard]]'s edges), every document
-    * labeled with the smallest doc_id reachable through near-dup edges.
-    * Pairwise near-dup output is not what a dedup pipeline actually
-    * consumes — it keeps ONE representative per duplicate GROUP, and
-    * groups are the transitive closure of the pair relation (A≈B, B≈C ⇒
-    * {A,B,C} even if A,C don't pair directly).
-    *
-    * Algorithm: [[ConnectedComponents.largeSmallStar]] (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") — O(log n) rounds
-    * of edge-proportional equi-join work regardless of component
-    * diameter, so a pathological chain-shaped duplicate family
-    * (serially edited boilerplate) cannot blow the round count the way
-    * diameter-bound label propagation would. Non-pair docs never enter
-    * the loop and are labeled as singletons at the end by a left join;
-    * ConnectedComponentsSpec pins the algorithm against label
-    * propagation on the real pair graph and against planted
-    * high-diameter chains. */
 
+  /** d26 — token-BUDGET corpus selection under per-source budgets (the
+    * domain-mixing step of a pretraining recipe: each source/domain gets
+    * a token allowance, documents are consumed in a deterministic
+    * shuffled order until the allowance runs out). A document is
+    * `selected` iff its STARTING offset in its source's md5-ordered
+    * stream is below the source budget (greedy take-while-open; the
+    * boundary document may overshoot — the standard packing-cut rule,
+    * same convention as [[seqPacking]]'s boundary bins).
+    *
+    * The running token offset is a distributed PREFIX SUM, not one
+    * per-source window: a per-source window serializes each source into
+    * a single task, and real corpora have dominant sources (a 50%-share
+    * source = 50 TB through one task). Instead the md5 order key is
+    * range-split on its first hex character into 16 buckets — the bucket
+    * is a PREFIX of the order key, so (bucket, h) ordering equals plain
+    * h ordering — then: (1) one tiny aggregate of per-(source, bucket)
+    * token totals (n_sources × 16 rows) produces each bucket's starting
+    * offset and the source totals; (2) the corpus-sized window runs per
+    * (source, bucket), bounding any task at ~1/16 of a source.
+    * `prefixLen` is the skew knob: 2 hex chars give 256-way splitting,
+    * n chars 16ⁿ-way — results are IDENTICAL at any width (LlmOpsSpec
+    * pins prefixLen 1 ≡ 2) because the decomposition only re-groups the
+    * same ordered prefix sum. The budget itself is corpus-relative
+    * (`frac` × source tokens) so the operator is scale-free. */
   def tokenBudget(s: SparkSession, d: String, frac: Double = 0.5,
       prefixLen: Int = 1): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -292,22 +314,35 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
-  /** d27 — unigram token-ENTROPY quality score: Shannon entropy of each
-    * document's token distribution, H = (1/n)·Σ c·(ln n − ln c) over the
-    * per-token counts c. Low entropy = repetitive/templated text (the
-    * within-doc complement of [[bigramLm]]'s corpus-relative LM score;
-    * a keyword-stuffed page scores near 0, diverse prose near ln V).
-    * `keep` applies a 2.5-nat floor — on the synthetic corpus entropy
-    * spans 1.64–3.35 with median 3.09, so the flag is non-degenerate.
-    *
-    * Float discipline (see [[graft.Canon]]): every ln lives INSIDE a
-    * per-term `dec` canonicalization — the decimal sum is exact and
-    * order-independent, and the final entropy is ONE division of
-    * engine-identical doubles, shipped raw (same contract as
-    * [[bigramLm]]'s avg_logp). The per-doc totals n and n_distinct ride
-    * the same doc_id shuffle as the count aggregation (window over the
-    * grouped counts, not a second corpus scan). */
 
+  /** d36 — importance RESAMPLING over the [[dsirWeights]] scores (the
+    * second half of DSIR): draw a `frac` sample biased toward
+    * target-like documents via the Gumbel-top-k trick — adding Gumbel
+    * noise g = −ln(−ln(u)) to a log-weight and taking the top k is
+    * equivalent to sampling k items without replacement with
+    * probability ∝ exp(weight). The uniforms come from salted md5 of
+    * the doc id (engine-portable, reproducible — no RNG state), and the
+    * ranking key is DECIMAL(30,6)-canonicalized with a doc_id tiebreak
+    * so both engines rank identically.
+    *
+    * Scale: a GLOBAL top-k at 25% of a 100 TB corpus would funnel the
+    * sort into one task (or a driver-sized TakeOrdered), so the take is
+    * SHARDED — the same d24/d26 discipline: documents hash into 16 md5
+    * buckets and each bucket takes its own top ⌈frac·n_b⌉. This is a
+    * STRATIFIED draw, not the global top-k: each random stratum admits
+    * its local top fraction, so per-bucket thresholds fluctuate around
+    * the global one by O(1/√n_b) — the price of removing the
+    * single-task sort, and statistically immaterial once buckets hold
+    * thousands of documents. Every window partitions by bucket — no
+    * single-task stage anywhere.
+    *
+    * `nShards` ≤ 0 (the registered default) SCALES WITH THE CORPUS:
+    * max(16, ⌈n_docs / 250 000⌉), so each shard's single-task sort is
+    * bounded at ~250k rows no matter the corpus size — a fixed 16
+    * would quietly regrow the single-task stage at 100× (round-5
+    * verdict finding 3). The count is one column-pruned aggregate
+    * scan; the oracle mirrors the formula with a scalar subquery so
+    * both engines derive identical strata at any scale. */
   def importanceSample(s: SparkSession, d: String, targetLang: String = "en",
       frac: Double = 0.25, nShards: Int = 0, nBuckets: Int = 64): DataFrame = {
     val shards =
@@ -331,19 +366,4 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
-  /** d37 — tombstone purge manifest (the GDPR/right-to-be-forgotten
-    * shape): given a deletion predicate over source ids, report
-    * before/purged/after counts for the source table AND each derived
-    * store that must purge consistently — here the fingerprint store
-    * (doc-keyed derivative) and the embedding store (its own id space).
-    *
-    * At 100 TB deletion is not per-row mutation: each store rewrites as
-    * one ANTI-JOIN compaction (`filter(!tombstoned)` when the predicate
-    * is computable, a broadcast anti-join against the tombstone id set
-    * when it arrives as a list — the manifest is identical). This query
-    * is the audit artifact a deletion job emits; LlmOpsSpec pins that
-    * the compacted stores contain no tombstoned ids and stay
-    * referentially consistent with the compacted source. Scale: three
-    * independent scan-parallel aggregates, no joins, no shuffles beyond
-    * the three single-row aggregations. */
 }
