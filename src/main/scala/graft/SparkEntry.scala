@@ -252,6 +252,8 @@ object SparkEntry {
     "d58_fuzzy_join" -> (DedupOps.fuzzyJoin _),
     // recursive-delete-blocked fuzzy join at distance 2 (per-key decision row)
     "d58b_fuzzy_join2" -> (DedupOps.fuzzyJoin2 _),
+    // deterministic distributed k-means over the embedding corpus
+    "d59_kmeans" -> (EmbeddingOps.kmeans _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -2156,6 +2158,7 @@ object SparkEntry {
         |  CAST(levenshtein(l_key, r_key) AS BIGINT) AS lev
         |FROM l, pert WHERE levenshtein(l_key, r_key) <= 1
         |ORDER BY l_id, r_id""".stripMargin,
+    "d59_kmeans" -> kmeansSql,
     "d58b_fuzzy_join2" ->
       // UNBLOCKED mirror at distance 2: cross join + levenshtein ≤ 2,
       // aggregated per batch key — hash equality proves the recursive
@@ -2786,6 +2789,46 @@ object SparkEntry {
        |FROM jn JOIN k USING (cluster_id) ORDER BY jn.doc_id""".stripMargin
 
   /** d45's oracle — shared verbatim with its store-fed twin d48. */
+  /** d59's oracle — the SAME Lloyd iterations unrolled as CTEs (the
+    * iteration count is a fixed constant precisely so the oracle can
+    * mirror the whole loop, not just the final labels). Per-dimension
+    * squared-distance terms are DECIMAL(30,6)-canonicalized before
+    * summation in BOTH engines, so distances are exact and the argmin
+    * (dist2, cid) ranking can never be flipped by float summation
+    * order. Generated by a Scala loop — one CTE triple (distance,
+    * assignment, centroid update) per iteration, then the final
+    * assignment and the per-cluster rollup. */
+  private def kmeansSql: String = {
+    val k = operators.EmbeddingOps.KmeansK
+    val iters = operators.EmbeddingOps.KmeansIters
+    def assignCtes(i: Int, cIn: String) =
+      s"""d$i AS (SELECT e.vec_id, c.cid,
+         |    SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(30,6))) AS dist2
+         |  FROM e JOIN $cIn c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+         |a$i AS (SELECT vec_id, cid, dist2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist2, cid) AS rn FROM d$i) WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int) =
+      s"""c$i AS (SELECT a.cid, e.dim,
+         |    CAST(SUM(CAST(e.v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS c
+         |  FROM e JOIN a$i a ON e.vec_id = a.vec_id GROUP BY a.cid, e.dim)""".stripMargin
+    val loop = (1 to iters).map(i =>
+      assignCtes(i, s"c${i - 1}") + ",\n" + updateCte(i)).mkString(",\n")
+    val fin = iters + 1
+    s"""WITH e AS (SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, dim, v AS c FROM e
+       |  WHERE vec_id IN
+       |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |$loop,
+       |${assignCtes(fin, s"c$iters")}
+       |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  min(vec_id) AS min_vec, CAST(SUM(dist2) AS DOUBLE) AS inertia
+       |FROM a$fin GROUP BY cid ORDER BY cluster_id""".stripMargin
+  }
+
   private def editVerifySql =
     s"""WITH $pairsCtes,
        |nrm AS (SELECT doc_id,

@@ -29,6 +29,81 @@ object EmbeddingOps {
   private[operators] def cosine(a: Column, b: Column): Column =
     call_function(graft.functions.CosineSimilarity.Name, a, b)
 
+  /** d59 — deterministic distributed K-MEANS over the embedding corpus:
+    * the clustering primitive the curation stack was missing — real
+    * SemDeDup clusters FIRST and dedups within clusters (d35's
+    * sign-bucket is the cheap approximation), domain-mixture analysis
+    * labels every document with its cluster, and cluster balance feeds
+    * sampling weights. Lloyd's algorithm, made exactly reproducible
+    * cross-engine:
+    *
+    *  - everything is RELATIONAL on the exploded (vec_id, dim, v)
+    *    stream — distances and centroid sums are per-dimension rows,
+    *    so the same SQL runs in DuckDB and the oracle covers the whole
+    *    iteration, not just the final labels;
+    *  - the squared-distance contribution of each dimension is
+    *    DECIMAL(30,6)-canonicalized BEFORE summation (the [[graft.Canon]]
+    *    discipline): the per-vector distance is an exact,
+    *    order-independent decimal — double summation would be
+    *    partial-aggregation-order-dependent and could flip an argmin
+    *    near a tie;
+    *  - assignment ties break on cluster id; seeds are the k smallest
+    *    vec_ids (k-means++ is the quality swap, same plan shape);
+    *    iteration count is FIXED ([[KmeansIters]]) — a convergence test
+    *    would make the iteration count data-dependent and the oracle
+    *    unmirrorable;
+    *  - a centroid that loses all members simply vanishes (k shrinks) —
+    *    deterministic in both engines.
+    *
+    * Scale: per iteration, ONE pts×centroids equi-join on `dim` (k·dim
+    * rows broadcast — centroids are always tiny), one map-side-combining
+    * aggregate per (vec, cid), the argmin as a min-of-struct AGGREGATE
+    * (k rows per vec — never a corpus-keyed window), and one (cid, dim)
+    * centroid aggregate. Work per iteration is O(n·k·dim) row
+    * operations, embarrassingly parallel; the corpus never shuffles by
+    * anything other than (vec_id) / (cid, dim) keys. */
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  def kmeans(s: SparkSession, d: String): DataFrame =
+    kmeansOver(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      KmeansK, KmeansIters)
+
+  /** [[kmeans]] over an explicit (vec_id, embedding) frame —
+    * package-visible for the planted-cluster and determinism specs. */
+  private[graft] def kmeansOver(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val pts = persistCorpus(emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"))
+    val seedIds = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
+    def assign(c: DataFrame): DataFrame =
+      pts.join(broadcast(c), "dim")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("w"))
+        .select(col("vec_id"), col("w.cid").as("cid"), col("w.dist2").as("dist2"))
+    var cent = pts.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("cid"), col("dim"), col("v").as("c"))
+      .cache()
+    for (_ <- 1 to iters) {
+      val next = pts
+        .join(assign(cent).select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg((dsum(col("v")) / count(lit(1))).as("c"))
+        .cache()
+      next.count() // materialize before releasing the parent iteration
+      cent.unpersist(blocking = false)
+      cent = next
+    }
+    assign(cent)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+        sum(col("dist2")).cast("double").as("inertia"))
+      .select(col("cid").as("cluster_id"), col("n_vecs"), col("min_vec"),
+        col("inertia"))
+      .orderBy("cluster_id")
+  }
+
   /** Component j of deterministic random hyperplane (t, p) — splitmix64
     * over the (table, plane, component) index, mapped to [-1, 1]. Shared
     * by [[annLsh]] and [[semdedupOver]] (distinct table ids keep their

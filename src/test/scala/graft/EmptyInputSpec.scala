@@ -157,6 +157,8 @@ class EmptyInputSpec extends SparkSpec {
     // e45 with no parts: no roots, no edges, the BFS loop never enters
     assert(operators.TransitiveClosure.bomReachability(spark, emptyDir)
       .count() === 0L)
+    // d59 on an empty embedding table: no seeds, empty loop, zero rows
+    assert(operators.EmbeddingOps.kmeans(spark, emptyDir).count() === 0L)
     // f15 between two empty versions: an empty change feed, not a crash
     assert(operators.Sources.changeFeed(spark, emptyDir).count() === 0L)
     // f12 on an empty feed: one all-zero-counts row, nothing throws

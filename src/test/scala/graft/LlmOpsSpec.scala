@@ -559,6 +559,44 @@ class LlmOpsSpec extends SparkSpec {
       (3L, 13L, 1L)))
   }
 
+  test("d59 k-means: planted separable groups recovered exactly, deterministic") {
+    // three tight groups in 4-d, one seed id (0/1/2) planted per group
+    // so Lloyd's from smallest-id seeds must separate them exactly
+    def pt(base: Seq[Double], jit: Double): Seq[Float] =
+      base.map(x => (x + jit).toFloat)
+    val g0 = Seq(0.0, 0.0, 0.0, 0.0)
+    val g1 = Seq(10.0, 10.0, 0.0, 0.0)
+    val g2 = Seq(0.0, 0.0, 10.0, 10.0)
+    val rows = Seq(
+      (0L, pt(g0, 0.0)), (3L, pt(g0, 0.1)), (4L, pt(g0, -0.1)), (9L, pt(g0, 0.2)),
+      (1L, pt(g1, 0.0)), (5L, pt(g1, 0.1)), (6L, pt(g1, -0.2)),
+      (2L, pt(g2, 0.0)), (7L, pt(g2, 0.15)), (8L, pt(g2, -0.15)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = EmbeddingOps.kmeansOver(df, 3, 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // cluster ids after the first update are the SEED ids' clusters;
+    // membership must match the planted groups
+    assert(got.map(r => (r._2, r._3)).toSet === Set((4L, 0L), (3L, 1L), (3L, 2L)),
+      s"sizes/min per cluster: $got")
+    assert(got.map(_._2).sum === rows.size)
+    got.foreach(r => assert(r._4 >= 0.0 && r._4 < 1.0,
+      s"within-cluster inertia must be tiny vs the 10-unit separation: $r"))
+    // deterministic: an identical rerun yields identical rows
+    val again = EmbeddingOps.kmeansOver(df, 3, 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again === got)
+  }
+
+  test("d59 fixture invariants: partition of the corpus, ≤ k clusters") {
+    val got = EmbeddingOps.kmeans(spark, Sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(got.map(_._2).sum === n, "cluster sizes must partition the corpus")
+    assert(got.size <= EmbeddingOps.KmeansK)
+    assert(got.map(_._1).distinct.size === got.size)
+    got.foreach(r => assert(r._4 >= 0.0))
+  }
+
   test("NFC identity: composed vs decomposed duplicates collapse in d01/d38/d57") {
     // same text, two canonical encodings — invisible provenance noise
     // (macOS emits NFD, the web NFC) that must land in ONE family
