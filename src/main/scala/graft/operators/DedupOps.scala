@@ -354,7 +354,17 @@ object DedupOps {
         sum((col("lev") === 1).cast("long")).as("n_d1"),
         sum((col("lev") === 2).cast("long")).as("n_d2"),
         min(col("lev")).as("min_lev"),
-        (min(col("lev") * lit(10000000000L) + col("l_id")) % 10000000000L)
+        // best master = integer (lev, id) min — deterministic where a
+        // tie-unspecified arg_min is not. The 10^10 tier encoding needs
+        // l_id < 10^10 or the lev tier bleeds into the id field and a
+        // WRONG master comes back looking plausible; gate it per-row
+        // (codegen'd, zero cost on in-range ids) so reuse on a wider id
+        // space fails loudly instead
+        (min(col("lev") * lit(10000000000L) +
+            when(col("l_id") >= 0 && col("l_id") < 10000000000L, col("l_id"))
+              .otherwise(raise_error(concat(
+                lit("d58b best_master encoding requires 0 <= l_id < 1e10, got "),
+                col("l_id").cast("string"))))) % 10000000000L)
           .as("best_master"))
       .orderBy("r_id")
   }
@@ -504,7 +514,7 @@ object DedupOps {
     s.sql(raw"""
       |WITH doc AS (
       |  SELECT doc_id,
-      |    xxhash64(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h
+      |    xxhash64(lower(trim(regexp_replace(nfc_normalize(text), '\\s+', ' ')))) AS h
       |  FROM documents),
       |hist AS (SELECT h FROM doc WHERE pmod(doc_id, 10) < 8),
       |batch AS (SELECT doc_id, h FROM doc WHERE pmod(doc_id, 10) >= 8),

@@ -375,7 +375,9 @@ object Sources {
     val opChecked = when(col("op").isin("upsert", "delete"), col("op"))
       .otherwise(raise_error(concat(
         lit("mergeUpsertOver: op must be 'upsert' or 'delete', got '"),
-        col("op"), lit("'"))))
+        // a NULL op would null the whole concat and fail with a blank
+        // message — coalesce keeps the diagnostic readable
+        coalesce(col("op"), lit("NULL")), lit("'"))))
     val c = changes.select(col(key) +:
       (payload.map(p => col(p).as(s"c_$p")) :+ opChecked.as("op")): _*)
     t.join(c, Seq(key), "full_outer")

@@ -76,4 +76,29 @@ class ContractSpec extends SparkSpec {
       assert(section.contains(s"`$k`"), s"$k exemption not in §2.5")
     }
   }
+
+  test("BASELINE.md budget table ↔ query registry closure") {
+    // round-11 lesson: d59 shipped registry-green but budget-less, so
+    // the 2× bench gate silently didn't cover the suite's most
+    // expensive query. Same mechanical closure as the survey check: a
+    // registered query with no budget row is ungated; a budget row
+    // naming a dead key is a stale ceiling. The footer must stay the
+    // exact row sum so the gate's total can't drift from its parts.
+    val baseline = java.nio.file.Files.readString(java.nio.file.Paths.get("BASELINE.md"))
+    val rowRe = """\|\s*`([a-z][a-z0-9_]+)`\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
+    val rows = rowRe.findAllMatchIn(baseline)
+      .map(m => m.group(1) -> BigDecimal(m.group(2))).toSeq
+    assert(rows.map(_._1).distinct.size === rows.size, "duplicate budget rows")
+    val budgeted = rows.map(_._1).toSet
+    val registry = SparkEntry.queries.keySet
+    val unbudgeted = registry -- budgeted
+    assert(unbudgeted.isEmpty, s"registered queries with no BASELINE.md budget row: $unbudgeted")
+    val dead = budgeted -- registry
+    assert(dead.isEmpty, s"BASELINE.md budgets for unregistered keys: $dead")
+    val totalRe = """\|\s*\*\*total\*\*\s*\|\s*\*\*([0-9]+\.[0-9]+)\*\*\s*\|""".r
+    val footer = totalRe.findFirstMatchIn(baseline).map(m => BigDecimal(m.group(1)))
+    assert(footer.isDefined, "BASELINE.md budget total footer not found")
+    val sum = rows.map(_._2).sum
+    assert(footer.get === sum, s"budget footer ${footer.get} != exact row sum $sum")
+  }
 }

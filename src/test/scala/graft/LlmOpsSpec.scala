@@ -1326,9 +1326,14 @@ class LlmOpsSpec extends SparkSpec {
     Seq(
       (1L, "alpha beta gamma", "en", "s0", 5L),  // history
       (2L, "x y z", "en", "s0", 5L),             // history
+      (3L, "caf\u00e9 au lait", "en", "s0", 3L), // history: NFC composed é
       (8L, "alpha  BETA gamma ", "en", "s1", 5L), // batch: dup after norm
       (9L, "x y z", "en", "s1", 5L),             // batch: exact dup
-      (18L, "fresh unseen doc", "en", "s1", 5L)) // batch: genuinely new
+      (18L, "fresh unseen doc", "en", "s1", 5L), // batch: genuinely new
+      (19L, "cafe\u0301 au lait", "en", "s1", 3L)) // batch: NFD decomposed —
+      // a dup of 3 ONLY under the d01 NFC identity (round-11 advice:
+      // the gate's SQL once hashed the pre-NFC identity and the drift
+      // was latent on the all-ASCII fixture corpus)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -1340,12 +1345,13 @@ class LlmOpsSpec extends SparkSpec {
     // scan-time gate, not optimized away)
     assert(df.queryExecution.executedPlan.toString.contains("might_contain"))
     val out = df.as[(Long, Boolean)].collect().toSeq
-    assert(out === Seq((8L, true), (9L, true), (18L, false)))
+    assert(out === Seq((8L, true), (9L, true), (18L, false), (19L, true)))
     // on the real corpus the result must equal the exact (bloom-free)
     // membership recompute — bloom false positives are closed by the
     // verify join, false negatives are impossible by construction
     def norm(c: org.apache.spark.sql.Column) =
-      lower(trim(regexp_replace(c, "\\s+", " ")))
+      lower(trim(regexp_replace(
+        call_function("nfc_normalize", c), "\\s+", " ")))
     val docs = Tables.documents(spark, Sf)
       .select(col("doc_id"), norm(col("text")).as("n"))
     val histSet = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
