@@ -254,6 +254,8 @@ object SparkEntry {
     "d58b_fuzzy_join2" -> (DedupOps.fuzzyJoin2 _),
     // deterministic distributed k-means over the embedding corpus
     "d59_kmeans" -> (EmbeddingOps.kmeans _),
+    // cluster-scoped SemDeDup: d59 labels scope the τ-verify pair join
+    "d60_cluster_semdedup" -> ((s, d) => EmbeddingOps.clusterSemdedup(s, d)),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -2159,6 +2161,7 @@ object SparkEntry {
         |FROM l, pert WHERE levenshtein(l_key, r_key) <= 1
         |ORDER BY l_id, r_id""".stripMargin,
     "d59_kmeans" -> kmeansSql,
+    "d60_cluster_semdedup" -> clusterSemdedupSql,
     "d58b_fuzzy_join2" ->
       // UNBLOCKED mirror at distance 2: cross join + levenshtein ≤ 2,
       // aggregated per batch key — hash equality proves the recursive
@@ -2798,7 +2801,11 @@ object SparkEntry {
     * order. Generated by a Scala loop — one CTE triple (distance,
     * assignment, centroid update) per iteration, then the final
     * assignment and the per-cluster rollup. */
-  private def kmeansSql: String = {
+  /** The unrolled-Lloyd CTE chain up to the final per-vector assignment
+    * `a{iters+1}(vec_id, cid, dist2)` — shared by d59 (per-cluster
+    * rollup) and d60 (within-cluster pair verify). Returns (ctes,
+    * finalAssignName). */
+  private def kmeansCtes: (String, String) = {
     val k = operators.EmbeddingOps.KmeansK
     val iters = operators.EmbeddingOps.KmeansIters
     def assignCtes(i: Int, cIn: String) =
@@ -2815,18 +2822,41 @@ object SparkEntry {
     val loop = (1 to iters).map(i =>
       assignCtes(i, s"c${i - 1}") + ",\n" + updateCte(i)).mkString(",\n")
     val fin = iters + 1
-    s"""WITH e AS (SELECT vec_id,
-       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
-       |    CAST(unnest(embedding) AS DOUBLE) AS v
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, dim, v AS c FROM e
-       |  WHERE vec_id IN
-       |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-       |$loop,
-       |${assignCtes(fin, s"c$iters")}
+    (s"""e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, dim, v AS c FROM e
+        |  WHERE vec_id IN
+        |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+        |$loop,
+        |${assignCtes(fin, s"c$iters")}""".stripMargin, s"a$fin")
+  }
+
+  private def kmeansSql: String = {
+    val (ctes, fin) = kmeansCtes
+    s"""WITH $ctes
        |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
        |  min(vec_id) AS min_vec, CAST(SUM(dist2) AS DOUBLE) AS inertia
-       |FROM a$fin GROUP BY cid ORDER BY cluster_id""".stripMargin
+       |FROM $fin GROUP BY cid ORDER BY cluster_id""".stripMargin
+  }
+
+  /** d60's oracle: the d59 chain's final assignment scopes the pair
+    * join; seniority keep = min-i per dropped j (row_number mirror of
+    * the Spark min-of-struct aggregate). */
+  private def clusterSemdedupSql: String = {
+    val (ctes, fin) = kmeansCtes
+    s"""WITH $ctes,
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |g AS (SELECT ev.vec_id, ev.v, a.cid FROM ev JOIN $fin a USING (vec_id)),
+       |p AS (SELECT x.vec_id AS i, y.vec_id AS j, x.cid AS cid,
+       |        ${round4(cosSql("x.v", "y.v"))} AS sim
+       |      FROM g x JOIN g y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |f AS (SELECT * FROM p WHERE sim >= 0.40),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY j ORDER BY i) AS rn
+       |      FROM f)
+       |SELECT j AS vec_id, i AS kept_id, sim, cid AS cluster_id
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
   private def editVerifySql =

@@ -71,7 +71,20 @@ object EmbeddingOps {
 
   /** [[kmeans]] over an explicit (vec_id, embedding) frame —
     * package-visible for the planted-cluster and determinism specs. */
-  private[graft] def kmeansOver(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[graft] def kmeansOver(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansLabels(emb, k, iters)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+        sum(col("dist2")).cast("double").as("inertia"))
+      .select(col("cid").as("cluster_id"), col("n_vecs"), col("min_vec"),
+        col("inertia"))
+      .orderBy("cluster_id")
+
+  /** The per-vector final assignment (vec_id, cid, dist2) behind
+    * [[kmeansOver]] — the labeling surface [[clusterSemdedup]] (d60)
+    * composes with; split out so the cluster-scoped consumers share
+    * the exact iteration chain the d59 oracle unrolls. */
+  private[graft] def kmeansLabels(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val pts = persistCorpus(emb.select(col("vec_id"),
       posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"))
     val seedIds = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
@@ -96,12 +109,59 @@ object EmbeddingOps {
       cent = next
     }
     assign(cent)
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
-        sum(col("dist2")).cast("double").as("inertia"))
-      .select(col("cid").as("cluster_id"), col("n_vecs"), col("min_vec"),
-        col("inertia"))
-      .orderBy("cluster_id")
+  }
+
+  /** d60 — CLUSTER-scoped semantic dedup: what the SemDeDup paper
+    * actually does. d35 approximates the "compare only nearby vectors"
+    * step with hyperplane sign buckets — cheap, but a near-identical
+    * pair STRADDLING one hyperplane lands in different buckets and is
+    * structurally missed. Real SemDeDup clusters the corpus FIRST
+    * (k-means, here the d59 labeler — the exact iteration chain the
+    * d59 oracle unrolls) and verifies pairs WITHIN each cluster:
+    * Lloyd assignment has no bucket boundary through a tight pair —
+    * both members sit nearest the same centroid.
+    *
+    * Same decision row as d35 (drop doc j, blame kept_id i, evidence
+    * sim) plus the cluster that scoped the comparison; kept set = rows
+    * absent from the output. Seniority-dominance keep rule, computed as
+    * a min-of-(i, sim) struct AGGREGATE per dropped doc — map-side
+    * combining, never a rank window (the d53 rule; d35's row_number
+    * formulation predates it and stays as the contrast).
+    *
+    * Scale: candidate generation is an equi-join on the cluster label —
+    * never all-pairs; within-cluster volume is Σ|c|²/2, bounded by
+    * sizing k to the corpus (k ≈ n / target-cluster-size keeps |c|
+    * constant as n grows — the SemDeDup paper runs k in the tens of
+    * thousands at web scale), and one hot cluster is an AQE skew-join
+    * split, not a straggler. The labeler itself is d59's O(n·k·dim)
+    * per-iteration chain with broadcast centroids. */
+  def clusterSemdedup(s: SparkSession, d: String, tau: Double = 0.40): DataFrame =
+    clusterSemdedupOver(Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+      tau, KmeansK, KmeansIters)
+
+  /** [[clusterSemdedup]] over an explicit (vec_id, v: array<double>)
+    * table — package-visible so the spec can plant a near-identical
+    * pair that straddles a d35 hyperplane (different sign buckets) yet
+    * shares a d59 cluster: caught here, missed by [[semdedupOver]]. */
+  private[graft] def clusterSemdedupOver(e0: DataFrame, tau: Double,
+      k: Int, iters: Int): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(e0.sparkSession)
+    val lbl = kmeansLabels(e0.select(col("vec_id"), col("v").as("embedding")),
+      k, iters).select(col("vec_id"), col("cid"))
+    val e = persistCorpus(e0.join(lbl, "vec_id"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        col("a.cid").as("cid"), round4(cosine(col("a.v"), col("b.v"))).as("sim"))
+      .filter(col("sim") >= tau)
+    // j sits in exactly one cluster, so cid is constant within the
+    // group and rides the struct for free
+    pairs.groupBy(col("j"))
+      .agg(min(struct(col("i"), col("sim"), col("cid"))).as("w"))
+      .select(col("j").as("vec_id"), col("w.i").as("kept_id"),
+        col("w.sim").as("sim"), col("w.cid").as("cluster_id"))
+      .orderBy("vec_id")
   }
 
   /** Component j of deterministic random hyperplane (t, p) — splitmix64

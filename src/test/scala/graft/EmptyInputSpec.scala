@@ -159,6 +159,8 @@ class EmptyInputSpec extends SparkSpec {
       .count() === 0L)
     // d59 on an empty embedding table: no seeds, empty loop, zero rows
     assert(operators.EmbeddingOps.kmeans(spark, emptyDir).count() === 0L)
+    // d60: empty labels, empty pair join, zero rows
+    assert(operators.EmbeddingOps.clusterSemdedup(spark, emptyDir).count() === 0L)
     // f15 between two empty versions: an empty change feed, not a crash
     assert(operators.Sources.changeFeed(spark, emptyDir).count() === 0L)
     // f12 on an empty feed: one all-zero-counts row, nothing throws

@@ -587,6 +587,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("d60 catches a hyperplane-straddling near-identical pair d35 misses") {
+    // the structural gap d60 exists to close: a near-identical pair
+    // SPLIT by a d35 hyperplane (opposite-sign dots with plane 0 of
+    // the table-7 family → different sign buckets → never compared)
+    // that Lloyd assignment keeps together (both nearest one centroid).
+    // u is on the plane-0 boundary (dot(u, p0) = 0 by construction);
+    // v1/v2 = u ± δ·p0 have dots ±δ‖p0‖² — certain opposite plane-0
+    // bits at any δ, cosine ≈ 1 at δ = 0.001.
+    val p0 = (0 until 4).map(j => EmbeddingOps.planeComp(7, 0, j))
+    val u = Seq(p0(1), -p0(0), 0.0, 0.0)
+    def off(s: Double) = u.zip(p0).map { case (x, y) => x + s * y }
+    val far1 = Seq(50.0, 50.0, 50.0, 50.0)
+    val far2 = Seq(50.5, 50.0, 50.0, 50.0)
+    val e = Seq((1L, off(0.001)), (2L, far1), (3L, off(-0.001)), (4L, far2))
+      .toDF("vec_id", "v")
+    val d35 = EmbeddingOps.semdedupOver(e, 0.9, 4, 7, dim = 4)
+      .select("vec_id", "kept_id").as[(Long, Long)].collect().toSet
+    assert(!d35.contains((3L, 1L)),
+      "the planted pair must straddle a sign bucket — fixture broken otherwise")
+    // k = 2 seeds are vec_ids 1 and 2: the tight pair joins seed 1's
+    // cluster, the far twins seed 2's; both dups caught within-cluster
+    val d60 = EmbeddingOps.clusterSemdedupOver(e, 0.9, 2, 3)
+      .select("vec_id", "kept_id", "cluster_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d60 === Set((3L, 1L, 1L), (4L, 2L, 2L)))
+  }
+
   test("d59 fixture invariants: partition of the corpus, ≤ k clusters") {
     val got = EmbeddingOps.kmeans(spark, Sf)
       .as[(Long, Long, Long, Double)].collect().toSeq
