@@ -242,6 +242,8 @@ object SparkEntry {
     "f14_time_travel" -> (Sources.timeTravel _),
     // change-data-feed read between two retained versions (CDC diff)
     "f15_change_feed" -> (Sources.changeFeed _),
+    // version retention / vacuum: purge old versions, prove reads intact
+    "f16_version_retention" -> (Sources.versionRetention _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1680,6 +1682,36 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT c_custkey, post_name, post_bal, 'update_postimage' FROM upd)
          |ORDER BY c_custkey, change_type""".stripMargin,
+    "f16_version_retention" ->
+      // the three-version ladder re-derived: v1 = snapshot, v2 = the
+      // f13 merge (updates/tombstones/inserts), v3 = v2 minus the
+      // bucket-7 delete feed. Manifest arithmetic mirrors the purge:
+      // v1 purged (keepLast = 2 of 3), n_read = n_rows where retained,
+      // NULL where vacuumed — the Spark side's n_read comes from
+      // post-purge DISK reads, so retention fidelity is what hashes.
+      s"""WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         |u AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+         |        'upsert' AS op FROM customer WHERE c_custkey % 10 = 2
+         |      UNION ALL
+         |      SELECT c_custkey + 1000000, 'New#' || CAST(c_custkey AS VARCHAR),
+         |        CAST(c_custkey AS DOUBLE), 'upsert' FROM customer
+         |      WHERE c_custkey % 10 = 8),
+         |v2 AS (
+         |  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey
+         |  FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+         |  WHERE COALESCE(u.c_custkey, t.c_custkey) NOT IN
+         |    (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5)),
+         |v3 AS (SELECT c_custkey FROM v2 WHERE c_custkey % 10 <> 7),
+         |m AS (
+         |  SELECT 1 AS version, 'purged' AS status,
+         |    (SELECT count(*) FROM t) AS n_rows
+         |  UNION ALL SELECT 2, 'kept', (SELECT count(*) FROM v2)
+         |  UNION ALL SELECT 3, 'current', (SELECT count(*) FROM v3))
+         |SELECT CAST(version AS BIGINT) AS version, status,
+         |  CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(CASE WHEN status = 'purged' THEN NULL ELSE n_rows END AS BIGINT)
+         |    AS n_read
+         |FROM m ORDER BY version""".stripMargin,
     "f14_time_travel" ->
       // version 1 = the customer snapshot; version 2 = the f13 merge
       // applied; both re-derived here, aggregated per bucket and

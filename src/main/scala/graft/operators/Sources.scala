@@ -397,11 +397,14 @@ object Sources {
       .toSeq.collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
       .sorted
 
-  /** The table's current version number: 1 + the archived count (0 if
-    * nothing has ever published). */
+  /** The table's current version number: 1 + the HIGHEST archived
+    * version (0 if nothing has ever published). Max-based, not
+    * count-based: after [[purgeVersions]] removes old `v<K>/`
+    * directories the numbering must not slide — version ids are
+    * forever. */
   private[graft] def currentVersion(base: String): Int = {
     val hasPublished = new java.io.File(s"$base/published").exists
-    if (!hasPublished) 0 else archivedVersions(base).size + 1
+    if (!hasPublished) 0 else archivedVersions(base).lastOption.getOrElse(0) + 1
   }
 
   /** f14 — snapshot AS-OF read (time travel): scan the table as it was
@@ -427,7 +430,15 @@ object Sources {
     require(version >= 1 && version <= current,
       s"version $version out of range: table at $base has versions 1..$current")
     if (version == current) s.read.parquet(s"$base/published")
-    else s.read.parquet(s"$base/v$version")
+    else {
+      // in-range but vacuumed: the other loud failure a time-travel API
+      // owes its callers — distinct message from out-of-range, so an
+      // operator can tell "never existed" from "purged by retention"
+      require(new java.io.File(s"$base/v$version").exists,
+        s"version $version at $base is out of retention (purged); " +
+          s"earliest retained is ${archivedVersions(base).headOption.getOrElse(current)}")
+      s.read.parquet(s"$base/v$version")
+    }
   }
 
   /** The f14 registry query: the WAP → MERGE → history ladder end to
@@ -440,7 +451,10 @@ object Sources {
     * (inserted keys land on the same mod); every other bucket is
     * identical. Both sides are scans of what PROMOTE left on disk, so
     * the archived bytes — not a cached plan — are what is checked. */
-  def timeTravel(s: SparkSession, d: String): DataFrame = {
+  /** The shared f14/f15/f16 version ladder: the `customer` snapshot
+    * (version 1) and its f13-merged successor (version 2 — bucket-2
+    * updates, bucket-5 tombstones, offset-10⁶ bucket-8 inserts). */
+  private def customerLadder(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val cust = Tables.customer(s, d)
     val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val updates = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
@@ -457,6 +471,11 @@ object Sources {
     val merged = mergeUpsertOver(target,
       updates.unionByName(deletes).unionByName(inserts), "c_custkey")
       .drop("action") // versions share one schema: the snapshot's
+    (target, merged)
+  }
+
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val (target, merged) = customerLadder(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-asof").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
     writeAuditPublishStaged(s, target, target.count(), base.toString,
@@ -523,22 +542,7 @@ object Sources {
     * bucket-5 deletes, bucket-2 update pairs, offset-8 inserts; every
     * untouched customer absent. */
   def changeFeed(s: SparkSession, d: String): DataFrame = {
-    val cust = Tables.customer(s, d)
-    val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    val updates = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
-      .select(col("c_custkey"), col("c_name"),
-        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
-    val deletes = cust.filter(pmod(col("c_custkey"), lit(10L)) === 5)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-        lit("delete").as("op"))
-    val inserts = cust.filter(pmod(col("c_custkey"), lit(10L)) === 8)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
-        concat(lit("New#"), col("c_custkey").cast("string")).as("c_name"),
-        col("c_custkey").cast("double").as("c_acctbal"),
-        lit("upsert").as("op"))
-    val merged = mergeUpsertOver(target,
-      updates.unionByName(deletes).unionByName(inserts), "c_custkey")
-      .drop("action")
+    val (target, merged) = customerLadder(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-cdf").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
     writeAuditPublishStaged(s, target, target.count(), base.toString,
@@ -547,6 +551,77 @@ object Sources {
       keyCols = Seq("c_custkey"), retainVersions = true)
     changesBetween(s, base.toString, 1, 2, "c_custkey")
       .orderBy("c_custkey", "change_type")
+  }
+
+  /** f16 — version RETENTION / vacuum (the last rung of the lakehouse
+    * ladder): f14's `retainVersions` archives every replaced
+    * `published/` as `v<N>/` FOREVER — unbounded storage growth, and
+    * the first operational question any time-travel user asks. The
+    * job: keep the newest `keepLast` versions (current included),
+    * delete every older archived directory, and emit a manifest row
+    * per version — (version, status current/kept/purged, n_rows,
+    * bytes) — measured BEFORE any deletion, so the manifest records
+    * what was reclaimed.
+    *
+    * Contract after the purge: version ids never slide (numbering is
+    * max-based, so the next publish mints a fresh id); [[readAsOf]] on
+    * retained versions is byte-identical to pre-purge; an in-range but
+    * vacuumed version THROWS the out-of-retention diagnostic (never a
+    * silent fallback — the d37/f14 rule). Like f09/f10 this is an
+    * eager maintenance JOB: deletions happen at call time, the
+    * returned frame is the manifest. At 100 TB on a snapshot-manifest
+    * table format (Iceberg/Delta) "delete v<K>/" becomes "expire
+    * snapshot + delete newly-unreferenced data files" — same manifest,
+    * same read-side contract, cost O(files only v<K> references). */
+  private[graft] def purgeVersions(s: SparkSession, base: String,
+      keepLast: Int): DataFrame = {
+    import s.implicits._
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = currentVersion(base)
+    require(cur >= 1, s"no published table at $base")
+    val cutoff = cur - keepLast // versions <= cutoff go
+    val rows = (archivedVersions(base).map(v => (v, new java.io.File(s"$base/v$v")))
+        :+ (cur, new java.io.File(s"$base/published"))).map { case (v, f) =>
+      val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(f)
+      val nRows = s.read.parquet(f.toString).count()
+      val status =
+        if (v == cur) "current"
+        else if (v <= cutoff) {
+          org.apache.commons.io.FileUtils.deleteDirectory(f); "purged"
+        } else "kept"
+      (v.toLong, status, nRows, bytes)
+    }
+    rows.toDF("version", "status", "n_rows", "bytes")
+  }
+
+  /** The f16 registry query: a THREE-version ladder (snapshot → f13
+    * merge → bucket-7 delete-only feed), purged to `keepLast = 2`,
+    * then every surviving version re-read FROM DISK. Output per
+    * version: the manifest's status and pre-purge row count, plus
+    * `n_read` — the post-purge [[readAsOf]] count (NULL for the purged
+    * version). `n_read = n_rows` on kept/current rows proves retention
+    * left the archived bytes intact; the NULL proves v1 is gone.
+    * `bytes` stays in the library manifest but out of the registry row
+    * (file sizes are not SQL-derivable — the StorageSpec pin covers
+    * the reclaimed-bytes arithmetic). */
+  def versionRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (target, merged) = customerLadder(s, d)
+    val merged2 = merged.filter(pmod(col("c_custkey"), lit(10L)) =!= 7)
+    val base = java.nio.file.Files.createTempDirectory("graft-vacuum").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Seq(target, merged, merged2).foreach(df =>
+      writeAuditPublishStaged(s, df, df.count(), base.toString,
+        keyCols = Seq("c_custkey"), retainVersions = true))
+    val manifest = purgeVersions(s, base.toString, keepLast = 2)
+    val cur = currentVersion(base.toString)
+    val reads = (1 to cur).map { v =>
+      val readable = v == cur || new java.io.File(s"$base/v$v").exists
+      (v.toLong, if (readable) Some(readAsOf(s, base.toString, v).count()) else None)
+    }.toDF("version", "n_read")
+    manifest.join(reads, Seq("version"))
+      .select(col("version"), col("status"), col("n_rows"), col("n_read"))
+      .orderBy("version")
   }
 
   private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
@@ -583,7 +658,9 @@ object Sources {
       // (single-slot undo) as before
       val aside =
         if (retainVersions)
-          new java.io.File(s"$base/v${archivedVersions(base).size + 1}")
+          // max-based (the currentVersion rule): a post-purge publish
+          // must mint a FRESH version number, never reuse a purged one
+          new java.io.File(s"$base/v${archivedVersions(base).lastOption.getOrElse(0) + 1}")
         else new java.io.File(s"$base/published.old")
       if (!retainVersions) org.apache.commons.io.FileUtils.deleteQuietly(aside)
       if (published.exists)

@@ -163,6 +163,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.EmbeddingOps.clusterSemdedup(spark, emptyDir).count() === 0L)
     // f15 between two empty versions: an empty change feed, not a crash
     assert(operators.Sources.changeFeed(spark, emptyDir).count() === 0L)
+    // f16 on an empty corpus: three zero-row versions still make a
+    // three-row manifest (the job audits versions, not rows)
+    val vr = operators.Sources.versionRetention(spark, emptyDir).collect()
+    assert(vr.length === 3 && vr.forall(_.getLong(2) === 0L))
     // f12 on an empty feed: one all-zero-counts row, nothing throws
     val cr = operators.Sources.corruptRecords(spark, emptyDir).head()
     (0 until 3).foreach(i => assert(cr.getLong(i) === 0L, s"f12 col $i"))

@@ -343,6 +343,52 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("f16 retention: purge keeps newest 2, v1 throws, ids never slide") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vac-spec").toString
+    def pub(rows: Seq[(Long, String)]): Unit =
+      operators.Sources.writeAuditPublishStaged(spark, rows.toDF("k", "v"),
+        rows.size.toLong, base, keyCols = Seq("k"), retainVersions = true)
+    Seq(
+      Seq((1L, "a")),
+      Seq((1L, "a2"), (2L, "b")),
+      Seq((2L, "b"), (3L, "c"))).foreach(pub)
+    def readV(v: Int) = operators.Sources.readAsOf(spark, base, v)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    val pre2 = readV(2)
+    val pre3 = readV(3)
+    val v1Bytes = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(s"$base/v1"))
+    val m = operators.Sources.purgeVersions(spark, base, keepLast = 2)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(m.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, "purged", 1L), (2L, "kept", 2L), (3L, "current", 2L)))
+    assert(m.head._4 === v1Bytes, "manifest must record the reclaimed bytes")
+    m.foreach(r => assert(r._4 > 0L))
+    assert(!new java.io.File(s"$base/v1").exists, "v1 directory must be gone")
+    // retained versions byte-identical to their pre-purge reads
+    assert(readV(2) === pre2)
+    assert(readV(3) === pre3)
+    // in-range but vacuumed: the distinct out-of-retention diagnostic
+    val ex = intercept[IllegalArgumentException] {
+      operators.Sources.readAsOf(spark, base, 1)
+    }
+    assert(ex.getMessage.contains("out of retention"))
+    assert(ex.getMessage.contains("earliest retained is 2"))
+    // numbering is max-based: still at version 3, and the next publish
+    // mints a FRESH id (v3 archive, version 4 current) — purged ids
+    // are never reused
+    assert(operators.Sources.currentVersion(base) === 3)
+    pub(Seq((4L, "d")))
+    assert(operators.Sources.currentVersion(base) === 4)
+    assert(readV(4) === Seq((4L, "d")))
+    assert(readV(3) === pre3, "archive of the replaced current is v3")
+    // keepLast covering every version: a pure no-op audit pass
+    val m2 = operators.Sources.purgeVersions(spark, base, keepLast = 10)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(m2.map(r => (r._1, r._2)) ===
+      Seq((2L, "kept"), (3L, "kept"), (4L, "current")))
+  }
+
   test("f14 AS-OF v1 ≡ pre-merge snapshot bytes; current diverges") {
     // run the registry flow's publishes by hand so we hold the base dir
     val cust = Tables.customer(spark, Sf)
