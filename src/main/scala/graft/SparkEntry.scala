@@ -286,6 +286,8 @@ object SparkEntry {
     "e35_retention" -> (Relational.retention _),
     // directed transitive closure with min hop count (BFS, no recursive CTE)
     "e45_transitive_closure" -> (TransitiveClosure.bomReachability _),
+    // path-doubling min-hop closure (the deep-chain swap for e45's BFS)
+    "e45b_deep_closure" -> (TransitiveClosure.deepChainReachability _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -1638,6 +1640,23 @@ object SparkEntry {
         |  SELECT p_partkey AS root, p_partkey AS node, 0 AS hops
         |  FROM part WHERE p_partkey % 97 = 1
         |  UNION
+        |  SELECT r.root, e.dst, r.hops + 1
+        |  FROM r JOIN e ON e.src = r.node)
+        |SELECT root, node, CAST(min(hops) AS BIGINT) AS min_hops
+        |FROM r GROUP BY root, node ORDER BY root, node""".stripMargin,
+    "e45b_deep_closure" ->
+      // same recursive-CTE mirror over the segmented-chain fixture —
+      // the engine's iteration count is its own business (DuckDB walks
+      // the 63-deep chain level by level; Spark doubles in ~7 rounds);
+      // only the closure must match. UNION ALL is safe: within-block
+      // descending chains have exactly one path per pair.
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS src, p_partkey - 1 AS dst FROM part
+        |  WHERE p_partkey >= 2 AND p_partkey % 64 <> 0),
+        |r AS (
+        |  SELECT p_partkey AS root, p_partkey AS node, 0 AS hops
+        |  FROM part WHERE p_partkey % 64 = 63
+        |  UNION ALL
         |  SELECT r.root, e.dst, r.hops + 1
         |  FROM r JOIN e ON e.src = r.node)
         |SELECT root, node, CAST(min(hops) AS BIGINT) AS min_hops

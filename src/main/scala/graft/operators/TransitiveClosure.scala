@@ -29,11 +29,11 @@ import org.apache.spark.sql.functions._
   * partition; never a cross product). Depth is the honest cost driver:
   * a BOM/dependency DAG is log-ish deep (this fixture: ≤ log₂ max key
   * ≈ 15 rounds at any SF) and BFS is the right plan; a pathologically
-  * deep chain (depth ~ n) would need the path-doubling variant (O(log
-  * depth) rounds at O(E·log) total work — the directed analog of
-  * [[ConnectedComponents.largeSmallStar]]'s round bound), which a
-  * deployment swaps in behind the same (roots, edges) → (root, node,
-  * hops) contract. Undirected closure WITHOUT hop labels should use
+  * deep chain (depth ~ n) needs [[minHopClosureDoubling]] (e45b):
+  * O(log depth) rounds bought at O(Σ reach²) pair-relation work —
+  * the same rounds-vs-work trade as
+  * [[ConnectedComponents.largeSmallStar]], behind the same
+  * (roots, edges) → (root, node, hops) contract. Undirected closure WITHOUT hop labels should use
   * large/small-star instead — star rewrites do not preserve path
   * length, which is exactly why this kernel exists separately.
   *
@@ -79,6 +79,89 @@ object TransitiveClosure {
       if (!(frontier eq dist)) ConnectedComponents.dropCheckpoint(frontier)
       dist
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** e45b — min-hop closure by PATH DOUBLING: the documented deep-graph
+    * swap behind the same (roots, edges) → (root, node, hops) contract.
+    * [[minHopClosure]]'s BFS runs depth-many rounds and `require`-fails
+    * past [[ConnectedComponents.MaxRounds]]; a chain-shaped graph
+    * (event sequences, linked revisions, blockchain-style parent
+    * pointers) has depth ~ n and needs the logarithmic-round variant.
+    *
+    * Algorithm: min-plus squaring of the distance relation. `r` holds
+    * (u, v, d) = the MINIMUM path length from u to v among paths of
+    * length ≤ 2^k after k rounds; each round composes r with itself
+    * (one equi-join on the middle node + a min aggregate) and stops at
+    * the first round that neither adds a pair nor shortens one.
+    * ceil(log₂ depth) rounds regardless of depth; cycles are safe (a
+    * lap around a cycle never shortens a path, so min() discards it
+    * and the fixpoint test converges).
+    *
+    * The honest cost tradeoff vs BFS — why BOTH kernels exist: the
+    * relation materializes EVERY reachable (u, v) pair from every
+    * node, not just from roots — O(Σ reach²) space/work vs BFS's
+    * O(roots-reached edges) per round. Doubling wins when depth ≫ the
+    * round budget AND per-node reach sets are bounded (segmented
+    * chains, bounded-window sequence graphs — the registry fixture);
+    * BFS wins on shallow-wide DAGs (e45's BOM). Both shuffles key on
+    * node ids — no cross product, AQE splits a skewed middle node. */
+  def minHopClosureDoubling(roots: DataFrame, edges0: DataFrame,
+      maxRounds: Int = 40): DataFrame = {
+    // fixpoint probe: (pair count, Σd). r ⊆ next pairwise with
+    // d_next ≤ d_r, so equal count means no pair added and equal sum
+    // then forces pointwise-equal distances — one scalar aggregate per
+    // round instead of a join-and-scan. Decimal sum: immune to Σd
+    // overflow at any pair volume.
+    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = df.agg(count(lit(1)),
+        sum(col("d").cast("decimal(38,0)"))).head()
+      (row.getLong(0),
+        Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var r = edges0.select(col("src").as("u"), col("dst").as("v"))
+      .distinct().withColumn("d", lit(1L)).localCheckpoint()
+    var last = stats(r)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"path doubling exceeded $maxRounds rounds (depth > 2^$maxRounds?)")
+      val comp = r.as("a").join(r.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"),
+          (col("a.d") + col("b.d")).as("d"))
+      val next = r.unionByName(comp).groupBy("u", "v")
+        .agg(min(col("d")).as("d")).localCheckpoint()
+      val cur = stats(next)
+      converged = cur._1 == last._1 && cur._2.compareTo(last._2) == 0
+      last = cur
+      ConnectedComponents.dropCheckpoint(r)
+      r = next
+    }
+    val reached = roots.join(r, roots("node") === r("u"))
+      .select(col("root"), col("v").as("node"), col("d").as("hops"))
+    roots.select(col("root"), col("node"), lit(0L).as("hops"))
+      .unionByName(reached)
+      .groupBy("root", "node").agg(min(col("hops")).as("hops"))
+  }
+
+  /** The e45b registry instance: SEGMENTED-CHAIN reachability over
+    * `part` — each 64-key block [64k, 64k+63] is a descending chain
+    * (p → p−1 within the block), roots are the block tops (≡ 63 mod
+    * 64), so reached depth is 63: past the BFS round budget
+    * ([[ConnectedComponents.MaxRounds]] = 60 — [[minHopClosure]]
+    * refuses this graph by contract; the boundary spec pins that) and
+    * the shape where doubling's pair relation stays block-bounded. */
+  def deepChainReachability(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d).select(col("p_partkey"))
+    val edges = part.filter(col("p_partkey") >= 2 &&
+        pmod(col("p_partkey"), lit(64L)) =!= 0)
+      .select(col("p_partkey").as("src"), (col("p_partkey") - 1).as("dst"))
+    val roots = part.filter(pmod(col("p_partkey"), lit(64L)) === 63)
+      .select(col("p_partkey").as("root"), col("p_partkey").as("node"))
+    minHopClosureDoubling(roots, edges)
+      .select(col("root"), col("node"), col("hops").as("min_hops"))
+      .orderBy("root", "node")
   }
 
   /** The e45 registry instance: BOM-style reachability over `part`.

@@ -157,6 +157,9 @@ class EmptyInputSpec extends SparkSpec {
     // e45 with no parts: no roots, no edges, the BFS loop never enters
     assert(operators.TransitiveClosure.bomReachability(spark, emptyDir)
       .count() === 0L)
+    // e45b: the empty pair relation converges in one round, zero rows
+    assert(operators.TransitiveClosure.deepChainReachability(spark, emptyDir)
+      .count() === 0L)
     // d59 on an empty embedding table: no seeds, empty loop, zero rows
     assert(operators.EmbeddingOps.kmeans(spark, emptyDir).count() === 0L)
     // d60: empty labels, empty pair join, zero rows

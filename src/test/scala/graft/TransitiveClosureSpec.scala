@@ -68,6 +68,61 @@ class TransitiveClosureSpec extends SparkSpec {
     }
   }
 
+  private def runDoubling(roots: Seq[Long],
+      edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+    TransitiveClosure.minHopClosureDoubling(
+      roots.map(r => (r, r)).toDF("root", "node"),
+      edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("e45b path doubling ≡ BFS on planted shapes and pseudo-random DAGs") {
+    // the two kernels share one contract; every case the BFS suite
+    // pins must come out identical from the doubling plan
+    val diamond = Seq((10L, 5L), (10L, 3L), (5L, 1L), (3L, 1L))
+    assert(runDoubling(Seq(10L), diamond) === run(Seq(10L), diamond))
+    assert(runDoubling(Seq(7L, 9L), Nil) === Set((7L, 7L, 0L), (9L, 9L, 0L)))
+    assert(runDoubling(Nil, Seq((1L, 2L))) === Set.empty)
+    for (seed <- Seq(11L, 29L)) {
+      val edges = (0L until 120L).flatMap { k =>
+        val a = (k * seed * 31 + 17) % 40
+        val b = (k * seed * 53 + 5) % 40
+        if (a > b) Some((a, b)) else if (b > a) Some((b, a)) else None
+      }.distinct
+      val roots = Seq(39L, 38L, 25L)
+      assert(runDoubling(roots, edges) === bfs(roots, edges), s"seed $seed")
+    }
+  }
+
+  test("e45b cycle: a lap never shortens a path, fixpoint terminates") {
+    assert(runDoubling(Seq(1L), Seq((1L, 2L), (2L, 3L), (3L, 1L))) ===
+      Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L)))
+  }
+
+  test("deep chain: BFS refuses past MaxRounds (pinned message), doubling solves it") {
+    // depth 79 > the BFS round budget of 60 — the contract boundary the
+    // round-11 verdict flagged as untested: the require must name the
+    // swap, and the swap must actually solve the same graph
+    val chain = (1L to 79L).map(k => (k, k - 1L))
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq(79L), chain)
+    }
+    assert(ex.getMessage.contains("path-doubling"),
+      s"the BFS refusal must name the swap: ${ex.getMessage}")
+    val got = runDoubling(Seq(79L), chain)
+    assert(got === (0L to 79L).map(q => (79L, q, 79L - q)).toSet)
+  }
+
+  test("e45b fixture invariants: block-bounded chains, exact hop arithmetic") {
+    val rows = TransitiveClosure.deepChainReachability(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (root, node, hops) =>
+      assert(root % 64 === 63, "roots are block tops")
+      assert(node / 64 === root / 64, "reach never crosses a block")
+      assert(hops === root - node, "chain hops are exact differences")
+    }
+  }
+
   test("e45 fixture invariants: roots self-labeled, hops bounded by log2, " +
     "every non-root hop has a parent one hop up") {
     val rows = TransitiveClosure.bomReachability(spark, Sf)
