@@ -234,15 +234,23 @@ object Bench {
     * last ~2000 chars of bench stdout, and with ~90 queries the
     * full-name 9-decimal JSON line overflows it and arrives truncated
     * (rounds 1 and 3 were unparseable for exactly this reason). Short
-    * key = query name truncated at the first '_' (unique across all
-    * eNN/dNN/sNN/fNN/mNN/pNN/tNN ids, including b/c suffixes); the six
-    * q_* text queries get explicit codes. Documented in BASELINE.md;
-    * ContractSpec guards length and collision-freedom against the REAL
-    * query set via this very method. */
+    * key = query name truncated at the first '_', then the NUMBER's
+    * leading zero stripped ("d06b" → "d6b", "e45" unchanged) — round
+    * 12: at 177 queries even the id-only keys overflowed the coarse
+    * line, and the zero is pure padding (family + number + suffix stay
+    * unambiguous, and the key is still NAME-derived, so it is stable
+    * across rounds for every query except the one-time 0N → N rename
+    * this round). The six q_* text queries keep explicit codes.
+    * Documented in BASELINE.md; ContractSpec guards length and
+    * collision-freedom against the REAL query set via this very
+    * method. */
   val qShort: Map[String, String] = Map(
     "q_wordcount" -> "qwc", "q_topk" -> "qtk", "q_inverted_index" -> "qii",
     "q_wordcount_republic" -> "qwcr", "q_topk_republic" -> "qtkr",
     "q_inverted_index_republic" -> "qiir")
 
-  def shortKey(name: String): String = qShort.getOrElse(name, name.takeWhile(_ != '_'))
+  def shortKey(name: String): String = qShort.getOrElse(name, {
+    val id = name.takeWhile(_ != '_')
+    if (id.length >= 3 && id(1) == '0') id.head +: id.drop(2) else id
+  })
 }

@@ -218,6 +218,8 @@ object SparkEntry {
     // stream-stream LEFT OUTER join, batch form (errors without a recent
     // purchase surface with null purchase columns)
     "s10_stream_stream_left" -> (Streaming.streamLeftJoin _),
+    // stream-stream FULL outer: both sides emit unmatched after watermark
+    "s15_stream_stream_full" -> (Streaming.streamFullJoin _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
     // snapshot reconciliation: added/removed/changed + per-column counts
@@ -1391,6 +1393,25 @@ object SparkEntry {
         |  AND p.p_ts <= err.err_ts
         |  AND p.p_ts >= err.err_ts - INTERVAL 30 MINUTE
         |ORDER BY err_id, purchase_id""".stripMargin,
+    "s15_stream_stream_full" ->
+      // s10's mirror with FULL OUTER and a null-safe order key (Spark
+      // sorts nulls first, DuckDB last — coalesce sidesteps it)
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |             event_type, value FROM events),
+        |err AS (SELECT event_id AS err_id, user_id, ts AS err_ts FROM e
+        |        WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts,
+        |        value AS purchase_value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT err.err_id, p.purchase_id,
+        |  COALESCE(err.user_id, p.p_user) AS user_id,
+        |  strftime(err.err_ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  p.purchase_value
+        |FROM err FULL OUTER JOIN p ON err.user_id = p.p_user
+        |  AND p.p_ts <= err.err_ts
+        |  AND p.p_ts >= err.err_ts - INTERVAL 30 MINUTE
+        |ORDER BY COALESCE(err_id, -1), COALESCE(purchase_id, -1)""".stripMargin,
     // d44: integer weight numerators ⇒ exact sums; the logit is one IEEE
     // division of engine-identical integers — no rounding.
     "d44_quality_classifier" ->

@@ -181,6 +181,50 @@ object Streaming {
         col("purchase_value"))
   }
 
+  /** E16h — stream-stream FULL OUTER join: the last stream-stream join
+    * mode (s06 inner, s10 left). Both sides emit their unmatched rows —
+    * errors with no preceding-30-minutes purchase (the s10 alert) AND
+    * purchases followed by no error within 30 minutes (the
+    * healthy-purchase complement, null error columns) — each flushed
+    * only once ITS side's watermark passes the row's join window.
+    * Everything the s10 scaladoc documents about watermark advancement
+    * and pre-filtered streams applies doubled: a bounded replay's flush
+    * sentinel must ride BOTH streams, because each side's null-extension
+    * waits on its own watermark. State stays watermark-bounded on both
+    * sides; the join itself is the same user_id-keyed, time-range-
+    * bounded condition — never a cross product. */
+  def errorPurchaseFullJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.select(col("event_id").as("err_id"),
+        col("user_id").as("err_user"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", "2 hours")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "2 hours")
+    e.join(p, col("err_user") === col("p_user") &&
+        col("p_ts") <= col("err_ts") &&
+        col("p_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(col("err_id"), col("purchase_id"),
+        coalesce(col("err_user"), col("p_user")).as("user_id"),
+        tsStr(col("err_ts")).as("err_ts"),
+        tsStr(col("p_ts")).as("purchase_ts"),
+        col("purchase_value"))
+  }
+
+  /** Batch entry for [[errorPurchaseFullJoin]]. Order key is null-safe:
+    * a full outer mixes null and non-null ids within one sort column,
+    * and Spark sorts nulls FIRST where DuckDB sorts them LAST — the
+    * coalesce sidesteps the engine divergence (ids are non-negative). */
+  def streamFullJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    errorPurchaseFullJoin(
+      ev.filter(col("event_type") === "error"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy(coalesce(col("err_id"), lit(-1L)),
+        coalesce(col("purchase_id"), lit(-1L)))
+  }
+
   /** Batch entry for [[errorPurchaseLeftJoin]]. */
   def streamLeftJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)

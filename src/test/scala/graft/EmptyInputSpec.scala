@@ -116,6 +116,7 @@ class EmptyInputSpec extends SparkSpec {
       "dedupThenWindow" -> (Streaming.dedupThenWindow _),
       // rounds 7–8
       "streamLeftJoin" -> (Streaming.streamLeftJoin _),
+      "streamFullJoin" -> (Streaming.streamFullJoin _),
       "runningTotals" -> (Streaming.runningTotalsBatch _),
       "timerSessionsBatch" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Streaming.timerSessionsBatch(s, d)),
       "trendingTopK" -> (Streaming.trendingTopKBatch _),

@@ -235,6 +235,47 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("stream-stream FULL OUTER join: streaming output equals batch output") {
+    // the s10 sentinel pattern doubled: the full outer's null-extended
+    // rows flush per SIDE, each when its own watermark passes, so the
+    // sentinel rides both streams and both sentinel-derived rows (its
+    // unmatched error, its unmatched purchase, and the sentinel-with-
+    // sentinel match) are excluded from the compare null-safely
+    implicit val ctx = spark.sqlContext
+    val errSrc = MemoryStream[Ev]
+    val purSrc = MemoryStream[Ev]
+    val q = Streaming.errorPurchaseFullJoin(errSrc.toDF(), purSrc.toDF())
+      .writeStream.format("memory").queryName("t_ssfull")
+      .outputMode("append").start()
+    val sentinel = replay.filter(_.event_type == "sentinel")
+    val errs = replay.filter(_.event_type == "error") ++ sentinel
+    val purs = replay.filter(_.event_type == "purchase") ++ sentinel
+    try {
+      val ec = errs.grouped(errs.size / 3 + 1).toSeq
+      val pc = purs.grouped(purs.size / 4 + 1).toSeq
+      ec.zipAll(pc, Seq.empty[Ev], Seq.empty[Ev]).foreach { case (e, p) =>
+        if (e.nonEmpty) errSrc.addData(e)
+        q.processAllAvailable()
+        if (p.nonEmpty) purSrc.addData(p)
+        q.processAllAvailable()
+      }
+      val s2 = sentinel.map(e => e.copy(event_id = 999998L,
+        ts = new java.sql.Timestamp(e.ts.getTime + 3600L * 1000)))
+      errSrc.addData(s2); purSrc.addData(s2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val lo = SentinelId - 1000L
+    val streamed = spark.table("t_ssfull")
+      .filter(coalesce(col("err_id"), lit(0L)) < lo &&
+        coalesce(col("purchase_id"), lit(0L)) < lo)
+    val batch = Streaming.streamFullJoin(spark, Sf)
+    // both outer directions are the point: unmatched errors AND
+    // unmatched purchases must exist in the fixture
+    assert(batch.filter(col("purchase_id").isNull).count() > 0)
+    assert(batch.filter(col("err_id").isNull).count() > 0)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("complete-mode running totals: final emitted table equals batch aggregate") {
     implicit val ctx = spark.sqlContext
     val src = MemoryStream[Ev]
