@@ -302,15 +302,18 @@ object EmbeddingOps {
     val e = persistCorpus(Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v")))
 
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid").asc)
+    // argmax cell per vector as a max_by AGGREGATE over the k candidate
+    // rows (the d53/d59 rule) — partial-combines map-side; the previous
+    // row_number window sorted the n×k candidate stream by vec_id three
+    // times (twice for Lloyd, once for cells). Tie order identical:
+    // (csim desc, cid asc) ≡ max_by key (csim, −cid).
+    def assign(centroids: DataFrame): DataFrame =
       e.crossJoin(broadcast(centroids))
         .withColumn("csim", cosine(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("v"), col("cid")),
+          struct(col("csim"), -col("cid"))).as("w"))
+        .select(col("vec_id"), col("w.v").as("v"), col("w.cid").as("cid"))
 
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
@@ -335,15 +338,17 @@ object EmbeddingOps {
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid").asc)
+    // nearest neighbor per query: same max_by aggregate shape — the
+    // probed cells are corpus-scale at production nprobe, and an
+    // aggregate combines map-side where the rank window must sort
     queries.join(cells, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round4(cosine(col("qv"), col("v"))).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("nid"), col("sim"))
+      .groupBy("qid")
+      .agg(max_by(struct(col("nid"), col("sim")),
+        struct(col("sim"), -col("nid"))).as("w"))
+      .select(col("qid"), col("w.nid").as("nid"), col("w.sim").as("sim"))
       .orderBy("qid")
   }
 
