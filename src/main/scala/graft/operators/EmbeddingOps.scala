@@ -87,7 +87,22 @@ object EmbeddingOps {
   private[graft] def kmeansLabels(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val pts = persistCorpus(emb.select(col("vec_id"),
       posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"))
-    val seedIds = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
+    // seeding: smallest-vec_id seeds by default — arbitrary but
+    // oracle-mirrorable (the DuckDB CTEs pin the same k ids). The
+    // quality swap is `spark.graft.kmeansPlusPlus` (off by default so
+    // every oracle keeps exact semantics — the approx-percentile
+    // rewrite's flag discipline): deterministic k-means++ in its
+    // farthest-point form — greedy argmax of the canonicalized
+    // min-distance-to-chosen instead of a D²-weighted random draw
+    // (same spread-out-seeds effect, no RNG to mirror), each round the
+    // SAME plan shape as assign(): one dim-keyed join vs the broadcast
+    // chosen seeds, one (vec, seed) decimal aggregate, one min per
+    // vec, one global argmax; k−1 sequential corpus passes total.
+    val plusPlus = emb.sparkSession.conf
+      .get("spark.graft.kmeansPlusPlus", "false").toBoolean
+    val seedIds =
+      if (plusPlus) farthestPointSeeds(emb, pts, k)
+      else emb.select(col("vec_id")).orderBy("vec_id").limit(k)
     def assign(c: DataFrame): DataFrame =
       pts.join(broadcast(c), "dim")
         .groupBy(col("vec_id"), col("cid"))
@@ -109,6 +124,34 @@ object EmbeddingOps {
       cent = next
     }
     assign(cent)
+  }
+
+  /** Greedy farthest-point seed selection (the deterministic k-means++
+    * variant behind `spark.graft.kmeansPlusPlus`): seed 1 = smallest
+    * vec_id; each next seed = the point with MAXIMUM decimal-exact
+    * min-distance to the chosen set (ties → smallest vec_id). Driver
+    * holds only the ≤ k chosen ids. */
+  private def farthestPointSeeds(emb: DataFrame, pts: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val firstRow = emb.agg(min(col("vec_id"))).head()
+    if (firstRow.isNullAt(0)) return emb.select(col("vec_id")).limit(0)
+    var chosen = List(firstRow.getLong(0))
+    var done = false
+    while (chosen.size < k && !done) {
+      val seedPts = pts.filter(col("vec_id").isin(chosen: _*))
+        .select(col("vec_id").as("sid"), col("dim"), col("v").as("c"))
+      val next = pts.filter(!col("vec_id").isin(chosen: _*))
+        .join(broadcast(seedPts), "dim")
+        .groupBy(col("vec_id"), col("sid"))
+        .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("d2"))
+        .groupBy("vec_id").agg(min(col("d2")).as("d2"))
+        .agg(max_by(col("vec_id"), struct(col("d2"), -col("vec_id"))))
+        .head()
+      if (next.isNullAt(0)) done = true // fewer than k distinct points
+      else chosen = next.getLong(0) :: chosen
+    }
+    chosen.toDF("vec_id")
   }
 
   /** d60 — CLUSTER-scoped semantic dedup: what the SemDeDup paper
