@@ -260,6 +260,8 @@ object SparkEntry {
     "d59_kmeans" -> (EmbeddingOps.kmeans _),
     // cluster-scoped SemDeDup: d59 labels scope the τ-verify pair join
     "d60_cluster_semdedup" -> ((s, d) => EmbeddingOps.clusterSemdedup(s, d)),
+    // k-means label relation published through the WAP gate (manifest)
+    "d61_label_store_publish" -> (LabelStore.publish _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -2234,6 +2236,18 @@ object SparkEntry {
         |ORDER BY l_id, r_id""".stripMargin,
     "d59_kmeans" -> kmeansSql,
     "d60_cluster_semdedup" -> clusterSemdedupSql,
+    "d61_label_store_publish" ->
+      // the WAP manifest over the label relation: Lloyd assignment is a
+      // PARTITION of the corpus (every vector exactly one label), so
+      // the audit counts are the embeddings count — the d46 shape
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT 'rows_match_expected' AS check_name, cnt AS observed,
+        |         true AS ok FROM n
+        |  UNION ALL SELECT 'null_keys', 0, true FROM n
+        |  UNION ALL SELECT 'dup_keys', 0, true FROM n
+        |  UNION ALL SELECT 'published_rows', cnt, true FROM n)
+        |ORDER BY check_name""".stripMargin,
     "d58b_fuzzy_join2" ->
       // UNBLOCKED mirror at distance 2: cross join + levenshtein ≤ 2,
       // aggregated per batch key — hash equality proves the recursive

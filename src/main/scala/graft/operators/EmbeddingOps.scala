@@ -178,20 +178,41 @@ object EmbeddingOps {
     * thousands at web scale), and one hot cluster is an AQE skew-join
     * split, not a straggler. The labeler itself is d59's O(n·k·dim)
     * per-iteration chain with broadcast centroids. */
-  def clusterSemdedup(s: SparkSession, d: String, tau: Double = 0.40): DataFrame =
-    clusterSemdedupOver(Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v")),
-      tau, KmeansK, KmeansIters)
+  def clusterSemdedup(s: SparkSession, d: String, tau: Double = 0.40): DataFrame = {
+    val e0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // production read path (round 12): the d59 labeler publishes ONCE
+    // per corpus through the d61 store and every cluster-scoped
+    // consumer scans the published (vec_id, cid) parquet — the
+    // sharePairStore composition applied to clustering. Off = re-derive
+    // per query (the self-contained twin; spec pins ≡).
+    if (s.conf.get("spark.graft.shareKmeansLabels", "true").toBoolean)
+      clusterSemdedupWith(e0,
+        LabelStore.labels(s, d).select(col("vec_id"), col("cid")), tau)
+    else clusterSemdedupOver(e0, tau, KmeansK, KmeansIters)
+  }
+
+  /** The d59 labeler over the registry corpus — the relation [[LabelStore]]
+    * publishes and [[kmeans]] rolls up. */
+  private[graft] def kmeansLabelsFor(s: SparkSession, d: String): DataFrame =
+    kmeansLabels(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      KmeansK, KmeansIters)
 
   /** [[clusterSemdedup]] over an explicit (vec_id, v: array<double>)
     * table — package-visible so the spec can plant a near-identical
     * pair that straddles a d35 hyperplane (different sign buckets) yet
     * shares a d59 cluster: caught here, missed by [[semdedupOver]]. */
   private[graft] def clusterSemdedupOver(e0: DataFrame, tau: Double,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    clusterSemdedupWith(e0,
+      kmeansLabels(e0.select(col("vec_id"), col("v").as("embedding")),
+        k, iters).select(col("vec_id"), col("cid")), tau)
+
+  /** The d60 verify stage over an explicit (vec_id, cid) label frame —
+    * the shape both the store-fed and re-deriving paths share. */
+  private def clusterSemdedupWith(e0: DataFrame, lbl: DataFrame,
+      tau: Double): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(e0.sparkSession)
-    val lbl = kmeansLabels(e0.select(col("vec_id"), col("v").as("embedding")),
-      k, iters).select(col("vec_id"), col("cid"))
     val e = persistCorpus(e0.join(lbl, "vec_id"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

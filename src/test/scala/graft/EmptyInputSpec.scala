@@ -165,6 +165,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.EmbeddingOps.kmeans(spark, emptyDir).count() === 0L)
     // d60: empty labels, empty pair join, zero rows
     assert(operators.EmbeddingOps.clusterSemdedup(spark, emptyDir).count() === 0L)
+    // d61: a zero-row label table still WAP-publishes (4 audit rows)
+    assert(operators.LabelStore.publish(spark, emptyDir).count() === 4L)
     // f15 between two empty versions: an empty change feed, not a crash
     assert(operators.Sources.changeFeed(spark, emptyDir).count() === 0L)
     // f16 on an empty corpus: three zero-row versions still make a

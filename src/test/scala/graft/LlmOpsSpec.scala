@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, EmbeddingOps, LlmOps, PairGraph, QualityOps, SamplingOps}
+import graft.operators.{DedupOps, EmbeddingOps, LabelStore, LlmOps, PairGraph, QualityOps, SamplingOps}
 import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
@@ -640,6 +640,21 @@ class LlmOpsSpec extends SparkSpec {
       .select("vec_id", "kept_id", "cluster_id")
       .as[(Long, Long, Long)].collect().toSet
     assert(d60 === Set((3L, 1L, 1L), (4L, 2L, 2L)))
+  }
+
+  test("d61 label store: audits pass, store-fed d60 ≡ re-derived") {
+    val m = LabelStore.publish(spark, Sf)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(m.forall(_._3), s"label-store WAP audit must pass: $m")
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(m.find(_._1 == "published_rows").get._2 === n,
+      "Lloyd assignment is a partition: one label per vector")
+    val fed = EmbeddingOps.clusterSemdedup(spark, Sf).collect().toSeq
+    spark.conf.set("spark.graft.shareKmeansLabels", "false")
+    val re = try EmbeddingOps.clusterSemdedup(spark, Sf).collect().toSeq
+      finally spark.conf.unset("spark.graft.shareKmeansLabels")
+    assert(fed === re, "store-fed and re-derived d60 must be byte-identical")
+    assert(fed.nonEmpty)
   }
 
   test("d59 fixture invariants: partition of the corpus, ≤ k clusters") {
