@@ -66,13 +66,25 @@ object EmbeddingOps {
   val KmeansIters = 3
 
   def kmeans(s: SparkSession, d: String): DataFrame =
-    kmeansOver(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      KmeansK, KmeansIters)
+    // round 12: the rollup is a label-store CONSUMER by default — one
+    // output-sized parquet scan + a k-row aggregate; the labeler runs
+    // in the d61 publisher. Off = the self-contained twin (spec pins ≡;
+    // the exact decimal dist2 makes the rollup bit-identical either way)
+    if (s.conf.get("spark.graft.shareKmeansLabels", "true").toBoolean)
+      kmeansRollup(LabelStore.labels(s, d))
+    else
+      kmeansOver(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        KmeansK, KmeansIters)
 
   /** [[kmeans]] over an explicit (vec_id, embedding) frame —
     * package-visible for the planted-cluster and determinism specs. */
   private[graft] def kmeansOver(emb: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansLabels(emb, k, iters)
+    kmeansRollup(kmeansLabels(emb, k, iters))
+
+  /** The d59 per-cluster rollup over a (vec_id, cid, dist2) label frame
+    * — live labeler output and the published d61 store share it. */
+  private def kmeansRollup(labels: DataFrame): DataFrame =
+    labels
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
         sum(col("dist2")).cast("double").as("inertia"))

@@ -18,6 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * default (`spark.graft.shareKmeansLabels=false` restores per-query
   * re-derivation, and LlmOpsSpec pins store-fed ≡ recomputed).
   *
+  * The store is keyed by CORPUS DIR only: flipping a labeler conf
+  * (`spark.graft.kmeansPlusPlus`) mid-JVM does not invalidate an
+  * already-published table — re-run [[publish]] (or set
+  * `spark.graft.shareKmeansLabels=false`) after a config change, the
+  * same way a production label table is re-materialized when its job
+  * config changes.
+  *
   * Store lifecycle mirrors [[PairStore]]: one scratch root per JVM,
   * publish-if-absent on the read path ([[labels]]), re-publish on every
   * [[publish]] call (the daily-job shape), per-corpus lock so a

@@ -650,11 +650,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(m.find(_._1 == "published_rows").get._2 === n,
       "Lloyd assignment is a partition: one label per vector")
     val fed = EmbeddingOps.clusterSemdedup(spark, Sf).collect().toSeq
+    val fedRollup = EmbeddingOps.kmeans(spark, Sf).collect().toSeq
     spark.conf.set("spark.graft.shareKmeansLabels", "false")
-    val re = try EmbeddingOps.clusterSemdedup(spark, Sf).collect().toSeq
-      finally spark.conf.unset("spark.graft.shareKmeansLabels")
+    val (re, reRollup) = try {
+      (EmbeddingOps.clusterSemdedup(spark, Sf).collect().toSeq,
+        EmbeddingOps.kmeans(spark, Sf).collect().toSeq)
+    } finally spark.conf.unset("spark.graft.shareKmeansLabels")
     assert(fed === re, "store-fed and re-derived d60 must be byte-identical")
-    assert(fed.nonEmpty)
+    assert(fedRollup === reRollup,
+      "store-fed and re-derived d59 rollup must be byte-identical")
+    assert(fed.nonEmpty && fedRollup.nonEmpty)
   }
 
   test("d59 fixture invariants: partition of the corpus, ≤ k clusters") {
