@@ -262,6 +262,8 @@ object SparkEntry {
     "d60_cluster_semdedup" -> ((s, d) => EmbeddingOps.clusterSemdedup(s, d)),
     // k-means label relation published through the WAP gate (manifest)
     "d61_label_store_publish" -> (LabelStore.publish _),
+    // lexical (d20) × semantic (d55) contamination union per eval doc
+    "d62_contamination_ensemble" -> (EmbeddingOps.contaminationEnsemble _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -995,35 +997,38 @@ object SparkEntry {
          |SELECT j AS vec_id, i AS kept_id, sim FROM f WHERE rn = 1
          |ORDER BY vec_id""".stripMargin
     },
-    "d55_semantic_contamination" -> {
-      // d35's sig construction on ITS OWN plane table (9) + the d17
-      // split rule keyed on vec_id; argmax train neighbor per eval
-      // vector via row_number (≡ the Spark max_by over (sim, −id))
-      val sig = (0 until 4).map { p =>
-        val arr = (0 until 64).map(j =>
-          graft.operators.EmbeddingOps.planeComp(9, p, j)).mkString("[", ", ", "]")
-        s"(CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString("\n|    + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-         |              AS BIGINT) % 100 < 80 THEN 'train'
-         |       WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-         |              AS BIGINT) % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |  FROM embeddings),
-         |sg AS (SELECT vec_id, v, split,
-         |  $sig AS sig FROM e),
-         |p AS (SELECT a.vec_id AS vec_id, a.split AS split,
-         |        b.vec_id AS train_id,
-         |        ${round4(cosSql("a.v", "b.v"))} AS sim
-         |      FROM sg a JOIN sg b ON a.sig = b.sig
-         |      WHERE a.split <> 'train' AND b.split = 'train'),
-         |f AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY sim DESC, train_id ASC) AS rn
-         |      FROM p WHERE sim >= 0.32)
-         |SELECT vec_id, split, train_id, sim FROM f WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
-    },
+    "d55_semantic_contamination" ->
+      s"""WITH $semContamCtes
+         |SELECT vec_id, split, train_id, sim FROM semp
+         |ORDER BY vec_id""".stripMargin,
+    "d62_contamination_ensemble" ->
+      // the d20 pair chain (train↔eval pairs only — a val↔test near-dup
+      // is not leakage) aggregated per eval doc, full-outer joined with
+      // the d55 per-eval semantic rows; leak_source classifies the union
+      s"""WITH $pairsCtes,
+         |$splitCte,
+         |lexp AS (
+         |  SELECT CASE WHEN si.split = 'train' THEN p.j ELSE p.i END AS doc_id,
+         |         CASE WHEN si.split = 'train' THEN sj.split ELSE si.split END
+         |           AS split,
+         |         p.jac
+         |  FROM pairs p JOIN sp si ON si.doc_id = p.i
+         |  JOIN sp sj ON sj.doc_id = p.j
+         |  WHERE (si.split = 'train') <> (sj.split = 'train')),
+         |lex AS (SELECT doc_id, split, max(jac) AS max_jac,
+         |          CAST(count(*) AS BIGINT) AS n_lex_pairs
+         |        FROM lexp GROUP BY 1, 2),
+         |$semContamCtes
+         |SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+         |  COALESCE(l.split, s.split) AS split,
+         |  l.max_jac, l.n_lex_pairs,
+         |  s.train_id AS sem_train_id, s.sim AS sem_sim,
+         |  CASE WHEN l.doc_id IS NOT NULL AND s.vec_id IS NOT NULL THEN 'both'
+         |       WHEN l.doc_id IS NOT NULL THEN 'lexical'
+         |       ELSE 'semantic' END AS leak_source
+         |FROM lex l FULL OUTER JOIN semp s
+         |  ON l.doc_id = s.vec_id AND l.split = s.split
+         |ORDER BY doc_id""".stripMargin,
     "d29_matryoshka" ->
       // prefix/full energies as exact decimal sums of per-element x²
       // (order-independent); d15's DECIMAL(30,0) trick for the int8 step
@@ -2992,6 +2997,38 @@ object SparkEntry {
       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       |          % 100 AS bucket
       |      FROM documents))""".stripMargin
+
+  /** d55's CTE chain (names prefixed s* so they compose with the pair
+    * and split CTEs in one query) ending in the per-eval best-train
+    * rows `semp(vec_id, split, train_id, sim)` — shared by d55 and the
+    * d62 ensemble. Sig construction = d35's hyperplanes on plane table
+    * 9 + the d17 split rule keyed on vec_id; argmax train neighbor via
+    * row_number (≡ the Spark max_by over (sim, −id)). */
+  private def semContamCtes: String = {
+    val sig = (0 until 4).map { p =>
+      val arr = (0 until 64).map(j =>
+        graft.operators.EmbeddingOps.planeComp(9, p, j)).mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n|    + ")
+    s"""se AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |              AS BIGINT) % 100 < 80 THEN 'train'
+       |       WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |              AS BIGINT) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM embeddings),
+       |ssg AS (SELECT vec_id, v, split,
+       |  $sig AS sig FROM se),
+       |scand AS (SELECT a.vec_id AS vec_id, a.split AS split,
+       |        b.vec_id AS train_id,
+       |        ${round4(cosSql("a.v", "b.v"))} AS sim
+       |      FROM ssg a JOIN ssg b ON a.sig = b.sig
+       |      WHERE a.split <> 'train' AND b.split = 'train'),
+       |sbest AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, train_id ASC) AS rn
+       |      FROM scand WHERE sim >= 0.32),
+       |semp AS (SELECT vec_id, split, train_id, sim FROM sbest WHERE rn = 1)""".stripMargin
+  }
 
   /** In-order cosine; DuckDB's list_inner_product folds left-to-right,
     * matching Spark's `aggregate` fold (verified empirically by

@@ -619,6 +619,54 @@ object EmbeddingOps {
     * table — package-visible so specs can plant cross-split
     * near-identical vectors (the fixtures have none). */
 
+  /** d62 — contamination ENSEMBLE: the decontamination DECISION row a
+    * real eval pipeline acts on. d20 answers lexically (shared-shingle
+    * near-dup pairs across the split boundary — catches verbatim and
+    * lightly-edited leaks), d55 semantically (τ-cosine train neighbor —
+    * catches the paraphrase d20 structurally misses); production runs
+    * BOTH and reviews the union. One row per flagged eval doc:
+    * `leak_source` ∈ lexical / semantic / both, the lexical evidence
+    * (max Jaccard, pair count) and the semantic evidence (best train
+    * neighbor, cosine). Pairs where neither side is train (val↔test
+    * near-dups) are NOT leakage and are excluded.
+    *
+    * Composition economics: both inputs are store-fed by default —
+    * d20's pair relation from the d46 store, and d55's candidates from
+    * its sign-bucket join — so the ensemble itself is two output-sized
+    * aggregations and one keyed full outer join. Scale: everything
+    * keys on doc_id; the split rule is the same d17 md5 on the same id
+    * space, so the join condition (doc_id, split) can never mismatch a
+    * real doc. */
+  def contaminationEnsemble(s: SparkSession, d: String): DataFrame =
+    contaminationEnsembleOver(contamination(s, d), semanticContamination(s, d))
+
+  /** [[contaminationEnsemble]] over explicit d20-shaped
+    * (i, j, jac, split_i, split_j, …) and d55-shaped
+    * (vec_id, split, train_id, sim) relations — package-visible so the
+    * spec can plant lexical-only / semantic-only / both / val↔test
+    * rows directly. */
+  private[graft] def contaminationEnsembleOver(lex0: DataFrame,
+      sem0: DataFrame): DataFrame = {
+    val evalFromJ = lex0
+      .filter(col("split_i") === "train" && col("split_j") =!= "train")
+      .select(col("j").as("doc_id"), col("split_j").as("split"), col("jac"))
+    val evalFromI = lex0
+      .filter(col("split_j") === "train" && col("split_i") =!= "train")
+      .select(col("i").as("doc_id"), col("split_i").as("split"), col("jac"))
+    val lex = evalFromJ.unionByName(evalFromI)
+      .groupBy("doc_id", "split")
+      .agg(max(col("jac")).as("max_jac"), count(lit(1)).as("n_lex_pairs"))
+    val sem = sem0.select(col("vec_id").as("doc_id"), col("split"),
+      col("train_id").as("sem_train_id"), col("sim").as("sem_sim"))
+    lex.join(sem, Seq("doc_id", "split"), "full_outer")
+      .select(col("doc_id"), col("split"), col("max_jac"), col("n_lex_pairs"),
+        col("sem_train_id"), col("sem_sim"),
+        when(col("max_jac").isNotNull && col("sem_sim").isNotNull, "both")
+          .when(col("max_jac").isNotNull, "lexical")
+          .otherwise("semantic").as("leak_source"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def semanticContaminationOver(e0: DataFrame, tau: Double,
       nBits: Int, table: Int, dim: Int = 64): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(e0.sparkSession)

@@ -167,6 +167,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.EmbeddingOps.clusterSemdedup(spark, emptyDir).count() === 0L)
     // d61: a zero-row label table still WAP-publishes (4 audit rows)
     assert(operators.LabelStore.publish(spark, emptyDir).count() === 4L)
+    // d62: two empty contamination relations ensemble to zero rows
+    assert(operators.EmbeddingOps.contaminationEnsemble(spark, emptyDir)
+      .count() === 0L)
     // f15 between two empty versions: an empty change feed, not a crash
     assert(operators.Sources.changeFeed(spark, emptyDir).count() === 0L)
     // f16 on an empty corpus: three zero-row versions still make a

@@ -662,6 +662,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(fed.nonEmpty && fedRollup.nonEmpty)
   }
 
+  test("d62 ensemble: lexical/semantic/both classified, val↔test excluded") {
+    val lex = Seq(
+      (1L, 100L, 0.9, "train", "test", true), // 100: lexical, eval on j
+      (2L, 200L, 0.85, "train", "val", true), // 200: lexical AND semantic
+      (300L, 3L, 0.95, "test", "train", true), // 300: lexical, eval on i
+      (400L, 500L, 0.99, "val", "test", true)) // val↔test: NOT leakage
+      .toDF("i", "j", "jac", "split_i", "split_j", "contaminated")
+    val sem = Seq(
+      (200L, "val", 7L, 0.97), // 200: semantic too → both
+      (600L, "test", 8L, 0.95)) // 600: semantic-only
+      .toDF("vec_id", "split", "train_id", "sim")
+    val got = EmbeddingOps.contaminationEnsembleOver(lex, sem)
+      .select("doc_id", "split", "leak_source")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((100L, "test", "lexical"), (200L, "val", "both"),
+      (300L, "test", "lexical"), (600L, "test", "semantic")))
+    // evidence aggregates: best jaccard and pair count over multiple pairs
+    val more = lex.unionByName(
+      Seq((4L, 100L, 0.95, "train", "test", true))
+        .toDF("i", "j", "jac", "split_i", "split_j", "contaminated"))
+    val d100 = EmbeddingOps.contaminationEnsembleOver(more, sem)
+      .filter(col("doc_id") === 100L).head()
+    assert(d100.getDouble(2) === 0.95 && d100.getLong(3) === 2L)
+  }
+
   test("d59 fixture invariants: partition of the corpus, ≤ k clusters") {
     val got = EmbeddingOps.kmeans(spark, Sf)
       .as[(Long, Long, Long, Double)].collect().toSeq
