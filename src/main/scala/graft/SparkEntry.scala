@@ -264,6 +264,8 @@ object SparkEntry {
     "d61_label_store_publish" -> (LabelStore.publish _),
     // lexical (d20) × semantic (d55) contamination union per eval doc
     "d62_contamination_ensemble" -> (EmbeddingOps.contaminationEnsemble _),
+    // exact-k uniform draw per kmeans cluster (store-fed labels)
+    "d63_cluster_sample" -> ((s, d) => EmbeddingOps.clusterSample(s, d)),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -2241,6 +2243,7 @@ object SparkEntry {
         |ORDER BY l_id, r_id""".stripMargin,
     "d59_kmeans" -> kmeansSql,
     "d60_cluster_semdedup" -> clusterSemdedupSql,
+    "d63_cluster_sample" -> clusterSampleSql,
     "d61_label_store_publish" ->
       // the WAP manifest over the label relation: Lloyd assignment is a
       // PARTITION of the corpus (every vector exactly one label), so
@@ -2922,6 +2925,22 @@ object SparkEntry {
         |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
         |$loop,
         |${assignCtes(fin, s"c$iters")}""".stripMargin, s"a$fin")
+  }
+
+  /** d63's oracle: the d59 chain's final assignment + the d56
+    * single-window bottom-k model (≡ the Spark two-phase plan by
+    * bottom-k associativity — the d56 model-equivalence property). */
+  private def clusterSampleSql: String = {
+    val (ctes, fin) = kmeansCtes
+    s"""WITH $ctes,
+       |t AS (SELECT vec_id, cid,
+       |        substr(md5(CAST(cid AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)),
+       |               1, 16) AS tag
+       |      FROM $fin),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cid
+       |        ORDER BY tag, vec_id) AS draw_rank FROM t)
+       |SELECT vec_id, cid AS cluster_id, CAST(draw_rank AS BIGINT) AS draw_rank
+       |FROM r WHERE draw_rank <= 5 ORDER BY cluster_id, draw_rank""".stripMargin
   }
 
   private def kmeansSql: String = {

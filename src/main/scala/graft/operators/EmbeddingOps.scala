@@ -619,6 +619,48 @@ object EmbeddingOps {
     * table — package-visible so specs can plant cross-split
     * near-identical vectors (the fixtures have none). */
 
+  /** d63 — CLUSTER-BALANCED sampling: the d59 scaladoc's third promise
+    * ("cluster balance feeds sampling weights") made concrete — an
+    * exact-k uniform draw PER KMEANS CLUSTER, the embedding-space
+    * analog of d56's per-language reservoir. Rebalancing a training
+    * mix by semantic cluster (rather than by surface language/source)
+    * is how curation caps an over-represented topic the metadata
+    * cannot see. Labels come from the published d61 store by default
+    * (`spark.graft.shareKmeansLabels`) — consumer number three.
+    *
+    * Draw rule = d56's verbatim: bottom-k by a seeded md5 tag —
+    * deterministic, engine-portable, growth-stable (a new row only
+    * displaces the worst draw). Same two-phase plan under the same
+    * associativity argument: per-(cid, salt×64) bottom-k first (never
+    * a window over the raw cluster key alone at full width), then
+    * re-rank the ≤ 64·k survivors per cluster. */
+  def clusterSample(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val lbl =
+      if (s.conf.get("spark.graft.shareKmeansLabels", "true").toBoolean)
+        LabelStore.labels(s, d).select(col("vec_id"), col("cid"))
+      else kmeansLabelsFor(s, d).select(col("vec_id"), col("cid"))
+    clusterSampleOver(lbl, k)
+  }
+
+  /** [[clusterSample]] over an explicit (vec_id, cid) label frame —
+    * package-visible for the model-equivalence and exact-k specs. */
+  private[graft] def clusterSampleOver(lbl: DataFrame, k: Int): DataFrame = {
+    val salted = Window.partitionBy(col("cid"), col("salt"))
+      .orderBy(col("tag"), col("vec_id"))
+    val full = Window.partitionBy(col("cid")).orderBy(col("tag"), col("vec_id"))
+    lbl
+      .select(col("vec_id"), col("cid"),
+        substring(md5(concat(col("cid").cast("string"), lit(":"),
+          col("vec_id").cast("string"))), 1, 16).as("tag"),
+        pmod(col("vec_id"), lit(64L)).as("salt"))
+      .withColumn("rn1", row_number().over(salted))
+      .filter(col("rn1") <= k)
+      .withColumn("draw_rank", row_number().over(full).cast("long"))
+      .filter(col("draw_rank") <= k)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("draw_rank"))
+      .orderBy("cluster_id", "draw_rank")
+  }
+
   /** d62 — contamination ENSEMBLE: the decontamination DECISION row a
     * real eval pipeline acts on. d20 answers lexically (shared-shingle
     * near-dup pairs across the split boundary — catches verbatim and

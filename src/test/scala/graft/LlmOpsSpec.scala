@@ -687,6 +687,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(d100.getDouble(2) === 0.95 && d100.getLong(3) === 2L)
   }
 
+  test("d63 cluster sample: exact min(k,|c|) per cluster ≡ single-window model") {
+    // synthetic labels with sizes 12/5/3/1 so k > |c| is exercised
+    val lbl = (Seq.tabulate(12)(i => (100L + i, 1L)) ++
+      Seq.tabulate(5)(i => (200L + i, 2L)) ++
+      Seq.tabulate(3)(i => (300L + i, 3L)) ++ Seq((400L, 4L)))
+      .toDF("vec_id", "cid")
+    val k = 5
+    val got = EmbeddingOps.clusterSampleOver(lbl, k)
+      .as[(Long, Long, Long)].collect().toSeq
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes === Map(1L -> 5, 2L -> 5, 3L -> 3, 4L -> 1))
+    // the two-phase salted plan equals the single-window bottom-k model
+    // (the d56 associativity argument, re-pinned on the cluster key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy("tag", "vec_id")
+    val model = lbl.select(col("vec_id"), col("cid"),
+        substring(md5(concat(col("cid").cast("string"), lit(":"),
+          col("vec_id").cast("string"))), 1, 16).as("tag"))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= k)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("draw_rank"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._2, r._3))
+    assert(got === model)
+  }
+
   test("d59 fixture invariants: partition of the corpus, ≤ k clusters") {
     val got = EmbeddingOps.kmeans(spark, Sf)
       .as[(Long, Long, Long, Double)].collect().toSeq
