@@ -162,6 +162,8 @@ object SparkEntry {
     "m05_patch_grid" -> (Multimodal.patchGrid _),
     "m06_rle_stats" -> (Multimodal.rleStats _),
     "m07_motion_energy" -> (Multimodal.motionEnergy _),
+    // asset-level near-dup over binary payloads (frame-set Jaccard)
+    "m08_asset_dedup" -> ((s, d) => Multimodal.assetDedup(s, d)),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -2440,6 +2442,40 @@ object SparkEntry {
         |  max(v) AS byte_max
         |FROM bv GROUP BY doc_id, pr, pc, n
         |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
+    "m08_asset_dedup" ->
+      // the derived asset corpus (exact re-uploads ≡ 7 mod 20, one-
+      // frame head trims ≡ 3 mod 20) re-built in HEX space (1 frame =
+      // 128 hex chars), then the d02 CTE shapes at frame grain: per-doc
+      // distinct frames, DF cap, rare-frame candidates, full-set verify
+      s"""WITH bd AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         |assets AS (
+         |  SELECT doc_id, hx FROM bd
+         |  UNION ALL SELECT doc_id + 200000, hx FROM bd WHERE doc_id % 20 = 7
+         |  UNION ALL SELECT doc_id + 100000, substr(hx, 129) FROM bd
+         |    WHERE doc_id % 20 = 3 AND length(hx) > 128),
+         |fr AS (SELECT doc_id, unnest(list_distinct(
+         |         [substr(hx, (i - 1) * 128 + 1, 128)
+         |          for i in range(1, CAST(ceil(length(hx) / 128.0) AS BIGINT) + 1)]))
+         |         AS fh
+         |       FROM assets),
+         |freq AS (SELECT fh, count(*) AS df FROM fr GROUP BY fh),
+         |rare AS (SELECT doc_id, fh FROM fr JOIN freq USING (fh)
+         |         WHERE df <= ${graft.operators.PairGraph.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM rare a JOIN rare b
+         |           ON a.fh = b.fh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_fr FROM fr GROUP BY doc_id),
+         |common AS (SELECT c.i, c.j, count(*) AS n_common
+         |           FROM cand c JOIN fr a ON a.doc_id = c.i
+         |           JOIN fr b ON b.doc_id = c.j AND b.fh = a.fh
+         |           GROUP BY 1, 2)
+         |SELECT i, j, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(si.n_fr AS BIGINT) AS n_i, CAST(sj.n_fr AS BIGINT) AS n_j,
+         |  ${round4("n_common::DOUBLE / (si.n_fr + sj.n_fr - n_common)")} AS jac
+         |FROM common JOIN sizes si ON si.doc_id = i
+         |JOIN sizes sj ON sj.doc_id = j
+         |WHERE n_common::DOUBLE / (si.n_fr + sj.n_fr - n_common) >= 0.5
+         |ORDER BY i, j""".stripMargin,
     "m07_motion_energy" ->
       // frame differencing in HEX space: frame f's bytes start at
       // global position f*64; the pair compares the tail frame's own

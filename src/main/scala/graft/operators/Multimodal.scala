@@ -360,4 +360,67 @@ object Multimodal {
           length(col("payload")).cast("long")).as("rle_ratio"))
       .orderBy("doc_id")
   }
+
+  /** m08 — ASSET-level near-dup detection over opaque binary payloads:
+    * the dedup family extended to the multimodal path. A re-uploaded
+    * media asset is rarely byte-identical (containers differ, heads
+    * get trimmed), but a trimmed/re-wrapped copy shares most of its
+    * CONTENT frames — so the near-dup identity is the Jaccard over
+    * each asset's DISTINCT [[FrameBytes]]-byte frame set (the d02
+    * shingle rule at frame grain), with exact copies falling out at
+    * jac = 1. Blocking/verify is d02's plan verbatim: per-frame
+    * document frequency cap (a padding/silence frame shared by
+    * everything would explode candidates — the zipf-head hazard at
+    * frame grain), candidate pairs by shared RARE frame (bucketed
+    * equi-join, never all-pairs), exact verify over full frame sets.
+    * Frame key = the frame's hex string (content-identical across
+    * engines); at 100 TB the key becomes xxhash64(frame) — 8-byte
+    * shuffle keys, the d01 note.
+    *
+    * Registry instance: the document payloads plus two derived asset
+    * populations the oracle mirrors — exact re-uploads (doc ≡ 7
+    * mod 20, payload unchanged, id + 2·10⁵) and head-trimmed copies
+    * (doc ≡ 3 mod 20 with > one frame, first frame cut, id + 10⁵ —
+    * the trim is exactly one frame so alignment is preserved and the
+    * copy shares all frames but the head: jac = (n−1)/n). */
+  def assetDedup(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val base = mediaTable(s, d).select(col("doc_id"), col("payload"))
+    val clones = base.filter(pmod(col("doc_id"), lit(20L)) === 7)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("payload"))
+    val clipped = base.filter(pmod(col("doc_id"), lit(20L)) === 3 &&
+        length(col("payload")) > FrameBytes)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        expr(s"substring(payload, ${FrameBytes + 1})").as("payload"))
+    assetDedupOver(base.unionByName(clones).unionByName(clipped), tau)
+  }
+
+  /** [[assetDedup]] over an explicit (doc_id, payload BINARY) asset
+    * table — package-visible for the planted trim/clone/unrelated
+    * specs. */
+  private[graft] def assetDedupOver(assets: DataFrame, tau: Double): DataFrame = {
+    val fr = frameRows(assets)
+      .select(col("doc_id"), upper(hex(col("frame_bytes"))).as("fh"))
+      .distinct()
+    val freq = fr.groupBy("fh").agg(count(lit(1)).as("df"))
+    val rare = fr.join(freq.filter(col("df") <= lit(PairGraph.MaxShingleDf))
+      .select("fh"), "fh")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val sizes = fr.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+    val common = cand
+      .join(fr.as("fa"), col("fa.doc_id") === col("i"))
+      .join(fr.as("fb"), col("fb.doc_id") === col("j") &&
+        col("fb.fh") === col("fa.fh"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("i"), col("n_fr").as("n_i")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n_fr").as("n_j")), "j")
+      .withColumn("jac", graft.Canon.round4(col("n_common").cast("double") /
+        (col("n_i") + col("n_j") - col("n_common"))))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), col("n_common"), col("n_i"), col("n_j"),
+        col("jac"))
+      .orderBy("i", "j")
+  }
 }

@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("m08: clone jac 1, one-frame trim jac (n-1)/n, unrelated silent; hot frame capped") {
+    val f = "x" * 64; val g = "y" * 64; val h = "z" * 64
+    val assets = Seq(
+      (1L, (f + g + h).getBytes("UTF-8")), // 3 frames
+      (2L, (f + g + h).getBytes("UTF-8")), // exact clone of 1
+      (3L, (g + h).getBytes("UTF-8")),     // head-trimmed copy of 1
+      (4L, ("w" * 192).getBytes("UTF-8"))) // unrelated; 3 equal frames → 1 distinct
+      .toDF("doc_id", "payload")
+    val got = Multimodal.assetDedupOver(assets, 0.5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 3L, 3L, 3L, 1.0),
+      (1L, 3L, 2L, 3L, 2L, 0.6667),
+      (2L, 3L, 2L, 3L, 2L, 0.6667)))
+    // the zipf-head cap at frame grain: 25 identical single-frame assets
+    // (pairwise jac = 1) generate NO candidates because the one frame's
+    // df exceeds MaxShingleDf — the documented recall-for-scale trade
+    val hot = (1 to 25).map(i => (100L + i, f.getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.assetDedupOver(hot, 0.5).count() === 0L)
+  }
+
   test("frame sampling tiles the payload exactly") {
     val meta = Multimodal.binaryMeta(spark, Sf)
       .select("doc_id", "n_bytes", "n_frames").as[(Long, Long, Long)]
