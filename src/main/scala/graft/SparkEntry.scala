@@ -268,6 +268,8 @@ object SparkEntry {
     "d62_contamination_ensemble" -> (EmbeddingOps.contaminationEnsemble _),
     // exact-k uniform draw per kmeans cluster (store-fed labels)
     "d63_cluster_sample" -> ((s, d) => EmbeddingOps.clusterSample(s, d)),
+    // cluster × language domain-mixture profile (store-fed labels)
+    "d64_cluster_profile" -> (EmbeddingOps.clusterProfile _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -2246,6 +2248,7 @@ object SparkEntry {
     "d59_kmeans" -> kmeansSql,
     "d60_cluster_semdedup" -> clusterSemdedupSql,
     "d63_cluster_sample" -> clusterSampleSql,
+    "d64_cluster_profile" -> clusterProfileSql,
     "d61_label_store_publish" ->
       // the WAP manifest over the label relation: Lloyd assignment is a
       // PARTITION of the corpus (every vector exactly one label), so
@@ -2977,6 +2980,27 @@ object SparkEntry {
        |        ORDER BY tag, vec_id) AS draw_rank FROM t)
        |SELECT vec_id, cid AS cluster_id, CAST(draw_rank AS BIGINT) AS draw_rank
        |FROM r WHERE draw_rank <= 5 ORDER BY cluster_id, draw_rank""".stripMargin
+  }
+
+  /** d64's oracle: the final assignment joined to the documents'
+    * (lang, token count), two integer aggregates, one IEEE share. */
+  private def clusterProfileSql: String = {
+    val (ctes, fin) = kmeansCtes
+    s"""WITH $ctes,
+       |doc AS (SELECT doc_id, lang,
+       |          len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |jl AS (SELECT a.cid, doc.lang, doc.n_tokens
+       |       FROM $fin a JOIN doc ON doc.doc_id = a.vec_id),
+       |cell AS (SELECT cid, lang, count(*) AS n_docs,
+       |           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |         FROM jl GROUP BY 1, 2),
+       |tot AS (SELECT cid, CAST(sum(n_docs) AS BIGINT) AS n_cluster
+       |        FROM cell GROUP BY 1)
+       |SELECT cell.cid AS cluster_id, lang,
+       |  CAST(n_docs AS BIGINT) AS n_docs, sum_tokens,
+       |  ${round4("n_docs::DOUBLE / n_cluster")} AS doc_share
+       |FROM cell JOIN tot ON tot.cid = cell.cid
+       |ORDER BY cluster_id, lang""".stripMargin
   }
 
   private def kmeansSql: String = {

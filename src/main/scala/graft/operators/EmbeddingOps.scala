@@ -661,6 +661,47 @@ object EmbeddingOps {
       .orderBy("cluster_id", "draw_rank")
   }
 
+  /** d64 — cluster × language DOMAIN-MIXTURE profile: the d59
+    * scaladoc's second promise ("domain-mixture analysis labels every
+    * document with its cluster") — the report a curation run reads
+    * before setting mixture weights: for every (semantic cluster,
+    * surface language) cell, the doc count, token mass, and the cell's
+    * share of its cluster. A cluster dominated by one language is a
+    * topic the lang-ID already explains; a cluster SPLIT across
+    * languages is parallel/translated content the surface metadata
+    * misses — exactly what d63's balanced draw then acts on. Labels
+    * from the published d61 store by default (consumer four).
+    *
+    * Exact-arithmetic posture: counts and token sums are integers;
+    * `doc_share` is ONE IEEE division of engine-identical integers
+    * (the d38 rule). Two keyed aggregates + one k-sized join — the
+    * corpus shuffles once on (cid, lang). */
+  def clusterProfile(s: SparkSession, d: String): DataFrame = {
+    val lbl =
+      if (s.conf.get("spark.graft.shareKmeansLabels", "true").toBoolean)
+        LabelStore.labels(s, d).select(col("vec_id"), col("cid"))
+      else kmeansLabelsFor(s, d).select(col("vec_id"), col("cid"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    clusterProfileOver(lbl, docs)
+  }
+
+  /** [[clusterProfile]] over explicit (vec_id, cid) labels and
+    * (doc_id, lang, n_tokens) docs — package-visible for the planted
+    * arithmetic spec. */
+  private[graft] def clusterProfileOver(lbl: DataFrame, docs: DataFrame): DataFrame = {
+    val joined = lbl.join(docs, lbl("vec_id") === docs("doc_id"))
+      .select(col("cid"), col("lang"), col("n_tokens"))
+    val cell = joined.groupBy("cid", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val tot = cell.groupBy("cid").agg(sum(col("n_docs")).as("n_cluster"))
+    cell.join(tot, "cid")
+      .select(col("cid").as("cluster_id"), col("lang"), col("n_docs"),
+        col("sum_tokens"),
+        round4(col("n_docs").cast("double") / col("n_cluster")).as("doc_share"))
+      .orderBy("cluster_id", "lang")
+  }
+
   /** d62 — contamination ENSEMBLE: the decontamination DECISION row a
     * real eval pipeline acts on. d20 answers lexically (shared-shingle
     * near-dup pairs across the split boundary — catches verbatim and

@@ -174,6 +174,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.EmbeddingOps.clusterSample(spark, emptyDir).count() === 0L)
     // m08: an empty asset table has no frames, no candidates, no pairs
     assert(operators.Multimodal.assetDedup(spark, emptyDir).count() === 0L)
+    // d64: empty labels × empty docs profile to zero cells
+    assert(operators.EmbeddingOps.clusterProfile(spark, emptyDir).count() === 0L)
     // f15 between two empty versions: an empty change feed, not a crash
     assert(operators.Sources.changeFeed(spark, emptyDir).count() === 0L)
     // f16 on an empty corpus: three zero-row versions still make a

@@ -712,6 +712,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === model)
   }
 
+  test("d64 profile: per-cell counts, token mass, and cluster shares exact") {
+    val lbl = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (9L, 20L))
+      .toDF("vec_id", "cid")
+    val docs = Seq(
+      (1L, "en", 5L), (2L, "en", 7L), (3L, "de", 2L), (4L, "en", 11L),
+      (9L, "en", 1L), (99L, "fr", 50L)) // 99: no label → excluded
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = EmbeddingOps.clusterProfileOver(lbl, docs)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (10L, "de", 1L, 2L, 0.3333), // 1 of 3 docs in cluster 10
+      (10L, "en", 2L, 12L, 0.6667),
+      (20L, "en", 2L, 12L, 1.0)))
+  }
+
   test("d59 fixture invariants: partition of the corpus, ≤ k clusters") {
     val got = EmbeddingOps.kmeans(spark, Sf)
       .as[(Long, Long, Long, Double)].collect().toSeq
