@@ -211,10 +211,26 @@ object Bench {
     // every constant char on this line competes with a query entry
     // against the driver's tail capture
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def lineAt(fine: Boolean): String = {
-      val qs = timings.map { case (k, v) =>
-        "\"" + shortKey(k) + "\":" + fmtAt(v, fine)
-      }.mkString("{", ",", "}")
+    def lineAt(fine: Boolean, grouped: Boolean, positional: Boolean): String = {
+      // grouped: one object per FAMILY letter keyed by the short key's
+      // remainder ("d6b" → "d":{"6b":…}) — saves the repeated family
+      // char. positional: per-family ARRAYS in sorted-short-key order
+      // ("d":[…]) — the last-resort grain-preserving form; the name↔
+      // position map is recomputable from BENCH_FULL.json (committed,
+      // full names) and documented in BASELINE.md.
+      val qs =
+        if (!grouped) timings.map { case (k, v) =>
+          "\"" + shortKey(k) + "\":" + fmtAt(v, fine)
+        }.mkString("{", ",", "}")
+        else groupedFamilies(timings)
+          .map { case (fam, entries) =>
+            val body =
+              if (positional) entries.map(e => fmtAt(e._2, fine)).mkString("[", ",", "]")
+              else entries.map { case (rest, v) =>
+                "\"" + rest + "\":" + fmtAt(v, fine)
+              }.mkString("{", ",", "}")
+            "\"" + fam + "\":" + body
+          }.mkString("{", ",", "}")
       // failed/passes are our own diagnostics (not driver contract):
       // omitted when nominal (no failures, full 3 passes) so healthy
       // lines spend their width on query entries; unhealthy runs carry
@@ -224,11 +240,33 @@ object Bench {
       val passesPart = if (ps.size == 3 && !truncated) "" else extra
       s"""{"metric":"total","value":${fmtAt(total, fine)},"unit":"sec","queries":$qs$failedPart$passesPart,"sf":"$sfShort"}"""
     }
-    val fine = lineAt(fine = true)
-    val line = if (fine.length <= 1850) fine else lineAt(fine = false)
+    // degrade ladder: fine flat → coarse flat → coarse grouped →
+    // coarse positional; first form that fits the tail budget wins
+    // (a whole coarse line beats a truncated fine one, which parses
+    // as null and loses everything)
+    val ladder = Seq((true, false, false), (false, false, false),
+      (false, true, false), (false, true, true))
+    val line = ladder.iterator.map { case (f, g, p) => lineAt(f, g, p) }
+      .find(_.length <= 1850)
+      .getOrElse(lineAt(fine = false, grouped = true, positional = true))
     println(line)
     System.out.flush()
   }
+
+  /** Timings bucketed by family (the short key's leading letters;
+    * "qwc" → fam "q", rest "wc"), families sorted, members sorted by
+    * FULL query name — so the positional form's name ↔ position map is
+    * exactly `sorted(full names of the family)`, recomputable from
+    * BENCH_FULL.json alone. Returns (family, Seq(shortRest, value)). */
+  def groupedFamilies(timings: Seq[(String, Double)]): Seq[(String, Seq[(String, Double)])] =
+    timings.map { case (k, v) =>
+      val sk = shortKey(k)
+      val fam = sk.take(1) // every family is one letter ("qwc" → "q"+"wc")
+      (fam, k, sk.drop(1), v)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (fam, es) =>
+        (fam, es.sortBy(_._2).map(e => (e._3, e._4)))
+      }
 
   /** Short stdout key for a query name: the driver captures only the
     * last ~2000 chars of bench stdout, and with ~90 queries the

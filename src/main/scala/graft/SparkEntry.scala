@@ -222,6 +222,8 @@ object SparkEntry {
     "s10_stream_stream_left" -> (Streaming.streamLeftJoin _),
     // stream-stream FULL outer: both sides emit unmatched after watermark
     "s15_stream_stream_full" -> (Streaming.streamFullJoin _),
+    // versioned lakehouse sink: foreachBatch → MERGE → retained WAP versions
+    "s16_versioned_sink" -> (Streaming.versionedFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
     // snapshot reconciliation: added/removed/changed + per-column counts
@@ -1425,6 +1427,35 @@ object SparkEntry {
         |  AND p.p_ts <= err.err_ts
         |  AND p.p_ts >= err.err_ts - INTERVAL 30 MINUTE
         |ORDER BY COALESCE(err_id, -1), COALESCE(purchase_id, -1)""".stripMargin,
+    "s16_versioned_sink" ->
+      // the three batch effects re-derived: v1 = snapshot, v2 = the f13
+      // merge (balances included), v3 = v2 minus the bucket-7 deletes;
+      // per version a count + exact-decimal balance sum — what the
+      // Spark side re-reads from the sink's promoted directories
+      s"""WITH t AS (SELECT c_custkey, c_acctbal FROM customer),
+         |u AS (SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+         |      FROM customer WHERE c_custkey % 10 = 2
+         |      UNION ALL
+         |      SELECT c_custkey + 1000000, CAST(c_custkey AS DOUBLE)
+         |      FROM customer WHERE c_custkey % 10 = 8),
+         |v2 AS (
+         |  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+         |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+         |         ELSE t.c_acctbal END AS c_acctbal
+         |  FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+         |  WHERE COALESCE(u.c_custkey, t.c_custkey) NOT IN
+         |    (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5)),
+         |v3 AS (SELECT * FROM v2 WHERE c_custkey % 10 <> 7),
+         |m AS (
+         |  SELECT 1 AS version, (SELECT count(*) FROM t) AS n_rows,
+         |    (SELECT ${dsum("c_acctbal")} FROM t) AS bal_sum
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM v2),
+         |    (SELECT ${dsum("c_acctbal")} FROM v2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM v3),
+         |    (SELECT ${dsum("c_acctbal")} FROM v3))
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(n_rows AS BIGINT) AS n_rows, bal_sum
+         |FROM m ORDER BY version""".stripMargin,
     // d44: integer weight numerators ⇒ exact sums; the logit is one IEEE
     // division of engine-identical integers — no rounding.
     "d44_quality_classifier" ->

@@ -451,10 +451,11 @@ object Sources {
     * (inserted keys land on the same mod); every other bucket is
     * identical. Both sides are scans of what PROMOTE left on disk, so
     * the archived bytes — not a cached plan — are what is checked. */
-  /** The shared f14/f15/f16 version ladder: the `customer` snapshot
-    * (version 1) and its f13-merged successor (version 2 — bucket-2
-    * updates, bucket-5 tombstones, offset-10⁶ bucket-8 inserts). */
-  private def customerLadder(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The shared f14/f15/f16/s16 version ladder: the `customer`
+    * snapshot (version 1), the f13 change FEED (bucket-2 updates,
+    * bucket-5 tombstones, offset-10⁶ bucket-8 inserts), and the merged
+    * successor (version 2). */
+  private[operators] def customerLadder(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val cust = Tables.customer(s, d)
     val target = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val updates = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
@@ -468,14 +469,14 @@ object Sources {
         concat(lit("New#"), col("c_custkey").cast("string")).as("c_name"),
         col("c_custkey").cast("double").as("c_acctbal"),
         lit("upsert").as("op"))
-    val merged = mergeUpsertOver(target,
-      updates.unionByName(deletes).unionByName(inserts), "c_custkey")
+    val feed = updates.unionByName(deletes).unionByName(inserts)
+    val merged = mergeUpsertOver(target, feed, "c_custkey")
       .drop("action") // versions share one schema: the snapshot's
-    (target, merged)
+    (target, feed, merged)
   }
 
   def timeTravel(s: SparkSession, d: String): DataFrame = {
-    val (target, merged) = customerLadder(s, d)
+    val (target, _, merged) = customerLadder(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-asof").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
     writeAuditPublishStaged(s, target, target.count(), base.toString,
@@ -542,7 +543,7 @@ object Sources {
     * bucket-5 deletes, bucket-2 update pairs, offset-8 inserts; every
     * untouched customer absent. */
   def changeFeed(s: SparkSession, d: String): DataFrame = {
-    val (target, merged) = customerLadder(s, d)
+    val (target, _, merged) = customerLadder(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-cdf").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
     writeAuditPublishStaged(s, target, target.count(), base.toString,
@@ -606,7 +607,7 @@ object Sources {
     * the reclaimed-bytes arithmetic). */
   def versionRetention(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (target, merged) = customerLadder(s, d)
+    val (target, _, merged) = customerLadder(s, d)
     val merged2 = merged.filter(pmod(col("c_custkey"), lit(10L)) =!= 7)
     val base = java.nio.file.Files.createTempDirectory("graft-vacuum").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)

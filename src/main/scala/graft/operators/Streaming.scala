@@ -580,6 +580,77 @@ object Streaming {
     * the nanos-parquet tables). A caller comparing the store against a
     * differently-sourced reference casts to one flavor first — under a
     * UTC session the cast is value-preserving (StreamingSpec does this). */
+  /** E16i — VERSIONED lakehouse sink: `foreachBatch` → f13 MERGE → f09
+    * WAP publish with f14 retention. Every micro-batch of change rows
+    * (payload + `op` ∈ upsert/delete) becomes one AUDITED, ATOMICALLY
+    * promoted table version — so the stream's history is time-travelable
+    * (f14 readAsOf), diffable (f15 CDF between consecutive versions ≡
+    * that batch's effect), and boundable (f16 retention). This is the
+    * streaming↔lakehouse composition a production ingest runs: the
+    * sink owns nothing new, it CHAINS the storage ladder per batch.
+    *
+    * Effectively-once: a per-batch-id marker (the [[upsertBatch]]
+    * protocol) turns at-least-once redelivery into a no-op — without
+    * it, a redelivered batch would mint a duplicate version. The WAP
+    * audit (row count vs the plan's own, null/dup keys) runs on every
+    * batch: a corrupt batch fails its audit and the table stays at the
+    * previous version (nothing to roll back — promote never ran). */
+  def versionedSink(base: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    val s = batch.sparkSession
+    val pubDir = new java.io.File(s"$base/published")
+    val payload = org.apache.spark.sql.types.StructType(
+      batch.schema.filterNot(_.name == "op"))
+    val target =
+      if (pubDir.exists()) s.read.parquet(pubDir.toString)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        payload)
+    val merged = Sources.mergeUpsertOver(target, batch, key).drop("action")
+    val audit = Sources.writeAuditPublishStaged(s, merged, merged.count(), base,
+      keyCols = Seq(key), retainVersions = true)
+    // marker ONLY after a successful promote: a failed audit leaves no
+    // marker AND throws, so the streaming query fails and the engine
+    // redelivers the batch — a corrected retry is NOT skipped. (Writing
+    // the marker unconditionally would turn the retry into a no-op and
+    // silently drop the batch.)
+    val failed = audit.filter(!col("ok"))
+      .select("check_name", "observed").collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"versionedSink audit failed for batch $batchId: ${failed.mkString(", ")}")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile(): Unit
+  }
+
+  /** The s16 registry instance (batch twin — StreamingSpec drives the
+    * same three batches through a real `writeStream.foreachBatch` and
+    * asserts the on-disk ladders agree): the customer snapshot arrives
+    * as batch 0 (all upserts), the f13 feed as batch 1, a bucket-7
+    * delete feed as batch 2; output = per retained VERSION the row
+    * count and exact-decimal balance sum, all re-read from the
+    * promoted directories — version arithmetic over what the sink
+    * actually left on disk. */
+  def versionedFeed(s: SparkSession, d: String): DataFrame = {
+    import graft.Canon.dsum
+    val (target, feed, _) = Sources.customerLadder(s, d)
+    val b0 = target.withColumn("op", lit("upsert"))
+    val b2 = graft.Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(10L)) === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    val base = java.nio.file.Files.createTempDirectory("graft-vsink").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Seq(b0, feed, b2).zipWithIndex.foreach { case (b, i) =>
+      versionedSink(base.toString, "c_custkey")(b, i.toLong)
+    }
+    (1 to 3).map { v =>
+      Sources.readAsOf(s, base.toString, v)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("bal_sum"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("bal_sum"))
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
   def upsertBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     // the marker/rename protocol below uses local-FS atomic renames; a
     // production deployment on an object store puts a transactional

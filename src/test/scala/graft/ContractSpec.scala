@@ -30,12 +30,35 @@ class ContractSpec extends SparkSpec {
     // all-queries-failed line (short keys in `failed`).
     val keys = SparkEntry.queries.keys.toSeq
     assert(keys.map(Bench.shortKey).distinct.size === keys.size, "short bench keys collide")
-    // healthy line: no failed/passes diagnostics (omitted when nominal)
-    val ok = keys.map(k => "\"" + Bench.shortKey(k) + "\":9.9").mkString(
+    // round 12, 178 queries: even the coarse FLAT line outgrew the
+    // budget, so the ladder gained grouped-by-family and positional
+    // forms. The guaranteed fallback is POSITIONAL (per-family value
+    // arrays in sorted-full-name order) — certify ITS worst case;
+    // whichever earlier ladder rung fits on a given day only shortens
+    // the emitted line further.
+    val worst = keys.sorted.map(k => (k, 9.9))
+    val grouped = Bench.groupedFamilies(worst).map { case (fam, es) =>
+      "\"" + fam + "\":" + es.map { case (rest, _) => "\"" + rest + "\":9.9" }
+        .mkString("{", ",", "}")
+    }.mkString(
       """{"metric":"total","value":9999.9,"unit":"sec","queries":{""",
       ",",
       """},"sf":"sf0.1"}""")
-    assert(ok.length <= 1850, s"bench stdout line too long: ${ok.length} chars")
+    val positional = Bench.groupedFamilies(worst).map { case (fam, es) =>
+      "\"" + fam + "\":" + es.map(_ => "9.9").mkString("[", ",", "]")
+    }.mkString(
+      """{"metric":"total","value":9999.9,"unit":"sec","queries":{""",
+      ",",
+      """},"sf":"sf0.1"}""")
+    assert(positional.length <= 1850,
+      s"positional fallback bench line too long: ${positional.length} chars")
+    // grouped is today's realistic rung; informational headroom check —
+    // when THIS trips, the emitter silently moves to positional, and
+    // this assertion should be relaxed to a comment (it is not the
+    // driver contract; positional above is)
+    assert(grouped.length <= 1850,
+      s"grouped bench line outgrew the budget (${grouped.length} chars): " +
+        "positional form now emits — relax this informational assert")
     // unhealthy line: every query failed (no timing entries), so the
     // whole width budget goes to the failed list + diagnostics
     val allFailed = keys.map(k => "\"" + Bench.shortKey(k) + "\"").mkString(

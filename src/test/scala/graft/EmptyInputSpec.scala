@@ -182,6 +182,10 @@ class EmptyInputSpec extends SparkSpec {
     // three-row manifest (the job audits versions, not rows)
     val vr = operators.Sources.versionRetention(spark, emptyDir).collect()
     assert(vr.length === 3 && vr.forall(_.getLong(2) === 0L))
+    // s16 on an empty corpus: three zero-row versions, per-version
+    // manifest rows still emitted (version arithmetic, not row counts)
+    val vf = Streaming.versionedFeed(spark, emptyDir).collect()
+    assert(vf.length === 3 && vf.forall(_.getLong(1) === 0L))
     // f12 on an empty feed: one all-zero-counts row, nothing throws
     val cr = operators.Sources.corruptRecords(spark, emptyDir).head()
     (0 until 3).foreach(i => assert(cr.getLong(i) === 0L, s"f12 col $i"))

@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   event_type: String, value: Double, props: String)
 
+/** A customer-change row for the s16 versioned-sink replay (matches the
+  * parquet payload schema: int64 key, string name, double balance). */
+case class Chg(c_custkey: Long, c_name: String, c_acctbal: Double, op: String)
+
 /** Streaming ≡ batch on bounded input (SURVEY §2.4 E16/E17): each shared
   * transformation is executed once as a real Structured Streaming query
   * over a MemoryStream replay of `events` (multiple micro-batches, append
@@ -415,6 +419,80 @@ class StreamingSpec extends SparkSpec {
     assert(after.filter(col("user_id") === u)
       .select("event_id").as[Long].collect().toSeq === Seq(888888L))
     assert(after.count() === want.count())
+  }
+
+  test("versioned sink: streamed ladder ≡ batch twin; redelivery no-op; failed audit leaves no marker") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-vsink-spec").toString
+    val cust = Tables.customer(spark, Sf)
+    def rows(df: DataFrame): Seq[Chg] = df.as[Chg].collect().toSeq
+    // the three batches: snapshot-as-upserts, the f13 feed, bucket-7 deletes
+    // (same construction as Sources.customerLadder / versionedFeed)
+    val b0 = rows(cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit("upsert").as("op")))
+    val b1 = rows(cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+      .unionByName(cust.filter(pmod(col("c_custkey"), lit(10L)) === 5)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("delete").as("op")))
+      .unionByName(cust.filter(pmod(col("c_custkey"), lit(10L)) === 8)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("New#"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_custkey").cast("double").as("c_acctbal"),
+          lit("upsert").as("op"))))
+    val b2 = rows(cust.filter(pmod(col("c_custkey"), lit(10L)) === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op")))
+    val src = MemoryStream[Chg]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.versionedSink(base, "c_custkey")(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      Seq(b0, b1, b2).foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    import graft.Canon.dsum
+    def ladder(): DataFrame =
+      (1 to 3).map { v =>
+        operators.Sources.readAsOf(spark, base, v)
+          .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("bal_sum"))
+          .select(lit(v.toLong).as("version"), col("n_rows"), col("bal_sum"))
+      }.reduce(_.unionByName(_))
+    val before = sortedRows(ladder())
+    // the streamed-on-disk ladder ≡ the registry batch twin
+    assert(before === sortedRows(Streaming.versionedFeed(spark, Sf)))
+    // redelivered batch id with DIFFERENT data: the marker makes it a
+    // no-op — no duplicate version minted, ladder untouched
+    Streaming.versionedSink(base, "c_custkey")(
+      cust.select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") * 2).as("c_acctbal"), lit("upsert").as("op"))
+        .limit(5), 1L)
+    assert(!new java.io.File(s"$base/v3").exists,
+      "redelivered batch must not mint a version")
+    assert(sortedRows(ladder()) === before)
+    // corrupt batch (null key) with a NEW id: audit fails → throw, table
+    // stays at the previous version, and NO marker — a corrected retry
+    // with the same id must still apply
+    val bad = spark.sql(
+      "SELECT CAST(NULL AS BIGINT) c_custkey, 'X' c_name, " +
+        "CAST(1.0 AS DOUBLE) c_acctbal, 'upsert' op")
+    intercept[IllegalStateException] {
+      Streaming.versionedSink(base, "c_custkey")(bad, 7L)
+    }
+    assert(!new java.io.File(s"$base/_applied/7").exists,
+      "failed batch must leave no marker")
+    assert(!new java.io.File(s"$base/v3").exists)
+    assert(sortedRows(ladder()) === before)
+    val fix = spark.sql(
+      "SELECT CAST(7777777 AS BIGINT) c_custkey, 'X' c_name, " +
+        "CAST(1.0 AS DOUBLE) c_acctbal, 'upsert' op")
+    Streaming.versionedSink(base, "c_custkey")(fix, 7L)
+    assert(new java.io.File(s"$base/v3").exists, "corrected retry applies")
+    assert(operators.Sources.readAsOf(spark, base, 4)
+      .filter(col("c_custkey") === 7777777L).count() === 1L)
   }
 
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
