@@ -250,6 +250,8 @@ object SparkEntry {
     "f15_change_feed" -> (Sources.changeFeed _),
     // version retention / vacuum: purge old versions, prove reads intact
     "f16_version_retention" -> (Sources.versionRetention _),
+    // manifest-stats file skipping: per-file min/max prunes a data-column scan
+    "f17_stats_pruned_scan" -> (Sources.statsPrunedScan _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -272,6 +274,8 @@ object SparkEntry {
     "d63_cluster_sample" -> ((s, d) => EmbeddingOps.clusterSample(s, d)),
     // cluster × language domain-mixture profile (store-fed labels)
     "d64_cluster_profile" -> (EmbeddingOps.clusterProfile _),
+    // BPE merge-rule training over the word-frequency table (3 rounds)
+    "d65_bpe_merges" -> (QualityOps.bpeMerges _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -1796,6 +1800,32 @@ object SparkEntry {
          |  CAST(CASE WHEN status = 'purged' THEN NULL ELSE n_rows END AS BIGINT)
          |    AS n_read
          |FROM m ORDER BY version""".stripMargin,
+    "f17_stats_pruned_scan" ->
+      // the manifest arithmetic re-derived: the same closed-form bins
+      // (DuckDB `//` ≡ Spark long division), per-bin min/max, overlap
+      // count vs the [500, 2500] box = files_read; the aggregate is the
+      // plain filter (pruning + residual must lose nothing). The Spark
+      // side's numbers come from the on-disk manifest + pruned read, so
+      // a wrong prune hashes as a wrong file count or a wrong sum.
+      s"""WITH b AS (SELECT min(l_orderkey) AS lo,
+         |    GREATEST(max(l_orderkey) - min(l_orderkey) + 1, 1) AS rng
+         |  FROM lineitem),
+         |f AS (SELECT l_orderkey,
+         |    LEAST(15, (l_orderkey - lo) * 16 // rng) AS file_id
+         |  FROM lineitem, b),
+         |m AS (SELECT file_id, min(l_orderkey) AS mn, max(l_orderkey) AS mx
+         |  FROM f GROUP BY file_id),
+         |k AS (SELECT count(*) AS files_total,
+         |    count(*) FILTER (WHERE mx >= 500 AND mn <= 2500) AS files_read
+         |  FROM m),
+         |a AS (SELECT count(*) AS n_rows,
+         |    ${dsum("l_quantity")} AS sum_qty,
+         |    ${dsum("l_extendedprice")} AS revenue
+         |  FROM lineitem WHERE l_orderkey BETWEEN 500 AND 2500)
+         |SELECT n_rows, sum_qty, revenue,
+         |  CAST(files_total AS BIGINT) AS files_total,
+         |  CAST(files_read AS BIGINT) AS files_read
+         |FROM a, k""".stripMargin,
     "f14_time_travel" ->
       // version 1 = the customer snapshot; version 2 = the f13 merge
       // applied; both re-derived here, aggregated per bucket and
@@ -2280,6 +2310,54 @@ object SparkEntry {
     "d60_cluster_semdedup" -> clusterSemdedupSql,
     "d63_cluster_sample" -> clusterSampleSql,
     "d64_cluster_profile" -> clusterProfileSql,
+    "d65_bpe_merges" ->
+      // the 3 BPE rounds unrolled: per round, pair counts off the
+      // space-joined symbol reps (overlaps included — the classic
+      // formulation), argmax by (count DESC, l, r), merge = the SAME
+      // left-to-right non-overlapping `replace` the Spark side runs.
+      // Integer counts and exact strings — nothing to round.
+      """WITH wf AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(lower(trim(regexp_replace(
+        |        nfc_normalize(text), '\s+', ' ', 'g'))), ' ')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |r0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS rep,
+        |         cnt FROM wf),
+        |p1 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+        |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
+        |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r0))
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT l, r, pair_count FROM p1
+        |       ORDER BY pair_count DESC, l, r LIMIT 1),
+        |r1 AS (SELECT replace(rep,
+        |    ' ' || (SELECT l FROM b1) || ' ' || (SELECT r FROM b1) || ' ',
+        |    ' ' || (SELECT l FROM b1) || (SELECT r FROM b1) || ' ') AS rep,
+        |    cnt FROM r0),
+        |p2 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+        |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
+        |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r1))
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT l, r, pair_count FROM p2
+        |       ORDER BY pair_count DESC, l, r LIMIT 1),
+        |r2 AS (SELECT replace(rep,
+        |    ' ' || (SELECT l FROM b2) || ' ' || (SELECT r FROM b2) || ' ',
+        |    ' ' || (SELECT l FROM b2) || (SELECT r FROM b2) || ' ') AS rep,
+        |    cnt FROM r1),
+        |p3 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+        |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
+        |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r2))
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT l, r, pair_count FROM p3
+        |       ORDER BY pair_count DESC, l, r LIMIT 1)
+        |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, pair_count FROM (
+        |  SELECT 1 AS step, l AS lhs, r AS rhs, pair_count FROM b1
+        |  UNION ALL SELECT 2, l, r, pair_count FROM b2
+        |  UNION ALL SELECT 3, l, r, pair_count FROM b3)
+        |ORDER BY step""".stripMargin,
     "d61_label_store_publish" ->
       // the WAP manifest over the label relation: Lloyd assignment is a
       // PARTITION of the corpus (every vector exactly one label), so

@@ -698,4 +698,75 @@ object QualityOps {
         sum(col("logr")).cast("double").as("weight"))
   }
 
+  /** d65 — BPE MERGE-RULE TRAINING (Sennrich byte-pair encoding, the
+    * tokenizer-induction step of a pretraining pipeline): learn the
+    * first `iters` merge rules from the corpus word-frequency table —
+    * each round counts adjacent symbol pairs weighted by word count
+    * (overlaps included: "aaa"×2 contributes (a,a)×4, the classic
+    * formulation) and merges the argmax pair everywhere.
+    *
+    * The scale shape. BPE never touches the raw corpus after ONE
+    * token-count aggregation: training runs over the AGGREGATED
+    * (word, count) relation — corpus-size-independent (vocabulary
+    * grows ~Heaps-law sublinearly; at 100 TB it is millions of rows,
+    * not trillions) — so each round is a scan-parallel map over the
+    * vocabulary plus one pair-count aggregate. The merge PASS is one
+    * literal string `replace`: a word's symbol sequence is represented
+    * as its symbols joined by ' ' with guard spaces (words are
+    * space-SPLIT, so ' ' can never occur inside a symbol), and
+    * replacing " l r " with " lr " IS the greedy left-to-right
+    * non-overlapping merge — both engines' `replace` scans left to
+    * right and resumes after each replacement, so " a a a " → " aa a "
+    * exactly like the reference algorithm, and the DuckDB oracle
+    * mirrors the whole round with the same replace. Argmax pair =
+    * min-of-struct (−count, l, r) — the d59 discipline: deterministic
+    * ties, no corpus window. The chosen pair is ONE row pulled to the
+    * driver per round (planner-sized, like the f17 manifest): its
+    * symbols become string LITERALS in the next round's plan, so
+    * lineage never compounds across rounds (no growing plan, no
+    * checkpoint needed). Counts are integer sums — exact cross-engine;
+    * fixed `iters` so the oracle unrolls the same rounds as CTEs. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesOver(s, Tables.documents(s, d), iters = 3)
+
+  private[graft] def bpeMergesOver(s: SparkSession, docs: DataFrame,
+      iters: Int): DataFrame = {
+    import s.implicits._
+    val words = docs
+      .select(explode(toks(normText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // " a b c " — chars joined by the guard separator
+    var reps = persistCorpus(words.select(col("cnt"),
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("rep")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to iters) {
+      val syms = split(trim(col("rep")), " ")
+      // adjacent pairs = zip(syms[0..n-2], syms[1..n-1]); slice length
+      // 0 on single-symbol words explodes to nothing, no guard needed
+      val pairs = reps
+        .select(col("cnt"), explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_count"))
+      // argmax with deterministic ties; one planner-sized row collected
+      val bRow = pairs.agg(min(struct((-col("pair_count")).as("nc"),
+        col("l"), col("r"))).as("b")).head()
+      if (!bRow.isNullAt(0)) {
+        val b = bRow.getStruct(0)
+        val (l, r, cnt) = (b.getString(1), b.getString(2), -b.getLong(0))
+        merges += ((step.toLong, l, r, cnt))
+        val next = persistCorpus(reps.select(col("cnt"),
+          replace(col("rep"), lit(s" $l $r "), lit(s" $l$r ")).as("rep")))
+        next.count() // materialize before dropping the previous round
+        reps.unpersist()
+        reps = next
+      }
+    }
+    reps.unpersist()
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
 }

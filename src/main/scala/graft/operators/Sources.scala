@@ -230,6 +230,98 @@ object Sources {
         dsum(col("l_extendedprice")).as("revenue"))
   }
 
+  /** f17 — MANIFEST-STATS FILE SKIPPING: the lakehouse data-skipping
+    * rung f08 only gestures at. f08 relies on parquet's own row-group
+    * stats inside whatever files the scan already OPENED; a table
+    * format (Iceberg/Delta) goes one level up — a per-FILE manifest of
+    * column min/max lets the planner drop whole files before listing
+    * or opening them, for predicates on DATA columns that are not the
+    * partition key (where Hive-style dir pruning is blind).
+    *
+    * The layout: lineitem is range-binned on `l_orderkey` into 16
+    * explicit `file_id` bins (the deterministic multiply-first formula
+    * zorderWrite uses — exact, and mirrored by the oracle with DuckDB's
+    * `//`; overflows only past a 2^55 key range, far beyond any real
+    * key domain) and written `partitionBy("file_id")` — dirs stand in
+    * for files. The MANIFEST is computed by RE-READING what the write
+    * left on disk (never from the source frame, the f09 audit
+    * discipline — a writer bug must surface as a wrong manifest, not a
+    * silently wrong prune): per file_id, min/max/count of the stats
+    * column. The read side translates the `l_orderkey BETWEEN` box
+    * into a file list by interval overlap against the manifest — a
+    * driver-side decision over 16 manifest rows, exactly the collect a
+    * real planner performs (manifest-sized, never data-sized) — and
+    * scans only the surviving dirs via partition pruning on `file_id`,
+    * with the original predicate retained as the residual filter
+    * (pruning is conservative; the residual makes it exact).
+    *
+    * Output: the pruned-scan aggregate plus `files_total`/`files_read`
+    * — both DETERMINISTIC (bins come from a closed-form over global
+    * min/max, not a sampled range partitioner), so the DuckDB oracle
+    * recomputes the manifest arithmetic and proves BOTH that skipping
+    * lost no rows AND that it read exactly the overlapping file set.
+    * StorageSpec additionally pins the physical claim: the pruned
+    * frame's `inputFiles` touch only the surviving dirs. At 100 TB the
+    * manifest is itself a parquet table maintained incrementally at
+    * publish time (the f09/f14 ladder); the overlap join stays
+    * manifest-sized — file skipping is why a 10⁶-file table answers a
+    * narrow scan without 10⁶ opens. */
+  def statsPrunedScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = dir("lineitem_manifest")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val NBins = 16L
+    val r = li.agg(min(col("l_orderkey")).cast("long"),
+      max(col("l_orderkey")).cast("long")).head()
+    // an empty table has null extrema AND an unreadable empty
+    // partitioned write (no part files to infer from) — the manifest is
+    // trivially empty, nothing to write or prune
+    if (r.isNullAt(0))
+      return li.filter(lit(false))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .withColumn("files_total", lit(0L))
+        .withColumn("files_read", lit(0L))
+    val (kLo, kHi) = (r.getLong(0), r.getLong(1))
+    val range = math.max(kHi - kLo + 1, 1L)
+    // SQL `div`, not Column./ — the latter is DOUBLE division, and a
+    // quotient a hair under a bin boundary can round UP across it where
+    // DuckDB's exact `//` floors; integral div keeps both engines on
+    // the same longs (overflow only past a 2^59 key range — the
+    // wide-range fallback is zorderWrite's divide-by-ceil-width form)
+    li.withColumn("file_id",
+        least(lit(NBins - 1),
+          expr(s"(l_orderkey - $kLo) * $NBins div $range")))
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+    // manifest from the BYTES ON DISK; 16 rows → driver (planner-sized).
+    // partition-column type inference reads the dir names as INT — cast
+    // back to the writer's long so the row accessors don't mismatch
+    val manifest = s.read.parquet(path)
+      .withColumn("file_id", col("file_id").cast("long"))
+      .groupBy("file_id")
+      .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+      .collect()
+    val (qLo, qHi) = (500L, 2500L)
+    val keep = manifest
+      .filter(m => m.getLong(2) >= qLo && m.getLong(1) <= qHi)
+      .map(_.getLong(0)).sorted
+    val pruned =
+      if (keep.isEmpty) li.filter(lit(false)) // empty table: no dirs exist
+      else s.read.parquet(path)
+        // dir-level partition prune; INT literals so no cast wraps the
+        // partition attribute (a wrapped attribute can defeat pruning)
+        .filter(col("file_id").isin(keep.map(_.toInt): _*))
+        .drop("file_id")
+    pruned.filter(col("l_orderkey").between(qLo, qHi)) // residual: exactness
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .withColumn("files_total", lit(manifest.length.toLong))
+      .withColumn("files_read", lit(keep.length.toLong))
+  }
+
   /** f07 — `binaryFile` source: whole files as opaque BINARY rows — the
     * ingestion path for raw multimodal assets (images/audio the
     * [[Multimodal]] operators then process) and for any format Spark has

@@ -24,6 +24,8 @@ class EmptyInputSpec extends SparkSpec {
   test("LLM-pipeline operators yield zero rows on an empty corpus") {
     Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
       "exactDedup" -> (DedupOps.exactDedup _),
+      // d65 on an empty corpus: empty vocabulary, zero merge rows
+      "bpeMerges" -> (QualityOps.bpeMerges _),
       "ngramJaccard" -> (PairGraph.ngramJaccard _),
       "minhashNearDup" -> (PairGraph.minhashNearDup _),
       "simhashPairs" -> (PairGraph.simhashPairs _),
@@ -186,6 +188,11 @@ class EmptyInputSpec extends SparkSpec {
     // manifest rows still emitted (version arithmetic, not row counts)
     val vf = Streaming.versionedFeed(spark, emptyDir).collect()
     assert(vf.length === 3 && vf.forall(_.getLong(1) === 0L))
+    // f17 on an empty table: zero-file manifest, nothing written or
+    // pruned, one (0, null, null, 0, 0) aggregate row
+    val sp = operators.Sources.statsPrunedScan(spark, emptyDir).head()
+    assert(sp.getLong(0) === 0L && sp.isNullAt(1) && sp.isNullAt(2) &&
+      sp.getLong(3) === 0L && sp.getLong(4) === 0L)
     // f12 on an empty feed: one all-zero-counts row, nothing throws
     val cr = operators.Sources.corruptRecords(spark, emptyDir).head()
     (0 until 3).foreach(i => assert(cr.getLong(i) === 0L, s"f12 col $i"))

@@ -130,6 +130,61 @@ class StorageSpec extends SparkSpec {
     assert(total2 === totalBytes)
   }
 
+  test("f17 manifest prune reads ONLY the overlapping dirs, and loses nothing") {
+    // the operator's own layout re-derived here so the PHYSICAL claim —
+    // the pruned frame opens no file outside the surviving bins — can
+    // be pinned via inputFiles (the registry query can only prove the
+    // arithmetic; this proves the skipping)
+    val li = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val (kLo, kHi) = li.agg(min("l_orderkey"), max("l_orderkey"))
+      .as[(Long, Long)].collect().head
+    val range = math.max(kHi - kLo + 1, 1L)
+    val dir = s"$wh/li_manifest"
+    li.withColumn("file_id",
+        least(lit(15L), expr(s"(l_orderkey - $kLo) * 16 div $range")))
+      .write.mode("overwrite").partitionBy("file_id").parquet(dir)
+    val manifest = spark.read.parquet(dir)
+      .withColumn("file_id", col("file_id").cast("long"))
+      .groupBy("file_id")
+      .agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val (qLo, qHi) = (500L, 2500L)
+    val keep = manifest.filter(m => m._3 >= qLo && m._2 <= qHi).map(_._1)
+    // the box is narrow (≈3% of the key domain): skipping must bite
+    assert(keep.nonEmpty && keep.size < manifest.size,
+      s"fixture must both keep and skip files (${keep.size}/${manifest.size})")
+    val pruned = spark.read.parquet(dir)
+      .filter(col("file_id").isin(keep.map(_.toInt): _*))
+    // PHYSICAL: the executed scan's numFiles metric counts what was
+    // actually opened — inputFiles would lie here (it reflects the
+    // base FileIndex BEFORE partition pruning)
+    pruned.collect()
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(findScans)
+    }
+    val scan = findScans(pruned.queryExecution.executedPlan).head
+    val opened = scan.metrics("numFiles").value
+    val allFiles = spark.read.parquet(dir).inputFiles.toSeq
+    val expected = allFiles.count(f => keep.exists(b => f.contains(s"file_id=$b/")))
+    assert(opened === expected.toLong && opened < allFiles.size.toLong,
+      s"pruned scan opened $opened files; expected $expected of ${allFiles.size}")
+    // EXACT: pruned + residual ≡ the plain filter over the source
+    val a = pruned.filter(col("l_orderkey").between(qLo, qHi))
+      .groupBy("l_orderkey").agg(sum("l_quantity"))
+    val b = li.filter(col("l_orderkey").between(qLo, qHi))
+      .groupBy("l_orderkey").agg(sum("l_quantity"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // and the registry query's file counts agree with this re-derivation
+    val row = operators.Sources.statsPrunedScan(spark, Sf).collect().head
+    assert(row.getLong(3) === manifest.size.toLong &&
+      row.getLong(4) === keep.size.toLong)
+  }
+
   test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {
     val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_partkey")
     operators.Sources.zorderWrite(li, "l_orderkey", "l_partkey", s"$wh/z", 8)
