@@ -276,6 +276,8 @@ object SparkEntry {
     "d64_cluster_profile" -> (EmbeddingOps.clusterProfile _),
     // BPE merge-rule training over the word-frequency table (3 rounds)
     "d65_bpe_merges" -> (QualityOps.bpeMerges _),
+    // hybrid retrieval: BM25 ∪ cosine top-k fused by reciprocal rank
+    "d66_hybrid_rrf" -> ((s, d) => EmbeddingOps.hybridRrf(s, d)),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -874,27 +876,7 @@ object SparkEntry {
     // relation), so d30's oracle applies verbatim, like d47/d48/d49.
     "d30b_store_incremental" -> incrementalDedupSql,
     "d31_bm25" ->
-      // same IEEE evaluation order as the Spark side: idf * (tf*(k1+1))
-      // / (tf + k1*(1-b + b*dl/avgdl)), summed over the 3 query terms
-      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-         |        CAST(len(list_filter(t, w -> w = 'spark')) AS BIGINT) AS tf_spark,
-         |        CAST(len(list_filter(t, w -> w = 'join')) AS BIGINT) AS tf_join,
-         |        CAST(len(list_filter(t, w -> w = 'window')) AS BIGINT) AS tf_window
-         |      FROM s),
-         |g AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-         |        sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
-         |        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
-         |        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
-         |      FROM d),
-         |sc AS (SELECT doc_id, dl, tf_spark, tf_join, tf_window,
-         |         ${round4(Seq("spark", "join", "window").map(q =>
-                     s"ln(1.0 + (n_docs - df_$q + 0.5) / (df_$q + 0.5))" +
-                     s" * (tf_$q::DOUBLE * (1.2 + 1.0))" +
-                     s" / (tf_$q::DOUBLE + 1.2 * ((1.0 - 0.75)" +
-                     s" + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))")
-                     .mkString(" + "))} AS score
-         |       FROM d, g)
+      s"""WITH $bm25Cte
          |SELECT doc_id, dl, tf_spark, tf_join, tf_window, score
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "d32_pii_redact" -> {
@@ -2358,6 +2340,31 @@ object SparkEntry {
         |  UNION ALL SELECT 2, l, r, pair_count FROM b2
         |  UNION ALL SELECT 3, l, r, pair_count FROM b3)
         |ORDER BY step""".stripMargin,
+    "d66_hybrid_rrf" ->
+      // the two retrievers' own oracles (d31's scored CTE, d04's cosine
+      // list) ranked inside their top-20 frames, full-outer fused by
+      // Σ 1/(60+rank) — one IEEE division per list + one addition, so
+      // the fused double is bit-identical cross-engine; absent list →
+      // exactly 0 via COALESCE; ties break by doc_id
+      s"""WITH $bm25Cte,
+         |lex AS (SELECT doc_id, score FROM sc
+         |        ORDER BY score DESC, doc_id LIMIT 20),
+         |lexr AS (SELECT doc_id, row_number() OVER
+         |           (ORDER BY score DESC, doc_id) AS lex_rank FROM lex),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sem AS (SELECT doc_id, sim FROM (
+         |          SELECT vec_id AS doc_id, ${round4(cosSql("v", "qv"))} AS sim
+         |          FROM e, q) ORDER BY sim DESC, doc_id LIMIT 20),
+         |semr AS (SELECT doc_id, row_number() OVER
+         |           (ORDER BY sim DESC, doc_id) AS sem_rank FROM sem)
+         |SELECT doc_id,
+         |  CAST(lex_rank AS BIGINT) AS lex_rank,
+         |  CAST(sem_rank AS BIGINT) AS sem_rank,
+         |  ${round4("COALESCE(1.0 / (60 + lex_rank), 0.0)" +
+                     " + COALESCE(1.0 / (60 + sem_rank), 0.0)")} AS rrf
+         |FROM lexr FULL OUTER JOIN semr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "d61_label_store_publish" ->
       // the WAP manifest over the label relation: Lloyd assignment is a
       // PARTITION of the corpus (every vector exactly one label), so
@@ -3217,6 +3224,31 @@ object SparkEntry {
        |      FROM scand WHERE sim >= 0.32),
        |semp AS (SELECT vec_id, split, train_id, sim FROM sbest WHERE rn = 1)""".stripMargin
   }
+
+  /** d31's BM25 scored-docs CTE chain (s/d/g/sc, ending in
+    * sc(doc_id, dl, tf_*, score)) — shared by d31 and the d66 fusion.
+    * Same IEEE evaluation order as the Spark side: idf * (tf*(k1+1)) /
+    * (tf + k1*(1-b + b*dl/avgdl)), summed over the 3 query terms. */
+  private def bm25Cte =
+    s"""s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |        CAST(len(list_filter(t, w -> w = 'spark')) AS BIGINT) AS tf_spark,
+       |        CAST(len(list_filter(t, w -> w = 'join')) AS BIGINT) AS tf_join,
+       |        CAST(len(list_filter(t, w -> w = 'window')) AS BIGINT) AS tf_window
+       |      FROM s),
+       |g AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |        sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+       |        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+       |        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+       |      FROM d),
+       |sc AS (SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+       |         ${round4(Seq("spark", "join", "window").map(q =>
+                   s"ln(1.0 + (n_docs - df_$q + 0.5) / (df_$q + 0.5))" +
+                   s" * (tf_$q::DOUBLE * (1.2 + 1.0))" +
+                   s" / (tf_$q::DOUBLE + 1.2 * ((1.0 - 0.75)" +
+                   s" + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))")
+                   .mkString(" + "))} AS score
+       |       FROM d, g)""".stripMargin
 
   /** In-order cosine; DuckDB's list_inner_product folds left-to-right,
     * matching Spark's `aggregate` fold (verified empirically by

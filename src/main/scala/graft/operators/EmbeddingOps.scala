@@ -773,4 +773,50 @@ object EmbeddingOps {
       .orderBy("vec_id")
   }
 
+  /** d66 — HYBRID RETRIEVAL by reciprocal-rank fusion (RRF): the way a
+    * production RAG/eval stack actually queries a corpus — a lexical
+    * BM25 list and a dense cosine list, fused by
+    * `Σ 1/(K + rank)` (Cormack et al.'s K = 60), so a document strong
+    * on either signal surfaces even when the two score scales are
+    * incomparable (RRF reads only RANKS — the whole point).
+    *
+    * Shape: the two retrievers are the existing ones unchanged —
+    * [[QualityOps.bm25]] (one corpus scan, broadcast stats,
+    * TakeOrderedAndProject) and [[cosineTopK]] (broadcast query vector,
+    * TakeOrderedAndProject). Everything AFTER retrieval is
+    * output-sized: the rank windows run over the already-top-k'd
+    * 20-row lists (a global window over a `GlobalLimit` frame — the
+    * PlanSpec lint recognizes Limit as a reducer, same as Aggregate),
+    * the fusion is one full-outer join of two k-row frames, and the
+    * final top-10 is a k-row sort. At 100 TB with a query LOG, every
+    * step gains a `query_id` key: per-query top-k via partial
+    * aggregation, rank windows `partitionBy(query_id)` (bounded k rows
+    * per partition), fusion keyed (query_id, doc_id) — nothing here is
+    * corpus-keyed. Fixture linkage: embeddings.vec_id aligns with
+    * documents.doc_id (the d64 convention; a production embeddings
+    * table carries doc_id explicitly).
+    *
+    * Determinism: both ranks order by the ROUNDED retriever score then
+    * id (the retrievers' own tie rule); the RRF value is one IEEE
+    * division per list plus one addition — bit-identical cross-engine;
+    * ties in the fused score break by doc_id. A doc absent from a list
+    * contributes exactly 0 (coalesce), the standard convention. */
+  def hybridRrf(s: SparkSession, d: String, kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    val lex = bm25(s, d).select(col("doc_id"), col("score"))
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+    val sem = cosineTopK(s, d).select(col("vec_id").as("doc_id"), col("sim"))
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col("doc_id").asc))
+        .cast("long"))
+    def part(r: Column) = coalesce(lit(1.0) / (lit(kRrf) + r), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round4(part(col("lex_rank")) + part(col("sem_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
 }

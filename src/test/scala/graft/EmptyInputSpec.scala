@@ -26,6 +26,9 @@ class EmptyInputSpec extends SparkSpec {
       "exactDedup" -> (DedupOps.exactDedup _),
       // d65 on an empty corpus: empty vocabulary, zero merge rows
       "bpeMerges" -> (QualityOps.bpeMerges _),
+      // d66: both retrieval lists empty → empty fusion
+      "hybridRrf" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        EmbeddingOps.hybridRrf(s, d)),
       "ngramJaccard" -> (PairGraph.ngramJaccard _),
       "minhashNearDup" -> (PairGraph.minhashNearDup _),
       "simhashPairs" -> (PairGraph.simhashPairs _),
