@@ -278,6 +278,9 @@ object SparkEntry {
     "d65_bpe_merges" -> (QualityOps.bpeMerges _),
     // hybrid retrieval: BM25 ∪ cosine top-k fused by reciprocal rank
     "d66_hybrid_rrf" -> ((s, d) => EmbeddingOps.hybridRrf(s, d)),
+    // source-conditional boilerplate removal (CCNet rule): drop paras
+    // frequent within their source, every occurrence incl. the first
+    "d67_boilerplate_removal" -> (QualityOps.boilerplateRemoval _),
     // verified-pair relation published through the WAP gate (manifest)
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
@@ -2365,6 +2368,47 @@ object SparkEntry {
                      " + COALESCE(1.0 / (60 + sem_rank), 0.0)")} AS rrf
          |FROM lexr FULL OUTER JOIN semr USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "d67_boilerplate_removal" ->
+      // the d57 paragraphize/normalize CTEs with the SAME deterministic
+      // planting the Spark side applies (footer on every doc, %3
+      // banner, %20 promo), then: per-(source, para) doc frequency,
+      // boilerplate = df >= 2 AND df/n_docs >= 30% (integer arithmetic
+      // — no float share), anti-join removal of EVERY occurrence,
+      // in-order reassembly of the survivors
+      """WITH p AS (SELECT doc_id, source,
+        |             regexp_replace(text, '((?:\S+ ){8})', '\1' || chr(10), 'g')
+        |               || chr(10) || 'footer nav ' || source
+        |               || CASE WHEN doc_id % 3 = 0
+        |                    THEN chr(10) || 'cookie banner ' || source
+        |                    ELSE '' END
+        |               || CASE WHEN doc_id % 20 = 0
+        |                    THEN chr(10) || 'rare promo' ELSE '' END
+        |               AS pt
+        |           FROM documents),
+        |sp AS (SELECT doc_id, source,
+        |         CAST(generate_subscripts(string_split(pt, chr(10)), 1) - 1
+        |           AS BIGINT) AS pos,
+        |         trim(nfc_normalize(unnest(string_split(pt, chr(10))))) AS norm
+        |       FROM p),
+        |spn AS (SELECT * FROM sp WHERE len(norm) > 0),
+        |n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |f AS (SELECT source, norm, count(DISTINCT doc_id) AS df
+        |      FROM spn GROUP BY 1, 2),
+        |bp AS (SELECT source, norm FROM f JOIN n USING (source)
+        |       WHERE df >= 2 AND df * 100 >= 30 * n_docs),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(norm, chr(10) ORDER BY pos) AS kept_text
+        |      FROM spn ANTI JOIN bp USING (source, norm) GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_paras FROM spn GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(length(COALESCE(k.kept_text, '')) AS BIGINT) AS kept_len,
+        |  md5(COALESCE(k.kept_text, '')) AS kept_md5
+        |FROM documents d
+        |LEFT JOIN t ON d.doc_id = t.doc_id
+        |LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d61_label_store_publish" ->
       // the WAP manifest over the label relation: Lloyd assignment is a
       // PARTITION of the corpus (every vector exactly one label), so

@@ -698,6 +698,95 @@ object QualityOps {
         sum(col("logr")).cast("double").as("weight"))
   }
 
+  /** d67 — SOURCE-CONDITIONAL BOILERPLATE REMOVAL (the CCNet/RefinedWeb
+    * cleaning rule d57's global first-occurrence dedup cannot express):
+    * a paragraph occurring in ≥ τ share of a SOURCE's documents is that
+    * source's boilerplate (nav bar, footer, cookie banner) and EVERY
+    * occurrence is dropped — including the first, where d57 keeps it:
+    * boilerplate is noise everywhere, not content somewhere. The
+    * frequency is conditional on the source — that is what separates a
+    * site's footer (frequent within the site) from a common sentence of
+    * the language (frequent overall, rare per site). A `minDf = 2`
+    * floor keeps a singleton source from boilerplating ITSELF (with one
+    * document, every paragraph trivially has 100% share).
+    *
+    * Scale: the d42/d51/d57 partial-agg discipline — the per-(source,
+    * paragraph) doc-frequency is ONE map-side-combined aggregate (a
+    * footer repeated 10⁶× reduces before the shuffle), the per-source
+    * doc count is a tiny broadcast dimension, and removal is an
+    * anti-join back on (source, norm) — never a content-partitioned
+    * window. The boilerplate relation is structurally bounded:
+    * ≤ paras-per-doc / τ rows PER SOURCE regardless of source size
+    * (Σ df ≤ total occurrences), so AQE broadcasts it when the source
+    * count allows and a shuffle anti-join handles the web-scale case.
+    * Neither small side is FORCED broadcast — both scale with the
+    * source count (~10⁷ sites on a web corpus), the one dimension AQE
+    * should size at runtime, not the plan.
+    * Reassembly is per-document state only (sorted collect_list of the
+    * doc's own kept paragraphs); output carries length + md5, not the
+    * text. Same single-line-fixture stand-in as d57: a deterministic
+    * boundary every 8 tokens ([[DedupOps.Paragraphize]]); a corpus with
+    * real newlines skips that projection and nothing else changes.
+    *
+    * The synthetic corpus has NO natural cross-document paragraph
+    * repetition (max within-source share 12%, far under any sane τ), so
+    * the registry instance PLANTS its boilerplate deterministically —
+    * the f12 corrupt-records discipline: a per-source footer on every
+    * document (100% share — must go), a doc_id%3 banner (~⅓ share —
+    * goes wherever a source's draw reaches 30%), and a doc_id%20 promo
+    * (~5% — must SURVIVE). The oracle recomputes the same planting, so
+    * removal AND retention both hash; a real corpus skips the planting
+    * projection. */
+  def boilerplateRemoval(s: SparkSession, d: String): DataFrame =
+    boilerplateRemovalOver(plantBoilerplate(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))))
+
+  /** The registry fixture's deterministic boilerplate planting (see
+    * [[boilerplateRemoval]]) — package-visible so the differential spec
+    * replays the exact planted frame through a reference removal. */
+  private[graft] def plantBoilerplate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(DedupOps.Paragraphize(col("text")),
+        lit("\nfooter nav "), col("source"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\ncookie banner "), col("source"))).otherwise(lit("")),
+        when(col("doc_id") % 20 === 0, lit("\nrare promo")).otherwise(lit("")))
+        .as("text"))
+
+  private[graft] def boilerplateRemovalOver(docs: DataFrame,
+      tauPct: Int = 30, minDf: Int = 2): DataFrame = {
+    val paras = persistCorpus(docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+        trim(call_function(graft.functions.NfcNormalize.Name, col("col")))
+          .as("norm"))
+      .filter(length(col("norm")) > 0))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val bp = paras.groupBy("source", "norm")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(nDocs, "source")
+      .filter(col("df") >= minDf &&
+        col("df") * 100 >= lit(tauPct) * col("n_docs"))
+      .select("source", "norm")
+    val kept = paras.join(bp, Seq("source", "norm"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("norm")))),
+          x => x.getField("norm")), "\n").as("kept_text"))
+    val totals = paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    docs.select("doc_id", "source")
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(coalesce(col("kept_text"), lit(""))).cast("long").as("kept_len"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** d65 — BPE MERGE-RULE TRAINING (Sennrich byte-pair encoding, the
     * tokenizer-induction step of a pretraining pipeline): learn the
     * first `iters` merge rules from the corpus word-frequency table —

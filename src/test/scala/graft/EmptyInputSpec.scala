@@ -29,6 +29,8 @@ class EmptyInputSpec extends SparkSpec {
       // d66: both retrieval lists empty → empty fusion
       "hybridRrf" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         EmbeddingOps.hybridRrf(s, d)),
+      // d67: no documents → no paragraphs, no boilerplate, no rows
+      "boilerplateRemoval" -> (QualityOps.boilerplateRemoval _),
       "ngramJaccard" -> (PairGraph.ngramJaccard _),
       "minhashNearDup" -> (PairGraph.minhashNearDup _),
       "simhashPairs" -> (PairGraph.simhashPairs _),
