@@ -276,6 +276,8 @@ object SparkEntry {
     "d64_cluster_profile" -> (EmbeddingOps.clusterProfile _),
     // BPE merge-rule training over the word-frequency table (3 rounds)
     "d65_bpe_merges" -> (QualityOps.bpeMerges _),
+    // BPE encode: apply the learned merges, per-doc token counts
+    "d68_bpe_encode" -> (QualityOps.bpeEncode _),
     // hybrid retrieval: BM25 ∪ cosine top-k fused by reciprocal rank
     "d66_hybrid_rrf" -> ((s, d) => EmbeddingOps.hybridRrf(s, d)),
     // source-conditional boilerplate removal (CCNet rule): drop paras
@@ -2296,53 +2298,44 @@ object SparkEntry {
     "d63_cluster_sample" -> clusterSampleSql,
     "d64_cluster_profile" -> clusterProfileSql,
     "d65_bpe_merges" ->
-      // the 3 BPE rounds unrolled: per round, pair counts off the
-      // space-joined symbol reps (overlaps included — the classic
-      // formulation), argmax by (count DESC, l, r), merge = the SAME
-      // left-to-right non-overlapping `replace` the Spark side runs.
-      // Integer counts and exact strings — nothing to round.
-      """WITH wf AS (
-        |  SELECT word, count(*) AS cnt FROM (
-        |    SELECT unnest(string_split(lower(trim(regexp_replace(
-        |        nfc_normalize(text), '\s+', ' ', 'g'))), ' ')) AS word
-        |    FROM documents)
-        |  WHERE length(word) > 0 GROUP BY word),
-        |r0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS rep,
-        |         cnt FROM wf),
-        |p1 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
-        |  FROM (SELECT unnest(list_transform(range(1, len(s)),
-        |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
-        |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r0))
-        |  GROUP BY 1, 2),
-        |b1 AS (SELECT l, r, pair_count FROM p1
-        |       ORDER BY pair_count DESC, l, r LIMIT 1),
-        |r1 AS (SELECT replace(rep,
-        |    ' ' || (SELECT l FROM b1) || ' ' || (SELECT r FROM b1) || ' ',
-        |    ' ' || (SELECT l FROM b1) || (SELECT r FROM b1) || ' ') AS rep,
-        |    cnt FROM r0),
-        |p2 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
-        |  FROM (SELECT unnest(list_transform(range(1, len(s)),
-        |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
-        |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r1))
-        |  GROUP BY 1, 2),
-        |b2 AS (SELECT l, r, pair_count FROM p2
-        |       ORDER BY pair_count DESC, l, r LIMIT 1),
-        |r2 AS (SELECT replace(rep,
-        |    ' ' || (SELECT l FROM b2) || ' ' || (SELECT r FROM b2) || ' ',
-        |    ' ' || (SELECT l FROM b2) || (SELECT r FROM b2) || ' ') AS rep,
-        |    cnt FROM r1),
-        |p3 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
-        |  FROM (SELECT unnest(list_transform(range(1, len(s)),
-        |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
-        |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r2))
-        |  GROUP BY 1, 2),
-        |b3 AS (SELECT l, r, pair_count FROM p3
-        |       ORDER BY pair_count DESC, l, r LIMIT 1)
-        |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, pair_count FROM (
-        |  SELECT 1 AS step, l AS lhs, r AS rhs, pair_count FROM b1
-        |  UNION ALL SELECT 2, l, r, pair_count FROM b2
-        |  UNION ALL SELECT 3, l, r, pair_count FROM b3)
-        |ORDER BY step""".stripMargin,
+      // the 3 BPE rounds unrolled (shared bpeCtes): per round, pair
+      // counts off the space-joined symbol reps (overlaps included —
+      // the classic formulation), argmax by (count DESC, l, r), merge =
+      // the SAME left-to-right non-overlapping `replace` the Spark side
+      // runs. Integer counts and exact strings — nothing to round.
+      s"""WITH $bpeCtes
+         |SELECT CAST(step AS BIGINT) AS step, lhs, rhs, pair_count FROM (
+         |  SELECT 1 AS step, l AS lhs, r AS rhs, pair_count FROM b1
+         |  UNION ALL SELECT 2, l, r, pair_count FROM b2
+         |  UNION ALL SELECT 3, l, r, pair_count FROM b3)
+         |ORDER BY step""".stripMargin,
+    "d68_bpe_encode" ->
+      // the same 3 training rounds, then the THIRD rule applied (r3 —
+      // training materializes only r2), symbol counts on the vocab,
+      // doc grain via the token stream joined back on word
+      s"""WITH $bpeCtes,
+         |r3 AS (SELECT word, replace(replace(rep,
+         |    ' ' || (SELECT l FROM b3) || ' ' || (SELECT r FROM b3) || ' ',
+         |    ' ' || (SELECT l FROM b3) || (SELECT r FROM b3) || ' '),
+         |    ' ' || (SELECT l FROM b3) || ' ' || (SELECT r FROM b3) || ' ',
+         |    ' ' || (SELECT l FROM b3) || (SELECT r FROM b3) || ' ') AS rep
+         |    FROM r2),
+         |wt AS (SELECT word,
+         |        CAST(len(string_split(trim(rep), ' ')) AS BIGINT) AS n_sym,
+         |        CAST(length(word) AS BIGINT) AS n_chr FROM r3),
+         |tw AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+         |pd AS (SELECT doc_id, count(*) AS n_words,
+         |         SUM(n_chr) AS n_chars, SUM(n_sym) AS n_tokens
+         |       FROM tw JOIN wt USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(pd.n_chars, 0) AS BIGINT) AS n_chars,
+         |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CASE WHEN pd.n_chars IS NOT NULL AND pd.n_chars > 0
+         |    THEN ${round4("pd.n_tokens::DOUBLE / pd.n_chars")}
+         |    ELSE NULL END AS compression
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d66_hybrid_rrf" ->
       // the two retrievers' own oracles (d31's scored CTE, d04's cosine
       // list) ranked inside their top-20 frames, full-outer fused by
@@ -3293,6 +3286,54 @@ object SparkEntry {
                    s" + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))")
                    .mkString(" + "))} AS score
        |       FROM d, g)""".stripMargin
+
+  /** d65's BPE training CTE chain — tokens (tok), word frequencies
+    * (wf), spaced symbol reps (r0), and three unrolled
+    * pair-count/argmax/merge rounds (p1/b1/r1 … p3/b3) — shared by d65
+    * (reads b1..b3) and d68 (applies b3 to r2 and joins tok back). */
+  private def bpeCtes =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(
+      |      nfc_normalize(text), '\s+', ' ', 'g'))), ' ')) AS word
+      |  FROM documents),
+      |wf AS (SELECT word, count(*) AS cnt FROM tok
+      |       WHERE length(word) > 0 GROUP BY word),
+      |r0 AS (SELECT word,
+      |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS rep,
+      |         cnt FROM wf),
+      |p1 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+      |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
+      |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r0))
+      |  GROUP BY 1, 2),
+      |b1 AS (SELECT l, r, pair_count FROM p1
+      |       ORDER BY pair_count DESC, l, r LIMIT 1),
+      |r1 AS (SELECT word, replace(replace(rep,
+      |    ' ' || (SELECT l FROM b1) || ' ' || (SELECT r FROM b1) || ' ',
+      |    ' ' || (SELECT l FROM b1) || (SELECT r FROM b1) || ' '),
+      |    ' ' || (SELECT l FROM b1) || ' ' || (SELECT r FROM b1) || ' ',
+      |    ' ' || (SELECT l FROM b1) || (SELECT r FROM b1) || ' ') AS rep,
+      |    cnt FROM r0),
+      |p2 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+      |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
+      |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r1))
+      |  GROUP BY 1, 2),
+      |b2 AS (SELECT l, r, pair_count FROM p2
+      |       ORDER BY pair_count DESC, l, r LIMIT 1),
+      |r2 AS (SELECT word, replace(replace(rep,
+      |    ' ' || (SELECT l FROM b2) || ' ' || (SELECT r FROM b2) || ' ',
+      |    ' ' || (SELECT l FROM b2) || (SELECT r FROM b2) || ' '),
+      |    ' ' || (SELECT l FROM b2) || ' ' || (SELECT r FROM b2) || ' ',
+      |    ' ' || (SELECT l FROM b2) || (SELECT r FROM b2) || ' ') AS rep,
+      |    cnt FROM r1),
+      |p3 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+      |          i -> {'l': s[i], 'r': s[i+1]})) AS pr, cnt
+      |        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM r2))
+      |  GROUP BY 1, 2),
+      |b3 AS (SELECT l, r, pair_count FROM p3
+      |       ORDER BY pair_count DESC, l, r LIMIT 1)""".stripMargin
 
   /** In-order cosine; DuckDB's list_inner_product folds left-to-right,
     * matching Spark's `aggregate` fold (verified empirically by

@@ -794,20 +794,37 @@ object QualityOps {
     * (overlaps included: "aaa"×2 contributes (a,a)×4, the classic
     * formulation) and merges the argmax pair everywhere.
     *
+    * Merge semantics, exactly: one guarded literal `replace` consumes
+    * BOTH guard spaces, so two occurrences of the pair that ABUT
+    * (share the middle guard — the word contains `l r l r`) would
+    * merge only the first where reference BPE (Sennrich's
+    * lookaround-regex sub) merges both. A SECOND identical replace
+    * pass fixes that exactly for l ≠ r: pass one takes every other
+    * occurrence of an abutting chain, leaving the survivors isolated,
+    * and pass two takes the rest — provably Sennrich-equal (spec-
+    * planted on an abutting fixture). The one case literal replace
+    * cannot reproduce is a SELF-pair (l == r) over a symbol run ≥ 4
+    * (`a a a a`: reference left-aligns `[aa, aa]`; replace strands
+    * `[aa, a, a]`, and re-passing mis-ALIGNS longer runs) — that case
+    * RAISES with a diagnostic rather than silently diverging (the e45
+    * MaxRounds refusal discipline; runs ≤ 3 are exact and common,
+    * run-4+ of a winning pair means pathological repetition the d21
+    * quality gate should have dropped upstream).
+    *
     * The scale shape. BPE never touches the raw corpus after ONE
     * token-count aggregation: training runs over the AGGREGATED
     * (word, count) relation — corpus-size-independent (vocabulary
     * grows ~Heaps-law sublinearly; at 100 TB it is millions of rows,
     * not trillions) — so each round is a scan-parallel map over the
-    * vocabulary plus one pair-count aggregate. The merge PASS is one
-    * literal string `replace`: a word's symbol sequence is represented
-    * as its symbols joined by ' ' with guard spaces (words are
-    * space-SPLIT, so ' ' can never occur inside a symbol), and
-    * replacing " l r " with " lr " IS the greedy left-to-right
-    * non-overlapping merge — both engines' `replace` scans left to
-    * right and resumes after each replacement, so " a a a " → " aa a "
-    * exactly like the reference algorithm, and the DuckDB oracle
-    * mirrors the whole round with the same replace. Argmax pair =
+    * vocabulary plus one pair-count aggregate. The merge PASS is the
+    * DOUBLE guarded literal `replace` of [[mergePass]]: a word's symbol
+    * sequence is represented as its symbols joined by ' ' with guard
+    * spaces (words are space-SPLIT, so ' ' can never occur inside a
+    * symbol); both engines' `replace` scans left to right and resumes
+    * after each replacement, and the second pass makes abutting-
+    * occurrence merging exactly Sennrich's (the semantics note below);
+    * the DuckDB oracle mirrors the whole round with the same two
+    * replaces. Argmax pair =
     * min-of-struct (−count, l, r) — the d59 discipline: deterministic
     * ties, no corpus window. The chosen pair is ONE row pulled to the
     * driver per round (planner-sized, like the f17 manifest): its
@@ -847,8 +864,13 @@ object QualityOps {
         val b = bRow.getStruct(0)
         val (l, r, cnt) = (b.getString(1), b.getString(2), -b.getLong(0))
         merges += ((step.toLong, l, r, cnt))
+        if (l == r) // self-pair run >= 4: literal replace cannot left-align
+          require(reps.filter(col("rep").contains(s" $l $l $l $l ")).isEmpty,
+            s"bpeMerges: winning self-pair ($l,$l) occurs in a symbol run" +
+              " of length >= 4; literal-replace merging would diverge from" +
+              " reference BPE's left-aligned pairing — refusing")
         val next = persistCorpus(reps.select(col("cnt"),
-          replace(col("rep"), lit(s" $l $r "), lit(s" $l$r ")).as("rep")))
+          mergePass(col("rep"), l, r).as("rep")))
         next.count() // materialize before dropping the previous round
         reps.unpersist()
         reps = next
@@ -856,6 +878,72 @@ object QualityOps {
     }
     reps.unpersist()
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
+  /** One BPE merge applied everywhere — the DOUBLE guarded replace (see
+    * the [[bpeMerges]] semantics note): pass two catches the
+    * every-other survivors of abutting l≠r chains, making the literal
+    * replace exactly Sennrich's lookaround sub. Shared by training and
+    * [[bpeEncode]] so the two can never drift. */
+  private def mergePass(rep: Column, l: String, r: String): Column = {
+    def one(c: Column) = replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    one(one(rep))
+  }
+
+  /** d68 — BPE ENCODE (tokenizer APPLICATION, closing the d65 loop):
+    * learn the merge table with [[bpeMerges]], then apply it to the
+    * corpus and report per-document token counts — the "how many
+    * tokens is my corpus under this tokenizer" question every
+    * pretraining budget starts from.
+    *
+    * Scale shape: the merge table is `iters` driver rows
+    * (planner-sized, the f17-manifest kind of collect) whose symbols
+    * become string literals in the plan. The string work runs on the
+    * DISTINCT VOCABULARY (Heaps-law sublinear — millions of rows at
+    * 100 TB), one guarded literal `replace` per rule exactly as
+    * training did, so encode-time merging is BY CONSTRUCTION the same
+    * greedy left-to-right pass training counted. Document grain comes
+    * from ONE (word) equi-join of the corpus token stream against the
+    * vocab-sized symbol counts (AQE broadcasts the vocab side when it
+    * fits) plus a map-side-combined per-doc sum — the corpus never
+    * carries symbol strings, only its words. `n_chars` = pre-merge
+    * symbol count, so `n_tokens / n_chars` is the compression the
+    * learned rules bought; integer counts, one double division,
+    * nothing to drift. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOver(s, Tables.documents(s, d), iters = 3)
+
+  private[graft] def bpeEncodeOver(s: SparkSession, docs: DataFrame,
+      iters: Int): DataFrame = {
+    val merges = bpeMergesOver(s, docs, iters)
+      .collect().sortBy(_.getLong(0))
+    val words = docs
+      .select(col("doc_id"), explode(toks(normText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab0 = words.select("word").distinct()
+      .withColumn("rep",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+    val applied = merges.foldLeft(vocab0) { (v, m) =>
+      val (l, r) = (m.getString(1), m.getString(2))
+      v.withColumn("rep", mergePass(col("rep"), l, r))
+    }
+    val wordTok = applied.select(col("word"),
+      size(split(trim(col("rep")), " ")).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_chr"))
+    val perDoc = words.join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_chars").isNotNull && col("n_chars") > 0,
+          round4(col("n_tokens").cast("double") / col("n_chars")))
+          .as("compression"))
+      .orderBy("doc_id")
   }
 
 }

@@ -71,6 +71,76 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  /** Reference encode: apply learned merges in order, greedy
+    * left-to-right, to one word's symbol vector. */
+  private def refApply(word: String, merges: Seq[(Long, String, String, Long)]): Int = {
+    var syms = word.map(_.toString).toVector
+    for ((_, l, r, _) <- merges.sortBy(_._1)) {
+      val nb = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i < syms.size - 1 && syms(i) == l && syms(i + 1) == r) {
+          nb += (l + r); i += 2
+        } else { nb += syms(i); i += 1 }
+      }
+      syms = nb.result()
+    }
+    syms.size
+  }
+
+  test("d68 planted encode: merged symbols collapse counts, compression is exact") {
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "ab ab b")).toDF("doc_id", "text")
+    val got = operators.QualityOps.bpeEncodeOver(spark, docs, iters = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // merges (a,a),(a,b),(aa,a): aaa→1 symbol, ab→1, b→1
+    assert(got === Seq((1L, 3L, 8L, 3L, 0.375), (2L, 3L, 5L, 3L, 0.6)))
+  }
+
+  test("d68 differential vs reference encode on the real corpus, 3 rounds") {
+    val words = Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(split(lower(trim(regexp_replace(
+        call_function(functions.NfcNormalize.Name, col("text")),
+        "\\s+", " "))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[(Long, String)].collect().toSeq
+    val merges = refBpe(
+      words.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }, 3)
+    val want = words.groupBy(_._1).map { case (id, ws) =>
+      (id, ws.size.toLong, ws.map(_._2.length.toLong).sum,
+        ws.map(w => refApply(w._2, merges).toLong).sum)
+    }.toSeq.sortBy(_._1)
+    val got = operators.QualityOps
+      .bpeEncodeOver(spark, Tables.documents(spark, Sf), iters = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) === want)
+    // compression consistent with the counts it sits next to
+    got.foreach { r =>
+      val exp = BigDecimal(r._4.toDouble / r._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r._5 === exp, s"doc ${r._1} compression")
+    }
+  }
+
+  test("abutting occurrences of the winning pair merge like Sennrich (double replace)") {
+    // round 1 winner (x,y) cnt 4 ABUTS itself inside "xyxy" — a single
+    // consumed-guard replace would strand [xy, x, y]; the second pass
+    // must yield [xy, xy], and round 2 then merges the SELF-pair
+    // (xy, xy) (run of 2 — inside the guard's exact range)
+    val docs = Seq("xy xy xyxy").toDF("text")
+    val got = operators.QualityOps.bpeMergesOver(spark, docs, iters = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "x", "y", 4L), (2L, "xy", "xy", 1L)))
+    assert(got === refBpe(Map("xy" -> 2L, "xyxy" -> 1L), 3))
+  }
+
+  test("a winning self-pair over a run >= 4 refuses loudly instead of diverging") {
+    val docs = Seq("aaaa aa").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      operators.QualityOps.bpeMergesOver(spark, docs, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("run of length >= 4"))
+  }
+
   test("single-symbol and empty vocabularies yield no merges") {
     val docs = Seq("a b c d", "b c").toDF("text")
     // every word is one char → after one merge round of pairs... none:

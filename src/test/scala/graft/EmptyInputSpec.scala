@@ -31,6 +31,8 @@ class EmptyInputSpec extends SparkSpec {
         EmbeddingOps.hybridRrf(s, d)),
       // d67: no documents → no paragraphs, no boilerplate, no rows
       "boilerplateRemoval" -> (QualityOps.boilerplateRemoval _),
+      // d68: empty vocab → no merges, no docs → no rows
+      "bpeEncode" -> (QualityOps.bpeEncode _),
       "ngramJaccard" -> (PairGraph.ngramJaccard _),
       "minhashNearDup" -> (PairGraph.minhashNearDup _),
       "simhashPairs" -> (PairGraph.simhashPairs _),
