@@ -252,6 +252,8 @@ object SparkEntry {
     "f16_version_retention" -> (Sources.versionRetention _),
     // manifest-stats file skipping: per-file min/max prunes a data-column scan
     "f17_stats_pruned_scan" -> (Sources.statsPrunedScan _),
+    // dynamic partition pruning: a dim filter prunes fact dirs at runtime
+    "f18_dynamic_pruning" -> (Sources.dynamicPruning _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1813,6 +1815,17 @@ object SparkEntry {
          |  CAST(files_total AS BIGINT) AS files_total,
          |  CAST(files_read AS BIGINT) AS files_read
          |FROM a, k""".stripMargin,
+    "f18_dynamic_pruning" ->
+      // the dimension's Monday filter re-expressed as a plain WHERE —
+      // the join on the distinct-day dim is an equi-join on a key the
+      // filter fully determines, so pruning must lose nothing
+      s"""WITH e AS (SELECT date_diff('day', DATE '1970-01-01',
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_id, value
+         |  FROM events)
+         |SELECT CAST(day_id AS BIGINT) AS day_id, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value
+         |FROM e WHERE day_id % 7 = 4
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f14_time_travel" ->
       // version 1 = the customer snapshot; version 2 = the f13 merge
       // applied; both re-derived here, aggregated per bucket and

@@ -322,6 +322,59 @@ object Sources {
       .withColumn("files_read", lit(keep.length.toLong))
   }
 
+  /** f18 — DYNAMIC PARTITION PRUNING (runtime file skipping off a
+    * dimension filter — the star-schema complement of f17's static
+    * manifest prune): the fact side is `events` written
+    * `partitionBy(day_id)` (epoch-day of `ts`); the date DIMENSION is
+    * derived from the distinct partition keys with a day-of-week
+    * attribute computed by pure integer arithmetic (`day_id % 7`,
+    * 0 ≡ Thursday since 1970-01-01 was one — no engine-specific
+    * dayofweek numbering to drift); the query joins the fact to the
+    * dimension filtered to Mondays (dow ≡ 4). NOTHING in the query
+    * names a partition statically — the surviving `day_id` set exists
+    * only at RUNTIME, after the dimension filter runs, which is
+    * exactly what Catalyst's DynamicPartitionPruning handles: the
+    * broadcast of the filtered dimension is REUSED as an
+    * `InSubquery` partition filter on the fact scan, so only the 5
+    * Monday directories of the 30 are listed and read. StorageSpec
+    * pins the physical claim (a `dynamicpruningexpression` in the
+    * fact scan's partition filters + the scan's numFiles metric ≡ the
+    * Monday dirs' file count); the oracle pins that pruning lost
+    * nothing. At 100 TB this is THE mechanism that makes
+    * "fact JOIN dim WHERE dim.attr = x" read days, not years — free
+    * once the fact is date-partitioned, no manifest needed. */
+  def dynamicPruning(s: SparkSession, d: String): DataFrame = {
+    val path = dir("events_by_day")
+    val ev = Tables.events(s, d).select(
+      datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day_id"),
+      col("event_id"), col("value"))
+    // an empty events table writes no partition dirs (unreadable) — the
+    // f17 empty-source rule: emit the empty aggregate without a write
+    if (ev.isEmpty)
+      return ev.filter(lit(false)).groupBy(col("day_id").cast("long").as("day_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    ev.write.mode("overwrite").partitionBy("day_id").parquet(path)
+    val fact = s.read.parquet(path) // day_id inferred INT — keep it raw:
+    // a cast wrapped around the partition attribute can defeat pruning,
+    // so the DIM side is built in the fact's inferred type instead.
+    // The dim is MATERIALIZED (a real date-dimension table, the star
+    // shape): were dow computed inline from day_id, constraint
+    // propagation would push a static pmod filter through the join and
+    // the dynamic prune would be decorative — reading dow back as
+    // opaque DATA is what makes the surviving key set knowable only at
+    // runtime, i.e. what DPP is for
+    val dimPath = dir("date_dim")
+    fact.select(col("day_id")).distinct()
+      .withColumn("dow", pmod(col("day_id"), lit(7))) // 0 ≡ Thu; Mon ≡ 4
+      .write.mode("overwrite").parquet(dimPath)
+    val mondays = s.read.parquet(dimPath)
+      .filter(col("dow") === 4).select("day_id")
+    fact.join(broadcast(mondays), Seq("day_id"))
+      .groupBy(col("day_id").cast("long").as("day_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("day_id")
+  }
+
   /** f07 — `binaryFile` source: whole files as opaque BINARY rows — the
     * ingestion path for raw multimodal assets (images/audio the
     * [[Multimodal]] operators then process) and for any format Spark has

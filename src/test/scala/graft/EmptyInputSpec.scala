@@ -195,6 +195,9 @@ class EmptyInputSpec extends SparkSpec {
     // manifest rows still emitted (version arithmetic, not row counts)
     val vf = Streaming.versionedFeed(spark, emptyDir).collect()
     assert(vf.length === 3 && vf.forall(_.getLong(1) === 0L))
+    // f18 on an empty events table: no partitions to write or prune,
+    // zero grouped rows
+    assert(operators.Sources.dynamicPruning(spark, emptyDir).count() === 0L)
     // f17 on an empty table: zero-file manifest, nothing written or
     // pruned, one (0, null, null, 0, 0) aggregate row
     val sp = operators.Sources.statsPrunedScan(spark, emptyDir).head()

@@ -185,6 +185,41 @@ class StorageSpec extends SparkSpec {
       row.getLong(4) === keep.size.toLong)
   }
 
+  test("f18 fact scan carries a dynamic pruning filter and opens ONLY Monday files") {
+    val out = operators.Sources.dynamicPruning(spark, Sf)
+    out.collect()
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(findScans) ++
+        other.subqueries.flatMap(findScans)
+    }
+    val scans = findScans(out.queryExecution.executedPlan)
+    val dpp = scans.filter(_.partitionFilters.mkString.toLowerCase
+      .contains("dynamicpruning"))
+    assert(dpp.nonEmpty, "no scan carries a dynamic partition pruning filter:\n" +
+      out.queryExecution.executedPlan.toString.take(1500))
+    val scan = dpp.head
+    // the scan's own metrics: files actually opened vs the static count
+    // the planner would have read without the runtime filter
+    val opened = scan.metrics("numFiles").value
+    val static = scan.metrics.get("staticFilesNum").map(_.value)
+      .getOrElse(scan.relation.location.inputFiles.length.toLong)
+    assert(opened > 0L && opened < static,
+      s"dynamic pruning did not bite: opened $opened of $static files")
+    // and the opened count is EXACTLY the Monday dirs' file count
+    // (day_id % 7 == 4 — 1970-01-01 was a Thursday)
+    val dayRe = "day_id=(\\d+)/".r
+    val monday = scan.relation.location.inputFiles.count(f =>
+      dayRe.findFirstMatchIn(f).exists(_.group(1).toLong % 7 == 4))
+    assert(opened === monday.toLong,
+      s"opened $opened files; the Monday dirs hold $monday")
+  }
+
   test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {
     val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_partkey")
     operators.Sources.zorderWrite(li, "l_orderkey", "l_partkey", s"$wh/z", 8)
