@@ -164,6 +164,8 @@ object SparkEntry {
     "m07_motion_energy" -> (Multimodal.motionEnergy _),
     // asset-level near-dup over binary payloads (frame-set Jaccard)
     "m08_asset_dedup" -> ((s, d) => Multimodal.assetDedup(s, d)),
+    // interleaved multimodal packing: per-(shard, bin) text/vision occupancy
+    "m09_interleaved_pack" -> (Multimodal.interleavedPack _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -2645,6 +2647,37 @@ object SparkEntry {
          |JOIN sizes sj ON sj.doc_id = j
          |WHERE n_common::DOUBLE / (si.n_fr + sj.n_fr - n_common) >= 0.5
          |ORDER BY i, j""".stripMargin,
+    "m09_interleaved_pack" ->
+      // the d24 running-total bins with a 64-token vision prefix on
+      // ~75% of docs; per-(shard, bin) occupancy by pure interval
+      // arithmetic — integer `//` everywhere, nothing to round
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      + CASE WHEN doc_id % 4 < 3 THEN 64 ELSE 0 END AS n_tok,
+        |    CAST(CASE WHEN doc_id % 4 < 3 THEN 64 ELSE 0 END AS BIGINT)
+        |      AS n_vision
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok, n_vision,
+        |        CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+        |             AS BIGINT) AS end_off
+        |      FROM t),
+        |sp AS (SELECT shard, n_vision, end_off, end_off - n_tok AS start_off
+        |       FROM c WHERE n_tok > 0),
+        |x AS (SELECT shard, start_off, end_off, n_vision,
+        |        unnest(range(start_off // 256, (end_off - 1) // 256 + 1))
+        |          AS bin
+        |      FROM sp),
+        |o AS (SELECT shard, bin,
+        |        LEAST(end_off, (bin + 1) * 256)
+        |          - GREATEST(start_off, bin * 256) AS tok_in_bin,
+        |        GREATEST(0, LEAST(start_off + n_vision, (bin + 1) * 256)
+        |          - GREATEST(start_off, bin * 256)) AS vis_in_bin
+        |      FROM x)
+        |SELECT shard, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(SUM(tok_in_bin - vis_in_bin) AS BIGINT) AS n_text_tokens,
+        |  CAST(SUM(vis_in_bin) AS BIGINT) AS n_vision_tokens,
+        |  CAST(SUM(tok_in_bin) AS BIGINT) AS fill
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m07_motion_energy" ->
       // frame differencing in HEX space: frame f's bytes start at
       // global position f*64; the pair compares the tail frame's own

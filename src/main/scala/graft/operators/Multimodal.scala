@@ -423,4 +423,69 @@ object Multimodal {
         col("jac"))
       .orderBy("i", "j")
   }
+
+  /** m09 — INTERLEAVED multimodal sequence packing: the d24 packer
+    * extended with a VISION modality — a multimodal pretraining batch
+    * is text tokens interleaved with fixed-budget image-placeholder
+    * spans (a ViT encoder emits [[VisionTokens]] tokens per image
+    * regardless of content), and the packer must budget BOTH against
+    * the context window. Every document with an associated image
+    * (deterministically: `doc_id % 4 < 3`, ~75% of the corpus — a real
+    * pipeline joins the asset table) prepends its placeholder span; the
+    * concat-and-chunk stream is cut every [[SamplingOps.PackTokens]]
+    * tokens within `doc_id % PackShards` shards exactly like d24.
+    *
+    * Output grain is the per-(shard, bin) OCCUPANCY — what the batch
+    * assembler actually needs: how many documents touch the window and
+    * how its budget splits between text and vision tokens. A document
+    * spanning several bins splits by pure interval arithmetic — the
+    * span [start, end) explodes to one row per touched bin
+    * (`sequence(first_bin, last_bin)` — documents are bounded, so the
+    * fanout is ≤ doc_tokens/bin + 1 rows), the vision prefix
+    * [start, start + n_vision) overlaps each bin in closed form, and
+    * everything aggregates back map-side-combined. One shard-keyed
+    * window shuffle (the d24 prefix sum) + one (shard, bin) aggregate;
+    * all integer `div` arithmetic — exact cross-engine. Every bin but
+    * a shard's last is FULL (fill = PackTokens), which the spec pins. */
+  val VisionTokens = 64L
+
+  def interleavedPack(s: SparkSession, d: String): DataFrame =
+    interleavedPackOver(Tables.documents(s, d))
+
+  private[graft] def interleavedPackOver(docs: DataFrame): DataFrame = {
+    import SamplingOps.{PackShards, PackTokens}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val spans = docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_text"),
+        when(col("doc_id") % 4 < 3, lit(VisionTokens)).otherwise(lit(0L))
+          .as("n_vision"))
+      .withColumn("n_tok", col("n_text") + col("n_vision"))
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .filter(col("n_tok") > 0)
+    spans
+      .select(col("shard"), col("start_off"), col("end_off"), col("n_vision"),
+        explode(sequence(expr(s"start_off div $PackTokens"),
+          expr(s"(end_off - 1) div $PackTokens"))).as("bin"))
+      .withColumn("bin_lo", col("bin") * PackTokens)
+      .withColumn("bin_hi", col("bin_lo") + PackTokens)
+      .withColumn("tok_in_bin",
+        least(col("end_off"), col("bin_hi")) -
+          greatest(col("start_off"), col("bin_lo")))
+      .withColumn("vis_in_bin",
+        greatest(lit(0L),
+          least(col("start_off") + col("n_vision"), col("bin_hi")) -
+            greatest(col("start_off"), col("bin_lo"))))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_bin") - col("vis_in_bin")).as("n_text_tokens"),
+        sum(col("vis_in_bin")).as("n_vision_tokens"),
+        sum(col("tok_in_bin")).as("fill"))
+      .orderBy("shard", "bin")
+  }
 }

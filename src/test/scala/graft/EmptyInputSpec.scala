@@ -131,6 +131,8 @@ class EmptyInputSpec extends SparkSpec {
       "trendingTopK" -> (Streaming.trendingTopKBatch _),
       "payloadStats" -> (Multimodal.payloadStats _),
       "rleStats" -> (Multimodal.rleStats _),
+      // m09: no docs → no spans → no bins
+      "interleavedPack" -> (Multimodal.interleavedPack _),
       "motionEnergy" -> (Multimodal.motionEnergy _),
       "hopWindowMeta" -> (Multimodal.hopWindowMeta _)
     ).foreach { case (name, fn) =>

@@ -276,4 +276,36 @@ class MultimodalSpec extends SparkSpec {
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  test("m09 planted: spans split across bins, vision prefix lands in its bin, no-vision docs") {
+    def words(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // shard 0: doc0 (200 text + 64 vision = 264 → spans bins 0/1),
+    //          doc8 (10 + 64 = 74 → [264, 338) inside bin 1)
+    // shard 3: doc3 (5 text, 3 % 4 = 3 → NO vision), doc11 (3 text)
+    val docs = Seq((0L, words(200)), (8L, words(10)),
+      (3L, words(5)), (11L, words(3))).toDF("doc_id", "text")
+    val got = Multimodal.interleavedPackOver(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, 1L, 192L, 64L, 256L), // doc0's first 256: 64 vision + 192 text
+      (0L, 1L, 2L, 18L, 64L, 82L),   // doc0's tail 8 text + doc8's 64 vis + 10 text
+      (3L, 0L, 2L, 8L, 0L, 8L)))     // no vision in shard 3 at all
+  }
+
+  test("m09 fill invariant: every bin but a shard's last is exactly full; totals conserve") {
+    val out = Multimodal.interleavedPack(spark, Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val lastBin = out.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    out.foreach { case (shard, bin, _, _, _, fill) =>
+      if (bin < lastBin(shard)) assert(fill === 256L, s"shard $shard bin $bin underfull")
+      else assert(fill >= 1L && fill <= 256L)
+    }
+    // token conservation: Σ fill ≡ Σ per-doc (text + vision) budgets
+    val want = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect()
+      .map { case (id, n) => n + (if (id % 4 < 3) 64L else 0L) }.sum
+    assert(out.map(_._6).sum === want)
+    assert(out.map(_._5).sum % 64L === 0L, "vision tokens come in whole images across bins")
+  }
 }
