@@ -233,6 +233,8 @@ object SparkEntry {
     "p07_mad_outliers" -> (Profiling.madOutliers _),
     "p08_skew_profile" -> (Profiling.skewProfile _),
     "p09_fd_profile" -> (Profiling.fdProfile _),
+    // per-group Pearson r + OLS line from exact decimal power sums
+    "p10_regression_profile" -> (Profiling.regressionProfile _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
@@ -1490,6 +1492,27 @@ object SparkEntry {
         |                 ((cur_n + 1)::DOUBLE / (nc + 10)))
         |              AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
         |FROM h, tot ORDER BY bin""".stripMargin,
+    "p10_regression_profile" ->
+      // the same decimal power sums, the same IEEE expression tree
+      // textually — both engines round each sum to double once, then
+      // every product/difference/sqrt is bit-identical
+      s"""WITH a AS (SELECT l_returnflag AS flag, count(*) AS n,
+         |    ${dsum("l_quantity")} AS sx, ${dsum("l_extendedprice")} AS sy,
+         |    ${dsum("l_quantity * l_extendedprice")} AS sxy,
+         |    ${dsum("l_quantity * l_quantity")} AS sxx,
+         |    ${dsum("l_extendedprice * l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT flag, n, sx AS sum_x, sy AS sum_y,
+         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |    THEN ${round4("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")}
+         |    END AS pearson_r,
+         |  CASE WHEN (n * sxx - sx * sx) > 0
+         |    THEN ${round4("(n * sxy - sx * sy) / (n * sxx - sx * sx)")}
+         |    END AS slope,
+         |  CASE WHEN (n * sxx - sx * sx) > 0
+         |    THEN ${round4("(sy * sxx - sx * sxy) / (n * sxx - sx * sx)")}
+         |    END AS intercept
+         |FROM a ORDER BY flag""".stripMargin,
     "p09_fd_profile" ->
       // key rules: violations = rows − distinct; FD rules: LHS groups
       // with >1 distinct RHS. All integer counts.

@@ -633,4 +633,50 @@ object Profiling {
       .toDF("type_a", "type_b", "inter_est", "inter_lb", "inter_ub",
         "union_est", "jaccard_est")
   }
+
+  /** p10 — CORRELATION / REGRESSION profile (the deequ-style
+    * two-column relationship check p01's per-column moments cannot
+    * see): per `l_returnflag` group, Pearson r and the OLS
+    * slope/intercept of `l_extendedprice` against `l_quantity`.
+    *
+    * One scan, ONE map-side-combined k-group aggregate of the exact
+    * DECIMAL power sums (n, Σx, Σy, Σxy, Σx², Σy²) — never a centered
+    * two-pass and never Welford (per-partition streaming moments are
+    * combine-order-dependent; decimal sums are exact and order-free,
+    * the Canon discipline, with the x·y / x² products formed in DOUBLE
+    * first — bit-identical cross-engine — then canonicalized, the
+    * revenue-sum precedent). The closed forms then run in DOUBLE on
+    * the exact sums: one deterministic decimal→double rounding per
+    * sum, a fixed IEEE expression tree mirrored textually by the
+    * oracle (intercept uses the un-nested (Σy·Σx² − Σx·Σxy)/D form so
+    * neither engine rounds an intermediate the other doesn't), round4
+    * at the edge. Degenerate groups (constant x or y — not in this
+    * fixture, but library surface) yield NULL via a positive-variance
+    * guard rather than a NaN that hashes differently. */
+  def regressionProfile(s: SparkSession, d: String): DataFrame =
+    regressionProfileOver(Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+
+  /** [[regressionProfile]] over an explicit (flag, x, y) frame —
+    * package-visible for the planted exact-line / degenerate specs. */
+  private[graft] def regressionProfileOver(df: DataFrame): DataFrame = {
+    val x = col("x"); val y = col("y")
+    val agg = df
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+    val dx = agg("n") * agg("sxx") - agg("sx") * agg("sx")
+    val dy = agg("n") * agg("syy") - agg("sy") * agg("sy")
+    val cov = agg("n") * agg("sxy") - agg("sx") * agg("sy")
+    agg.select(col("flag"), col("n"), col("sx").as("sum_x"),
+        col("sy").as("sum_y"),
+        when(dx > 0 && dy > 0, round4(cov / sqrt(dx * dy))).as("pearson_r"),
+        when(dx > 0, round4(cov / dx)).as("slope"),
+        when(dx > 0, round4(
+          (agg("sy") * agg("sxx") - agg("sx") * agg("sxy")) / dx))
+          .as("intercept"))
+      .orderBy("flag")
+  }
 }

@@ -215,6 +215,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Profiling.psiDrift(spark, emptyDir).count() === 0L)
     assert(Profiling.madOutliers(spark, emptyDir).count() === 0L)
     assert(Profiling.skewProfile(spark, emptyDir).count() === 0L)
+    // p10: no groups, no rows
+    assert(Profiling.regressionProfile(spark, emptyDir).count() === 0L)
     // p09 is a rule union over GLOBAL aggregates: 6 rule rows, all
     // vacuously holding with zero counts, never NULL arithmetic
     val fd = Profiling.fdProfile(spark, emptyDir).collect()

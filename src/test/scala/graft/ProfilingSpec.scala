@@ -327,4 +327,41 @@ class ProfilingSpec extends SparkSpec {
       ("x", 2.0, 1.0, 4.4478, 5L, 1L, 98.0),
       ("y", 5.0, 0.0, 0.0, 3L, 0L, 0.0)))
   }
+
+  test("p10 planted: exact line recovers (r=1, slope, intercept); degenerates go NULL") {
+    val df = Seq(
+      // group a: y = 2x + 1 exactly → r 1, slope 2, intercept 1
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0),
+      // group b: y = -x + 10 → r -1, slope -1, intercept 10
+      ("b", 1.0, 9.0), ("b", 3.0, 7.0), ("b", 5.0, 5.0),
+      // group c: constant x → zero variance, every stat NULL
+      ("c", 2.0, 1.0), ("c", 2.0, 9.0),
+      // group d: constant y → r NULL (dy = 0) but slope/intercept real
+      ("d", 1.0, 4.0), ("d", 2.0, 4.0)).toDF("flag", "x", "y")
+    val got = Profiling.regressionProfileOver(df)
+      .select("flag", "n", "pearson_r", "slope", "intercept")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("a", 4L, Some(1.0), Some(2.0), Some(1.0)),
+      ("b", 3L, Some(-1.0), Some(-1.0), Some(10.0)),
+      ("c", 2L, None, None, None),
+      ("d", 2L, None, Some(0.0), Some(4.0))))
+  }
+
+  test("p10 on the corpus: r in [-1, 1], n conserves, slope consistent with cov/var") {
+    val got = Profiling.regressionProfile(spark, Sf)
+      .select("flag", "n", "pearson_r", "slope")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.map(_._2).sum === Tables.lineitem(spark, Sf).count())
+    got.foreach { case (f, _, r, slope) =>
+      assert(r >= -1.0 && r <= 1.0, s"group $f pearson out of range: $r")
+      // this generator draws quantity and price INDEPENDENTLY (r ≈
+      // −0.02 at sf0.001) — so the r/slope SIGNS must agree, which the
+      // shared-covariance formula guarantees only if both sides
+      // compute the same covariance
+      assert(r == 0.0 || r * slope > 0, s"group $f r/slope signs disagree")
+    }
+  }
 }
