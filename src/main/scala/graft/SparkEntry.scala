@@ -293,6 +293,8 @@ object SparkEntry {
     "d46_pair_store_publish" -> (PairStore.publish _),
     // d20 contamination fed from the published pair store (read side)
     "d47_store_contamination" -> (PairStore.storeContamination _),
+    // contrastive (anchor, positive, negatives) triples off the store
+    "d69_contrastive_pairs" -> (PairStore.contrastivePairs _),
     // d45 edit verify fed from the published pair store (read side)
     "d48_store_edit_verify" -> (PairStore.storeEditVerify _),
     // d19 cluster refresh fed from the published pair store (read side)
@@ -2315,6 +2317,38 @@ object SparkEntry {
     // apply verbatim — sharing the literal string keeps store-fed ≡
     // recomputed definitional.
     "d47_store_contamination" -> contaminationSql,
+    "d69_contrastive_pairs" ->
+      // the shared pair CTEs, then: best partner per anchor by
+      // (jac DESC, id), md5 probes over the id domain, existence join,
+      // family ANTI JOIN, collision dedup by min c, top-3 by (c, cand)
+      s"""WITH $pairsCtes,
+         |sym AS (SELECT i AS a, j AS b, jac FROM pairs
+         |        UNION ALL SELECT j, i, jac FROM pairs),
+         |best AS (SELECT anchor, b AS positive, jac AS pos_jac FROM (
+         |    SELECT a AS anchor, b, jac, row_number() OVER
+         |      (PARTITION BY a ORDER BY jac DESC, b) AS rn FROM sym)
+         |  WHERE rn = 1),
+         |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |pr AS (SELECT anchor,
+         |         CAST(c AS BIGINT) AS c,
+         |         CAST(('0x' || substr(md5(anchor::VARCHAR || '_' ||
+         |           c::VARCHAR), 1, 8)) AS BIGINT) % n AS cand
+         |       FROM best, nn, (SELECT unnest(range(1, 9)) AS c)),
+         |ex AS (SELECT pr.anchor, pr.c, pr.cand FROM pr
+         |       JOIN documents dd ON dd.doc_id = pr.cand
+         |       WHERE pr.cand <> pr.anchor),
+         |fam AS (SELECT ex.anchor, ex.c, ex.cand FROM ex
+         |        ANTI JOIN sym ON sym.a = ex.anchor AND sym.b = ex.cand),
+         |ded AS (SELECT anchor, cand, min(c) AS c FROM fam GROUP BY 1, 2),
+         |rk AS (SELECT anchor, cand, row_number() OVER
+         |         (PARTITION BY anchor ORDER BY c, cand) AS rn FROM ded)
+         |SELECT b.anchor, b.positive, b.pos_jac,
+         |  n1.cand AS neg1, n2.cand AS neg2, n3.cand AS neg3
+         |FROM best b
+         |LEFT JOIN rk n1 ON n1.anchor = b.anchor AND n1.rn = 1
+         |LEFT JOIN rk n2 ON n2.anchor = b.anchor AND n2.rn = 2
+         |LEFT JOIN rk n3 ON n3.anchor = b.anchor AND n3.rn = 3
+         |ORDER BY b.anchor""".stripMargin,
     "d48_store_edit_verify" -> editVerifySql,
     "d58_fuzzy_join" ->
       // UNBLOCKED mirror: cross join + levenshtein ≤ 1 — hash equality

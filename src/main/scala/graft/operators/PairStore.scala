@@ -124,4 +124,63 @@ object PairStore {
     PairGraph.clusterAssign(s, d,
       pairs(s, d).select(org.apache.spark.sql.functions.col("i"),
         org.apache.spark.sql.functions.col("j")))
+
+  /** d69 — CONTRASTIVE training-pair generation (pair-store consumer
+    * #5): the (anchor, positive, negatives) triples embedding/reranker
+    * training starts from. Anchors are the docs in the published
+    * verified near-dup relation; the positive is the anchor's BEST
+    * partner (max jac, ties to the smaller id — the d59 min-of-struct
+    * discipline); negatives are 3 deterministic md5 probes of the
+    * doc-id domain (the d17/d25 hash rule — no RNG state, no
+    * multiplicative-constant overflow), kept only if the id EXISTS in
+    * the corpus (id gaps safe) and is NOT one of the anchor's verified
+    * near-dups — a near-dup negative is a FALSE negative, the classic
+    * contrastive-mining bug, so the exclusion anti-join is the point.
+    * A production pipeline swaps the probes for hard negatives from
+    * d04's ANN and keeps the exclusion join unchanged.
+    *
+    * Scale: everything is OUTPUT-sized off the published store — store
+    * scan, per-anchor best aggregate, 8-probe explode, existence
+    * semi-join (the corpus appears only as its doc_id column), family
+    * anti-join, probe-collision dedup, and a per-anchor array top-3 (no
+    * window). */
+  def contrastivePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = pairs(s, d).select(col("i"), col("j"), col("jac"))
+    val sym = p.union(p.select(col("j"), col("i"), col("jac")))
+      .toDF("a", "b", "jac")
+    // rank on the ROUNDED jac: the store keeps full precision but the
+    // contract (and the oracle) order by the round4 value — ranking raw
+    // could pick a different partner on a beyond-4-decimals tie
+    val best = sym.groupBy(col("a").as("anchor"))
+      .agg(min(struct((-graft.Canon.round4(col("jac"))).as("nj"),
+        col("b").as("b"))).as("w"))
+      .select(col("anchor"), col("w.b").as("positive"),
+        (-col("w.nj")).as("pos_jac"))
+    val ids = graft.Tables.documents(s, d).select(col("doc_id"))
+    // probe domain = max id + 1 (one planner-sized row; the existence
+    // semi-join below makes id gaps harmless; empty corpus → no anchors
+    // either, any positive modulus works)
+    val r0 = ids.agg(max(col("doc_id"))).head()
+    val n = if (r0.isNullAt(0)) 1L else r0.getLong(0) + 1
+    val probes = best.select(col("anchor"))
+      .withColumn("c", explode(sequence(lit(1), lit(8))))
+      .withColumn("cand", pmod(conv(substring(md5(concat(
+          col("anchor").cast("string"), lit("_"), col("c").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(n)))
+      .filter(col("cand") =!= col("anchor"))
+      .join(ids.select(col("doc_id").as("cand")), Seq("cand"), "left_semi")
+      .join(sym.select(col("a").as("anchor"), col("b").as("cand")),
+        Seq("anchor", "cand"), "left_anti")
+      // two probes can collide on the same cand (mod n) — keep min c so
+      // the top-3 rank is well-defined
+      .groupBy("anchor", "cand").agg(min(col("c")).as("c"))
+    val negs = probes.groupBy("anchor")
+      .agg(array_sort(collect_list(struct(col("c"), col("cand")))).as("ns"))
+      .select(col("anchor"),
+        get(col("ns"), lit(0)).getField("cand").as("neg1"),
+        get(col("ns"), lit(1)).getField("cand").as("neg2"),
+        get(col("ns"), lit(2)).getField("cand").as("neg3"))
+    best.join(negs, Seq("anchor"), "left").orderBy("anchor")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, EmbeddingOps, LlmOps, Multimodal, PairGraph, QualityOps, Relational, SamplingOps, Streaming}
+import graft.operators.{DedupOps, EmbeddingOps, LlmOps, Multimodal, PairGraph, PairStore, QualityOps, Relational, SamplingOps, Streaming}
 import org.apache.spark.sql.types.StructType
 
 /** Empty-input robustness: every operator family must return an EMPTY
@@ -33,6 +33,8 @@ class EmptyInputSpec extends SparkSpec {
       "boilerplateRemoval" -> (QualityOps.boilerplateRemoval _),
       // d68: empty vocab → no merges, no docs → no rows
       "bpeEncode" -> (QualityOps.bpeEncode _),
+      // d69: empty store → no anchors → no triples
+      "contrastivePairs" -> (PairStore.contrastivePairs _),
       "ngramJaccard" -> (PairGraph.ngramJaccard _),
       "minhashNearDup" -> (PairGraph.minhashNearDup _),
       "simhashPairs" -> (PairGraph.simhashPairs _),

@@ -78,6 +78,41 @@ class PairStoreSpec extends SparkSpec {
       recomputing(PairGraph.editVerify(spark, Sf).count()))
   }
 
+  test("d69 contrastive triples: positive is the argmax partner, negatives clean and deterministic") {
+    import spark.implicits._
+    val got = PairStore.contrastivePairs(spark, Sf)
+      .as[(Long, Long, Double, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got.nonEmpty, "the fixture pair store is non-empty, so anchors must exist")
+    // independent ground truth: d02's self-contained re-derivation of
+    // the same threshold-0.8 relation the store publishes
+    val rel = PairGraph.ngramJaccard(spark, Sf)
+      .select("i", "j", "jac").as[(Long, Long, Double)].collect().toSeq
+    val sym = rel.flatMap { case (i, j, jac) => Seq((i, (j, jac)), (j, (i, jac))) }
+      .groupBy(_._1).map { case (a, g) => a -> g.map(_._2) }
+    val docIds = Tables.documents(spark, Sf)
+      .select("doc_id").as[Long].collect().toSet
+    got.foreach { case (anchor, positive, posJac, n1, n2, n3) =>
+      val partners = sym(anchor)
+      // positive = max jac, tie → smaller id
+      val bestExpected = partners.minBy { case (b, jac) => (-jac, b) }
+      assert((positive, posJac) === bestExpected, s"anchor $anchor positive")
+      val negs = Seq(n1, n2, n3).flatten
+      assert(negs.distinct === negs, s"anchor $anchor repeated negative")
+      negs.foreach { ng =>
+        assert(ng !== anchor, s"anchor $anchor is its own negative")
+        assert(docIds(ng), s"anchor $anchor negative $ng not in corpus")
+        assert(!partners.exists(_._1 == ng),
+          s"anchor $anchor negative $ng is a verified near-dup (false negative)")
+      }
+    }
+    // determinism: a second run is byte-identical
+    val again = PairStore.contrastivePairs(spark, Sf)
+      .as[(Long, Long, Double, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(again === got)
+  }
+
   private implicit class ToMap2(val rows: Array[(String, Long, Boolean)]) {
     def toMap2: Map[String, (Long, Boolean)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
