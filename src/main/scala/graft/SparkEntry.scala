@@ -295,6 +295,8 @@ object SparkEntry {
     "d47_store_contamination" -> (PairStore.storeContamination _),
     // contrastive (anchor, positive, negatives) triples off the store
     "d69_contrastive_pairs" -> (PairStore.contrastivePairs _),
+    // LSH banding sweep: expected recall per (b, r) against the store
+    "d70_lsh_tuning" -> (PairStore.lshTuning _),
     // d45 edit verify fed from the published pair store (read side)
     "d48_store_edit_verify" -> (PairStore.storeEditVerify _),
     // d19 cluster refresh fed from the published pair store (read side)
@@ -2317,6 +2319,30 @@ object SparkEntry {
     // apply verbatim — sharing the literal string keeps store-fed ≡
     // recomputed definitional.
     "d47_store_contamination" -> contaminationSql,
+    "d70_lsh_tuning" -> {
+      // generated from the SAME LshConfigs the Spark side sweeps, with
+      // s^r and (1-s^r)^b as the same fixed-order multiplication
+      // chains (pow is libm — 1-ulp engine drift — so neither side
+      // calls it on data; s* is one shared driver-side literal)
+      val selects = graft.operators.PairStore.LshConfigs.map {
+        case (name, b, r) =>
+          val sr = Seq.fill(r)("jac").mkString(" * ")
+          val miss = Seq.fill(b)(s"(1.0 - $sr)").mkString(" * ")
+          val catchP = round4(s"1.0 - $miss")
+          val sStar = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          s"""SELECT '$name' AS config, CAST($b AS BIGINT) AS bands,
+             |  CAST($r AS BIGINT) AS rows_per_band,
+             |  CAST($sStar AS DOUBLE) AS s_star,
+             |  count(*) AS n_pairs,
+             |  ${round4(s"${dsum(catchP)} / count(*)")} AS expected_recall,
+             |  min($catchP) AS min_p
+             |FROM pairs""".stripMargin
+      }
+      s"""WITH $pairsCtes
+         |${selects.mkString("\n", "\nUNION ALL\n", "\n")}
+         |ORDER BY config""".stripMargin
+    },
     "d69_contrastive_pairs" ->
       // the shared pair CTEs, then: best partner per anchor by
       // (jac DESC, id), md5 probes over the id domain, existence join,

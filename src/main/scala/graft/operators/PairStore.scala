@@ -183,4 +183,55 @@ object PairStore {
         get(col("ns"), lit(2)).getField("cand").as("neg3"))
     best.join(negs, Seq("anchor"), "left").orderBy("anchor")
   }
+
+  /** The d70 band configurations: (label, bands, rows-per-band), all
+    * with b·r = 64 hash functions — the knob a dedup team actually
+    * turns (d03 ships 16×4). Shared with the oracle generator so the
+    * two sides can never disagree on the sweep. */
+  val LshConfigs: Seq[(String, Int, Int)] =
+    Seq(("b32_r2", 32, 2), ("b16_r4", 16, 4), ("b8_r8", 8, 8))
+
+  /** d70 — LSH PARAMETER-TUNING profile (pair-store consumer #6): for
+    * each banding (b, r) of the same 64-hash MinHash budget, the
+    * expected recall of the VERIFIED pair relation — the S-curve
+    * `catch(s) = 1 − (1 − s^r)^b` evaluated at every stored pair's
+    * (rounded) jaccard and averaged — plus the config's 50%-threshold
+    * `s* = (1/b)^(1/r)` and the worst-case pair probability. This is
+    * the measurement behind "should we run 16×4 or 8×8": computed
+    * against ground truth the store already paid for, so the sweep is
+    * OUTPUT-sized (three scalar aggregates over the pair relation —
+    * the corpus is never touched).
+    *
+    * Numeric determinism: `pow` is libm (1-ulp engine drift), so s^r
+    * and (1−s^r)^b are fixed-order MULTIPLICATION CHAINS generated
+    * from [[LshConfigs]] — identical expression trees on both sides,
+    * bit-identical IEEE results; s* is one driver-side constant
+    * injected as the same literal into both plans; the average is an
+    * exact decimal sum over the per-pair probabilities divided by the
+    * count. */
+  def lshTuning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.Canon.{dsum, round4}
+    val p = pairs(s, d).select(round4(col("jac")).as("jac"))
+    LshConfigs.map { case (name, b, r) =>
+      val sr = Seq.fill(r)(col("jac")).reduce(_ * _)
+      val missAll = Seq.fill(b)(lit(1.0) - sr).reduce(_ * _)
+      val catchP = lit(1.0) - missAll
+      // rounded DRIVER-side and injected as the same literal into both
+      // plans — a round4 CAST chain on the raw pow value turned out to
+      // round differently across engines (DuckDB parses the long
+      // literal as DECIMAL and its decimal→decimal cast truncates
+      // where Spark's double→decimal rounds half-up)
+      val sStar = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      p.agg(count(lit(1)).as("n_pairs"),
+          dsum(round4(catchP)).as("sum_p"),
+          min(round4(catchP)).as("min_p"))
+        .select(lit(name).as("config"),
+          lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(sStar).as("s_star"), col("n_pairs"),
+          round4(col("sum_p") / col("n_pairs")).as("expected_recall"),
+          col("min_p"))
+    }.reduce(_ union _).orderBy("config")
+  }
 }

@@ -202,6 +202,10 @@ class EmptyInputSpec extends SparkSpec {
     // f18 on an empty events table: no partitions to write or prune,
     // zero grouped rows
     assert(operators.Sources.dynamicPruning(spark, emptyDir).count() === 0L)
+    // d70 on an empty store: the 3 config rows still report, with zero
+    // pairs and NULL recall (config arithmetic, not pair counts)
+    val lt = PairStore.lshTuning(spark, emptyDir).collect()
+    assert(lt.length === 3 && lt.forall(r => r.getLong(4) === 0L && r.isNullAt(5)))
     // f17 on an empty table: zero-file manifest, nothing written or
     // pruned, one (0, null, null, 0, 0) aggregate row
     val sp = operators.Sources.statsPrunedScan(spark, emptyDir).head()

@@ -113,6 +113,42 @@ class PairStoreSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("d70 LSH sweep: differential vs in-memory S-curve; more bands catch more at high jac") {
+    import spark.implicits._
+    val jacs = PairGraph.ngramJaccard(spark, Sf)
+      .select("jac").as[Double].collect().toSeq
+      .map(j => BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = PairStore.lshTuning(spark, Sf)
+      .as[(String, Long, Long, Double, Long, Double, Double)].collect().toSeq
+    val want = PairStore.LshConfigs.map { case (name, b, r) =>
+      val ps = jacs.map { j =>
+        val sr = Seq.fill(r)(j).reduce(_ * _)
+        r4(1.0 - Seq.fill(b)(1.0 - sr).reduce(_ * _))
+      }
+      (name, b.toLong, r.toLong, r4(math.pow(1.0 / b, 1.0 / r)),
+        jacs.size.toLong, r4(ps.sum / ps.size), ps.min)
+    }.sortBy(_._1)
+    // the in-memory mirror sums doubles sequentially where the operator
+    // sums exact decimals — equal here because the per-pair p values
+    // are already 4-decimal-rounded and few; compare at round4
+    assert(got.map(t => t.copy(_6 = r4(t._6))) ===
+      want.map(t => t.copy(_6 = r4(t._6))))
+    // expected recall saturates to 1.0 at round4 for the two finest
+    // bandings on a jac ≥ 0.8 relation — the WORST-pair probability is
+    // the discriminative statistic, so it carries the strict ordering
+    val er = got.map(t => t._1 -> t._6).toMap
+    val mp = got.map(t => t._1 -> t._7).toMap
+    assert(er("b32_r2") >= er("b16_r4") && er("b16_r4") >= er("b8_r8"))
+    // at this corpus's jac range even min_p saturates to 1.0 for the
+    // two finest bandings — the strict drop is provable only at r = 8
+    assert(mp("b32_r2") >= mp("b16_r4") && mp("b16_r4") > mp("b8_r8"),
+      "more, shorter bands must catch more of a high-jaccard relation")
+    assert(mp("b8_r8") < 1.0 && mp("b8_r8") > 0.7,
+      "the r=8 S-curve must visibly penalize the threshold-0.8 tail")
+    assert(got.find(_._1 == "b16_r4").get._4 === 0.5) // (1/16)^(1/4)
+  }
+
   private implicit class ToMap2(val rows: Array[(String, Long, Boolean)]) {
     def toMap2: Map[String, (Long, Boolean)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
