@@ -258,6 +258,8 @@ object SparkEntry {
     "f17_stats_pruned_scan" -> (Sources.statsPrunedScan _),
     // dynamic partition pruning: a dim filter prunes fact dirs at runtime
     "f18_dynamic_pruning" -> (Sources.dynamicPruning _),
+    // atomic two-table snapshot publish: all tables promote or none do
+    "f19_atomic_publish" -> (Sources.atomicPublish _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1844,6 +1846,25 @@ object SparkEntry {
          |  CAST(files_total AS BIGINT) AS files_total,
          |  CAST(files_read AS BIGINT) AS files_read
          |FROM a, k""".stripMargin,
+    "f19_atomic_publish" ->
+      // the manifest recomputed from the corpus: both rollups are
+      // clean partitions of documents, so every check passes and the
+      // published row counts are the distinct-key counts
+      """WITH n AS (SELECT count(*) AS total FROM documents),
+        |kl AS (SELECT count(DISTINCT lang) AS k FROM documents),
+        |ks AS (SELECT count(DISTINCT source) AS k FROM documents)
+        |SELECT check_name, CAST(observed AS BIGINT) AS observed, ok FROM (
+        |  SELECT 'by_lang_null_keys' AS check_name, 0 AS observed,
+        |    TRUE AS ok
+        |  UNION ALL SELECT 'by_lang_dup_keys', 0, TRUE
+        |  UNION ALL SELECT 'by_lang_total_rows', total, TRUE FROM n
+        |  UNION ALL SELECT 'by_source_null_keys', 0, TRUE
+        |  UNION ALL SELECT 'by_source_dup_keys', 0, TRUE
+        |  UNION ALL SELECT 'by_source_total_rows', total, TRUE FROM n
+        |  UNION ALL SELECT 'totals_consistent', total, TRUE FROM n
+        |  UNION ALL SELECT 'by_lang_published_rows', k, TRUE FROM kl
+        |  UNION ALL SELECT 'by_source_published_rows', k, TRUE FROM ks)
+        |ORDER BY check_name""".stripMargin,
     "f18_dynamic_pruning" ->
       // the dimension's Monday filter re-expressed as a plain WHERE —
       // the join on the distinct-day dim is an equi-join on a key the

@@ -820,6 +820,78 @@ object Sources {
       .orderBy("check_name")
   }
 
+  /** f19 — ATOMIC MULTI-TABLE PUBLISH (the consistent-snapshot rung
+    * the single-table WAP ladder is missing): derived tables that are
+    * only correct TOGETHER — a pair relation and its cluster labels, a
+    * fact rollup and its dimension — must promote as one snapshot, or
+    * a reader joining them sees a torn state no single-table audit can
+    * catch. The protocol: stage EVERY table, audit EVERY table (per-
+    * table null/dup keys + row totals) AND the CROSS-TABLE invariant
+    * (here: both rollups partition the same corpus, so their totals
+    * must agree with each other and with the source count), then
+    * promote ALL tables or NONE — a failed audit on any table leaves
+    * every published table untouched (StorageSpec pins byte-identical
+    * survivors). Promotion is the f09 rename pair per table; the
+    * residual local-FS gap (a reader between two tables' renames) is
+    * the documented gap a production catalog closes with a single
+    * multi-table transactional commit (Iceberg/Nessie-style) — the
+    * AUDIT-level all-or-nothing is what this operator adds over f09.
+    *
+    * The registry instance publishes the per-lang and per-source
+    * document rollups; output = the audit manifest (one row per check
+    * per table + the cross check + per-table published_rows re-read
+    * from DISK), so a wrong promote hashes as a wrong manifest. */
+  def atomicPublish(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val b = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    atomicPublishStaged(s,
+      Seq(("by_lang", a, "lang"), ("by_source", b, "source")),
+      docs.count(), dir("snapshot_pair"))
+  }
+
+  private[graft] def atomicPublishStaged(s: SparkSession,
+      tables: Seq[(String, DataFrame, String)], expectedTotal: Long,
+      base: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    tables.foreach { case (name, df, _) =>
+      df.write.mode("overwrite").parquet(s"$base/$name/staging")
+    }
+    val per = tables.map { case (name, _, key) =>
+      val st = s.read.parquet(s"$base/$name/staging")
+      val n = st.count()
+      val nNull = st.filter(col(key).isNull).count()
+      val nDup = n - st.select(key).distinct().count()
+      val r = st.agg(sum(col("n"))).head()
+      (name, nNull, nDup, if (r.isNullAt(0)) 0L else r.getLong(0))
+    }
+    val totalsOk = per.forall(_._4 == expectedTotal)
+    val checks = per.flatMap { case (name, nNull, nDup, total) => Seq(
+      (s"${name}_null_keys", nNull, nNull == 0L),
+      (s"${name}_dup_keys", nDup, nDup == 0L),
+      (s"${name}_total_rows", total, total == expectedTotal))
+    } :+ (("totals_consistent", expectedTotal, totalsOk))
+    val allOk = checks.forall(_._3)
+    if (allOk) tables.foreach { case (name, _, _) =>
+      val published = new java.io.File(s"$base/$name/published")
+      val aside = new java.io.File(s"$base/$name/published.old")
+      org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      if (published.exists)
+        NioFiles.move(published.toPath, aside.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+      NioFiles.move(new java.io.File(s"$base/$name/staging").toPath,
+        published.toPath, StandardCopyOption.ATOMIC_MOVE)
+    }
+    val pubRows = tables.map { case (name, _, _) =>
+      (s"${name}_published_rows",
+        if (allOk) s.read.parquet(s"$base/$name/published").count() else 0L,
+        allOk)
+    }
+    (checks ++ pubRows).toDF("check_name", "observed", "ok")
+      .orderBy("check_name")
+  }
+
   /** Compaction rewrite target: ~256 KiB of text per output file —
     * deliberately tiny so the fixtures produce a multi-file compacted
     * layout; production binds 128 MB–1 GB. */

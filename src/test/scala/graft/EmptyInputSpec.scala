@@ -206,6 +206,10 @@ class EmptyInputSpec extends SparkSpec {
     // pairs and NULL recall (config arithmetic, not pair counts)
     val lt = PairStore.lshTuning(spark, emptyDir).collect()
     assert(lt.length === 3 && lt.forall(r => r.getLong(4) === 0L && r.isNullAt(5)))
+    // f19 on an empty corpus: a valid day-one snapshot — two empty
+    // tables publish atomically, all 9 manifest rows ok with 0 counts
+    val ap = operators.Sources.atomicPublish(spark, emptyDir).collect()
+    assert(ap.length === 9 && ap.forall(r => r.getBoolean(2) && r.getLong(1) === 0L))
     // f17 on an empty table: zero-file manifest, nothing written or
     // pruned, one (0, null, null, 0, 0) aggregate row
     val sp = operators.Sources.statsPrunedScan(spark, emptyDir).head()

@@ -220,6 +220,42 @@ class StorageSpec extends SparkSpec {
       s"opened $opened files; the Monday dirs hold $monday")
   }
 
+  test("f19 all-or-nothing: a bad table blocks EVERY promotion; survivors byte-identical") {
+    val docs = Tables.documents(spark, Sf)
+    val a = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val b = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val base = s"$wh/atomic"
+    val total = docs.count()
+    // a failed FIRST publish leaves nothing published at all
+    val m0 = operators.Sources.atomicPublishStaged(spark,
+      Seq(("by_lang", a, "lang"), ("by_source", b, "source")), total + 1, base)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!m0("by_lang_total_rows") && !m0("by_lang_published_rows"))
+    assert(!new java.io.File(s"$base/by_lang/published").exists &&
+      !new java.io.File(s"$base/by_source/published").exists)
+    // happy path: both live
+    val m1 = operators.Sources.atomicPublishStaged(spark,
+      Seq(("by_lang", a, "lang"), ("by_source", b, "source")), total, base)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(m1.values.forall(identity))
+    val aSnap = spark.read.parquet(s"$base/by_lang/published")
+      .collect().map(_.toString).sorted.toSeq
+    val bSnap = spark.read.parquet(s"$base/by_source/published")
+      .collect().map(_.toString).sorted.toSeq
+    // poison ONE table (dup key in by_source): the OTHER table's new
+    // content must not land either — both survivors stay byte-identical
+    val m2 = operators.Sources.atomicPublishStaged(spark,
+      Seq(("by_lang", a.withColumn("n", col("n") + 1), "lang"),
+        ("by_source", b.union(b.limit(1)), "source")), total, base)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!m2("by_source_dup_keys") && !m2("by_lang_published_rows"))
+    assert(spark.read.parquet(s"$base/by_lang/published")
+      .collect().map(_.toString).sorted.toSeq === aSnap,
+      "the GOOD table's publish leaked through a failed snapshot")
+    assert(spark.read.parquet(s"$base/by_source/published")
+      .collect().map(_.toString).sorted.toSeq === bSnap)
+  }
+
   test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {
     val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_partkey")
     operators.Sources.zorderWrite(li, "l_orderkey", "l_partkey", s"$wh/z", 8)
