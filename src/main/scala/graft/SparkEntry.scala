@@ -260,6 +260,8 @@ object SparkEntry {
     "f18_dynamic_pruning" -> (Sources.dynamicPruning _),
     // atomic two-table snapshot publish: all tables promote or none do
     "f19_atomic_publish" -> (Sources.atomicPublish _),
+    // runtime bloom-filter join: dim keys prune the fact pre-shuffle
+    "f20_runtime_bloom_join" -> (Sources.runtimeBloomJoin _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1846,6 +1848,15 @@ object SparkEntry {
          |  CAST(files_total AS BIGINT) AS files_total,
          |  CAST(files_read AS BIGINT) AS files_read
          |FROM a, k""".stripMargin,
+    "f20_runtime_bloom_join" ->
+      // the plain join — the bloom prefilter is conservative and the
+      // real join runs after it, so results must be identical
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f19_atomic_publish" ->
       // the manifest recomputed from the corpus: both rollups are
       // clean partitions of documents, so every check passes and the

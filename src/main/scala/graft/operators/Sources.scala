@@ -892,6 +892,66 @@ object Sources {
       .orderBy("check_name")
   }
 
+  /** f20 — RUNTIME BLOOM-FILTER JOIN (InjectRuntimeFilter — the DPP
+    * analog for DATA columns): when a fact⋈dim join keys on a column
+    * that is NOT the partition key, f18's partition pruning is blind —
+    * but Catalyst can build a bloom filter over the FILTERED dim's join
+    * keys at runtime and inject `might_contain(xxhash64(l_partkey))`
+    * as a fact-side pre-filter, pruning fact rows BEFORE the join
+    * shuffle (the shuffle, not just the scan, is what hurts at 100 TB:
+    * a 1% -selective dim turns a 100 TB fact exchange into ~1 TB).
+    * Exactness is unaffected — the bloom is conservative and the real
+    * join runs after it, which the plain-join oracle pins.
+    *
+    * Spark gates the rewrite on size estimates tuned for production
+    * (creation side ≤ 10 MB by default, application side ≥ 10 GB), so
+    * the fixture FORCES the thresholds and disables broadcast for this
+    * query only (saved/restored session confs, the f11 discipline) —
+    * on a real 100 TB fact the defaults fire by themselves. The
+    * returned frame is the conf-scoped result materialized eagerly
+    * (k-brand rows, planner-sized): the injected filter exists only
+    * while the confs are set, so a lazy frame optimized later would
+    * silently lose it; PlanSpec pins the `might_contain` +
+    * `bloom_filter_agg` nodes inside the conf scope and bloom-on ≡
+    * bloom-off results. */
+  def runtimeBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val (rows, schema) = withBloomConfs(s) {
+      val q = bloomJoinFrame(s, d)
+      (q.collect().toSeq, q.schema)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  private[graft] def bloomJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val dim = Tables.part(s, d).filter(col("p_size") === 1)
+      .select("p_partkey", "p_brand")
+    li.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  private[graft] def withBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) =>
+      k -> scala.util.Try(s.conf.get(k)).toOption }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => scala.util.Try(s.conf.unset(k))
+    }
+  }
+
   /** Compaction rewrite target: ~256 KiB of text per output file —
     * deliberately tiny so the fixtures produce a multi-file compacted
     * layout; production binds 128 MB–1 GB. */

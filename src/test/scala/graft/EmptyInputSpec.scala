@@ -210,6 +210,8 @@ class EmptyInputSpec extends SparkSpec {
     // tables publish atomically, all 9 manifest rows ok with 0 counts
     val ap = operators.Sources.atomicPublish(spark, emptyDir).collect()
     assert(ap.length === 9 && ap.forall(r => r.getBoolean(2) && r.getLong(1) === 0L))
+    // f20 on empty tables: empty join, zero grouped rows
+    assert(operators.Sources.runtimeBloomJoin(spark, emptyDir).count() === 0L)
     // f17 on an empty table: zero-file manifest, nothing written or
     // pruned, one (0, null, null, 0, 0) aggregate row
     val sp = operators.Sources.statsPrunedScan(spark, emptyDir).head()
