@@ -288,6 +288,8 @@ object SparkEntry {
     "d65_bpe_merges" -> (QualityOps.bpeMerges _),
     // BPE encode: apply the learned merges, per-doc token counts
     "d68_bpe_encode" -> (QualityOps.bpeEncode _),
+    // threshold sweep: model-vs-rule PR curve at 11 logit cutoffs
+    "d71_threshold_sweep" -> (QualityOps.thresholdSweep _),
     // hybrid retrieval: BM25 ∪ cosine top-k fused by reciprocal rank
     "d66_hybrid_rrf" -> ((s, d) => EmbeddingOps.hybridRrf(s, d)),
     // source-conditional boilerplate removal (CCNet rule): drop paras
@@ -2255,6 +2257,51 @@ object SparkEntry {
          |  ${round4("CASE WHEN pd.n_grams IS NULL THEN 0.0 ELSE (pd.n_grams - pd.n_distinct)::DOUBLE / pd.n_grams END")} < 0.2 AS keep
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "d71_threshold_sweep" -> {
+      // d44's logit CTEs + d21's rule-label CTEs (prefixed names, the
+      // d54 pattern), crossed with the shared integer τ grid; counts
+      // integer-exact, ratios single guarded divisions
+      val taus = graft.operators.QualityOps.SweepPcts
+        .map(p => s"SELECT CAST($p AS BIGINT) AS tau_pct")
+        .mkString("(", " UNION ALL ", ")")
+      s"""WITH $tokCte,
+         |mb AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+         |  FROM tok),
+         |mw AS (SELECT doc_id, (b * 37 + 11) % 101 - 50 AS wnum FROM mb),
+         |ma AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(wnum) AS BIGINT) AS znum FROM mw GROUP BY doc_id),
+         |model AS (SELECT doc_id, znum::DOUBLE / (n_tokens * 100) AS logit
+         |  FROM ma),
+         |rt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |rg AS (SELECT doc_id, unnest(
+         |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+         |      AS g
+         |  FROM rt WHERE len(t) >= 3),
+         |rpg AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY 1, 2),
+         |rpd AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct
+         |  FROM rpg GROUP BY 1),
+         |rule AS (SELECT d.doc_id,
+         |    ${round4("CASE WHEN rpd.n_grams IS NULL THEN 0.0 ELSE (rpd.n_grams - rpd.n_distinct)::DOUBLE / rpd.n_grams END")} < 0.2
+         |      AS label
+         |  FROM documents d LEFT JOIN rpd USING (doc_id)),
+         |x AS (SELECT tau_pct, logit >= tau_pct / 100.0 AS pred, label
+         |  FROM model JOIN rule USING (doc_id), $taus),
+         |c AS (SELECT tau_pct,
+         |    CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM x GROUP BY 1)
+         |SELECT tau_pct, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN ${round4("tp::DOUBLE / (tp + fp)")} END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN ${round4("tp::DOUBLE / (tp + fn)")} END AS recall,
+         |  CASE WHEN tp * 2 + fp + fn > 0
+         |    THEN ${round4("tp::DOUBLE * 2 / (tp * 2 + fp + fn)")} END AS f1
+         |FROM c ORDER BY tau_pct""".stripMargin
+    },
     "d19_neardup_clusters" -> clustersSql,
     // d49 reads the PUBLISHED pair store (same deterministic d02
     // relation) — d19's oracle applies verbatim, like d47/d48.

@@ -880,6 +880,54 @@ object QualityOps {
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
   }
 
+  /** The d71 operating points: logit cutoffs in integer PERCENT
+    * (−25% … +25% by 5) — integer grid so the sweep key is exact and
+    * both engines derive the same τ = pct/100 double. Shared with the
+    * oracle generator. */
+  val SweepPcts: Seq[Int] = (-25 to 25 by 5)
+
+  /** d71 — THRESHOLD SWEEP (the precision/recall curve behind "where
+    * do we set the filter?"): the d44 model score evaluated against
+    * the d21 repetition rule as reference label at 11 logit cutoffs —
+    * per τ the confusion counts and precision/recall/F1. d54 answers
+    * "do the two filters agree at their shipped thresholds"; d71 maps
+    * the whole operating curve so the threshold is CHOSEN, not
+    * inherited.
+    *
+    * Shape: one corpus pass per signal (the d44 and d21 aggregates),
+    * one doc-keyed join, a broadcast 11-row τ grid, one (τ) aggregate
+    * — map-side combined, counts integer-exact, the three ratios
+    * single divisions round4'd with zero-denominator guards (an empty
+    * positive class yields NULL, never an unhashable NaN). At 100 TB
+    * the per-doc frame is the only corpus-sized relation and it
+    * shuffles once, by the 11-key τ after map-side combine. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = qualityClassifier(s, d).select(col("doc_id"), col("logit"))
+    val rule = repetition(s, d).select(col("doc_id"), col("keep").as("label"))
+    val taus = SweepPcts.map(_.toLong).toDF("tau_pct")
+    val pred = col("logit") >= col("tau_pct") / lit(100.0)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = model.join(rule, "doc_id")
+      .crossJoin(broadcast(taus))
+      .groupBy("tau_pct")
+      .agg(cnt(pred && col("label")).as("tp"),
+        cnt(pred && !col("label")).as("fp"),
+        cnt(!pred && col("label")).as("fn"),
+        cnt(!pred && !col("label")).as("tn"))
+    agg.select(col("tau_pct"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round4(col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round4(col("tp").cast("double") / (col("tp") + col("fn"))))
+          .as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          round4(col("tp").cast("double") * 2 /
+            (col("tp") * 2 + col("fp") + col("fn")))).as("f1"))
+      .orderBy("tau_pct")
+  }
+
   /** One BPE merge applied everywhere — the DOUBLE guarded replace (see
     * the [[bpeMerges]] semantics note): pass two catches the
     * every-other survivors of abutting l≠r chains, making the literal

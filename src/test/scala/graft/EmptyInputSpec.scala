@@ -212,6 +212,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(ap.length === 9 && ap.forall(r => r.getBoolean(2) && r.getLong(1) === 0L))
     // f20 on empty tables: empty join, zero grouped rows
     assert(operators.Sources.runtimeBloomJoin(spark, emptyDir).count() === 0L)
+    // d71 on an empty corpus: no docs → empty per-doc join → zero
+    // sweep rows (there is nothing to grade at any cutoff)
+    assert(QualityOps.thresholdSweep(spark, emptyDir).count() === 0L)
     // f17 on an empty table: zero-file manifest, nothing written or
     // pruned, one (0, null, null, 0, 0) aggregate row
     val sp = operators.Sources.statsPrunedScan(spark, emptyDir).head()
