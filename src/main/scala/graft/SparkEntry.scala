@@ -303,6 +303,8 @@ object SparkEntry {
     "d69_contrastive_pairs" -> (PairStore.contrastivePairs _),
     // LSH banding sweep: expected recall per (b, r) against the store
     "d70_lsh_tuning" -> (PairStore.lshTuning _),
+    // leakage-free split: the d17 rule at near-dup-cluster grain
+    "d72_leakage_free_split" -> (PairStore.leakageFreeSplit _),
     // d45 edit verify fed from the published pair store (read side)
     "d48_store_edit_verify" -> (PairStore.storeEditVerify _),
     // d19 cluster refresh fed from the published pair store (read side)
@@ -2306,6 +2308,26 @@ object SparkEntry {
     // d49 reads the PUBLISHED pair store (same deterministic d02
     // relation) — d19's oracle applies verbatim, like d47/d48.
     "d49_store_clusters" -> clustersSql,
+    "d72_leakage_free_split" ->
+      // the shared cluster chain + the d17 bucket rule at BOTH grains
+      s"""WITH RECURSIVE $pairsCtes,
+         |$clusterCtes,
+         |b AS (SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 AS cb,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 AS db
+         |  FROM asg)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'val'
+         |       ELSE 'test' END AS naive_split,
+         |  (CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val'
+         |        ELSE 'test' END) <>
+         |  (CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'val'
+         |        ELSE 'test' END) AS moved
+         |FROM b ORDER BY doc_id""".stripMargin,
     "d53_cluster_keep_best" -> keepBestSql,
     "d54_filter_agreement" ->
       // both scorers' CTEs verbatim (d44 model, d52 rules), joined on

@@ -184,6 +184,37 @@ object PairStore {
     best.join(negs, Seq("anchor"), "left").orderBy("anchor")
   }
 
+  /** d72 — LEAKAGE-FREE train/val/test split (store consumer #7): the
+    * d17 hash-split rule applied at near-dup CLUSTER grain instead of
+    * document grain. A doc-grain split puts two near-duplicates on
+    * opposite sides of the train/test fence with probability ~2·p·(1−p)
+    * per pair — the CONTAMINATION d20 then has to detect; assigning
+    * whole d49 families to one split makes the leak structurally
+    * impossible instead of detectable-after-the-fact. Singletons are
+    * their own cluster (the d49 rule), so non-duplicated docs split
+    * exactly as d17 would on their own id — the distribution shifts
+    * only where shifting is the point.
+    *
+    * Output carries BOTH assignments (cluster-grain `split`, doc-grain
+    * `naive_split`) and the `moved` flag, so the blast radius of the
+    * fix is itself measurable. Shape: the d49 cluster labels (an
+    * output-sized store read + O(log n) CC over the stored edges), one
+    * md5 bucket expression per grain — no new shuffles beyond the
+    * labeling. */
+  def leakageFreeSplit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def bucket(c: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(100L))
+    def splitOf(b: org.apache.spark.sql.Column) =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    storeClusters(s, d).select(col("doc_id"), col("cluster_id"))
+      .withColumn("split", splitOf(bucket(col("cluster_id"))))
+      .withColumn("naive_split", splitOf(bucket(col("doc_id"))))
+      .withColumn("moved", col("split") =!= col("naive_split"))
+      .orderBy("doc_id")
+  }
+
   /** The d70 band configurations: (label, bands, rows-per-band), all
     * with b·r = 64 hash functions — the knob a dedup team actually
     * turns (d03 ships 16×4). Shared with the oracle generator so the

@@ -35,6 +35,8 @@ class EmptyInputSpec extends SparkSpec {
       "bpeEncode" -> (QualityOps.bpeEncode _),
       // d69: empty store → no anchors → no triples
       "contrastivePairs" -> (PairStore.contrastivePairs _),
+      // d72: no docs → no cluster labels → no split rows
+      "leakageFreeSplit" -> (PairStore.leakageFreeSplit _),
       "ngramJaccard" -> (PairGraph.ngramJaccard _),
       "minhashNearDup" -> (PairGraph.minhashNearDup _),
       "simhashPairs" -> (PairGraph.simhashPairs _),

@@ -149,6 +149,31 @@ class PairStoreSpec extends SparkSpec {
     assert(got.find(_._1 == "b16_r4").get._4 === 0.5) // (1/16)^(1/4)
   }
 
+  test("d72: no stored pair straddles the cluster-grain split; the naive split leaks") {
+    import spark.implicits._
+    val split = PairStore.leakageFreeSplit(spark, Sf)
+      .as[(Long, Long, String, String, Boolean)].collect().toSeq
+    val bySplit = split.map(r => r._1 -> r._3).toMap
+    val byNaive = split.map(r => r._1 -> r._4).toMap
+    val rel = PairGraph.ngramJaccard(spark, Sf)
+      .select("i", "j").as[(Long, Long)].collect().toSeq
+    assert(rel.nonEmpty)
+    rel.foreach { case (i, j) =>
+      assert(bySplit(i) === bySplit(j),
+        s"pair ($i, $j) straddles ${bySplit(i)}/${bySplit(j)} — the leak d72 exists to prevent")
+    }
+    // the doc-grain rule DOES leak on this corpus — the discrimination
+    // that makes the operator non-vacuous
+    assert(rel.exists { case (i, j) => byNaive(i) != byNaive(j) },
+      "fixture has no naive-split leak; the spec can no longer discriminate")
+    // singletons split exactly as d17 would on their own id
+    val inPairs = rel.flatMap(p => Seq(p._1, p._2)).toSet
+    split.filterNot(r => inPairs(r._1)).foreach { r =>
+      assert(!r._5, s"singleton ${r._1} moved — cluster_id must equal doc_id")
+    }
+    assert(Set("train", "val", "test").subsetOf(split.map(_._3).toSet))
+  }
+
   private implicit class ToMap2(val rows: Array[(String, Long, Boolean)]) {
     def toMap2: Map[String, (Long, Boolean)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
