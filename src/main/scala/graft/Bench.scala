@@ -192,17 +192,23 @@ object Bench {
           java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
     def fmt(v: Double): String = fmtAt(v, fine = true)
-    val extra = s""","passes":${ps.size}""" + (if (truncated) s""","truncated":true""" else "")
+    val extra = healthFlags(ps.size, truncated)
 
     // Full-fidelity record (full query names, full precision) → file;
     // the stdout line uses SHORT keys everywhere (timings AND the failed
     // list) + graduated-precision values — see [[shortKey]] and fmt.
+    // DEGRADED QUARANTINE (round 13): a <3-pass or truncated run is
+    // contention/deadline evidence, not regression evidence — it writes
+    // to the SIDE file so it can never silently shadow a committed
+    // clean 3-pass BENCH_FULL.json record, and every form of the
+    // artifact (side file, outFile, stdout tail) carries
+    // `"degraded":true` so no reader can mistake it for a clean record.
     val qsFull = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull$extra,"sf":"$sfDir"}"""
     try {
-      Files.writeString(Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      Files.writeString(Paths.get(fullRecordTarget(ps.size, truncated)), fullLine + "\n")
       outFile.foreach(pth => Files.writeString(Paths.get(pth), fullLine + "\n"))
     } catch { case _: Throwable => () } // emitting the stdout line still matters
 
@@ -237,7 +243,7 @@ object Bench {
       // them, and those lines are shorter anyway (failed queries have
       // no timing entry)
       val failedPart = if (failed.isEmpty) "" else s""","failed":$failedShort"""
-      val passesPart = if (ps.size == 3 && !truncated) "" else extra
+      val passesPart = if (!isDegraded(ps.size, truncated)) "" else extra
       s"""{"metric":"total","value":${fmtAt(total, fine)},"unit":"sec","queries":$qs$failedPart$passesPart,"sf":"$sfShort"}"""
     }
     // degrade ladder: fine flat → coarse flat → coarse grouped →
@@ -252,6 +258,29 @@ object Bench {
     println(line)
     System.out.flush()
   }
+
+  /** A run is DEGRADED when it completed fewer than the contracted 3
+    * measured passes or was cut by the shutdown hook — its timings are
+    * deadline/contention evidence, not regression evidence (the round-12
+    * driver artifact: 2 passes on a contended box, 24 phantom budget
+    * breaches vs the same-code clean record). */
+  private[graft] def isDegraded(passCount: Int, truncated: Boolean): Boolean =
+    passCount < 3 || truncated
+
+  /** Where the full-fidelity record lands: clean 3-pass runs own
+    * `BENCH_FULL.json`; degraded runs are quarantined to the side file
+    * so they can never overwrite a committed clean record. */
+  private[graft] def fullRecordTarget(passCount: Int, truncated: Boolean): String =
+    if (isDegraded(passCount, truncated)) "BENCH_FULL.degraded.json"
+    else "BENCH_FULL.json"
+
+  /** The health-flag JSON fragment every artifact form carries:
+    * `"passes":n`, `"truncated":true` on a hook-emitted partial, and the
+    * prominent `"degraded":true` whenever [[isDegraded]]. */
+  private[graft] def healthFlags(passCount: Int, truncated: Boolean): String =
+    s""","passes":$passCount""" +
+      (if (truncated) s""","truncated":true""" else "") +
+      (if (isDegraded(passCount, truncated)) s""","degraded":true""" else "")
 
   /** Timings bucketed by family (the short key's leading letters;
     * "qwc" → fam "q", rest "wc"), families sorted, members sorted by

@@ -41,8 +41,11 @@ object LabelStore {
   private val built = scala.collection.concurrent.TrieMap.empty[String, String]
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(d: String): Object = locks.getOrElseUpdate(d, new Object)
+  // collision-resistant key: a 32-bit hashCode collision between two
+  // corpus dirs in one JVM would silently serve one corpus the other's
+  // labels — md5 of the full path can't collide in practice
   private def baseFor(d: String): String =
-    s"$root/${java.lang.Integer.toHexString(d.hashCode)}"
+    s"$root/${org.apache.commons.codec.digest.DigestUtils.md5Hex(d)}"
 
   /** d61 — the publisher job: run the d59 labeler, WAP-publish the
     * (vec_id, cid, dist2) assignment, return the audit manifest. */

@@ -416,11 +416,11 @@ object Multimodal {
     common
       .join(sizes.select(col("doc_id").as("i"), col("n_fr").as("n_i")), "i")
       .join(sizes.select(col("doc_id").as("j"), col("n_fr").as("n_j")), "j")
-      .withColumn("jac", graft.Canon.round4(col("n_common").cast("double") /
-        (col("n_i") + col("n_j") - col("n_common"))))
-      .filter(col("jac") >= tau)
+      .withColumn("jac_raw", col("n_common").cast("double") /
+        (col("n_i") + col("n_j") - col("n_common")))
+      .filter(col("jac_raw") >= tau)
       .select(col("i"), col("j"), col("n_common"), col("n_i"), col("n_j"),
-        col("jac"))
+        graft.Canon.round4(col("jac_raw")).as("jac"))
       .orderBy("i", "j")
   }
 

@@ -53,8 +53,11 @@ object PairStore {
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(d: String): Object = locks.getOrElseUpdate(d, new Object)
 
+  // collision-resistant key: a 32-bit hashCode collision between two
+  // corpus dirs in one JVM would silently serve one corpus the other's
+  // pairs — md5 of the full path can't collide in practice
   private def baseFor(d: String): String =
-    s"$root/${java.lang.Integer.toHexString(d.hashCode)}"
+    s"$root/${org.apache.commons.codec.digest.DigestUtils.md5Hex(d)}"
 
   /** d46 — the publisher job: recompute the verified pair relation
     * (i, j, n_common, n_i, n_j, jac) and push it through the WAP gate —

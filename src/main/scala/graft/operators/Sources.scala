@@ -773,7 +773,8 @@ object Sources {
   private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
       expectedRows: Long, base: String,
       keyCols: Seq[String] = Seq("doc_id"),
-      retainVersions: Boolean = false): DataFrame = {
+      retainVersions: Boolean = false,
+      stagedMarker: Option[String] = None): DataFrame = {
     import s.implicits._
     val staging = new java.io.File(s"$base/staging")
     val published = new java.io.File(s"$base/published")
@@ -809,6 +810,13 @@ object Sources {
           new java.io.File(s"$base/v${archivedVersions(base).lastOption.getOrElse(0) + 1}")
         else new java.io.File(s"$base/published.old")
       if (!retainVersions) org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      // stagedMarker (underscore-prefixed, so parquet readers ignore it)
+      // is dropped into staging BEFORE the promote rename: the rename
+      // carries it atomically with the data, so a caller can detect an
+      // already-promoted payload (e.g. a streaming batch id) even if it
+      // crashed before writing any side-channel marker — see
+      // Streaming.versionedSink's effectively-once contract.
+      stagedMarker.foreach(m => new java.io.File(staging, m).createNewFile(): Unit)
       if (published.exists)
         NioFiles.move(published.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
       NioFiles.move(staging.toPath, published.toPath, StandardCopyOption.ATOMIC_MOVE)
@@ -852,7 +860,10 @@ object Sources {
 
   private[graft] def atomicPublishStaged(s: SparkSession,
       tables: Seq[(String, DataFrame, String)], expectedTotal: Long,
-      base: String): DataFrame = {
+      base: String,
+      // test-only fault injection: throw just before promoting the named
+      // table, so StorageSpec can pin the partial-promote rollback
+      crashBeforePromoteOf: Option[String] = None): DataFrame = {
     import s.implicits._
     import java.nio.file.{Files => NioFiles, StandardCopyOption}
     tables.foreach { case (name, df, _) =>
@@ -873,15 +884,39 @@ object Sources {
       (s"${name}_total_rows", total, total == expectedTotal))
     } :+ (("totals_consistent", expectedTotal, totalsOk))
     val allOk = checks.forall(_._3)
-    if (allOk) tables.foreach { case (name, _, _) =>
-      val published = new java.io.File(s"$base/$name/published")
-      val aside = new java.io.File(s"$base/$name/published.old")
-      org.apache.commons.io.FileUtils.deleteQuietly(aside)
-      if (published.exists)
-        NioFiles.move(published.toPath, aside.toPath,
-          StandardCopyOption.ATOMIC_MOVE)
-      NioFiles.move(new java.io.File(s"$base/$name/staging").toPath,
-        published.toPath, StandardCopyOption.ATOMIC_MOVE)
+    if (allOk) {
+      // Promote with failure-path rollback: if any table's rename pair
+      // throws mid-loop (missing staging, FS error), already-promoted
+      // tables are restored from their published.old before rethrowing —
+      // the snapshot stays all-or-nothing even on a partial-promote
+      // crash, not just on a failed audit.
+      val done = scala.collection.mutable.ArrayBuffer.empty[String]
+      try tables.foreach { case (name, _, _) =>
+        if (crashBeforePromoteOf.contains(name))
+          throw new IllegalStateException(s"injected promote crash at $name")
+        val published = new java.io.File(s"$base/$name/published")
+        val aside = new java.io.File(s"$base/$name/published.old")
+        org.apache.commons.io.FileUtils.deleteQuietly(aside)
+        if (published.exists)
+          NioFiles.move(published.toPath, aside.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+        NioFiles.move(new java.io.File(s"$base/$name/staging").toPath,
+          published.toPath, StandardCopyOption.ATOMIC_MOVE)
+        done += name
+      } catch { case e: Throwable =>
+        done.foreach { name =>
+          val published = new java.io.File(s"$base/$name/published")
+          val aside = new java.io.File(s"$base/$name/published.old")
+          if (published.exists)
+            NioFiles.move(published.toPath,
+              new java.io.File(s"$base/$name/staging").toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+          if (aside.exists) // first-ever publish has no prior to restore
+            NioFiles.move(aside.toPath, published.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+        }
+        throw e
+      }
     }
     val pubRows = tables.map { case (name, _, _) =>
       (s"${name}_published_rows",

@@ -598,6 +598,18 @@ object Streaming {
   def versionedSink(base: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$base/_applied/$batchId")
     if (marker.exists()) return // redelivered batch: effectively once
+    // The batch id is ALSO recorded atomically with the promote itself:
+    // writeAuditPublishStaged drops `_batch_<id>` (underscore-prefixed —
+    // invisible to parquet readers) into staging before the rename, so
+    // the promoted version carries its batch id. A crash BETWEEN promote
+    // and the side marker below therefore can't mint a duplicate
+    // version on redelivery: the promoted-marker check catches it, we
+    // backfill the side marker and no-op.
+    if (new java.io.File(s"$base/published/_batch_$batchId").exists()) {
+      marker.getParentFile.mkdirs()
+      marker.createNewFile(): Unit
+      return
+    }
     val s = batch.sparkSession
     val pubDir = new java.io.File(s"$base/published")
     val payload = org.apache.spark.sql.types.StructType(
@@ -608,7 +620,8 @@ object Streaming {
         payload)
     val merged = Sources.mergeUpsertOver(target, batch, key).drop("action")
     val audit = Sources.writeAuditPublishStaged(s, merged, merged.count(), base,
-      keyCols = Seq(key), retainVersions = true)
+      keyCols = Seq(key), retainVersions = true,
+      stagedMarker = Some(s"_batch_$batchId"))
     // marker ONLY after a successful promote: a failed audit leaves no
     // marker AND throws, so the streaming query fails and the engine
     // redelivers the batch — a corrected retry is NOT skipped. (Writing

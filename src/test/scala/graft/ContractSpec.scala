@@ -64,8 +64,26 @@ class ContractSpec extends SparkSpec {
     val allFailed = keys.map(k => "\"" + Bench.shortKey(k) + "\"").mkString(
       """{"metric":"total","value":0,"unit":"sec","queries":{},"failed":[""",
       ",",
-      """],"passes":0,"truncated":true,"sf":"sf0.1"}""")
+      """]""" + Bench.healthFlags(0, truncated = true) + ""","sf":"sf0.1"}""")
     assert(allFailed.length <= 1850, s"all-failed line too long: ${allFailed.length} chars")
+  }
+
+  test("degraded bench records self-quarantine (round-12 incident pin)") {
+    // the round-12 driver bench (2 passes, contended box) overwrote the
+    // working-tree BENCH_FULL.json and showed 24 phantom budget breaches;
+    // a degraded record must (a) land in the side file, never the clean
+    // record's path, and (b) carry a prominent "degraded":true flag in
+    // every artifact form so neither the judge nor the 2× gate can
+    // mistake it for regression evidence.
+    assert(Bench.fullRecordTarget(3, truncated = false) === "BENCH_FULL.json")
+    for ((p, t) <- Seq((2, false), (1, false), (0, false), (3, true), (0, true))) {
+      assert(Bench.isDegraded(p, t), s"($p passes, truncated=$t) must be degraded")
+      assert(Bench.fullRecordTarget(p, t) === "BENCH_FULL.degraded.json")
+      assert(Bench.healthFlags(p, t).contains("\"degraded\":true"))
+    }
+    assert(!Bench.isDegraded(3, truncated = false))
+    assert(!Bench.healthFlags(3, truncated = false).contains("degraded"))
+    assert(Bench.healthFlags(2, truncated = false) === ""","passes":2,"degraded":true""")
   }
 
   test("flagship entry() returns rows") {

@@ -28,6 +28,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.assetDedupOver(hot, 0.5).count() === 0L)
   }
 
+  test("m08 filters on the RAW jaccard: a pair that rounds UP to tau stays excluded") {
+    // round-13 advice pin: the filter must apply to the raw ratio (as the
+    // DuckDB oracle's WHERE does), with round4 only in the output
+    // projection — the d02 discipline. Fixture: jac = 5000/10001 =
+    // 0.4999500… < 0.5 but round4 = 0.5000, so a round-then-filter
+    // implementation would keep it and diverge from the oracle.
+    def fr(p: String, i: Int) = p + ("%063d".format(i)) // exactly 64 bytes
+    val shared = (0 until 5000).map(fr("s", _))
+    val doc1 = (shared ++ (0 until 5000).map(fr("a", _))).mkString // 10000 frames
+    val doc2 = (shared :+ fr("b", 0)).mkString                     // 5001 frames
+    val doc3 = shared.mkString                                     // 5000 frames
+    val assets = Seq((1L, doc1.getBytes("UTF-8")), (2L, doc2.getBytes("UTF-8")),
+      (3L, doc3.getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.assetDedupOver(assets, 0.5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // (1,2): 5000/10001 = 0.49995… rounds to 0.5 but is BELOW tau → out.
+    // (1,3): 5000/10000 = 0.5 exactly → kept. (2,3): 5000/5001 → 0.9998.
+    assert(got === Seq(
+      (1L, 3L, 5000L, 10000L, 5000L, 0.5),
+      (2L, 3L, 5000L, 5001L, 5000L, 0.9998)))
+  }
+
   test("frame sampling tiles the payload exactly") {
     val meta = Multimodal.binaryMeta(spark, Sf)
       .select("doc_id", "n_bytes", "n_frames").as[(Long, Long, Long)]

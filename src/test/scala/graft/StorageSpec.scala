@@ -254,6 +254,29 @@ class StorageSpec extends SparkSpec {
       "the GOOD table's publish leaked through a failed snapshot")
     assert(spark.read.parquet(s"$base/by_source/published")
       .collect().map(_.toString).sorted.toSeq === bSnap)
+    // round-13 advice pin: a crash MID-promote (audit green, first table
+    // already promoted, second table's rename throws) must roll the
+    // already-promoted tables back from published.old before rethrowing —
+    // no persistently torn snapshot beyond the documented rename window.
+    // the staged content must differ from the published snapshot (else a
+    // missing rollback would be invisible) while still passing the audit:
+    // move one document's count between two langs — totals unchanged
+    val langs = a.select("lang").as[String].collect().sorted
+    val aShift = a.withColumn("n",
+      when(col("lang") === langs.head, col("n") - 1)
+        .when(col("lang") === langs.last, col("n") + 1)
+        .otherwise(col("n")))
+    val thrown = intercept[IllegalStateException] {
+      operators.Sources.atomicPublishStaged(spark,
+        Seq(("by_lang", aShift, "lang"), ("by_source", b, "source")), total, base,
+        crashBeforePromoteOf = Some("by_source"))
+    }
+    assert(thrown.getMessage.contains("injected promote crash"))
+    assert(spark.read.parquet(s"$base/by_lang/published")
+      .collect().map(_.toString).sorted.toSeq === aSnap,
+      "partial promote was not rolled back: by_lang kept the new content")
+    assert(spark.read.parquet(s"$base/by_source/published")
+      .collect().map(_.toString).sorted.toSeq === bSnap)
   }
 
   test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {

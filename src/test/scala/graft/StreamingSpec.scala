@@ -493,6 +493,20 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$base/v3").exists, "corrected retry applies")
     assert(operators.Sources.readAsOf(spark, base, 4)
       .filter(col("c_custkey") === 7777777L).count() === 1L)
+    // round-13 advice pin: crash BETWEEN promote and side marker — the
+    // promoted version carries its batch id atomically (_batch_<id>
+    // staged before the rename), so redelivery after losing the side
+    // marker must NOT re-merge and mint an extra version; it backfills
+    // the marker and no-ops.
+    assert(new java.io.File(s"$base/published/_batch_7").exists,
+      "promote must carry the batch-id marker atomically")
+    val afterFix = sortedRows(operators.Sources.readAsOf(spark, base, 4))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/7"))
+    Streaming.versionedSink(base, "c_custkey")(fix, 7L)
+    assert(!new java.io.File(s"$base/v4").exists,
+      "redelivery after a promote/marker crash minted a duplicate version")
+    assert(new java.io.File(s"$base/_applied/7").exists, "side marker backfilled")
+    assert(sortedRows(operators.Sources.readAsOf(spark, base, 4)) === afterFix)
   }
 
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
