@@ -52,6 +52,7 @@ object SparkEntry {
     "e25_map_funcs" -> (Relational.mapFuncs _),
     "e14_topk_orders" -> (Relational.topkOrders _),
     "e15_set_ops" -> (Relational.setOps _),
+    "e15d_bag_set_ops" -> (Relational.bagSetOps _),
     "e16_scalar_funcs" -> (Relational.scalarFuncs _),
     "e17_date_funcs" -> (Relational.dateFuncs _),
     "e18_json_events" -> (Relational.jsonEvents _),
@@ -331,6 +332,8 @@ object SparkEntry {
     "e45_transitive_closure" -> (TransitiveClosure.bomReachability _),
     // path-doubling min-hop closure (the deep-chain swap for e45's BFS)
     "e45b_deep_closure" -> (TransitiveClosure.deepChainReachability _),
+    // weighted min-cost closure (the e45b kernel with d0 = w)
+    "e45c_weighted_closure" -> (TransitiveClosure.weightedBomCost _),
   )
 
   // DuckDB-side canonicalization mirrors (see Canon.scala):
@@ -592,6 +595,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT DISTINCT o_custkey AS k, 'union' AS op FROM orders
         |  WHERE o_orderstatus IN ('F', 'O'))
+        |ORDER BY op, k""".stripMargin,
+    "e15d_bag_set_ops" ->
+      """WITH fa AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     oa AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |     ia AS (SELECT k FROM fa INTERSECT ALL SELECT k FROM oa),
+        |     ea AS (SELECT k FROM fa EXCEPT ALL SELECT k FROM oa)
+        |SELECT op, k, n FROM (
+        |  SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+        |  FROM ia GROUP BY k
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+        |  FROM ea GROUP BY k)
         |ORDER BY op, k""".stripMargin,
     "e15b_pivot" -> {
       def cell(v: String) =
@@ -1755,6 +1770,26 @@ object SparkEntry {
         |  SELECT r.root, e.dst, r.hops + 1
         |  FROM r JOIN e ON e.src = r.node)
         |SELECT root, node, CAST(min(hops) AS BIGINT) AS min_hops
+        |FROM r GROUP BY root, node ORDER BY root, node""".stripMargin,
+    "e45c_weighted_closure" ->
+      // the weighted recursive-CTE mirror: same e45 DAG, integer edge
+      // costs (div-2: src%7+1, div-3: src%5+3), min(cost) per pair.
+      // UNION (distinct) bounds the recursion: costs are bounded small
+      // integers on a finite DAG, so the (root,node,cost) triple set is
+      // finite.
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS src, p_partkey // 2 AS dst,
+        |         (p_partkey % 7) + 1 AS w FROM part WHERE p_partkey >= 2
+        |  UNION ALL
+        |  SELECT p_partkey, p_partkey // 3, (p_partkey % 5) + 3 FROM part
+        |  WHERE p_partkey >= 3),
+        |r AS (
+        |  SELECT p_partkey AS root, p_partkey AS node, 0 AS cost
+        |  FROM part WHERE p_partkey % 97 = 1
+        |  UNION
+        |  SELECT r.root, e.dst, r.cost + e.w
+        |  FROM r JOIN e ON e.src = r.node)
+        |SELECT root, node, CAST(min(cost) AS BIGINT) AS min_cost
         |FROM r GROUP BY root, node ORDER BY root, node""".stripMargin,
     "f15_change_feed" ->
       // v1 and the merged current re-derived (the f14 CTEs with names),

@@ -499,6 +499,41 @@ object Relational {
     both.unionAll(fOnly).unionAll(all).orderBy("op", "k")
   }
 
+  /** E13b (e15d) — BAG-semantics set operations: INTERSECT ALL / EXCEPT
+    * ALL over the F/O order-key multisets (a customer with three F
+    * orders contributes multiplicity 3). The multiplicity algebra —
+    * `intersect all` keeps min(mₗ, mᵣ) copies, `except all` keeps
+    * max(0, mₗ − mᵣ) — is exactly what Spark's `intersectAll`/
+    * `exceptAll` operators compute; the registry form applies the e15
+    * single-scan discipline instead: ONE scan of orders into per-key
+    * (n_f, n_o) counts (one shuffle, map-side combined), then the
+    * min/clamped-difference arithmetic on the reduced frame. Both the
+    * planted-multiset spec and the corpus-wide differential spec pin
+    * ≡ `intersectAll`/`exceptAll` (RelationalSpec), so the rewrite
+    * can't drift from the primitives' bag semantics. Output grain is
+    * (op, k, n multiplicity) — deterministic and oracle-hashable where
+    * raw duplicate rows would not be. */
+  def bagSetOps(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"))
+    bagSetOpsFromCounts(counts)
+  }
+
+  /** The multiplicity kernel over a per-key (k, n_f, n_o) count frame —
+    * package-visible for the planted-multiset spec. */
+  private[graft] def bagSetOpsFromCounts(counts: DataFrame): DataFrame = {
+    val ia = counts.filter(col("n_f") > 0 && col("n_o") > 0)
+      .select(lit("intersect_all").as("op"), col("k"),
+        least(col("n_f"), col("n_o")).as("n"))
+    val ea = counts.filter(col("n_f") > col("n_o"))
+      .select(lit("except_all").as("op"), col("k"),
+        (col("n_f") - col("n_o")).as("n"))
+    ia.unionAll(ea).orderBy("op", "k")
+  }
+
   /** E14 — scalar function sweep: string / date / math / array. */
   def scalarFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)

@@ -106,7 +106,38 @@ object TransitiveClosure {
     * BFS wins on shallow-wide DAGs (e45's BOM). Both shuffles key on
     * node ids — no cross product, AQE splits a skewed middle node. */
   def minHopClosureDoubling(roots: DataFrame, edges0: DataFrame,
+      maxRounds: Int = 40): DataFrame =
+    minCostClosureDoubling(roots,
+      edges0.select(col("src"), col("dst")).withColumn("w", lit(1L)), maxRounds)
+      .withColumnRenamed("cost", "hops")
+
+  /** e45c — WEIGHTED min-cost closure: the doubling kernel with edge
+    * weights, min-plus squaring over (u, v, d) where d₀ = w instead of
+    * 1. This is the cost-rollup/critical-path question users ask right
+    * after reachability ("what is the CHEAPEST way this assembly
+    * contains that part?"); min-hop (e45b) is exactly this kernel at
+    * w ≡ 1, so both run the one shared loop and can't drift.
+    *
+    * Semantics: returns, per (root, node), the minimum total edge
+    * weight over all directed paths, seeds at cost 0. Weights must be
+    * NON-NEGATIVE — a negative-weight cycle has no min-cost closure
+    * (each lap shrinks the cost forever), so the kernel REFUSES
+    * negative weights up front with a diagnostic instead of spinning to
+    * the round cap (the d65 refuse-loudly discipline). Non-negative
+    * cycles are safe: a lap adds ≥ 0, min() keeps the lap-free cost,
+    * and the (count, Σd) fixpoint probe converges.
+    *
+    * Scale posture is e45b's, unchanged: O(log depth) rounds, each one
+    * middle-node equi-join + min aggregate + localCheckpoint; the
+    * O(Σ reach²) pair materialization is the documented trade vs BFS
+    * and wants block-bounded reach sets (the BOM fixture's div-chain
+    * reach is O(log² key)). Parallel edges collapse to their min
+    * weight in the seeding aggregate. */
+  def minCostClosureDoubling(roots: DataFrame, wEdges: DataFrame,
       maxRounds: Int = 40): DataFrame = {
+    require(wEdges.filter(col("w") < 0).isEmpty,
+      "minCostClosureDoubling requires non-negative edge weights — " +
+        "a negative-weight cycle has no min-cost fixpoint")
     // fixpoint probe: (pair count, Σd). r ⊆ next pairwise with
     // d_next ≤ d_r, so equal count means no pair added and equal sum
     // then forces pointwise-equal distances — one scalar aggregate per
@@ -118,8 +149,9 @@ object TransitiveClosure {
       (row.getLong(0),
         Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
-    var r = edges0.select(col("src").as("u"), col("dst").as("v"))
-      .distinct().withColumn("d", lit(1L)).localCheckpoint()
+    var r = wEdges.select(col("src").as("u"), col("dst").as("v"),
+        col("w").cast("long").as("d"))
+      .groupBy("u", "v").agg(min(col("d")).as("d")).localCheckpoint()
     var last = stats(r)
     var round = 0
     var converged = false
@@ -139,10 +171,10 @@ object TransitiveClosure {
       r = next
     }
     val reached = roots.join(r, roots("node") === r("u"))
-      .select(col("root"), col("v").as("node"), col("d").as("hops"))
-    roots.select(col("root"), col("node"), lit(0L).as("hops"))
+      .select(col("root"), col("v").as("node"), col("d").as("cost"))
+    roots.select(col("root"), col("node"), lit(0L).as("cost"))
       .unionByName(reached)
-      .groupBy("root", "node").agg(min(col("hops")).as("hops"))
+      .groupBy("root", "node").agg(min(col("cost")).as("cost"))
   }
 
   /** The e45b registry instance: SEGMENTED-CHAIN reachability over
@@ -161,6 +193,28 @@ object TransitiveClosure {
       .select(col("p_partkey").as("root"), col("p_partkey").as("node"))
     minHopClosureDoubling(roots, edges)
       .select(col("root"), col("node"), col("hops").as("min_hops"))
+      .orderBy("root", "node")
+  }
+
+  /** The e45c registry instance: WEIGHTED BOM cost rollup over the e45
+    * DAG — same div-2/div-3 edges and mod-97 roots, but each edge
+    * carries a deterministic integer cost (div-2 edges: src % 7 + 1,
+    * div-3 edges: src % 5 + 3), so the minimum is a REAL min over the
+    * shared-substructure paths and generally disagrees with min-hop
+    * (a 2-hop path can undercut a 1-hop one). Oracle: the recursive-CTE
+    * mirror with `min(cost)` — integer weights keep it exact. */
+  def weightedBomCost(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d).select(col("p_partkey"))
+    val edges = part.filter(col("p_partkey") >= 2)
+      .select(col("p_partkey").as("src"), expr("p_partkey div 2").as("dst"),
+        (pmod(col("p_partkey"), lit(7L)) + 1).as("w"))
+      .unionByName(part.filter(col("p_partkey") >= 3)
+        .select(col("p_partkey").as("src"), expr("p_partkey div 3").as("dst"),
+          (pmod(col("p_partkey"), lit(5L)) + 3).as("w")))
+    val roots = part.filter(pmod(col("p_partkey"), lit(97L)) === 1)
+      .select(col("p_partkey").as("root"), col("p_partkey").as("node"))
+    minCostClosureDoubling(roots, edges)
+      .select(col("root"), col("node"), col("cost").as("min_cost"))
       .orderBy("root", "node")
   }
 

@@ -52,13 +52,11 @@ class ContractSpec extends SparkSpec {
       """},"sf":"sf0.1"}""")
     assert(positional.length <= 1850,
       s"positional fallback bench line too long: ${positional.length} chars")
-    // grouped is today's realistic rung; informational headroom check —
-    // when THIS trips, the emitter silently moves to positional, and
-    // this assertion should be relaxed to a comment (it is not the
-    // driver contract; positional above is)
-    assert(grouped.length <= 1850,
-      s"grouped bench line outgrew the budget (${grouped.length} chars): " +
-        "positional form now emits — relax this informational assert")
+    // grouped outgrew 1850 at 199 queries (round 13) — per this check's
+    // own retirement clause the POSITIONAL form is now the worst-case
+    // emitting rung; keep grouped only as a sanity reference that it
+    // stays parseable JSON (its length no longer gates anything).
+    assert(grouped.startsWith("""{"metric":"""))
     // unhealthy line: every query failed (no timing entries), so the
     // whole width budget goes to the failed list + diagnostics
     val allFailed = keys.map(k => "\"" + Bench.shortKey(k) + "\"").mkString(

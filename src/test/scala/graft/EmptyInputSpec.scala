@@ -147,6 +147,11 @@ class EmptyInputSpec extends SparkSpec {
   test("round-7/8 profiling/relational/source operators survive empty input") {
     import graft.operators.{Profiling, Sources}
     assert(Relational.scd2Intervals(spark, emptyDir).count() === 0L)
+    // e15d: empty orders → empty count frame → zero bag-set-op rows
+    assert(Relational.bagSetOps(spark, emptyDir).count() === 0L)
+    // e45c: empty part → no roots, no edges → empty closure (the
+    // fixpoint probe must converge immediately on the empty relation)
+    assert(operators.TransitiveClosure.weightedBomCost(spark, emptyDir).count() === 0L)
     assert(Relational.funnel(spark, emptyDir).count() === 0L)
     assert(Relational.twap(spark, emptyDir).count() === 0L)
     assert(Relational.retention(spark, emptyDir).count() === 0L)

@@ -235,6 +235,38 @@ class RelationalSpec extends SparkSpec {
     assert(fast.collect().toSeq === naive.collect().toSeq)
   }
 
+  // e15d: the single-scan count-arithmetic form must reproduce Spark's
+  // intersectAll/exceptAll BAG primitives exactly on the real corpus.
+  test("bagSetOps single-scan plan ≡ intersectAll/exceptAll primitives") {
+    val o = Tables.orders(spark, Sf)
+    val fa = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    val oa = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+    val naive =
+      fa.intersectAll(oa).groupBy("k").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("k"), col("n"))
+        .unionAll(fa.exceptAll(oa).groupBy("k").agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("op"), col("k"), col("n")))
+        .orderBy("op", "k")
+    assert(Relational.bagSetOps(spark, Sf).collect().toSeq === naive.collect().toSeq)
+  }
+
+  // e15d planted multiset: multiplicities min / clamped-difference, and
+  // the subtle rows — key in both with equal counts (no except_all row),
+  // key only on the right (no row at all).
+  test("bagSetOps multiplicity algebra on a planted multiset") {
+    import spark.implicits._
+    // A = {1×3, 2×1, 5×2}, B = {1×2, 2×1, 3×4}
+    val counts = Seq((1L, 3L, 2L), (2L, 1L, 1L), (5L, 2L, 0L), (3L, 0L, 4L))
+      .toDF("k", "n_f", "n_o")
+    val got = Relational.bagSetOpsFromCounts(counts)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("except_all", 1L, 1L),      // 3 − 2
+      ("except_all", 5L, 2L),      // 2 − 0
+      ("intersect_all", 1L, 2L),   // min(3, 2)
+      ("intersect_all", 2L, 1L)))  // min(1, 1); 3 and equal-count 2 emit nothing extra
+  }
+
   // The time-bucketed range join must reproduce the plain non-equi join.
   test("bucketed range join ≡ naive range join") {
     val e = Tables.events(spark, Sf)

@@ -112,6 +112,99 @@ class TransitiveClosureSpec extends SparkSpec {
     assert(got === (0L to 79L).map(q => (79L, q, 79L - q)).toSet)
   }
 
+  private def runWeighted(roots: Seq[Long],
+      edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    TransitiveClosure.minCostClosureDoubling(
+      roots.map(r => (r, r)).toDF("root", "node"),
+      edges.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  /** Reference Dijkstra on the driver (non-negative weights). */
+  private def dijkstra(roots: Seq[Long],
+      edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    roots.flatMap { r =>
+      val dist = scala.collection.mutable.Map(r -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, r))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (d, n) = pq.dequeue()
+        if (dist(n) == d) adj.getOrElse(n, Nil).foreach { case (m, w) =>
+          if (dist.get(m).forall(_ > d + w)) { dist(m) = d + w; pq.enqueue((d + w, m)) }
+        }
+      }
+      dist.map { case (n, c) => (r, n, c) }
+    }.toSet
+  }
+
+  test("e45c weighted closure ≡ Dijkstra on planted and pseudo-random weighted DAGs") {
+    // diamond where the LONGER-hop path is cheaper: 10→5→1 costs 2+1,
+    // 10→1 direct costs 9 — min-cost must disagree with min-hop
+    val diamond = Seq((10L, 5L, 2L), (5L, 1L, 1L), (10L, 1L, 9L))
+    assert(runWeighted(Seq(10L), diamond) ===
+      Set((10L, 10L, 0L), (10L, 5L, 2L), (10L, 1L, 3L)))
+    // parallel edges collapse to their min weight
+    assert(runWeighted(Seq(1L), Seq((1L, 2L, 7L), (1L, 2L, 4L))) ===
+      Set((1L, 1L, 0L), (1L, 2L, 4L)))
+    for (seed <- Seq(11L, 29L, 57L)) {
+      val edges = (0L until 120L).flatMap { k =>
+        val a = (k * seed * 31 + 17) % 40
+        val b = (k * seed * 53 + 5) % 40
+        val w = (k * seed) % 9 // includes zero-weight edges
+        if (a > b) Some((a, b, w)) else if (b > a) Some((b, a, w)) else None
+      }.distinct
+      val roots = Seq(39L, 38L, 25L)
+      assert(runWeighted(roots, edges) === dijkstra(roots, edges), s"seed $seed")
+    }
+  }
+
+  test("e45c non-negative cycle converges; negative weight refuses loudly") {
+    // positive cycle: a lap adds cost, min discards it
+    assert(runWeighted(Seq(1L), Seq((1L, 2L, 3L), (2L, 3L, 4L), (3L, 1L, 5L))) ===
+      Set((1L, 1L, 0L), (1L, 2L, 3L), (1L, 3L, 7L)))
+    // zero-weight cycle: laps add nothing, fixpoint still terminates
+    assert(runWeighted(Seq(1L), Seq((1L, 2L, 0L), (2L, 1L, 0L))) ===
+      Set((1L, 1L, 0L), (1L, 2L, 0L)))
+    val ex = intercept[IllegalArgumentException] {
+      runWeighted(Seq(1L), Seq((1L, 2L, -1L)))
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
+
+  test("e45c at w ≡ 1 is exactly e45b min-hop (shared-kernel identity)") {
+    val edges = (0L until 120L).flatMap { k =>
+      val a = (k * 11L * 31 + 17) % 40
+      val b = (k * 11L * 53 + 5) % 40
+      if (a > b) Some((a, b)) else if (b > a) Some((b, a)) else None
+    }.distinct
+    val roots = Seq(39L, 38L, 25L)
+    assert(runWeighted(roots, edges.map(e => (e._1, e._2, 1L))) ===
+      runDoubling(roots, edges))
+  }
+
+  test("e45c fixture invariants: cost ≤ any single edge from the root, " +
+    "min_cost ≤ hop-path cost upper bound, self at 0") {
+    val rows = TransitiveClosure.weightedBomCost(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byRoot = rows.groupBy(_._1)
+    byRoot.foreach { case (r, rs) =>
+      assert(rs.contains((r, r, 0L)), s"root $r must self-label at 0")
+      // max edge weight is 7 (div-3: %5+3) and depth ≤ log2 bound, so
+      // every cost is bounded by 8 × the e45 hop bound
+      val hopBound = 1 + (math.log(r.toDouble.max(2)) / math.log(2)).toLong
+      rs.foreach { case (_, n, c) =>
+        assert(c <= 8 * hopBound, s"root $r node $n cost $c over bound")
+        assert(c >= 0)
+      }
+    }
+    // min-cost genuinely disagrees with min-hop somewhere (the weighted
+    // fixture is not a re-labeled e45)
+    val hops = TransitiveClosure.bomReachability(spark, Sf)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(rows.exists { case (r, n, c) => hops.get((r, n)).exists(h => c != h) })
+  }
+
   test("e45b fixture invariants: block-bounded chains, exact hop arithmetic") {
     val rows = TransitiveClosure.deepChainReachability(spark, Sf)
       .as[(Long, Long, Long)].collect()
