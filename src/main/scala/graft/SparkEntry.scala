@@ -293,6 +293,7 @@ object SparkEntry {
     "d71_threshold_sweep" -> (QualityOps.thresholdSweep _),
     // hybrid retrieval: BM25 ∪ cosine top-k fused by reciprocal rank
     "d66_hybrid_rrf" -> ((s, d) => EmbeddingOps.hybridRrf(s, d)),
+    "d66b_hybrid_rrf_multi" -> ((s, d) => EmbeddingOps.hybridRrfMulti(s, d)),
     // source-conditional boilerplate removal (CCNet rule): drop paras
     // frequent within their source, every occurrence incl. the first
     "d67_boilerplate_removal" -> (QualityOps.boilerplateRemoval _),
@@ -2595,6 +2596,68 @@ object SparkEntry {
                      " + COALESCE(1.0 / (60 + sem_rank), 0.0)")} AS rrf
          |FROM lexr FULL OUTER JOIN semr USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "d66b_hybrid_rrf_multi" -> {
+      // the multi-query mirror: per-query term pairs generated from the
+      // SAME pool rotation the Spark side builds (can't drift); lexical
+      // contributions at posting grain (tf > 0 only — inverted-index
+      // semantics) with d31's exact term arithmetic; per-query rank
+      // windows; (query_id, doc_id)-keyed fusion. Per-query term sets
+      // are size 2, so SUM(tscore) is a commutative 2-value IEEE sum —
+      // order-independent.
+      val pool = Seq("spark", "join", "window")
+      val qt = (0 until 5).flatMap(q =>
+          Seq((q, pool(q % 3)), (q, pool((q + 1) % 3))))
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val contrib =
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
+          " * (tf::DOUBLE * (1.2 + 1.0))" +
+          " / (tf::DOUBLE + 1.2 * ((1.0 - 0.75)" +
+          " + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))"
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |        CAST(len(list_filter(t, w -> w = 'spark')) AS BIGINT) AS tf_spark,
+         |        CAST(len(list_filter(t, w -> w = 'join')) AS BIGINT) AS tf_join,
+         |        CAST(len(list_filter(t, w -> w = 'window')) AS BIGINT) AS tf_window
+         |      FROM s),
+         |g AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         |        sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+         |        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+         |        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+         |      FROM d),
+         |m AS (SELECT doc_id, dl, 'spark' AS term, tf_spark AS tf FROM d WHERE tf_spark > 0
+         |      UNION ALL SELECT doc_id, dl, 'join', tf_join FROM d WHERE tf_join > 0
+         |      UNION ALL SELECT doc_id, dl, 'window', tf_window FROM d WHERE tf_window > 0),
+         |tstats AS (SELECT 'spark' AS term, df_spark AS df, n_docs, sum_dl FROM g
+         |       UNION ALL SELECT 'join', df_join, n_docs, sum_dl FROM g
+         |       UNION ALL SELECT 'window', df_window, n_docs, sum_dl FROM g),
+         |qt AS (SELECT CAST(q AS BIGINT) AS query_id, term
+         |       FROM (VALUES $qt) v(q, term)),
+         |c AS (SELECT doc_id, term, $contrib AS tscore
+         |      FROM m JOIN tstats USING (term)),
+         |lexsc AS (SELECT query_id, doc_id, ${round4("SUM(tscore)")} AS score
+         |          FROM c JOIN qt USING (term) GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+         |           SELECT query_id, doc_id, row_number() OVER
+         |             (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+         |           FROM lexsc) WHERE rn <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |semsc AS (SELECT query_id, e.vec_id AS doc_id,
+         |            ${round4(cosSql("v", "qv"))} AS sim FROM e, q),
+         |semr AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+         |           SELECT query_id, doc_id, row_number() OVER
+         |             (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rn
+         |           FROM semsc) WHERE rn <= 20),
+         |f AS (SELECT query_id, doc_id, lex_rank, sem_rank,
+         |        ${round4("COALESCE(1.0 / (60 + lex_rank), 0.0)" +
+                           " + COALESCE(1.0 / (60 + sem_rank), 0.0)")} AS rrf
+         |      FROM lexr FULL OUTER JOIN semr USING (query_id, doc_id))
+         |SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id, lex_rank,
+         |       sem_rank, rrf
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn FROM f)
+         |WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
     "d67_boilerplate_removal" ->
       // the d57 paragraphize/normalize CTEs with the SAME deterministic
       // planting the Spark side applies (footer on every doc, %3

@@ -801,6 +801,75 @@ object EmbeddingOps {
     * division per list plus one addition — bit-identical cross-engine;
     * ties in the fused score break by doc_id. A doc absent from a list
     * contributes exactly 0 (coalesce), the standard convention. */
+  /** d66b — MULTI-QUERY hybrid retrieval: the query_id generalization
+    * [[hybridRrf]]'s scaladoc promises, pinned as a registry instance —
+    * a query TABLE (the first [[nQueries]] probe docs, each with a
+    *2-term lexical query and its own embedding as the dense query)
+    * drives per-query BM25 ∪ cosine lists fused by RRF.
+    *
+    * Every step carries the query_id key, exactly as promised:
+    *   - lexical: [[QualityOps.bm25TermContrib]]'s posting-grain
+    *     (doc, term, tscore) rows — ONE corpus scan for ALL queries —
+    *     joined to the broadcast (query_id, term) map and summed per
+    *     (query_id, doc_id); only tf > 0 postings score (inverted-index
+    *     semantics). Per-query term sets are size ≤ 2 ON PURPOSE: a
+    *     2-value IEEE sum is commutative, so the oracle's SUM order
+    *     can't diverge (3+ terms would need the d18 decimal-pre-sum
+    *     canon).
+    *   - semantic: corpus × broadcast query-vector scoring in the scan
+    *     (no corpus shuffle), sim rounded before ranking.
+    *   - per-query top-k: `row_number() OVER (PARTITION BY query_id)`
+    *     + `rank ≤ k` — Spark's InferWindowGroupLimit turns this into a
+    *     PARTIAL WindowGroupLimit below the exchange (each map task
+    *     ships only its local top-k per query), which is the "per-query
+    *     top-k via partial aggregation" scale path; PlanSpec pins the
+    *     node and that NO window in this plan is global.
+    *   - fusion: (query_id, doc_id)-keyed full outer join of k-row
+    *     lists; final per-query top-10 over ≤ 2k fused rows.
+    * At 100 TB nothing here is corpus-keyed except the two scans. */
+  def hybridRrfMulti(s: SparkSession, d: String, kRrf: Int = 60,
+      kList: Int = 20, topK: Int = 10, nQueries: Int = 5): DataFrame = {
+    import s.implicits._
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val pool = Seq("spark", "join", "window")
+    val queryTerms = (0 until nQueries).flatMap(q =>
+        Seq((q.toLong, pool(q % 3)), (q.toLong, pool((q + 1) % 3))))
+      .toDF("query_id", "term")
+    val lexScored = QualityOps.bm25TermContrib(s, d, pool)
+      .join(broadcast(queryTerms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(round4(sum(col("tscore"))).as("score"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lex = lexScored
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= kList)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wSem = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val sem = e.crossJoin(broadcast(qe))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round4(cosine(col("v"), col("qv"))).as("sim"))
+      .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+      .filter(col("sem_rank") <= kList)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    def part(r: Column) = coalesce(lit(1.0) / (lit(kRrf) + r), lit(0.0))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round4(part(col("lex_rank")) + part(col("sem_rank"))).as("rrf"))
+      .withColumn("rnk", row_number().over(wF).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("lex_rank"), col("sem_rank"), col("rrf"))
+      .orderBy("query_id", "rnk")
+  }
+
   def hybridRrf(s: SparkSession, d: String, kRrf: Int = 60,
       topK: Int = 10): DataFrame = {
     val lex = bm25(s, d).select(col("doc_id"), col("score"))

@@ -393,6 +393,45 @@ object QualityOps {
       .limit(topK)
   }
 
+  /** The d31 kernel factored to POSTING grain for multi-query retrieval
+    * (d66b): per-(doc, term) Okapi BM25 contributions over ONE corpus
+    * scan (the same persisted perDoc + broadcast single-row stats), but
+    * melted to (doc_id, term, tscore) rows for only the MATCHING
+    * (tf > 0) postings — the inverted-index semantics, so a downstream
+    * per-query sum over its term subset scores exactly the docs a
+    * posting-list retriever would visit. Term arithmetic is d31's
+    * expression verbatim (same operand association, so the two surfaces
+    * can't drift numerically); the melt is a `stack` generator over the
+    * q tf columns — q·matching rows, zero extra scans. */
+  private[graft] def bm25TermContrib(s: SparkSession, d: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms &&
+      terms.forall(_.matches("[A-Za-z0-9_]+")), s"bad bm25 terms: $terms")
+    val t = toks(col("text"))
+    val perDoc = persistCorpus(Tables.documents(s, d).select(
+      col("doc_id") +: size(t).cast("long").as("dl") +:
+        terms.map(q =>
+          size(filter(t, w => w === lit(q))).cast("long").as(s"tf_$q")): _*))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl")) ++
+      terms.map(q => sum((col(s"tf_$q") > 0).cast("long")).as(s"df_$q"))
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+    val termStats = stats.selectExpr("n_docs", "sum_dl",
+      s"stack(${terms.size}, ${terms.map(q => s"'$q', df_$q").mkString(", ")}) AS (term, df)")
+    val melted = perDoc.selectExpr("doc_id", "dl",
+      s"stack(${terms.size}, ${terms.map(q => s"'$q', tf_$q").mkString(", ")}) AS (term, tf)")
+      .filter(col("tf") > 0)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val tf = col("tf").cast("double")
+    val df = col("df").cast("double")
+    val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+    melted.join(broadcast(termStats), "term")
+      .select(col("doc_id"), col("term"),
+        (idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          .as("tscore"))
+  }
+
   /** E21b — per-document text statistics / quality scoring: token
     * counts, lexical diversity, length agreement with the `n_chars`
     * metadata column, and a simple composite quality score. */

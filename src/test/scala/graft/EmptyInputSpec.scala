@@ -29,6 +29,9 @@ class EmptyInputSpec extends SparkSpec {
       // d66: both retrieval lists empty → empty fusion
       "hybridRrf" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         EmbeddingOps.hybridRrf(s, d)),
+      // d66b: no postings, no query vectors → empty per-query lists
+      "hybridRrfMulti" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        EmbeddingOps.hybridRrfMulti(s, d)),
       // d67: no documents → no paragraphs, no boilerplate, no rows
       "boilerplateRemoval" -> (QualityOps.boilerplateRemoval _),
       // d68: empty vocab → no merges, no docs → no rows
