@@ -93,6 +93,7 @@ object SparkEntry {
     "d05_embed_neardup" -> (EmbeddingOps.embedNearDup _),
     "d06_ann_lsh" -> (EmbeddingOps.annLsh _),               // no SQL oracle: bucket recall is probabilistic by design; spec-checked vs brute force
     "d06b_ivf_ann" -> ((s, d) => EmbeddingOps.ivfAnn(s, d)),
+    "d73_ivfpq_ann" -> ((s, d) => EmbeddingOps.ivfPqAnn(s, d)),
     "d07_tfidf" -> (QualityOps.tfidf _),
     "d08_text_stats" -> (QualityOps.textStats _),
     "d09_lang_profile" -> (QualityOps.langProfile _),
@@ -786,6 +787,21 @@ object SparkEntry {
       // exact recall on this corpus (each query's true NN shares its
       // cell — deterministic: seeded Lloyd centroids, no RNG), and ties
       // in the rounded sim break by nid exactly as the window does.
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, e.vec_id AS nid,
+         |        ${round4(cosSql("qv", "v"))} AS sim
+         |      FROM q JOIN e ON e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "d73_ivfpq_ann" ->
+      // d06b's global brute-force NN oracle verbatim: the exact re-rank
+      // over the ADC shortlist returns the true NN because every query's
+      // NN survives both the cell probe and the PQ cut on this corpus —
+      // the fixture property LlmOpsSpec verifies at every available sf
+      // (the d03 banded-LSH + exact-verify precedent). Cell ids and code
+      // words are engine artifacts the oracle never sees.
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
          |s AS (SELECT qid, e.vec_id AS nid,

@@ -370,9 +370,14 @@ object EmbeddingOps {
     * reported similarity brute-force. The cell id stays internal — it is
     * an engine artifact no SQL oracle could reproduce. */
 
-  def ivfAnn(s: SparkSession, d: String, nprobe: Int = 1): DataFrame = {
+  /** The d06b IVF index build factored out so d73 (IVF-PQ) probes the
+    * SAME cells: returns (cells = (vec_id, v, cid) every vector with its
+    * assigned cell, persisted; centroids = (cid, cv) the k-row refined
+    * centroid table). Deterministic end to end (seeded centroids, no
+    * RNG). */
+  private[graft] def ivfCells(s: SparkSession, d: String,
+      k: Int = 10): (DataFrame, DataFrame) = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
-    val k = 10
     // corpus-sized (every vector), re-read by each Lloyd iteration and
     // both probe sides — same persistence policy as the shingle streams
     val e = persistCorpus(Tables.embeddings(s, d)
@@ -401,7 +406,12 @@ object EmbeddingOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
     }
-    val cells = persistCorpus(assign(centroids))
+    (persistCorpus(assign(centroids)), centroids)
+  }
+
+  def ivfAnn(s: SparkSession, d: String, nprobe: Int = 1): DataFrame = {
+    val k = 10
+    val (cells, centroids) = ivfCells(s, d, k)
     // probe list: the query's nprobe most-similar cells by centroid
     // cosine — same ranking as assign(), so nprobe=1 IS the query's own
     // cell and the single-probe plan is unchanged.
@@ -419,6 +429,139 @@ object EmbeddingOps {
     // aggregate combines map-side where the rank window must sort
     queries.join(cells, "cid")
       .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round4(cosine(col("qv"), col("v"))).as("sim"))
+      .groupBy("qid")
+      .agg(max_by(struct(col("nid"), col("sim")),
+        struct(col("sim"), -col("nid"))).as("w"))
+      .select(col("qid"), col("w.nid").as("nid"), col("w.sim").as("sim"))
+      .orderBy("qid")
+  }
+
+  /** d73 — IVF-PQ ANN with EXACT RE-RANK: the production-shape
+    * composition the round-12 verdict named — [[ivfCells]]' inverted
+    * file bounds the candidate set (n/k per probe), a PRODUCT-QUANTIZED
+    * codebook ranks those candidates from codes instead of full
+    * vectors, and an exact cosine pass over the short list returns the
+    * answer. At 100 TB this is the memory/IO win d06b stops short of:
+    * the probe scan touches m one-byte codes per vector (the PQ
+    * compression d15 motivates) instead of dim floats; only
+    * `shortlist`-many full vectors per query are ever fetched.
+    *
+    * PQ training is the d59 kernel at SUB-VECTOR grain: the vector
+    * splits into `m` contiguous sub-vectors (dim/m wide); each
+    * sub-space trains its own `kPq`-centroid codebook via the SAME
+    * [[kmeansLabels]] Lloyd chain (deterministic smallest-id seeds,
+    * DECIMAL-exact distances), and a vector's code word is its m
+    * per-sub-space assignments. Asymmetric distance (ADC): the query
+    * stays UNquantized; per (query, sub-space, code) the dot
+    * contribution q_subᵀ·centroid is a 640-row lookup table (queries ×
+    * m × kPq — broadcast by construction), so scoring a candidate is m
+    * LUT joins + an exact decimal sum, approximating cos(q, x̂) with
+    * x̂ the codebook reconstruction. All ADC arithmetic is
+    * dec()-canonicalized pre-sum — order-independent, so the shortlist
+    * cut is deterministic.
+    *
+    * Exactness: the final top-1 is computed by EXACT cosine over the
+    * ADC shortlist (the d03 banded-LSH + exact-verify precedent), so
+    * the oracle is d06b's global brute-force NN; the fixture property
+    * it rides on — every query's true NN survives BOTH the cell probe
+    * and the ADC cut — is spec-verified at every available sf, and
+    * shortlist-size recall monotonicity is structural (top-8 ⊆
+    * top-32). Cell ids and code words stay internal (engine artifacts
+    * no SQL oracle could reproduce). */
+  /** [[kmeansLabels]] generalized by a SUB-SPACE key: Lloyd over the
+    * (vec_id, m, dim, v) long form where every join and aggregate
+    * carries `m`, so the m independent per-sub-space k-means run in one
+    * chain of jobs. Seeding rule identical (the kPq smallest vec_ids
+    * seed every sub-space); distances DECIMAL-exact; returns the final
+    * (vec_id, m, cid, dist2) assignments. Package-visible so the
+    * ≡-kmeansLabels-per-sub-space spec can pin no-drift. */
+  private[graft] def pqAssignments(cells: DataFrame, m: Int, sw: Int,
+      kPq: Int, iters: Int): DataFrame = {
+    val pts = persistCorpus((0 until m).map { mi =>
+      cells.select(col("vec_id"), lit(mi).as("m"),
+        posexplode(slice(col("v"), mi * sw + 1, sw)))
+    }.reduce(_.unionByName(_)).toDF("vec_id", "m", "dim", "v"))
+    val seedIds = cells.select(col("vec_id")).orderBy("vec_id").limit(kPq)
+    def assign(c: DataFrame): DataFrame =
+      pts.join(broadcast(c), Seq("m", "dim"))
+        .groupBy(col("vec_id"), col("m"), col("cid"))
+        .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist2"), col("cid"))).as("w"))
+        .select(col("vec_id"), col("m"), col("w.cid").as("cid"),
+          col("w.dist2").as("dist2"))
+    var cent = pts.join(broadcast(seedIds), "vec_id")
+      .select(col("m"), col("vec_id").as("cid"), col("dim"), col("v").as("c"))
+      .cache()
+    for (_ <- 1 to iters) {
+      val next = pts
+        .join(assign(cent).select("vec_id", "m", "cid"), Seq("vec_id", "m"))
+        .groupBy("m", "cid", "dim")
+        .agg((dsum(col("v")) / count(lit(1))).as("c"))
+        .cache()
+      next.count() // materialize before releasing the parent iteration
+      cent.unpersist(blocking = false)
+      cent = next
+    }
+    assign(cent)
+  }
+
+  def ivfPqAnn(s: SparkSession, d: String, m: Int = 4, kPq: Int = 16,
+      shortlist: Int = 64, pqIters: Int = 2, dim: Int = 64): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    require(dim % m == 0, s"dim $dim must split into $m sub-vectors")
+    val sw = dim / m
+    val (cells, _) = ivfCells(s, d)
+    // ——— PQ codebooks: the d59 Lloyd kernel with an added sub-space
+    // key — all m codebooks train in ONE chain (sub-spaces are
+    // independent, so keying every join/aggregate by `m` computes the
+    // same per-sub-space answers as m separate kmeansLabels runs —
+    // LlmOpsSpec pins the equivalence — at ¼ the job count)
+    val codes = pqAssignments(cells, m, sw, kPq, pqIters)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    // codebook reconstruction vectors in long form (m, code, pos, c):
+    // decimal-exact means, so ADC inputs are engine-deterministic
+    val subLong = (0 until m).map { mi =>
+      cells.select(col("vec_id"), lit(mi).as("m"),
+        posexplode(slice(col("v"), mi * sw + 1, sw)))
+    }.reduce(_.unionByName(_)).toDF("vec_id", "m", "pos", "x")
+    val cb = subLong.join(codes, Seq("vec_id", "m"))
+      .groupBy("m", "code", "pos")
+      .agg((dsum(col("x")) / count(lit(1))).as("c"))
+    val cnorm = cb.groupBy("m", "code").agg(dsum(col("c") * col("c")).as("cn"))
+    // ——— queries and the ADC lookup table ———
+    val queries = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("qcid"))
+    val qLong = queries.select(col("qid"), posexplode(col("qv")))
+      .select(col("qid"), (col("pos") / sw).cast("int").as("m"),
+        pmod(col("pos"), lit(sw)).as("pos"), col("col").as("qx"))
+    val lut = qLong.join(cb, Seq("m", "pos"))
+      .groupBy("qid", "m", "code").agg(dsum(col("qx") * col("c")).as("dot"))
+    // ——— probe the query's cell, rank candidates from CODES only ———
+    val adc = queries.select(col("qid"), col("qcid"))
+      .join(cells.select(col("vec_id"), col("cid")),
+        col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .join(broadcast(cnorm), Seq("m", "code"))
+      .groupBy("qid", "vec_id")
+      // the m per-sub-space contributions sum as exact decimals (dsum),
+      // so the ADC score is order-independent — a deterministic cut
+      .agg(dsum(col("dot")).as("adot"), dsum(col("cn")).as("acn"))
+      .select(col("qid"), col("vec_id"),
+        (col("adot") / sqrt(col("acn"))).as("adc"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    // ——— exact re-rank over the shortlist (shortlist × queries rows) ———
+    short
+      .join(cells.select(col("vec_id"), col("v")), "vec_id")
+      .join(queries.select(col("qid"), col("qv")), "qid")
       .select(col("qid"), col("vec_id").as("nid"),
         round4(cosine(col("qv"), col("v"))).as("sim"))
       .groupBy("qid")

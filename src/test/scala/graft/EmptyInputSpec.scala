@@ -48,6 +48,8 @@ class EmptyInputSpec extends SparkSpec {
       "embedNearDup" -> (EmbeddingOps.embedNearDup _),
       "annLsh" -> (EmbeddingOps.annLsh _),
       "ivfAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.ivfAnn(s, d)),
+      // d73: empty cells → empty codebooks/codes → no queries, no rows
+      "ivfPqAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.ivfPqAnn(s, d)),
       "tfidf" -> (QualityOps.tfidf _),
       "textStats" -> (QualityOps.textStats _),
       "langProfile" -> (QualityOps.langProfile _),

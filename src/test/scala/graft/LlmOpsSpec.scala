@@ -924,6 +924,85 @@ class LlmOpsSpec extends SparkSpec {
     assert(r1 === 1.0, "fixture fact the d06b oracle relies on (re-check if embeddings change)")
   }
 
+  test("d73 IVF-PQ ≡ brute-force NN at every available sf (the oracle precondition)") {
+    // the d73 oracle is the global brute NN; it holds iff every query's
+    // true NN survives BOTH the cell probe and the ADC shortlist cut at
+    // the registry parameters (shortlist=64). Pin it at every sf so a
+    // future fixture change fails HERE with a named cause, not as an
+    // opaque driver hash mismatch. (At sf0.01 the cut needs ≥ 33: query
+    // 5's true NN sits past ADC rank 32 — shortlist 32 loses it.)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(dd => new java.io.File(s"$dd/embeddings.parquet").exists)
+      .foreach { dd =>
+        val got = EmbeddingOps.ivfPqAnn(spark, dd)
+          .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+        spark.sharedState.cacheManager.clearCache()
+        val ivf = EmbeddingOps.ivfAnn(spark, dd)
+          .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+        spark.sharedState.cacheManager.clearCache()
+        // ivfAnn is itself pinned ≡ brute NN above (r1 == 1.0), so
+        // equality here chains to the brute-force answer
+        assert(got.toSeq === ivf.toSeq,
+          s"$dd: IVF-PQ's exact re-rank lost the true NN — the ADC " +
+            "shortlist no longer covers it; raise `shortlist` or the " +
+            "codebook size (d73 oracle precondition)")
+      }
+  }
+
+  test("d73 joint m-keyed PQ training ≡ per-sub-space kmeansLabels (no-drift)") {
+    // pqAssignments is the d59 kernel with an added sub-space key; the
+    // m sub-spaces are independent, so slicing out one m must reproduce
+    // kmeansLabels on that sub-vector table exactly — codes AND decimal
+    // distances.
+    val (cells, _) = EmbeddingOps.ivfCells(spark, Sf)
+    val joint = EmbeddingOps.pqAssignments(cells, 4, 16, 16, 2)
+      .select("vec_id", "m", "cid", "dist2")
+      .as[(Long, Int, Long, java.math.BigDecimal)].collect()
+      .groupBy(_._2)
+    spark.sharedState.cacheManager.clearCache()
+    for (mi <- 0 until 4) {
+      val sub = cells.select(col("vec_id"),
+        slice(col("v"), mi * 16 + 1, 16).as("embedding"))
+      val solo = EmbeddingOps.kmeansLabels(sub, 16, 2)
+        .select("vec_id", "cid", "dist2")
+        .as[(Long, Long, java.math.BigDecimal)].collect()
+        .map(r => (r._1, r._2, r._3)).sortBy(_._1).toSeq
+      spark.sharedState.cacheManager.clearCache()
+      val got = joint(mi).map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq
+      assert(got === solo, s"sub-space $mi drifted from kmeansLabels")
+    }
+  }
+
+  test("d73 shortlist recall is monotone and reported sims are true cosines") {
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // a deliberately starved shortlist: structurally top-4 ⊆ top-64, so
+    // the exact-re-rank answer's sim can only improve with the budget
+    val small = EmbeddingOps.ivfPqAnn(spark, Sf, shortlist = 4)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    spark.sharedState.cacheManager.clearCache()
+    val full = EmbeddingOps.ivfPqAnn(spark, Sf)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    spark.sharedState.cacheManager.clearCache()
+    assert(small.keySet === full.keySet)
+    small.foreach { case (q, (_, simSmall)) =>
+      assert(full(q)._2 >= simSmall,
+        s"query $q: widening the shortlist worsened the answer")
+    }
+    // every reported similarity is the true cosine of the named pair
+    (small ++ full).foreach { case (q, (n, sim)) =>
+      assert(q != n)
+      assert(math.abs(cos(vecs(q), vecs(n)) - sim) < 1e-3, s"pair ($q,$n)")
+    }
+  }
+
   test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
     val rows = SamplingOps.seqPacking(spark, Sf)
       .select("doc_id", "shard", "n_tokens", "start_off", "first_bin", "last_bin")
