@@ -264,6 +264,7 @@ object SparkEntry {
     "f19_atomic_publish" -> (Sources.atomicPublish _),
     // runtime bloom-filter join: dim keys prune the fact pre-shuffle
     "f20_runtime_bloom_join" -> (Sources.runtimeBloomJoin _),
+    "f21_optimistic_publish" -> (Sources.optimisticPublish _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1495,6 +1496,30 @@ object SparkEntry {
          |  UNION ALL SELECT 3, (SELECT count(*) FROM v3),
          |    (SELECT ${dsum("c_acctbal")} FROM v3))
          |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(n_rows AS BIGINT) AS n_rows, bal_sum
+         |FROM m ORDER BY version""".stripMargin,
+    "f21_optimistic_publish" ->
+      // the race's three versions re-derived as SEQUENTIAL merges: v1 =
+      // snapshot, v2 = bucket-2 +100 updates (publisher A, base 1), v3 =
+      // v2 minus bucket-7 deletes (publisher B's RETRIED merge, base 2 —
+      // so it must still contain A's updates; a lost update hashes
+      // wrong). base_version literals mirror the lineage markers the
+      // Spark side reads back from disk.
+      s"""WITH v2 AS (SELECT c_custkey,
+         |    CASE WHEN c_custkey % 10 = 2 THEN c_acctbal + 100.0
+         |         ELSE c_acctbal END AS c_acctbal
+         |  FROM customer),
+         |m AS (
+         |  SELECT 1 AS version, 0 AS base_version,
+         |    (SELECT count(*) FROM customer) AS n_rows,
+         |    (SELECT ${dsum("c_acctbal")} FROM customer) AS bal_sum
+         |  UNION ALL SELECT 2, 1, (SELECT count(*) FROM v2),
+         |    (SELECT ${dsum("c_acctbal")} FROM v2)
+         |  UNION ALL SELECT 3, 2,
+         |    (SELECT count(*) FROM v2 WHERE c_custkey % 10 <> 7),
+         |    (SELECT ${dsum("c_acctbal")} FROM v2 WHERE c_custkey % 10 <> 7))
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(base_version AS BIGINT) AS base_version,
          |  CAST(n_rows AS BIGINT) AS n_rows, bal_sum
          |FROM m ORDER BY version""".stripMargin,
     // d44: integer weight numerators ⇒ exact sums; the logit is one IEEE

@@ -927,6 +927,165 @@ object Sources {
       .orderBy("check_name")
   }
 
+  // ———— f21: optimistic concurrency for WAP publishers ————
+
+  private val publishLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def publishLockFor(b: String): Object =
+    publishLocks.getOrElseUpdate(b, new Object)
+
+  /** Snapshot read for an optimistic publisher: (current version id,
+    * current table) — version 0 / an empty `schema`-typed frame when
+    * nothing has published yet. The version is the publisher's BASE:
+    * its later promote succeeds only if the table is still there. */
+  private[graft] def readForUpdate(s: SparkSession, base: String,
+      schema: org.apache.spark.sql.types.StructType): (Int, DataFrame) = {
+    val pub = new java.io.File(s"$base/published")
+    if (pub.exists) (currentVersion(base), s.read.parquet(pub.toString))
+    else (0, s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  /** Stage `derived` and promote it IFF the table's version still equals
+    * `baseVersion` — the optimistic-concurrency CAS the WAP ladder was
+    * missing: a publisher whose base advanced mid-derivation is REJECTED
+    * (returns false; its staging is discarded) instead of clobbering the
+    * concurrent winner's rows. The check-and-promote critical section is
+    * a per-base JVM lock (single-writer-process semantics — a production
+    * catalog runs the same compare-and-swap on its table pointer;
+    * Iceberg/Delta commit protocols are exactly this shape). A promoted
+    * version carries its lineage as an atomic `_base_v<n>` marker staged
+    * BEFORE the rename (the s16 marker discipline), so the version
+    * graph is reconstructable from disk alone. Audit (null/dup keys)
+    * runs before the lock — stale work never holds it. */
+  private[graft] def promoteOptimistic(s: SparkSession, base: String,
+      name: String, derived: DataFrame, baseVersion: Int,
+      keyCols: Seq[String]): Boolean =
+    casPromote(base,
+      stageOptimistic(s, base, name, derived, keyCols), baseVersion)
+
+  /** Stage half: write + audit `derived` under `staging_<name>` and
+    * return the dir. MATERIALIZES the derived plan — a publisher's work
+    * must be on disk before any competitor's promote renames the base
+    * version's files out from under its lazy scan. */
+  private[graft] def stageOptimistic(s: SparkSession, base: String,
+      name: String, derived: DataFrame, keyCols: Seq[String]): String = {
+    val dir = s"$base/staging_$name"
+    derived.write.mode("overwrite").parquet(dir)
+    val staged = s.read.parquet(dir)
+    val n = staged.count()
+    val nNull = staged.filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
+    val nDup = n - staged.select(keyCols.map(col): _*).distinct().count()
+    require(nNull == 0L && nDup == 0L,
+      s"optimistic publish audit failed for $name: nulls=$nNull dups=$nDup")
+    dir
+  }
+
+  /** CAS half: promote an already-staged dir IFF the version still
+    * equals `baseVersion`; a stale base discards the staging and
+    * returns false. */
+  private[graft] def casPromote(base: String, stagingDir: String,
+      baseVersion: Int): Boolean = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val dir = new java.io.File(stagingDir)
+    publishLockFor(base).synchronized {
+      if (currentVersion(base) != baseVersion) {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        false
+      } else {
+        new java.io.File(dir, s"_base_v$baseVersion").createNewFile(): Unit
+        val published = new java.io.File(s"$base/published")
+        if (published.exists)
+          NioFiles.move(published.toPath,
+            new java.io.File(s"$base/v${archivedVersions(base).lastOption.getOrElse(0) + 1}").toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+        NioFiles.move(dir.toPath, published.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    }
+  }
+
+  /** Bounded-retry optimistic MERGE publisher: read the current
+    * (version, table), merge `feed` into it, stage, CAS-promote; a
+    * stale base re-derives from the NEW current — the loser's retried
+    * merge therefore INCLUDES the winner's rows (no lost update).
+    * Returns the number of attempts the promote took. */
+  private[graft] def optimisticMerge(s: SparkSession, base: String,
+      name: String, feed: DataFrame, key: String,
+      maxRetries: Int = 5): Int = {
+    val payload = org.apache.spark.sql.types.StructType(
+      feed.schema.filterNot(_.name == "op"))
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"optimistic publish for $name still stale after $maxRetries attempts")
+      val (bv, cur) = readForUpdate(s, base, payload)
+      done = promoteOptimistic(s, base, name,
+        mergeUpsertOver(cur, feed, key).drop("action"), bv, Seq(key))
+    }
+    attempt
+  }
+
+  /** Read back the `_base_v<n>` lineage marker a promoted version
+    * carries (underscore-prefixed — invisible to parquet readers). */
+  private[graft] def baseVersionOf(base: String, version: Int): Int = {
+    val dir =
+      if (version == currentVersion(base)) s"$base/published"
+      else s"$base/v$version"
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty[String])
+      .collectFirst { case f if f.matches("_base_v\\d+") => f.drop(7).toInt }
+      .getOrElse(sys.error(s"no lineage marker in $dir"))
+  }
+
+  /** f21 — the registry instance: a deterministic two-publisher RACE on
+    * one customer table. Publisher B reads the v1 snapshot and derives
+    * its delete-merge; publisher A publishes its update-merge first
+    * (v2, base 1); B's promote is REJECTED (stale base — the require
+    * makes a silent clobber fail the whole query), B retries from v2
+    * and lands v3 (base 2) containing BOTH feeds' effects. Output: every
+    * version re-read from DISK with its lineage marker — (version,
+    * base_version, n_rows, exact-decimal balance sum); the oracle
+    * recomputes v1/v2/v3 as sequential merges, so a lost update (v3
+    * missing A's +100s) hashes wrong. */
+  def optimisticPublish(s: SparkSession, d: String): DataFrame = {
+    import graft.Canon.dsum
+    val cust = Tables.customer(s, d)
+    val snapshot = cust
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("op", lit("upsert"))
+    val feedA = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+    val feedB = cust.filter(pmod(col("c_custkey"), lit(10L)) === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    val base = java.nio.file.Files.createTempDirectory("graft-occ").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    val payload = org.apache.spark.sql.types.StructType(
+      snapshot.schema.filterNot(_.name == "op"))
+    optimisticMerge(s, base.toString, "init", snapshot, "c_custkey") // v1
+    // the race: B reads v1 and STAGES its merge first (work on disk —
+    // a real racer's staging precedes the competitor's promote), A
+    // publishes, then B's CAS must reject the stale staging
+    val (bvB, curB) = readForUpdate(s, base.toString, payload)
+    val stagedB = stageOptimistic(s, base.toString, "pubB",
+      mergeUpsertOver(curB, feedB, "c_custkey").drop("action"), Seq("c_custkey"))
+    optimisticMerge(s, base.toString, "pubA", feedA, "c_custkey") // v2
+    require(!casPromote(base.toString, stagedB, bvB),
+      "optimistic publish ACCEPTED a stale base — lost update")
+    require(optimisticMerge(s, base.toString, "pubB", feedB, "c_custkey") == 1,
+      "retry from the advanced version should promote first try")
+    (1 to 3).map { v =>
+      readAsOf(s, base.toString, v)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("bal_sum"))
+        .select(lit(v.toLong).as("version"),
+          lit(baseVersionOf(base.toString, v).toLong).as("base_version"),
+          col("n_rows"), col("bal_sum"))
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
   /** f20 — RUNTIME BLOOM-FILTER JOIN (InjectRuntimeFilter — the DPP
     * analog for DATA columns): when a fact⋈dim join keys on a column
     * that is NOT the partition key, f18's partition pruning is blind —

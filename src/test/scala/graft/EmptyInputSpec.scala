@@ -119,6 +119,11 @@ class EmptyInputSpec extends SparkSpec {
     DedupOps.tombstonePurge(spark, emptyDir).collect().foreach { r =>
       assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
     }
+    // f21 on an empty corpus: the race protocol still runs — three
+    // zero-row versions publish with intact lineage, nothing throws
+    val occ = operators.Sources.optimisticPublish(spark, emptyDir).collect()
+    assert(occ.length === 3)
+    occ.foreach { r => assert(r.getLong(2) === 0L && r.isNullAt(3)) }
   }
 
   test("multimodal and streaming batch operators yield zero rows on empty input") {

@@ -279,6 +279,59 @@ class StorageSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === bSnap)
   }
 
+  test("f21 race: one publisher wins, the stale loser is rejected and its retry includes the winner's rows") {
+    import operators.Sources
+    val base = s"$wh/occ"
+    val cust = Tables.customer(spark, Sf)
+    val snapshot = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("op", lit("upsert"))
+    val payload = org.apache.spark.sql.types.StructType(
+      snapshot.schema.filterNot(_.name == "op"))
+    assert(Sources.optimisticMerge(spark, base, "init", snapshot, "c_custkey") === 1)
+    assert(Sources.baseVersionOf(base, 1) === 0)
+    // B stages against v1; A promotes v2 first
+    val feedA = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+    val feedB = cust.filter(pmod(col("c_custkey"), lit(10L)) === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    val (bvB, curB) = Sources.readForUpdate(spark, base, payload)
+    val stagedB = Sources.stageOptimistic(spark, base, "pubB",
+      Sources.mergeUpsertOver(curB, feedB, "c_custkey").drop("action"),
+      Seq("c_custkey"))
+    assert(Sources.optimisticMerge(spark, base, "pubA", feedA, "c_custkey") === 1)
+    val v2Snap = spark.read.parquet(s"$base/published")
+      .collect().map(_.toString).sorted.toSeq
+    // the CAS rejects the stale staging: no clobber, staging discarded
+    assert(!Sources.casPromote(base, stagedB, bvB),
+      "stale base was accepted — lost update")
+    assert(spark.read.parquet(s"$base/published")
+      .collect().map(_.toString).sorted.toSeq === v2Snap,
+      "rejected promote must leave the winner's table byte-identical")
+    assert(!new java.io.File(stagedB).exists, "stale staging not discarded")
+    // the retried merge re-derives from v2 — A's +100 updates survive
+    assert(Sources.optimisticMerge(spark, base, "pubB", feedB, "c_custkey") === 1)
+    assert(Sources.currentVersion(base) === 3)
+    assert((1 to 3).map(Sources.baseVersionOf(base, _)) === Seq(0, 1, 2))
+    val v3 = spark.read.parquet(s"$base/published")
+    assert(v3.filter(pmod(col("c_custkey"), lit(10L)) === 7).count() === 0L,
+      "B's deletes missing from the final version")
+    val bumped = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + 100.0).as("want")).as[(Long, Double)].collect().toMap
+    val got = v3.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)].collect().toMap
+    assert(got === bumped, "the WINNER's updates were lost in the retried merge")
+    // retry exhaustion: the bounded loop must fail loudly, never spin —
+    // exercised via the real require at maxRetries = 0
+    val ex = intercept[IllegalArgumentException] {
+      Sources.optimisticMerge(spark, base, "loser", feedA, "c_custkey",
+        maxRetries = 0)
+    }
+    assert(ex.getMessage.contains("still stale"))
+  }
+
   test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {
     val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_partkey")
     operators.Sources.zorderWrite(li, "l_orderkey", "l_partkey", s"$wh/z", 8)
