@@ -228,6 +228,7 @@ object SparkEntry {
     "s15_stream_stream_full" -> (Streaming.streamFullJoin _),
     // versioned lakehouse sink: foreachBatch → MERGE → retained WAP versions
     "s16_versioned_sink" -> (Streaming.versionedFeed _),
+    "s17_pair_maintenance" -> (Streaming.pairMaintFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
     // snapshot reconciliation: added/removed/changed + per-column counts
@@ -761,6 +762,13 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY norm ORDER BY keep_id""".stripMargin,
     "d02_ngram_jaccard" ->
+      s"""WITH $pairsCtes
+         |SELECT i, j, jac FROM pairs ORDER BY i, j""".stripMargin,
+    "s17_pair_maintenance" ->
+      // d02's one-shot derivation over the WHOLE corpus: three-batch
+      // incremental maintenance must converge to exactly the batch
+      // publish (set-equality precondition spec-pinned per sf — the
+      // union-so-far's df cap can only be LOOSER than the final one)
       s"""WITH $pairsCtes
          |SELECT i, j, jac FROM pairs ORDER BY i, j""".stripMargin,
     "d03_minhash_lsh" ->

@@ -103,8 +103,22 @@ object PairGraph {
     *      affects recall only, never a value.
     */
 
+  /** Delta-restricted pair derivation for incremental maintenance
+    * (s17): pairs of the FULL corpus `docs` whose candidate generation
+    * is restricted to pairs TOUCHING a probe doc — exactly the
+    * "probe the shingle index with the delta" shape a streaming dedup
+    * runs. df/cap and sizes come from the full corpus, the bound and
+    * exact verify are unchanged, so the output is EXACTLY
+    * `jaccardPairsOver(full).filter(i ∈ probe ∨ j ∈ probe)`
+    * (PairStoreSpec pins the identity); candidate volume is
+    * Δ-proportional. */
+  private[graft] def deltaPairs(docs: DataFrame, probeIds: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardPairsOver(LlmOps.docShinglesOver(docs), threshold, MaxShingleDf,
+      probe = Some(probeIds))
+
   private[graft] def jaccardPairsOver(shingles: DataFrame, threshold: Double,
-      maxShingleDf: Long): DataFrame = {
+      maxShingleDf: Long, probe: Option[DataFrame] = None): DataFrame = {
     val sh = persistCorpus(shingles)
     // the zipf head: shingles in more than maxShingleDf documents (df
     // counts docs because sh is distinct per doc). TINY at any corpus
@@ -121,14 +135,26 @@ object PairGraph {
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
     // corpus-sized (all rare shingles + sizes): honor the persist knob,
-    // not a memory-first cache
-    val shSized = persistCorpus(shFlag.filter(col("is_hot").isNull).drop("is_hot")
-      .join(sizes, "doc_id"))
+    // not a memory-first cache. With a probe, each shingle row carries
+    // an is_new flag so candidate generation can demand the pair TOUCH
+    // the delta (probe = None leaves the plan byte-identical — the
+    // `&& true` folds away).
+    val shSizedBase = shFlag.filter(col("is_hot").isNull).drop("is_hot")
+      .join(sizes, "doc_id")
+    val shSized = persistCorpus(probe.fold(shSizedBase)(p =>
+      shSizedBase.join(
+        p.select(col("doc_id"), lit(1L).as("is_new")).distinct(),
+        Seq("doc_id"), "left")))
+    val probeCond =
+      if (probe.isDefined)
+        col("a.is_new").isNotNull || col("b.is_new").isNotNull
+      else lit(true)
     val commonRare = shSized.as("a")
       .join(shSized.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_sh") * threshold <= col("b.n_sh") &&
-        col("b.n_sh") * threshold <= col("a.n_sh"))
+        col("b.n_sh") * threshold <= col("a.n_sh") &&
+        probeCond)
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("n_cr"),
         first(col("a.n_sh")).as("n_i"), first(col("b.n_sh")).as("n_j"),

@@ -664,6 +664,102 @@ object Streaming {
     }.reduce(_.unionByName(_)).orderBy("version")
   }
 
+  /** s17 — STREAMING pair-store maintenance: the d46 publisher stops
+    * being a daily batch job. Each micro-batch of NEW documents (a) is
+    * merged into the docs store, and (b) probes the union's shingle
+    * index for the pairs it introduces ([[PairGraph.deltaPairs]] — the
+    * full-corpus df/cap with candidate generation restricted to pairs
+    * touching the delta, so candidate volume is Δ-proportional), which
+    * upsert into the published pair store keyed (i, j). Values are
+    * stable by construction (docs are immutable, the exact verify reads
+    * full shingle sets), so the merge is insert-only dedup.
+    *
+    * Crash discipline (the s16 ladder, two tables): PAIRS promotes
+    * first, then DOCS, each carrying an atomic `_batch_<id>` staged
+    * marker; every recomputation is a pure function of
+    * dedup(docs-store ∪ batch), so a redelivery after ANY crash point
+    * recomputes identical work and per-table markers skip the halves
+    * already promoted — no duplicate versions, no torn reads for the
+    * NEXT batch (it sees either pre- or post-batch docs, both of which
+    * reproduce the same union). Failed audit → throw, no marker, the
+    * engine redelivers (the versionedSink contract).
+    *
+    * Scale: per batch ONE union scan builds the shingle stream (the
+    * stand-in for appending to a published shingle index), candidates
+    * and verify are Δ-proportional, the pair merge is output-sized.
+    * StreamingSpec drives a real writeStream through this body; the
+    * registry twin feeds three deterministic batches. */
+  def pairStoreSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    val s = batch.sparkSession
+    val docsBase = s"$base/docs"
+    val pairsBase = s"$base/pairs"
+    def tableDone(tb: String): Boolean =
+      new java.io.File(s"$tb/published/_batch_$batchId").exists
+    def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
+    if (tableDone(docsBase) && tableDone(pairsBase)) { doneAll(); return }
+    def readOr(tb: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val pub = new java.io.File(s"$tb/published")
+      if (pub.exists) s.read.parquet(pub.toString)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    def publish(tb: String, df: DataFrame, keyCols: Seq[String]): Unit = {
+      val audit = Sources.writeAuditPublishStaged(s, df, df.count(), tb,
+        keyCols = keyCols, stagedMarker = Some(s"_batch_$batchId"))
+      val failed = audit.filter(!col("ok"))
+        .select("check_name", "observed").collect()
+      if (failed.nonEmpty)
+        throw new IllegalStateException(
+          s"pairStoreSink audit failed for batch $batchId at $tb: " +
+            failed.mkString(", "))
+    }
+    // the whole batch effect is a pure function of this union — docs are
+    // immutable, so recomputation after any crash point is identical
+    val union = readOr(docsBase, batch.schema).unionByName(batch)
+      .dropDuplicates("doc_id")
+    if (!tableDone(pairsBase)) {
+      val newPairs = PairGraph.deltaPairs(union,
+        batch.select(col("doc_id")), PairStore.Threshold)
+      val merged = readOr(pairsBase, newPairs.schema)
+        .unionByName(newPairs).dropDuplicates("i", "j")
+      publish(pairsBase, merged, Seq("i", "j"))
+    }
+    // docs promote SECOND: the pairs staging plan reads docs/published —
+    // promoting docs first would rename its files out from under the
+    // lazy scan (and a pairs-done/docs-pending crash state recomputes
+    // the same union either way)
+    if (!tableDone(docsBase)) publish(docsBase, union, Seq("doc_id"))
+    doneAll()
+  }
+
+  /** The s17 registry twin (StreamingSpec drives the same batches
+    * through a real `writeStream.foreachBatch`): the corpus arrives as
+    * three batches — the `doc_id % 10 < 8` "existing corpus" (the d30
+    * convention), then the 8-bucket and 9-bucket deltas — and the
+    * output is the final published pair store re-read from DISK. The
+    * oracle is d02's one-shot pair derivation over the WHOLE corpus:
+    * incremental maintenance must converge to exactly the batch
+    * publish. (The df cap is computed over the union-so-far, which can
+    * only have FEWER hot shingles than the final corpus — so the
+    * incremental store is a superset in general; PairStoreSpec pins
+    * set-equality on every sf, the d73-style oracle precondition.) */
+  def pairMaintFeed(s: SparkSession, d: String): DataFrame = {
+    import graft.Canon.round4
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-pairmaint").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Seq(docs.filter(pmod(col("doc_id"), lit(10L)) < 8),
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 8),
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 9))
+      .zipWithIndex.foreach { case (b, i) =>
+        pairStoreSink(base.toString)(b, i.toLong)
+      }
+    s.read.parquet(s"$base/pairs/published")
+      .select(col("i"), col("j"), round4(col("jac")).as("jac"))
+      .orderBy("i", "j")
+  }
+
   def upsertBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     // the marker/rename protocol below uses local-FS atomic renames; a
     // production deployment on an object store puts a transactional

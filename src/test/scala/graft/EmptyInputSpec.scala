@@ -143,6 +143,8 @@ class EmptyInputSpec extends SparkSpec {
       "runningTotals" -> (Streaming.runningTotalsBatch _),
       "timerSessionsBatch" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Streaming.timerSessionsBatch(s, d)),
       "trendingTopK" -> (Streaming.trendingTopKBatch _),
+      // s17: three empty batches publish empty docs/pairs stores
+      "pairMaintFeed" -> (Streaming.pairMaintFeed _),
       "payloadStats" -> (Multimodal.payloadStats _),
       "rleStats" -> (Multimodal.rleStats _),
       // m09: no docs → no spans → no bins

@@ -78,6 +78,45 @@ class PairStoreSpec extends SparkSpec {
       recomputing(PairGraph.editVerify(spark, Sf).count()))
   }
 
+  test("s17 deltaPairs ≡ full pair relation filtered to pairs touching the probe") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val probe = docs.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+      .select(col("doc_id"))
+    val probeIds = probe.as[Long].collect().toSet
+    val delta = PairGraph.deltaPairs(docs, probe, 0.8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val full = PairGraph.jaccardPairsOver(LlmOps.docShinglesOver(docs), 0.8,
+        PairGraph.MaxShingleDf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(delta === full.filter(p => probeIds(p._1) || probeIds(p._2)))
+    assert(delta.nonEmpty, "vacuous fixture: no pair touches the probe")
+    // and a probe of EVERYTHING degenerates to the full relation
+    val all = PairGraph.deltaPairs(docs, docs.select(col("doc_id")), 0.8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(all === full)
+  }
+
+  test("s17 incremental maintenance converges to the one-shot publish at every sf " +
+    "(oracle precondition)") {
+    // the union-so-far's df cap can only be LOOSER than the final
+    // corpus's (df grows monotonically), so incremental ⊇ batch in
+    // general; the oracle needs set-equality — pin it per sf so a
+    // fixture change fails here with a named cause
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(dd => new java.io.File(s"$dd/documents.parquet").exists)
+      .foreach { dd =>
+        val inc = operators.Streaming.pairMaintFeed(spark, dd)
+          .collect().map(_.toString).toSeq
+        val batch = PairGraph.ngramJaccard(spark, dd)
+          .collect().map(_.toString).toSeq
+        assert(inc === batch,
+          s"$dd: incremental pair store diverged from the one-shot publish " +
+            "— a near-dup pair depends on a late-hot shingle (s17 oracle " +
+            "precondition broken)")
+      }
+  }
+
   test("d69 contrastive triples: positive is the argmax partner, negatives clean and deterministic") {
     import spark.implicits._
     val got = PairStore.contrastivePairs(spark, Sf)

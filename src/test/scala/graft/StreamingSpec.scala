@@ -12,6 +12,9 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   * parquet payload schema: int64 key, string name, double balance). */
 case class Chg(c_custkey: Long, c_name: String, c_acctbal: Double, op: String)
 
+/** A new-document row for the s17 pair-maintenance replay. */
+case class NewDoc(doc_id: Long, text: String)
+
 /** Streaming ≡ batch on bounded input (SURVEY §2.4 E16/E17): each shared
   * transformation is executed once as a real Structured Streaming query
   * over a MemoryStream replay of `events` (multiple micro-batches, append
@@ -507,6 +510,56 @@ class StreamingSpec extends SparkSpec {
       "redelivery after a promote/marker crash minted a duplicate version")
     assert(new java.io.File(s"$base/_applied/7").exists, "side marker backfilled")
     assert(sortedRows(operators.Sources.readAsOf(spark, base, 4)) === afterFix)
+  }
+
+  test("s17: streamed pair maintenance ≡ batch twin ≡ one-shot publish; redelivery and crash markers") {
+    import org.apache.commons.io.FileUtils
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+      .as[NewDoc].collect().toSeq
+    val batches = Seq(docs.filter(_.doc_id % 10 < 8),
+      docs.filter(_.doc_id % 10 == 8), docs.filter(_.doc_id % 10 == 9))
+    val base = java.nio.file.Files.createTempDirectory("graft-s17").toString
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[NewDoc]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.pairStoreSink(base)(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def storePairs(): Seq[String] =
+      spark.read.parquet(s"$base/pairs/published")
+        .select(col("i"), col("j"), graft.Canon.round4(col("jac")).as("jac"))
+        .orderBy("i", "j").collect().map(_.toString).toSeq
+    val streamed = storePairs()
+    // streamed-on-disk ≡ the registry batch twin ≡ the one-shot publish
+    assert(streamed === Streaming.pairMaintFeed(spark, Sf)
+      .collect().map(_.toString).toSeq)
+    assert(streamed === operators.PairGraph.ngramJaccard(spark, Sf)
+      .collect().map(_.toString).toSeq)
+    val docsSnap = spark.read.parquet(s"$base/docs/published")
+      .collect().map(_.toString).sorted.toSeq
+    // redelivered batch id (different data): the marker makes it a no-op
+    Streaming.pairStoreSink(base)(
+      Seq(NewDoc(424242L, "x y z x y z")).toDF(), 2L)
+    assert(storePairs() === streamed && spark.read
+      .parquet(s"$base/docs/published").collect().map(_.toString).sorted.toSeq
+      === docsSnap, "redelivery mutated the store")
+    // crash between the two promotes/side marker: lose the side marker
+    // AND the docs table's batch marker — redelivery must re-publish
+    // only the docs half from the identical recomputed union and must
+    // NOT re-merge pairs
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
+    FileUtils.deleteQuietly(new java.io.File(s"$base/docs/published/_batch_2"))
+    Streaming.pairStoreSink(base)(batches(2).toDF(), 2L)
+    assert(new java.io.File(s"$base/_applied/2").exists, "marker backfilled")
+    assert(storePairs() === streamed)
+    assert(spark.read.parquet(s"$base/docs/published")
+      .collect().map(_.toString).sorted.toSeq === docsSnap,
+      "crash-recovery republish changed the docs table")
   }
 
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
