@@ -475,29 +475,43 @@ object EmbeddingOps {
     * carries `m`, so the m independent per-sub-space k-means run in one
     * chain of jobs. Seeding rule identical (the kPq smallest vec_ids
     * seed every sub-space); distances DECIMAL-exact; returns the final
-    * (vec_id, m, cid, dist2) assignments. Package-visible so the
-    * ≡-kmeansLabels-per-sub-space spec can pin no-drift. */
+    * (vec_id, m, cid, dist2) assignments for EVERY vector.
+    *
+    * `sampleMod` > 1 trains the Lloyd iterations on the deterministic
+    * `vec_id % sampleMod == 0` sample (seeds drawn from the sample) —
+    * the production PQ shape: a codebook is a tiny model, it trains on
+    * a corpus sample and only the final code-assignment pass touches
+    * every vector. sampleMod = 1 is the exact full-corpus chain, and
+    * the ≡-kmeansLabels-per-sub-space spec pins THAT form, so sampling
+    * is a training-set choice, never a kernel fork. */
   private[graft] def pqAssignments(cells: DataFrame, m: Int, sw: Int,
-      kPq: Int, iters: Int): DataFrame = {
+      kPq: Int, iters: Int, sampleMod: Int = 1): DataFrame = {
     val pts = persistCorpus((0 until m).map { mi =>
       cells.select(col("vec_id"), lit(mi).as("m"),
         posexplode(slice(col("v"), mi * sw + 1, sw)))
     }.reduce(_.unionByName(_)).toDF("vec_id", "m", "dim", "v"))
-    val seedIds = cells.select(col("vec_id")).orderBy("vec_id").limit(kPq)
-    def assign(c: DataFrame): DataFrame =
-      pts.join(broadcast(c), Seq("m", "dim"))
+    val trainPts =
+      if (sampleMod <= 1) pts
+      else pts.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+    val seedIds =
+      (if (sampleMod <= 1) cells
+       else cells.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0))
+        .select(col("vec_id")).orderBy("vec_id").limit(kPq)
+    def assign(over: DataFrame, c: DataFrame): DataFrame =
+      over.join(broadcast(c), Seq("m", "dim"))
         .groupBy(col("vec_id"), col("m"), col("cid"))
         .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("dist2"), col("cid"))).as("w"))
         .select(col("vec_id"), col("m"), col("w.cid").as("cid"),
           col("w.dist2").as("dist2"))
-    var cent = pts.join(broadcast(seedIds), "vec_id")
+    var cent = trainPts.join(broadcast(seedIds), "vec_id")
       .select(col("m"), col("vec_id").as("cid"), col("dim"), col("v").as("c"))
       .cache()
     for (_ <- 1 to iters) {
-      val next = pts
-        .join(assign(cent).select("vec_id", "m", "cid"), Seq("vec_id", "m"))
+      val next = trainPts
+        .join(assign(trainPts, cent).select("vec_id", "m", "cid"),
+          Seq("vec_id", "m"))
         .groupBy("m", "cid", "dim")
         .agg((dsum(col("v")) / count(lit(1))).as("c"))
         .cache()
@@ -505,7 +519,7 @@ object EmbeddingOps {
       cent.unpersist(blocking = false)
       cent = next
     }
-    assign(cent)
+    assign(pts, cent) // the one pass that touches every vector
   }
 
   def ivfPqAnn(s: SparkSession, d: String, m: Int = 4, kPq: Int = 16,
@@ -519,6 +533,14 @@ object EmbeddingOps {
     // independent, so keying every join/aggregate by `m` computes the
     // same per-sub-space answers as m separate kmeansLabels runs —
     // LlmOpsSpec pins the equivalence — at ¼ the job count)
+    // the registry instance trains codebooks on the FULL corpus: the
+    // fixture embeddings are near-uniform, so a sample-trained codebook
+    // loses the little ADC signal there is (measured: query 7's true NN
+    // falls past ADC rank 128 at sf0.1 under sampleMod = 4). The
+    // production swap — train on a sample, assign everywhere — is the
+    // pqAssignments sampleMod knob, exact-form spec-pinned; real
+    // embedding distributions have the cluster structure that makes it
+    // safe, and the recall spec is the gate either way.
     val codes = pqAssignments(cells, m, sw, kPq, pqIters)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
     // codebook reconstruction vectors in long form (m, code, pos, c):
