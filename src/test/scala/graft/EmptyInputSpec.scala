@@ -124,6 +124,11 @@ class EmptyInputSpec extends SparkSpec {
     val occ = operators.Sources.optimisticPublish(spark, emptyDir).collect()
     assert(occ.length === 3)
     occ.foreach { r => assert(r.getLong(2) === 0L && r.isNullAt(3)) }
+    // p11 on an empty corpus: the bin SPINE still emits (8 rows), every
+    // Laplace-smoothed term is exactly 0 — empty vs empty is no drift
+    val psi = operators.Profiling.driftPsi(spark, emptyDir).collect()
+    assert(psi.length === 8)
+    psi.foreach { r => assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0) }
   }
 
   test("multimodal and streaming batch operators yield zero rows on empty input") {
