@@ -94,6 +94,7 @@ object SparkEntry {
     "d06_ann_lsh" -> (EmbeddingOps.annLsh _),               // no SQL oracle: bucket recall is probabilistic by design; spec-checked vs brute force
     "d06b_ivf_ann" -> ((s, d) => EmbeddingOps.ivfAnn(s, d)),
     "d73_ivfpq_ann" -> ((s, d) => EmbeddingOps.ivfPqAnn(s, d)),
+    "d74_index_publish" -> (VectorIndexStore.publish _),
     "d07_tfidf" -> (QualityOps.tfidf _),
     "d08_text_stats" -> (QualityOps.textStats _),
     "d09_lang_profile" -> (QualityOps.langProfile _),
@@ -820,6 +821,26 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "d74_index_publish" ->
+      // the WAP manifests over the three index relations, by invariant:
+      // cells partitions the corpus (n), codes is exactly m·n = 4n,
+      // codebook is m·kPq·sw = 1024 (iff no PQ cluster is empty — the
+      // per-sf precondition LlmOpsSpec pins; an empty corpus publishes
+      // three empty tables)
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |rows3 AS (
+        |  SELECT 'cells' AS tbl, cnt AS exp FROM n
+        |  UNION ALL SELECT 'codes', 4 * cnt FROM n
+        |  UNION ALL SELECT 'codebook',
+        |    CASE WHEN cnt = 0 THEN 0 ELSE 1024 END FROM n)
+        |SELECT tbl, check_name, observed, ok FROM (
+        |  SELECT tbl, 'rows_match_expected' AS check_name,
+        |         CAST(exp AS BIGINT) AS observed, true AS ok FROM rows3
+        |  UNION ALL SELECT tbl, 'null_keys', 0, true FROM rows3
+        |  UNION ALL SELECT tbl, 'dup_keys', 0, true FROM rows3
+        |  UNION ALL SELECT tbl, 'published_rows', CAST(exp AS BIGINT), true
+        |  FROM rows3)
+        |ORDER BY tbl, check_name""".stripMargin,
     "d07_tfidf" ->
       s"""WITH $tokCte,
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -522,9 +522,15 @@ object EmbeddingOps {
     assign(pts, cent) // the one pass that touches every vector
   }
 
-  def ivfPqAnn(s: SparkSession, d: String, m: Int = 4, kPq: Int = 16,
-      shortlist: Int = 64, pqIters: Int = 2, dim: Int = 64): DataFrame = {
-    graft.functions.CosineSimilarity.ensureRegistered(s)
+  /** The three PUBLISHED relations of the d73/d74 vector index —
+    * (cells = (vec_id, cid), codes = (vec_id, m, code), codebook =
+    * (m, code, pos, c)): everything a query needs besides the raw
+    * vectors themselves, which stay in the embeddings table (PQ's whole
+    * point is that the INDEX never duplicates them). Training is the
+    * full build [[ivfPqAnn]]'s scaladoc describes. */
+  private[graft] def pqIndexRelations(s: SparkSession, d: String,
+      m: Int = 4, kPq: Int = 16, pqIters: Int = 2,
+      dim: Int = 64): (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into $m sub-vectors")
     val sw = dim / m
     val (cells, _) = ivfCells(s, d)
@@ -533,14 +539,14 @@ object EmbeddingOps {
     // independent, so keying every join/aggregate by `m` computes the
     // same per-sub-space answers as m separate kmeansLabels runs —
     // LlmOpsSpec pins the equivalence — at ¼ the job count)
-    // the registry instance trains codebooks on the FULL corpus: the
-    // fixture embeddings are near-uniform, so a sample-trained codebook
-    // loses the little ADC signal there is (measured: query 7's true NN
-    // falls past ADC rank 128 at sf0.1 under sampleMod = 4). The
-    // production swap — train on a sample, assign everywhere — is the
-    // pqAssignments sampleMod knob, exact-form spec-pinned; real
-    // embedding distributions have the cluster structure that makes it
-    // safe, and the recall spec is the gate either way.
+    // Codebooks train on the FULL corpus here: the fixture embeddings
+    // are near-uniform, so a sample-trained codebook loses the little
+    // ADC signal there is (measured: query 7's true NN falls past ADC
+    // rank 128 at sf0.1 under sampleMod = 4). The production swap —
+    // train on a sample, assign everywhere — is the pqAssignments
+    // sampleMod knob, exact-form spec-pinned; real embedding
+    // distributions have the cluster structure that makes it safe, and
+    // the recall spec is the gate either way.
     val codes = pqAssignments(cells, m, sw, kPq, pqIters)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
     // codebook reconstruction vectors in long form (m, code, pos, c):
@@ -552,9 +558,39 @@ object EmbeddingOps {
     val cb = subLong.join(codes, Seq("vec_id", "m"))
       .groupBy("m", "code", "pos")
       .agg((dsum(col("x")) / count(lit(1))).as("c"))
+    (cells.select(col("vec_id"), col("cid")), codes, cb)
+  }
+
+  def ivfPqAnn(s: SparkSession, d: String, m: Int = 4, kPq: Int = 16,
+      shortlist: Int = 64, pqIters: Int = 2, dim: Int = 64): DataFrame = {
+    // production read path (round 13): the index publishes ONCE per
+    // corpus through the d74 store and every query consumes the
+    // published (cells, codes, codebook) parquet — the d61/d46
+    // composition applied to ANN ("a production index trains once, not
+    // per query"). Off = the self-contained twin; spec pins byte-≡.
+    val defaults = m == 4 && kPq == 16 && pqIters == 2 && dim == 64
+    val (cells, codes, cb) =
+      if (defaults &&
+          s.conf.get("spark.graft.shareVectorIndex", "true").toBoolean)
+        VectorIndexStore.relations(s, d)
+      else pqIndexRelations(s, d, m, kPq, pqIters, dim)
+    ivfPqSearch(s, d, cells, codes, cb, shortlist, dim / m)
+  }
+
+  /** The QUERY half of d73 over explicit index relations: broadcast ADC
+    * lookup table, code-only candidate ranking inside the probed cell,
+    * exact cosine re-rank of the shortlist. Raw vectors are read from
+    * the embeddings table exactly twice — the 10 query rows and the
+    * shortlist fetch — never corpus-wide. */
+  private[graft] def ivfPqSearch(s: SparkSession, d: String,
+      cells: DataFrame, codes: DataFrame, cb: DataFrame,
+      shortlist: Int, sw: Int): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cnorm = cb.groupBy("m", "code").agg(dsum(col("c") * col("c")).as("cn"))
     // ——— queries and the ADC lookup table ———
-    val queries = cells.filter(col("vec_id") < 10)
+    val queries = e.filter(col("vec_id") < 10).join(cells, "vec_id")
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("qcid"))
     val qLong = queries.select(col("qid"), posexplode(col("qv")))
       .select(col("qid"), (col("pos") / sw).cast("int").as("m"),
@@ -563,8 +599,7 @@ object EmbeddingOps {
       .groupBy("qid", "m", "code").agg(dsum(col("qx") * col("c")).as("dot"))
     // ——— probe the query's cell, rank candidates from CODES only ———
     val adc = queries.select(col("qid"), col("qcid"))
-      .join(cells.select(col("vec_id"), col("cid")),
-        col("cid") === col("qcid"))
+      .join(cells, col("cid") === col("qcid"))
       .filter(col("vec_id") =!= col("qid"))
       .join(codes, "vec_id")
       .join(broadcast(lut), Seq("qid", "m", "code"))
@@ -580,9 +615,10 @@ object EmbeddingOps {
     val short = adc.withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= shortlist)
       .select(col("qid"), col("vec_id"))
-    // ——— exact re-rank over the shortlist (shortlist × queries rows) ———
+    // ——— exact re-rank over the shortlist (shortlist × queries rows):
+    // the ONLY corpus-vector fetch beyond the 10 query rows ———
     short
-      .join(cells.select(col("vec_id"), col("v")), "vec_id")
+      .join(e, "vec_id")
       .join(queries.select(col("qid"), col("qv")), "qid")
       .select(col("qid"), col("vec_id").as("nid"),
         round4(cosine(col("qv"), col("v"))).as("sim"))

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** d74 — the MATERIALIZED vector index: the d61/d46 store composition
+  * applied to ANN. A production index trains once per corpus snapshot —
+  * the d73 build (IVF cells + PQ codebooks + code words) is the
+  * expensive half, the query is cheap — so the publisher job WAP-
+  * publishes THREE relations per corpus and every search consumes the
+  * published parquet:
+  *
+  *   - `cells`    (vec_id, cid)        — the inverted file,
+  *   - `codes`    (vec_id, m, code)    — m one-byte-domain code words
+  *                                       per vector (the PQ compression),
+  *   - `codebook` (m, code, pos, c)    — the reconstruction vectors.
+  *
+  * Raw vectors are deliberately NOT in the store (PQ's point is that
+  * the index never duplicates them); a query fetches them from the
+  * embeddings table only for its own rows and the exact-re-rank
+  * shortlist. Each table promotes through the f09 write/audit/promote
+  * gate under a per-corpus lock; `spark.graft.shareVectorIndex` (off =
+  * re-derive per query) is the same knob discipline as
+  * sharePairStore/shareKmeansLabels, with byte-identity spec-pinned.
+  * At 100 TB the three tables live bucketed (cells/codes on vec_id,
+  * codebook broadcast-sized) under a transactional catalog commit; the
+  * composition is unchanged. */
+object VectorIndexStore {
+  private lazy val root: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-vindexstore").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(p)
+    p.toString
+  }
+  private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(d: String): Object = locks.getOrElseUpdate(d, new Object)
+
+  // collision-resistant key: a 32-bit hashCode collision between two
+  // corpus dirs in one JVM would silently serve one corpus the other's
+  // index — md5 of the full path can't collide in practice
+  private def baseFor(d: String): String =
+    s"$root/${org.apache.commons.codec.digest.DigestUtils.md5Hex(d)}"
+
+  private val Tables3 = Seq(
+    ("cells", Seq("vec_id")),
+    ("codes", Seq("vec_id", "m")),
+    ("codebook", Seq("m", "code", "pos")))
+
+  /** d74 — the publisher job: run the full d73 index build, WAP-publish
+    * all three relations, return the unioned audit manifests (tbl,
+    * check_name, observed, ok). Row-count invariants the oracle rides
+    * on: cells is a PARTITION of the corpus (n rows), codes is exactly
+    * m·n (every vector gets m code words), codebook is m·kPq·sw = 1024
+    * rows — the last one holds iff no PQ cluster is empty, a fixture
+    * property LlmOpsSpec pins per sf (the d73 precondition style). */
+  def publish(s: SparkSession, d: String): DataFrame = lockFor(d).synchronized {
+    val (cells, codes, cb) = EmbeddingOps.pqIndexRelations(s, d)
+    val rels = Map("cells" -> cells, "codes" -> codes, "codebook" -> cb)
+    val manifests = Tables3.map { case (name, keyCols) =>
+      val df = rels(name)
+      Sources.writeAuditPublishStaged(s, df, df.count(),
+        s"${baseFor(d)}/$name", keyCols = keyCols)
+        .select(lit(name).as("tbl"), col("check_name"), col("observed"),
+          col("ok"))
+    }
+    val manifest = manifests.reduce(_.unionByName(_))
+    val allOk = manifest.filter(col("check_name") === "published_rows")
+      .agg(min(col("ok"))).head().getBoolean(0)
+    if (allOk) built(d) = baseFor(d)
+    manifest.orderBy("tbl", "check_name")
+  }
+
+  /** Read-side accessor: publish-if-absent, then three plain parquet
+    * scans — column pruning reaches each relation independently. */
+  private[graft] def relations(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = built.getOrElse(d, lockFor(d).synchronized {
+      built.getOrElse(d, {
+        publish(s, d)
+        built.getOrElse(d, throw new IllegalStateException(
+          s"vector-index publish for $d failed its WAP audit — no tables"))
+      })
+    })
+    (s.read.parquet(s"$base/cells/published"),
+      s.read.parquet(s"$base/codes/published"),
+      s.read.parquet(s"$base/codebook/published"))
+  }
+}

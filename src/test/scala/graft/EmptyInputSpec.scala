@@ -129,6 +129,11 @@ class EmptyInputSpec extends SparkSpec {
     val psi = operators.Profiling.driftPsi(spark, emptyDir).collect()
     assert(psi.length === 8)
     psi.foreach { r => assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0) }
+    // d74 on an empty corpus: three zero-row tables publish with green
+    // audits (12 manifest rows, every observed 0, every ok true)
+    val idx = operators.VectorIndexStore.publish(spark, emptyDir).collect()
+    assert(idx.length === 12)
+    idx.foreach { r => assert(r.getLong(2) === 0L && r.getBoolean(3)) }
   }
 
   test("multimodal and streaming batch operators yield zero rows on empty input") {

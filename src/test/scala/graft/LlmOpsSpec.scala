@@ -973,6 +973,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d74 store-fed d73 ≡ self-contained rebuild; manifests green; no empty PQ cluster per sf") {
+    // the shareVectorIndex knob: store-fed (default) and re-derived
+    // results must be byte-identical — the sharePairStore discipline
+    val fed = EmbeddingOps.ivfPqAnn(spark, Sf).collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.shareVectorIndex", "false")
+    val solo =
+      try EmbeddingOps.ivfPqAnn(spark, Sf).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.shareVectorIndex", "true")
+    assert(fed === solo)
+    // publisher manifests: every audit row ok, row counts match the
+    // oracle's invariants (n / 4n / 1024)
+    val n = Tables.embeddings(spark, Sf).count()
+    val man = operators.VectorIndexStore.publish(spark, Sf)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(man.forall(_._4), s"audit failures: ${man.filterNot(_._4)}")
+    val pub = man.filter(_._2 == "published_rows").map(r => r._1 -> r._3).toMap
+    assert(pub === Map("cells" -> n, "codes" -> 4 * n, "codebook" -> 1024L))
+    // the 1024 invariant = no PQ cluster empties — pin it per sf so a
+    // fixture change fails HERE, not as a driver hash mismatch
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(dd => new java.io.File(s"$dd/embeddings.parquet").exists)
+      .foreach { dd =>
+        val (cells, codes, _) = operators.VectorIndexStore.relations(spark, dd)
+        assert(codes.select("m", "code").distinct().count() === 64L,
+          s"$dd: a PQ cluster emptied — the d74 codebook row invariant (1024) broke")
+        assert(cells.count() === spark.read
+          .parquet(s"$dd/embeddings.parquet").count(), s"$dd cells partition")
+      }
+  }
+
   test("d73 shortlist recall is monotone and reported sims are true cosines") {
     val e = Tables.embeddings(spark, Sf)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
