@@ -230,6 +230,7 @@ object SparkEntry {
     // versioned lakehouse sink: foreachBatch → MERGE → retained WAP versions
     "s16_versioned_sink" -> (Streaming.versionedFeed _),
     "s17_pair_maintenance" -> (Streaming.pairMaintFeed _),
+    "s18_label_maintenance" -> (Streaming.labelMaintFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
     // snapshot reconciliation: added/removed/changed + per-column counts
@@ -773,6 +774,16 @@ object SparkEntry {
       // union-so-far's df cap can only be LOOSER than the final one)
       s"""WITH $pairsCtes
          |SELECT i, j, jac FROM pairs ORDER BY i, j""".stripMargin,
+    "s18_label_maintenance" -> {
+      // the d59 Lloyd chain TRAINED on the reference slice (the frozen
+      // centroids), final assignment over every vector — incremental
+      // maintenance IS the frozen-centroid assignment, so equality is
+      // structural, not a fixture accident
+      val (ctes, fin) = kmeansCtesOver(Some("vec_id % 10 < 8"))
+      s"""WITH $ctes
+         |SELECT vec_id, cid, CAST(dist2 AS DOUBLE) AS dist2
+         |FROM $fin ORDER BY vec_id""".stripMargin
+    },
     "d03_minhash_lsh" ->
       // Same oracle as d02: the banded-MinHash candidates are verified
       // with EXACT Jaccard before emission, so the output contract is
@@ -3520,32 +3531,45 @@ object SparkEntry {
     * `a{iters+1}(vec_id, cid, dist2)` — shared by d59 (per-cluster
     * rollup) and d60 (within-cluster pair verify). Returns (ctes,
     * finalAssignName). */
-  private def kmeansCtes: (String, String) = {
+  private def kmeansCtes: (String, String) = kmeansCtesOver(None)
+
+  /** The d59 Lloyd CTE chain, optionally TRAINED on a vec_id slice
+    * (`trainWhere`) while the FINAL assignment covers every vector —
+    * the s18 frozen-centroid shape. With no filter the emitted SQL is
+    * byte-identical to the original d59 chain (no extra CTE), so the
+    * d59/d60/d63/d64 oracles are untouched. */
+  private def kmeansCtesOver(trainWhere: Option[String]): (String, String) = {
     val k = operators.EmbeddingOps.KmeansK
     val iters = operators.EmbeddingOps.KmeansIters
-    def assignCtes(i: Int, cIn: String) =
+    val src = if (trainWhere.isDefined) "et" else "e"
+    def as_e(rel: String) = if (rel == "e") "e" else s"$rel e"
+    def assignCtes(i: Int, cIn: String, over: String) =
       s"""d$i AS (SELECT e.vec_id, c.cid,
          |    SUM(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(30,6))) AS dist2
-         |  FROM e JOIN $cIn c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
+         |  FROM ${as_e(over)} JOIN $cIn c ON e.dim = c.dim GROUP BY e.vec_id, c.cid),
          |a$i AS (SELECT vec_id, cid, dist2 FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY dist2, cid) AS rn FROM d$i) WHERE rn = 1)""".stripMargin
     def updateCte(i: Int) =
       s"""c$i AS (SELECT a.cid, e.dim,
          |    CAST(SUM(CAST(e.v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS c
-         |  FROM e JOIN a$i a ON e.vec_id = a.vec_id GROUP BY a.cid, e.dim)""".stripMargin
+         |  FROM ${as_e(src)} JOIN a$i a ON e.vec_id = a.vec_id GROUP BY a.cid, e.dim)""".stripMargin
     val loop = (1 to iters).map(i =>
-      assignCtes(i, s"c${i - 1}") + ",\n" + updateCte(i)).mkString(",\n")
+      assignCtes(i, s"c${i - 1}", src) + ",\n" + updateCte(i)).mkString(",\n")
     val fin = iters + 1
+    val etCte = trainWhere
+      .map(w => s"\net AS (SELECT * FROM e WHERE $w),")
+      .getOrElse("")
+    val seedWhere = trainWhere.map(w => s"WHERE $w ").getOrElse("")
     (s"""e AS (SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, dim, v AS c FROM e
+        |  FROM embeddings),$etCte
+        |c0 AS (SELECT vec_id AS cid, dim, v AS c FROM $src
         |  WHERE vec_id IN
-        |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+        |    (SELECT vec_id FROM embeddings ${seedWhere}ORDER BY vec_id LIMIT $k)),
         |$loop,
-        |${assignCtes(fin, s"c$iters")}""".stripMargin, s"a$fin")
+        |${assignCtes(fin, s"c$iters", "e")}""".stripMargin, s"a$fin")
   }
 
   /** d63's oracle: the d59 chain's final assignment + the d56

@@ -99,6 +99,32 @@ object EmbeddingOps {
   private[graft] def kmeansLabels(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val pts = persistCorpus(emb.select(col("vec_id"),
       posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"))
+    assignOver(pts, lloydCentroids(emb, pts, k, iters))
+  }
+
+  /** Assignment of an exploded (vec_id, dim, v) point set to a
+    * broadcast (cid, dim, c) centroid table — the one shared kernel
+    * behind [[kmeansLabels]]' final pass AND the s18 incremental
+    * maintenance (new vectors against FROZEN centroids). */
+  private[graft] def assignOver(pts: DataFrame, c: DataFrame): DataFrame =
+    pts.join(broadcast(c), "dim")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("cid"))).as("w"))
+      .select(col("vec_id"), col("w.cid").as("cid"), col("w.dist2").as("dist2"))
+
+  /** [[assignOver]] from a raw (vec_id, embedding) frame — the s18
+    * read path for a new micro-batch. */
+  private[graft] def assignEmbeddings(emb: DataFrame, c: DataFrame): DataFrame =
+    assignOver(emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"), c)
+
+  /** The Lloyd-refined centroid table (cid, dim, c) behind
+    * [[kmeansLabels]], split out so s18 can train ONCE on the reference
+    * slice and freeze. `pts` is the already-exploded form of `emb`. */
+  private[graft] def lloydCentroids(emb: DataFrame, pts: DataFrame,
+      k: Int, iters: Int): DataFrame = {
     // seeding: smallest-vec_id seeds by default — arbitrary but
     // oracle-mirrorable (the DuckDB CTEs pin the same k ids). The
     // quality swap is `spark.graft.kmeansPlusPlus` (off by default so
@@ -115,19 +141,12 @@ object EmbeddingOps {
     val seedIds =
       if (plusPlus) farthestPointSeeds(emb, pts, k)
       else emb.select(col("vec_id")).orderBy("vec_id").limit(k)
-    def assign(c: DataFrame): DataFrame =
-      pts.join(broadcast(c), "dim")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cid"))).as("w"))
-        .select(col("vec_id"), col("w.cid").as("cid"), col("w.dist2").as("dist2"))
     var cent = pts.join(broadcast(seedIds), "vec_id")
       .select(col("vec_id").as("cid"), col("dim"), col("v").as("c"))
       .cache()
     for (_ <- 1 to iters) {
       val next = pts
-        .join(assign(cent).select("vec_id", "cid"), "vec_id")
+        .join(assignOver(pts, cent).select("vec_id", "cid"), "vec_id")
         .groupBy("cid", "dim")
         .agg((dsum(col("v")) / count(lit(1))).as("c"))
         .cache()
@@ -135,7 +154,7 @@ object EmbeddingOps {
       cent.unpersist(blocking = false)
       cent = next
     }
-    assign(cent)
+    cent
   }
 
   /** Greedy farthest-point seed selection (the deterministic k-means++

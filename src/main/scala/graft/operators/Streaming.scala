@@ -760,6 +760,102 @@ object Streaming {
       .orderBy("i", "j")
   }
 
+  /** s18 — STREAMING label-store maintenance: the d61 publisher's
+    * incremental twin. The production clustering cadence is
+    * retrain-rarely / assign-daily: the FIRST batch (the reference
+    * corpus) trains the d59 Lloyd centroids and publishes them as a
+    * frozen table; every later batch of new vectors is ASSIGNED to the
+    * frozen centroids ([[EmbeddingOps.assignEmbeddings]] — one
+    * broadcast join + the decimal argmin aggregate, O(Δ·k·dim), no
+    * retraining) and upserted into the label store keyed vec_id.
+    * Labels are stable by construction (vectors immutable, centroids
+    * frozen), so the merge is insert-only dedup.
+    *
+    * Crash discipline is [[pairStoreSink]]'s verbatim: labels promote
+    * first, then centroids (batch 0 only — later batches find the
+    * centroid table already complete), each with the atomic
+    * `_batch_<id>` staged marker; the batch effect is a pure function
+    * of (frozen centroids, batch), so redelivery after any crash point
+    * recomputes identical work. Batch 0's two tables both derive from
+    * the in-memory batch, not from each other's published paths, so the
+    * promote order carries no read-after-rename hazard; labels-first
+    * keeps the s17 symmetry.
+    *
+    * Scale: per delta one broadcast of the k·dim centroid table against
+    * the batch's exploded points — the cheapest possible admission of
+    * new vectors into a clustered corpus; the full retrain remains the
+    * d61 weekly job. */
+  def labelMaintSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    val s = batch.sparkSession
+    val centBase = s"$base/centroids"
+    val labBase = s"$base/labels"
+    def tableDone(tb: String): Boolean =
+      new java.io.File(s"$tb/published/_batch_$batchId").exists
+    def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
+    def publish(tb: String, df: DataFrame, keyCols: Seq[String]): Unit = {
+      val audit = Sources.writeAuditPublishStaged(s, df, df.count(), tb,
+        keyCols = keyCols, stagedMarker = Some(s"_batch_$batchId"))
+      val failed = audit.filter(!col("ok"))
+        .select("check_name", "observed").collect()
+      if (failed.nonEmpty)
+        throw new IllegalStateException(
+          s"labelMaintSink audit failed for batch $batchId at $tb: " +
+            failed.mkString(", "))
+    }
+    val centPublished = new java.io.File(s"$centBase/published")
+    val isTraining = !centPublished.exists || tableDone(centBase)
+    // frozen centroids: train them from THIS batch iff none exist yet
+    // (the reference-corpus batch), else read the published table
+    val cent =
+      if (centPublished.exists) s.read.parquet(centPublished.toString)
+      else {
+        val pts = batch.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")))
+          .toDF("vec_id", "dim", "v")
+        EmbeddingOps.lloydCentroids(batch, pts,
+          EmbeddingOps.KmeansK, EmbeddingOps.KmeansIters)
+      }
+    if (!tableDone(labBase)) {
+      val labels = EmbeddingOps.assignEmbeddings(batch, cent)
+      val target =
+        if (new java.io.File(s"$labBase/published").exists)
+          s.read.parquet(s"$labBase/published")
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], labels.schema)
+      publish(labBase,
+        target.unionByName(labels).dropDuplicates("vec_id"), Seq("vec_id"))
+    }
+    if (isTraining && !tableDone(centBase))
+      publish(centBase, cent, Seq("cid", "dim"))
+    doneAll()
+  }
+
+  /** The s18 registry twin: the embeddings corpus arrives as the
+    * `vec_id % 10 < 8` reference batch (trains + freezes the
+    * centroids), then the 8- and 9-bucket deltas (assign-only). Output
+    * = the final label store re-read from DISK, per vector. Oracle: the
+    * d59 Lloyd CTE chain TRAINED ON THE SLICE with the final assignment
+    * over the whole corpus — incremental maintenance is definitionally
+    * the frozen-centroid assignment, so equality is structural, not a
+    * fixture accident. */
+  def labelMaintFeed(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft-labmaint").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Seq(emb.filter(pmod(col("vec_id"), lit(10L)) < 8),
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 8),
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 9))
+      .zipWithIndex.foreach { case (b, i) =>
+        labelMaintSink(base.toString)(b, i.toLong)
+      }
+    s.read.parquet(s"$base/labels/published")
+      .select(col("vec_id"), col("cid"),
+        col("dist2").cast("double").as("dist2"))
+      .orderBy("vec_id")
+  }
+
   def upsertBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     // the marker/rename protocol below uses local-FS atomic renames; a
     // production deployment on an object store puts a transactional

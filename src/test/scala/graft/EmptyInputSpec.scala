@@ -155,6 +155,8 @@ class EmptyInputSpec extends SparkSpec {
       "trendingTopK" -> (Streaming.trendingTopKBatch _),
       // s17: three empty batches publish empty docs/pairs stores
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
+      // s18: empty reference batch → empty centroids/labels stores
+      "labelMaintFeed" -> (Streaming.labelMaintFeed _),
       "payloadStats" -> (Multimodal.payloadStats _),
       "rleStats" -> (Multimodal.rleStats _),
       // m09: no docs → no spans → no bins

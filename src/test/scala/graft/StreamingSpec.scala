@@ -15,6 +15,9 @@ case class Chg(c_custkey: Long, c_name: String, c_acctbal: Double, op: String)
 /** A new-document row for the s17 pair-maintenance replay. */
 case class NewDoc(doc_id: Long, text: String)
 
+/** A new-vector row for the s18 label-maintenance replay. */
+case class NewVec(vec_id: Long, embedding: Seq[Float])
+
 /** Streaming ≡ batch on bounded input (SURVEY §2.4 E16/E17): each shared
   * transformation is executed once as a real Structured Streaming query
   * over a MemoryStream replay of `events` (multiple micro-batches, append
@@ -560,6 +563,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/docs/published")
       .collect().map(_.toString).sorted.toSeq === docsSnap,
       "crash-recovery republish changed the docs table")
+  }
+
+  test("s18: streamed label maintenance ≡ batch twin; deltas never move reference labels; crash markers") {
+    import org.apache.commons.io.FileUtils
+    val vecs = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+      .as[NewVec].collect().toSeq
+    val batches = Seq(vecs.filter(_.vec_id % 10 < 8),
+      vecs.filter(_.vec_id % 10 == 8), vecs.filter(_.vec_id % 10 == 9))
+    val base = java.nio.file.Files.createTempDirectory("graft-s18").toString
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[NewVec]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.labelMaintSink(base)(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def store(): Seq[(Long, Long)] =
+      spark.read.parquet(s"$base/labels/published")
+        .select("vec_id", "cid").as[(Long, Long)].collect().toSeq.sorted
+    val streamed = store()
+    // streamed-on-disk ≡ the registry batch twin
+    assert(streamed === Streaming.labelMaintFeed(spark, Sf)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toSeq.sorted)
+    // frozen centroids: the deltas must not have MOVED any reference
+    // label — assignment against the published centroids is idempotent
+    val centroids = spark.read.parquet(s"$base/centroids/published")
+    val ref = batches.head.toDF().select(col("vec_id"), col("embedding"))
+    val refLabels = operators.EmbeddingOps.assignEmbeddings(ref, centroids)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed.filter(v => v._1 % 10 < 8) === refLabels)
+    // redelivered batch id (different data): marker makes it a no-op
+    Streaming.labelMaintSink(base)(
+      Seq(NewVec(424242L, Seq.fill(64)(0.5f))).toDF(), 1L)
+    assert(store() === streamed, "redelivery mutated the label store")
+    // crash between the labels promote and the side marker: redelivery
+    // must skip the promoted half and backfill, never re-merge
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
+    Streaming.labelMaintSink(base)(batches(2).toDF(), 2L)
+    assert(new java.io.File(s"$base/_applied/2").exists)
+    assert(store() === streamed)
   }
 
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
