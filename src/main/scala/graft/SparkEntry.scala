@@ -240,7 +240,6 @@ object SparkEntry {
     "p09_fd_profile" -> (Profiling.fdProfile _),
     // per-group Pearson r + OLS line from exact decimal power sums
     "p10_regression_profile" -> (Profiling.regressionProfile _),
-    "p11_drift_psi" -> ((s, d) => Profiling.driftPsi(s, d)),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
@@ -1623,36 +1622,6 @@ object SparkEntry {
          |    THEN ${round4("(sy * sxx - sx * sxy) / (n * sxx - sx * sx)")}
          |    END AS intercept
          |FROM a ORDER BY flag""".stripMargin,
-    "p11_drift_psi" ->
-      // fixed-width integer bins + generated spine; each bin's ln
-      // argument is one ratio of exact integer products, the term
-      // expression is mirrored textually, terms decimal-canonicalized
-      // pre-sum (the d34 pattern), psi round4 at the edge
-      s"""WITH n AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-         |  FROM documents),
-         |b AS (SELECT LEAST(nt // 32, 7) AS bin,
-         |        CASE WHEN doc_id % 10 < 8 THEN 'ref' ELSE 'cur' END AS side
-         |      FROM n),
-         |c AS (SELECT bin,
-         |        CAST(count(*) FILTER (side = 'ref') AS BIGINT) AS ref_n,
-         |        CAST(count(*) FILTER (side = 'cur') AS BIGINT) AS cur_n
-         |      FROM b GROUP BY bin),
-         |g AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS bin),
-         |f AS (SELECT g.bin, COALESCE(ref_n, 0) AS ref_n,
-         |        COALESCE(cur_n, 0) AS cur_n
-         |      FROM g LEFT JOIN c USING (bin)),
-         |t AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS nr,
-         |        CAST(SUM(cur_n) AS BIGINT) AS nc FROM f),
-         |terms AS (SELECT bin, ref_n, cur_n,
-         |    ((cur_n + 1)::DOUBLE / (nc + 8) - (ref_n + 1)::DOUBLE / (nr + 8))
-         |      * ln(((cur_n + 1) * (nr + 8))::DOUBLE
-         |           / ((ref_n + 1) * (nc + 8))) AS t
-         |  FROM f, t),
-         |p AS (SELECT ${round4("CAST(SUM(CAST(t AS DECIMAL(30,6))) AS DOUBLE)")} AS psi
-         |      FROM terms)
-         |SELECT bin, ref_n, cur_n, ${round4("t")} AS term, psi
-         |FROM terms, p ORDER BY bin""".stripMargin,
     "p09_fd_profile" ->
       // key rules: violations = rows − distinct; FD rules: LHS groups
       // with >1 distinct RHS. All integer counts.

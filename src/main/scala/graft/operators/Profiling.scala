@@ -679,68 +679,4 @@ object Profiling {
           .as("intercept"))
       .orderBy("flag")
   }
-
-  /** p11 — DISTRIBUTION-DRIFT monitor (population stability index):
-    * the check a continuously-fed training corpus runs before admitting
-    * a new crawl — has the token-length distribution of the incoming
-    * slice drifted from the reference corpus? PSI =
-    * Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref) with Laplace-smoothed
-    * proportions (count+1)/(n+B), so empty bins are defined and
-    * PSI = 0 exactly iff the binned counts agree proportionally.
-    * Convention: < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted.
-    *
-    * Bins are FIXED-WIDTH integer buckets (token_count div 32, capped
-    * at 7) — deterministic cross-engine, never quantile edges (which
-    * would re-introduce the e40 interpolation hazard) — and a generated
-    * 0..7 spine keeps absent bins present on both sides. Numeric
-    * discipline (the d34 pattern): each bin's ln argument is ONE ratio
-    * of exact integer products, the term is a fixed IEEE expression
-    * mirrored textually by the oracle, terms are DECIMAL-canonicalized
-    * pre-sum (order-independent), and the scalar is round4 at the edge.
-    *
-    * Fixture: reference = `doc_id % 10 < 8` (yesterday's corpus),
-    * current = the 8/9-bucket slice (today's crawl — the d30/s17
-    * convention). Scale: one corpus scan into an 8-row × 2-side count
-    * aggregate; everything after is spine-sized. */
-  def driftPsi(s: SparkSession, d: String, binWidth: Int = 32,
-      nBins: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("nt"))
-    driftPsiOver(
-      docs.filter(pmod(col("doc_id"), lit(10L)) < 8).select(col("nt")),
-      docs.filter(pmod(col("doc_id"), lit(10L)) >= 8).select(col("nt")),
-      binWidth, nBins)
-  }
-
-  /** [[driftPsi]] over explicit reference / current (nt) value frames —
-    * package-visible for the planted identical-/shifted-distribution
-    * specs. */
-  private[graft] def driftPsiOver(ref: DataFrame, cur: DataFrame,
-      binWidth: Int, nBins: Int): DataFrame = {
-    val s = ref.sparkSession
-    def binned(df: DataFrame, side: String): DataFrame =
-      df.select(least(col("nt") / binWidth, lit(nBins - 1)).cast("long").as("bin"),
-        lit(side).as("side"))
-    val counts = binned(ref, "ref").unionByName(binned(cur, "cur"))
-      .groupBy("bin")
-      .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_n"),
-        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("cur_n"))
-    val spine = s.range(0, nBins).select(col("id").as("bin"))
-    val f = spine.join(counts, Seq("bin"), "left")
-      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
-        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-    val tot = f.agg(sum(col("ref_n")).as("nr"), sum(col("cur_n")).as("nc"))
-    val b = lit(nBins.toLong)
-    val term =
-      ((col("cur_n") + 1).cast("double") / (col("nc") + b) -
-        (col("ref_n") + 1).cast("double") / (col("nr") + b)) *
-      log(((col("cur_n") + 1) * (col("nr") + b)).cast("double") /
-        ((col("ref_n") + 1) * (col("nc") + b)))
-    val terms = f.crossJoin(broadcast(tot)).withColumn("t", term)
-    val psi = terms.agg(round4(dsum(col("t"))).as("psi"))
-    terms
-      .select(col("bin"), col("ref_n"), col("cur_n"), round4(col("t")).as("term"))
-      .crossJoin(broadcast(psi))
-      .orderBy("bin")
-  }
 }

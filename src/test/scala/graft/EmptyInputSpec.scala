@@ -124,11 +124,6 @@ class EmptyInputSpec extends SparkSpec {
     val occ = operators.Sources.optimisticPublish(spark, emptyDir).collect()
     assert(occ.length === 3)
     occ.foreach { r => assert(r.getLong(2) === 0L && r.isNullAt(3)) }
-    // p11 on an empty corpus: the bin SPINE still emits (8 rows), every
-    // Laplace-smoothed term is exactly 0 — empty vs empty is no drift
-    val psi = operators.Profiling.driftPsi(spark, emptyDir).collect()
-    assert(psi.length === 8)
-    psi.foreach { r => assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0) }
     // d74 on an empty corpus: three zero-row tables publish with green
     // audits (12 manifest rows, every observed 0, every ok true)
     val idx = operators.VectorIndexStore.publish(spark, emptyDir).collect()

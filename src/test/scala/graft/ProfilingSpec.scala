@@ -364,47 +364,4 @@ class ProfilingSpec extends SparkSpec {
       assert(r == 0.0 || r * slope > 0, s"group $f r/slope signs disagree")
     }
   }
-
-  test("p11 PSI: zero on identical distributions, symmetric, fires on a planted shift") {
-    import org.apache.spark.sql.functions._
-    def vals(xs: Seq[Long]) = xs.toDF("nt")
-    // identical binned counts ⇒ every term exactly 0 and psi = 0.0
-    // (triangular histogram: bin b holds (b+1)·10 values, so a SHIFT
-    // below genuinely changes per-bin counts — a uniform histogram
-    // would be shift-invariant and the drift check vacuous)
-    val a = vals((0 until 8).flatMap(b => Seq.fill((b + 1) * 10)(b * 32L + 5)))
-    val same = Profiling.driftPsiOver(a, a, 32, 8)
-      .select("bin", "term", "psi").as[(Long, Double, Double)].collect()
-    assert(same.length === 8)
-    same.foreach { case (b, t, p) =>
-      assert(t === 0.0 && p === 0.0, s"bin $b not exactly zero on identity")
-    }
-    // a hard shift (everything moves up two bins) must read as DRIFTED
-    // by the standard 0.25 convention
-    val shifted = vals((0 until 8).flatMap(b =>
-      Seq.fill((b + 1) * 10)(((b + 2) % 8) * 32L + 5)))
-    val psiShift = Profiling.driftPsiOver(a, shifted, 32, 8)
-      .select("psi").as[Double].head()
-    assert(psiShift > 0.25, s"hard two-bin shift under-read: $psiShift")
-    // PSI is symmetric: (p−q)·ln(p/q) negates BOTH factors under swap
-    val psiSwap = Profiling.driftPsiOver(shifted, a, 32, 8)
-      .select("psi").as[Double].head()
-    assert(psiSwap === psiShift)
-    // empty bins are Laplace-defined, never NaN/±inf
-    val sparse = Profiling.driftPsiOver(vals(Seq(5L)), vals(Seq(250L)), 32, 8)
-      .select("term", "psi").as[(Double, Double)].collect()
-    assert(sparse.forall { case (t, p) => !t.isNaN && !t.isInfinite && !p.isNaN })
-  }
-
-  test("p11 on the corpus: spine complete, counts conserve, terms sum to psi") {
-    val rows = Profiling.driftPsi(spark, Sf)
-      .as[(Long, Long, Long, Double, Double)].collect().toSeq
-    assert(rows.map(_._1) === (0L until 8L))
-    val docs = Tables.documents(spark, Sf).count()
-    assert(rows.map(r => r._2 + r._3).sum === docs, "binned counts must conserve")
-    assert(rows.map(_._5).distinct.size === 1, "psi is one scalar")
-    // the reported per-bin terms are the psi's own addends (round4'd
-    // independently, so allow the rounding slack)
-    assert(math.abs(rows.map(_._4).sum - rows.head._5) < 8 * 5e-5 + 1e-9)
-  }
 }
