@@ -966,7 +966,10 @@ object Sources {
   /** Stage half: write + audit `derived` under `staging_<name>` and
     * return the dir. MATERIALIZES the derived plan — a publisher's work
     * must be on disk before any competitor's promote renames the base
-    * version's files out from under its lazy scan. */
+    * version's files out from under its lazy scan. `name` must be
+    * unique per concurrent publisher (it is the staging path): two
+    * racers sharing a name would overwrite each other's staging — give
+    * each job its own name, as the registry race does. */
   private[graft] def stageOptimistic(s: SparkSession, base: String,
       name: String, derived: DataFrame, keyCols: Seq[String]): String = {
     val dir = s"$base/staging_$name"

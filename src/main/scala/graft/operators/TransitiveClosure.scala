@@ -135,9 +135,10 @@ object TransitiveClosure {
     * weight in the seeding aggregate. */
   def minCostClosureDoubling(roots: DataFrame, wEdges: DataFrame,
       maxRounds: Int = 40): DataFrame = {
-    require(wEdges.filter(col("w") < 0).isEmpty,
-      "minCostClosureDoubling requires non-negative edge weights — " +
-        "a negative-weight cycle has no min-cost fixpoint")
+    require(wEdges.filter(col("w") < 0 || col("w").isNull).isEmpty,
+      "minCostClosureDoubling requires non-negative, non-null edge " +
+        "weights — a negative-weight cycle has no min-cost fixpoint, and " +
+        "a null weight would silently null every path through its edge")
     // fixpoint probe: (pair count, Σd). r ⊆ next pairwise with
     // d_next ≤ d_r, so equal count means no pair added and equal sum
     // then forces pointwise-equal distances — one scalar aggregate per
