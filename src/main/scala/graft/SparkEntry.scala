@@ -833,14 +833,14 @@ object SparkEntry {
          |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
     "d74_index_publish" ->
       // the WAP manifests over the three index relations, by invariant:
-      // cells partitions the corpus (n), codes is exactly m·n = 4n,
-      // codebook is m·kPq·sw = 1024 (iff no PQ cluster is empty — the
-      // per-sf precondition LlmOpsSpec pins; an empty corpus publishes
-      // three empty tables)
+      // cells partitions the corpus (n), the PACKED code table is one
+      // array row per vector (n), codebook is m·kPq·sw = 1024 (iff no
+      // PQ cluster is empty — the per-sf precondition LlmOpsSpec pins;
+      // an empty corpus publishes three empty tables)
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
         |rows3 AS (
         |  SELECT 'cells' AS tbl, cnt AS exp FROM n
-        |  UNION ALL SELECT 'codes', 4 * cnt FROM n
+        |  UNION ALL SELECT 'codes', cnt FROM n
         |  UNION ALL SELECT 'codebook',
         |    CASE WHEN cnt = 0 THEN 0 ELSE 1024 END FROM n)
         |SELECT tbl, check_name, observed, ok FROM (

@@ -43,19 +43,29 @@ object VectorIndexStore {
 
   private val Tables3 = Seq(
     ("cells", Seq("vec_id")),
-    ("codes", Seq("vec_id", "m")),
+    ("codes", Seq("vec_id")),
     ("codebook", Seq("m", "code", "pos")))
 
   /** d74 — the publisher job: run the full d73 index build, WAP-publish
     * all three relations, return the unioned audit manifests (tbl,
-    * check_name, observed, ok). Row-count invariants the oracle rides
-    * on: cells is a PARTITION of the corpus (n rows), codes is exactly
-    * m·n (every vector gets m code words), codebook is m·kPq·sw = 1024
-    * rows — the last one holds iff no PQ cluster is empty, a fixture
-    * property LlmOpsSpec pins per sf (the d73 precondition style). */
+    * check_name, observed, ok). The code table is stored PACKED — one
+    * row per vector with its m code words as an m-position array
+    * (position = sub-space), which is the m-codes-per-vector layout the
+    * 100 TB story claims (a production table narrows the element type
+    * to one byte after a dense code remap; the fixture's seed-id codes
+    * are already 0..kPq−1); [[relations]] unpacks with one posexplode.
+    * Row-count invariants the oracle rides on: cells is a PARTITION of
+    * the corpus (n rows), packed codes is n rows, codebook is
+    * m·kPq·sw = 1024 rows — the last holds iff no PQ cluster is empty,
+    * a fixture property LlmOpsSpec pins per sf (the d73 precondition
+    * style). */
   def publish(s: SparkSession, d: String): DataFrame = lockFor(d).synchronized {
     val (cells, codes, cb) = EmbeddingOps.pqIndexRelations(s, d)
-    val rels = Map("cells" -> cells, "codes" -> codes, "codebook" -> cb)
+    // pack: array position = sub-space index (sorted struct collect)
+    val packed = codes.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val rels = Map("cells" -> cells, "codes" -> packed, "codebook" -> cb)
     val manifests = Tables3.map { case (name, keyCols) =>
       val df = rels(name)
       Sources.writeAuditPublishStaged(s, df, df.count(),
@@ -71,7 +81,9 @@ object VectorIndexStore {
   }
 
   /** Read-side accessor: publish-if-absent, then three plain parquet
-    * scans — column pruning reaches each relation independently. */
+    * scans — column pruning reaches each relation independently; the
+    * packed code array unpacks with one posexplode back to the
+    * (vec_id, m, code) shape the search joins on. */
   private[graft] def relations(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val base = built.getOrElse(d, lockFor(d).synchronized {
       built.getOrElse(d, {
@@ -80,8 +92,10 @@ object VectorIndexStore {
           s"vector-index publish for $d failed its WAP audit — no tables"))
       })
     })
-    (s.read.parquet(s"$base/cells/published"),
-      s.read.parquet(s"$base/codes/published"),
+    val codes = s.read.parquet(s"$base/codes/published")
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "m", "code")
+    (s.read.parquet(s"$base/cells/published"), codes,
       s.read.parquet(s"$base/codebook/published"))
   }
 }

@@ -983,13 +983,13 @@ class LlmOpsSpec extends SparkSpec {
       finally spark.conf.set("spark.graft.shareVectorIndex", "true")
     assert(fed === solo)
     // publisher manifests: every audit row ok, row counts match the
-    // oracle's invariants (n / 4n / 1024)
+    // oracle's invariants (n / n packed / 1024)
     val n = Tables.embeddings(spark, Sf).count()
     val man = operators.VectorIndexStore.publish(spark, Sf)
       .as[(String, String, Long, Boolean)].collect().toSeq
     assert(man.forall(_._4), s"audit failures: ${man.filterNot(_._4)}")
     val pub = man.filter(_._2 == "published_rows").map(r => r._1 -> r._3).toMap
-    assert(pub === Map("cells" -> n, "codes" -> 4 * n, "codebook" -> 1024L))
+    assert(pub === Map("cells" -> n, "codes" -> n, "codebook" -> 1024L))
     // the 1024 invariant = no PQ cluster empties — pin it per sf so a
     // fixture change fails HERE, not as a driver hash mismatch
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
