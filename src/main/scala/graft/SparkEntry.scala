@@ -268,6 +268,7 @@ object SparkEntry {
     // runtime bloom-filter join: dim keys prune the fact pre-shuffle
     "f20_runtime_bloom_join" -> (Sources.runtimeBloomJoin _),
     "f21_optimistic_publish" -> (Sources.optimisticPublish _),
+    "f22_atomic_cas_publish" -> (Sources.atomicCasFeed _),
     // ordered conversion funnel (view → click-after → purchase-after)
     "e32_funnel" -> (Relational.funnel _),
     // time-weighted average per user (irregular-sampling TWAP)
@@ -1562,6 +1563,28 @@ object SparkEntry {
          |  CAST(base_version AS BIGINT) AS base_version,
          |  CAST(n_rows AS BIGINT) AS n_rows, bal_sum
          |FROM m ORDER BY version""".stripMargin,
+    "f22_atomic_cas_publish" -> {
+      // the race's three versions per table as slice rollups: v1 =
+      // buckets 0–7, v2 = 0–8 (publisher A), v3 = all (publisher B's
+      // RETRIED bucket-9 merge over v2 — so a torn snapshot or a lost
+      // update in EITHER table hashes wrong); base lineage 0/1/2
+      val vers = Seq((1, "doc_id % 10 < 8"), (2, "doc_id % 10 < 9"),
+        (3, "true"))
+      val rows = Seq("by_lang" -> "lang", "by_source" -> "source").flatMap {
+        case (tbl, k) => vers.map { case (v, w) =>
+          s"""  SELECT '$tbl' AS tbl, $v AS version, ${v - 1} AS base_version,
+             |    (SELECT count(DISTINCT $k) FROM documents WHERE $w) AS n_groups,
+             |    (SELECT count(*) FROM documents WHERE $w) AS total_n""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT tbl, CAST(version AS BIGINT) AS version,
+         |  CAST(base_version AS BIGINT) AS base_version,
+         |  CAST(n_groups AS BIGINT) AS n_groups,
+         |  CAST(total_n AS BIGINT) AS total_n
+         |FROM (
+         |$rows)
+         |ORDER BY tbl, version""".stripMargin
+    },
     // d44: integer weight numerators ⇒ exact sums; the logit is one IEEE
     // division of engine-identical integers — no rounding.
     "d44_quality_classifier" ->

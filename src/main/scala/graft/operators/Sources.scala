@@ -1042,6 +1042,135 @@ object Sources {
       .getOrElse(sys.error(s"no lineage marker in $dir"))
   }
 
+  /** f22 — MULTI-TABLE optimistic CAS publish: f19's all-or-nothing
+    * snapshot × f21's compare-and-swap, the full transactional-catalog
+    * commit shape. A publisher stages EVERY table of its snapshot
+    * (audited, work on disk), then under ONE commit lock checks that
+    * EVERY table's version still equals the base it read: any advanced
+    * table rejects the WHOLE commit (all stagings discarded — a
+    * half-stale snapshot must not half-promote), otherwise all tables
+    * promote with lineage markers and the f19 mid-promote rollback.
+    * Returns true iff the snapshot committed. */
+  private[graft] def atomicCasPublish(base: String,
+      staged: Seq[(String, String)], baseVersions: Map[String, Int],
+      // test-only fault injection: throw just before promoting the named
+      // table, so StorageSpec can pin the mid-commit rollback
+      crashBeforePromoteOf: Option[String] = None): Boolean = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    publishLockFor(base).synchronized {
+      val stale = staged.exists { case (name, _) =>
+        currentVersion(s"$base/$name") != baseVersions(name)
+      }
+      if (stale) {
+        staged.foreach { case (_, dir) =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        }
+        false
+      } else {
+        val done = scala.collection.mutable.ArrayBuffer.empty[String]
+        try staged.foreach { case (name, dir) =>
+          if (crashBeforePromoteOf.contains(name))
+            throw new IllegalStateException(s"injected commit crash at $name")
+          val tb = s"$base/$name"
+          new java.io.File(dir, s"_base_v${baseVersions(name)}")
+            .createNewFile(): Unit
+          val published = new java.io.File(s"$tb/published")
+          if (published.exists)
+            NioFiles.move(published.toPath,
+              new java.io.File(s"$tb/v${archivedVersions(tb).lastOption.getOrElse(0) + 1}").toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+          NioFiles.move(new java.io.File(dir).toPath, published.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          done += name
+        } catch { case e: Throwable =>
+          // f19's rollback: un-promote what landed, restore the archived
+          // version — a crash mid-commit must not leave a torn snapshot
+          done.foreach { name =>
+            val tb = s"$base/$name"
+            val published = new java.io.File(s"$tb/published")
+            val arch = archivedVersions(tb).lastOption
+              .map(v => new java.io.File(s"$tb/v$v"))
+            if (published.exists)
+              NioFiles.move(published.toPath,
+                new java.io.File(s"$tb/staging_rolledback").toPath,
+                StandardCopyOption.ATOMIC_MOVE)
+            arch.filter(_.exists).foreach(a =>
+              NioFiles.move(a.toPath, published.toPath,
+                StandardCopyOption.ATOMIC_MOVE))
+          }
+          throw e
+        }
+        true
+      }
+    }
+  }
+
+  /** f22 registry instance — a deterministic two-publisher race on a
+    * TWO-table snapshot (the per-lang and per-source document rollups):
+    * publisher B reads both tables at v1 and stages its bucket-9 merge;
+    * publisher A replaces both with the bucket-8-inclusive rollups
+    * (v2); B's whole-snapshot CAS is REJECTED atomically (neither table
+    * advances, both stagings discarded), B re-derives from v2 and lands
+    * v3 = the full corpus — both publishers' effects present in BOTH
+    * tables. Output: per (tbl, version) the lineage base and the
+    * exact group-count/total re-read from DISK; the oracle recomputes
+    * the three versions as slice rollups, so a torn snapshot (one
+    * table at v3 semantics, the other missing A's rows) hashes wrong. */
+  def atomicCasFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def rollups(pred: Column): Map[String, DataFrame] = Map(
+      "by_lang" -> docs.filter(pred).groupBy("lang").agg(count(lit(1)).as("n")),
+      "by_source" -> docs.filter(pred).groupBy("source").agg(count(lit(1)).as("n")))
+    val keyOf = Map("by_lang" -> "lang", "by_source" -> "source")
+    val base = java.nio.file.Files.createTempDirectory("graft-mcas").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    val names = Seq("by_lang", "by_source")
+    def stageAll(job: String, rels: Map[String, DataFrame]): Seq[(String, String)] =
+      names.map(n => n -> stageOptimistic(s, s"$base/$n", job, rels(n),
+        Seq(keyOf(n))))
+    def versionsNow(): Map[String, Int] =
+      names.map(n => n -> currentVersion(s"$base/$n")).toMap
+    // v1: the reference snapshot (buckets 0–7)
+    require(atomicCasPublish(base.toString,
+      stageAll("init", rollups(pmod(col("doc_id"), lit(10L)) < 8)),
+      names.map(_ -> 0).toMap), "initial commit cannot be stale")
+    // B reads v1 and stages its bucket-9 MERGE (current + bucket-9 counts)
+    val bvB = versionsNow()
+    def mergeNine(cur: Map[String, DataFrame]): Map[String, DataFrame] =
+      names.map { n =>
+        val k = keyOf(n)
+        val nine = docs.filter(pmod(col("doc_id"), lit(10L)) === 9)
+          .groupBy(k).agg(count(lit(1)).as("n9"))
+        n -> cur(n).join(nine, Seq(k), "full_outer")
+          .select(col(k),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("n9"), lit(0L))).as("n"))
+      }.toMap
+    def currentTables(): Map[String, DataFrame] =
+      names.map(n => n -> s.read.parquet(s"$base/$n/published")).toMap
+    val stagedB = stageAll("pubB", mergeNine(currentTables()))
+    // A replaces both tables with the bucket-8-inclusive rollups → v2
+    require(atomicCasPublish(base.toString,
+      stageAll("pubA", rollups(pmod(col("doc_id"), lit(10L)) < 9)), bvB),
+      "publisher A raced nobody and must commit")
+    // B's stale snapshot: the whole commit must reject atomically
+    require(!atomicCasPublish(base.toString, stagedB, bvB),
+      "multi-table CAS accepted a stale snapshot — lost update")
+    // B retries from v2 → v3 carries BOTH publishers' effects
+    require(atomicCasPublish(base.toString,
+      stageAll("pubB", mergeNine(currentTables())), versionsNow()),
+      "retry from the advanced snapshot should commit")
+    names.flatMap { n =>
+      (1 to 3).map { v =>
+        val r = readAsOf(s, s"$base/$n", v)
+          .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("total_n")).head()
+        (n, v.toLong, baseVersionOf(s"$base/$n", v).toLong,
+          r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    }.toDF("tbl", "version", "base_version", "n_groups", "total_n")
+      .orderBy("tbl", "version")
+  }
+
   /** f21 — the registry instance: a deterministic two-publisher RACE on
     * one customer table. Publisher B reads the v1 snapshot and derives
     * its delete-merge; publisher A publishes its update-merge first

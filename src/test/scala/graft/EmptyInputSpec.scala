@@ -129,6 +129,11 @@ class EmptyInputSpec extends SparkSpec {
     val idx = operators.VectorIndexStore.publish(spark, emptyDir).collect()
     assert(idx.length === 12)
     idx.foreach { r => assert(r.getLong(2) === 0L && r.getBoolean(3)) }
+    // f22 on an empty corpus: the two-table race still commits three
+    // zero-total versions per table with intact lineage
+    val mc = operators.Sources.atomicCasFeed(spark, emptyDir).collect()
+    assert(mc.length === 6)
+    mc.foreach { r => assert(r.getLong(3) === 0L && r.getLong(4) === 0L) }
   }
 
   test("multimodal and streaming batch operators yield zero rows on empty input") {

@@ -332,6 +332,49 @@ class StorageSpec extends SparkSpec {
     assert(ex.getMessage.contains("still stale"))
   }
 
+  test("f22 multi-table CAS: stale snapshot rejects atomically; mid-commit crash rolls back") {
+    import operators.Sources
+    val base = s"$wh/mcas"
+    val docs = Tables.documents(spark, Sf)
+    def rollup(k: String) = docs.groupBy(k).agg(count(lit(1)).as("n"))
+    def stage(job: String): Seq[(String, String)] = Seq(
+      "by_lang" -> Sources.stageOptimistic(spark, s"$base/by_lang", job,
+        rollup("lang"), Seq("lang")),
+      "by_source" -> Sources.stageOptimistic(spark, s"$base/by_source", job,
+        rollup("source"), Seq("source")))
+    val v0 = Map("by_lang" -> 0, "by_source" -> 0)
+    assert(Sources.atomicCasPublish(base, stage("init"), v0))
+    val v1 = Map("by_lang" -> 1, "by_source" -> 1)
+    def snap(n: String) = spark.read.parquet(s"$base/$n/published")
+      .collect().map(_.toString).sorted.toSeq
+    val (l1, s1) = (snap("by_lang"), snap("by_source"))
+    // half-stale snapshot: by_lang advanced (a single-table publisher),
+    // by_source did not — the WHOLE two-table commit must reject and
+    // discard BOTH stagings
+    val stagedB = stage("pubB")
+    assert(Sources.casPromote(s"$base/by_lang",
+      Sources.stageOptimistic(spark, s"$base/by_lang", "solo",
+        rollup("lang").withColumn("n", col("n") + 1), Seq("lang")), 1))
+    assert(!Sources.atomicCasPublish(base, stagedB,
+      Map("by_lang" -> 1, "by_source" -> 1)),
+      "half-stale snapshot committed — torn write")
+    assert(snap("by_source") === s1, "rejected commit advanced a table")
+    stagedB.foreach { case (_, dir) =>
+      assert(!new java.io.File(dir).exists, s"staging not discarded: $dir")
+    }
+    // mid-commit crash: first table promotes, second throws — rollback
+    // must restore the first table byte-identically
+    val (l2, s2) = (snap("by_lang"), snap("by_source"))
+    val ex = intercept[IllegalStateException] {
+      Sources.atomicCasPublish(base,
+        stage("pubC"), Map("by_lang" -> 2, "by_source" -> 1),
+        crashBeforePromoteOf = Some("by_source"))
+    }
+    assert(ex.getMessage.contains("injected commit crash"))
+    assert(snap("by_lang") === l2, "mid-commit crash left a torn snapshot")
+    assert(snap("by_source") === s2)
+  }
+
   test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {
     val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_partkey")
     operators.Sources.zorderWrite(li, "l_orderkey", "l_partkey", s"$wh/z", 8)
