@@ -978,8 +978,15 @@ object Sources {
     val n = staged.count()
     val nNull = staged.filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
     val nDup = n - staged.select(keyCols.map(col): _*).distinct().count()
-    require(nNull == 0L && nDup == 0L,
-      s"optimistic publish audit failed for $name: nulls=$nNull dups=$nDup")
+    if (nNull != 0L || nDup != 0L) {
+      // discard the staging before refusing — an audit failure must not
+      // leak an orphan staging_<name> dir under the table base (the
+      // same discard discipline casPromote applies to stale stagings)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      throw new IllegalArgumentException(
+        s"requirement failed: optimistic publish audit failed for $name: " +
+          s"nulls=$nNull dups=$nDup")
+    }
     dir
   }
 
@@ -1090,10 +1097,19 @@ object Sources {
             val published = new java.io.File(s"$tb/published")
             val arch = archivedVersions(tb).lastOption
               .map(v => new java.io.File(s"$tb/v$v"))
-            if (published.exists)
-              NioFiles.move(published.toPath,
-                new java.io.File(s"$tb/staging_rolledback").toPath,
+            if (published.exists) {
+              // versioned + delete-first: a leftover rolled-back dir
+              // from an earlier aborted commit must not make this
+              // ATOMIC_MOVE throw inside the catch — that would mask
+              // the original error and leave exactly the torn snapshot
+              // the rollback exists to prevent
+              val rb = new java.io.File(
+                s"$tb/staging_rolledback_v${baseVersions(name)}")
+              if (rb.exists)
+                org.apache.commons.io.FileUtils.deleteDirectory(rb)
+              NioFiles.move(published.toPath, rb.toPath,
                 StandardCopyOption.ATOMIC_MOVE)
+            }
             arch.filter(_.exists).foreach(a =>
               NioFiles.move(a.toPath, published.toPath,
                 StandardCopyOption.ATOMIC_MOVE))

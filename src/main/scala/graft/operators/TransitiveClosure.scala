@@ -120,12 +120,17 @@ object TransitiveClosure {
     *
     * Semantics: returns, per (root, node), the minimum total edge
     * weight over all directed paths, seeds at cost 0. Weights must be
-    * NON-NEGATIVE — a negative-weight cycle has no min-cost closure
-    * (each lap shrinks the cost forever), so the kernel REFUSES
-    * negative weights up front with a diagnostic instead of spinning to
-    * the round cap (the d65 refuse-loudly discipline). Non-negative
-    * cycles are safe: a lap adds ≥ 0, min() keeps the lap-free cost,
-    * and the (count, Σd) fixpoint probe converges.
+    * NON-NEGATIVE, NON-NULL and INTEGRAL — a negative-weight cycle has
+    * no min-cost closure (each lap shrinks the cost forever), and the
+    * cost arithmetic is exact long addition, so a fractional weight
+    * would silently truncate; the kernel REFUSES all three with a
+    * diagnostic instead of spinning to the round cap or corrupting
+    * costs (the d65 refuse-loudly discipline). The check rides the
+    * seeding aggregate itself — flagged per edge, max-reduced alongside
+    * the parallel-edge min-collapse — so validation adds no extra scan
+    * of the edge relation. Non-negative cycles are safe: a lap adds
+    * ≥ 0, min() keeps the lap-free cost, and the (count, Σd) fixpoint
+    * probe converges.
     *
     * Scale posture is e45b's, unchanged: O(log depth) rounds, each one
     * middle-node equi-join + min aggregate + localCheckpoint; the
@@ -135,10 +140,6 @@ object TransitiveClosure {
     * weight in the seeding aggregate. */
   def minCostClosureDoubling(roots: DataFrame, wEdges: DataFrame,
       maxRounds: Int = 40): DataFrame = {
-    require(wEdges.filter(col("w") < 0 || col("w").isNull).isEmpty,
-      "minCostClosureDoubling requires non-negative, non-null edge " +
-        "weights — a negative-weight cycle has no min-cost fixpoint, and " +
-        "a null weight would silently null every path through its edge")
     // fixpoint probe: (pair count, Σd). r ⊆ next pairwise with
     // d_next ≤ d_r, so equal count means no pair added and equal sum
     // then forces pointwise-equal distances — one scalar aggregate per
@@ -150,9 +151,29 @@ object TransitiveClosure {
       (row.getLong(0),
         Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
-    var r = wEdges.select(col("src").as("u"), col("dst").as("v"),
-        col("w").cast("long").as("d"))
-      .groupBy("u", "v").agg(min(col("d")).as("d")).localCheckpoint()
+    // Weight-validity guard FOLDED into the seeding aggregate: invalid
+    // weights (negative, null, or non-integral — `d` is long arithmetic,
+    // so a fractional weight would otherwise silently truncate, 0.9 → 0,
+    // and corrupt every min-cost through its edge) are flagged per edge
+    // and max-reduced in the SAME pass that min-collapses parallel
+    // edges; the refusal fires off a scalar aggregate over the already-
+    // reduced pair relation, so validation costs zero extra scans of
+    // the edge relation. A null weight flags via the isNull arm (min()
+    // alone would silently skip it).
+    val badW = col("w").isNull || col("w") < 0 ||
+      col("w") =!= col("w").cast("long")
+    var r = wEdges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .groupBy("u", "v")
+      .agg(min(col("w").cast("long")).as("d"),
+        max(when(badW, 1).otherwise(0)).as("bad"))
+      .localCheckpoint()
+    require(r.agg(coalesce(max(col("bad")), lit(0))).head().getInt(0) == 0,
+      "minCostClosureDoubling requires non-negative, non-null, integral " +
+        "edge weights — a negative-weight cycle has no min-cost fixpoint, " +
+        "a null weight would silently null every path through its edge, " +
+        "and a fractional weight would silently truncate in the long-cost " +
+        "arithmetic")
+    r = r.select(col("u"), col("v"), col("d"))
     var last = stats(r)
     var round = 0
     var converged = false

@@ -373,6 +373,32 @@ class StorageSpec extends SparkSpec {
     assert(ex.getMessage.contains("injected commit crash"))
     assert(snap("by_lang") === l2, "mid-commit crash left a torn snapshot")
     assert(snap("by_source") === s2)
+    // round-13 advice pin: a SECOND crash at the same base versions
+    // finds the first crash's staging_rolledback_v* dir still on disk —
+    // the rollback's own move must not throw on the leftover (that
+    // would mask the injected error inside the catch and leave exactly
+    // the torn snapshot the rollback exists to prevent)
+    val ex2 = intercept[IllegalStateException] {
+      Sources.atomicCasPublish(base,
+        stage("pubD"), Map("by_lang" -> 2, "by_source" -> 1),
+        crashBeforePromoteOf = Some("by_source"))
+    }
+    assert(ex2.getMessage.contains("injected commit crash"),
+      s"rollback masked the original error: ${ex2.getMessage}")
+    assert(snap("by_lang") === l2, "repeat crash left a torn snapshot")
+    assert(snap("by_source") === s2)
+  }
+
+  test("f21 audit failure discards its staging — no orphan staging dirs") {
+    import operators.Sources
+    val base = s"$wh/occ_audit"
+    val ex = intercept[IllegalArgumentException] {
+      Sources.stageOptimistic(spark, base, "dupjob",
+        Seq((1L, "a"), (1L, "b")).toDF("k", "v"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("audit failed"))
+    assert(!new java.io.File(s"$base/staging_dupjob").exists,
+      "failed audit leaked an orphan staging dir under the table base")
   }
 
   test("f08 z-order files are narrow in BOTH dimensions; a linear sort is not") {

@@ -171,6 +171,32 @@ class TransitiveClosureSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-negative"))
   }
 
+  test("e45c fractional and null weights refuse loudly (no silent truncation)") {
+    // the cost arithmetic is exact long addition — a fractional weight
+    // would truncate (0.9 → 0) and corrupt every min-cost through its
+    // edge, so the seeding-pass guard must refuse, not round
+    val exFrac = intercept[IllegalArgumentException] {
+      TransitiveClosure.minCostClosureDoubling(
+        Seq((1L, 1L)).toDF("root", "node"),
+        Seq((1L, 2L, 0.9), (2L, 3L, 2.0)).toDF("src", "dst", "w"))
+    }
+    assert(exFrac.getMessage.contains("integral"))
+    // an integral-VALUED double is fine — the guard rejects values, not types
+    assert(TransitiveClosure.minCostClosureDoubling(
+        Seq((1L, 1L)).toDF("root", "node"),
+        Seq((1L, 2L, 3.0)).toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 1L, 0L), (1L, 2L, 3L)))
+    // a null weight must refuse, not silently drop out of min()
+    val exNull = intercept[IllegalArgumentException] {
+      TransitiveClosure.minCostClosureDoubling(
+        Seq((1L, 1L)).toDF("root", "node"),
+        Seq((1L, 2L, java.lang.Long.valueOf(3L)), (2L, 3L, null))
+          .toDF("src", "dst", "w"))
+    }
+    assert(exNull.getMessage.contains("non-null"))
+  }
+
   test("e45c at w ≡ 1 is exactly e45b min-hop (shared-kernel identity)") {
     val edges = (0L until 120L).flatMap { k =>
       val a = (k * 11L * 31 + 17) % 40
