@@ -205,8 +205,19 @@ object Bench {
     // `"degraded":true` so no reader can mistake it for a clean record.
     val qsFull = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-pass totals (full record only — the stdout line's width budget
+    // is for query entries): three same-day clean runs in round 13
+    // drifted 169→197 s total with flat per-query medians, and telling
+    // that CONTENTION signature (pass totals climbing within one run /
+    // across runs) from a CODE regression (all passes uniformly slower)
+    // required re-running the bench. Committed per-pass totals make the
+    // distinction readable from the artifact alone.
+    val ptPart = {
+      val ts = passTotals(ps)
+      if (ts.isEmpty) "" else s""","passTotals":${ts.mkString("[", ",", "]")}"""
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull$ptPart$extra,"sf":"$sfDir"}"""
     try {
       Files.writeString(Paths.get(fullRecordTarget(ps.size, truncated)), fullLine + "\n")
       outFile.foreach(pth => Files.writeString(Paths.get(pth), fullLine + "\n"))
@@ -258,6 +269,16 @@ object Bench {
     println(line)
     System.out.flush()
   }
+
+  /** Total of each COMPLETED measured pass, in run order — the
+    * inter-pass drift diagnostic committed in BENCH_FULL (see emit).
+    * A deadline-cut partial pass is excluded: its sum spans a different
+    * query subset and is not a comparable total (its samples still feed
+    * the medians via `current`). Queries that failed in a pass simply
+    * have no term — `failed` names them, so the reader can tell a
+    * short-sum pass from a fast one. */
+  private[graft] def passTotals(ps: Seq[Map[String, Double]]): Seq[Double] =
+    ps.map(_.values.sum)
 
   /** A run is DEGRADED when it completed fewer than the contracted 3
     * measured passes or was cut by the shutdown hook — its timings are

@@ -84,6 +84,20 @@ class ContractSpec extends SparkSpec {
     assert(Bench.healthFlags(2, truncated = false) === ""","passes":2,"degraded":true""")
   }
 
+  test("bench per-pass totals: completed passes only, run order (round-13 cadence pin)") {
+    // round-13 showed 169→197 s total drift across same-day clean runs
+    // with flat medians; passTotals is the committed diagnostic that
+    // separates the contention signature (drifting pass totals) from a
+    // code regression (uniformly slower passes) without a re-run
+    val p1 = Map("a" -> 1.0, "b" -> 2.0)
+    val p2 = Map("a" -> 1.5, "b" -> 2.5) // b failed nowhere; full passes
+    assert(Bench.passTotals(Seq(p1, p2)) === Seq(3.0, 4.0))
+    assert(Bench.passTotals(Nil) === Nil)
+    // a pass where one query failed sums only its completed queries —
+    // the failed list, not the total, carries that information
+    assert(Bench.passTotals(Seq(Map("a" -> 1.0))) === Seq(1.0))
+  }
+
   test("flagship entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
