@@ -833,24 +833,27 @@ object SparkEntry {
          |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
     "d74_index_publish" ->
-      // the WAP manifests over the three index relations, by invariant:
+      // the WAP manifests over the four index relations, by invariant:
       // cells partitions the corpus (n), the PACKED code table is one
       // array row per vector (n), codebook is m·kPq·sw = 1024 (iff no
-      // PQ cluster is empty — the per-sf precondition LlmOpsSpec pins;
-      // an empty corpus publishes three empty tables)
+      // PQ cluster is empty), centroids is k = 10 (iff no IVF cell is
+      // empty) — the per-sf preconditions LlmOpsSpec pins; an empty
+      // corpus publishes four empty tables
       """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-        |rows3 AS (
+        |rows4 AS (
         |  SELECT 'cells' AS tbl, cnt AS exp FROM n
         |  UNION ALL SELECT 'codes', cnt FROM n
         |  UNION ALL SELECT 'codebook',
-        |    CASE WHEN cnt = 0 THEN 0 ELSE 1024 END FROM n)
+        |    CASE WHEN cnt = 0 THEN 0 ELSE 1024 END FROM n
+        |  UNION ALL SELECT 'centroids',
+        |    CASE WHEN cnt = 0 THEN 0 ELSE 10 END FROM n)
         |SELECT tbl, check_name, observed, ok FROM (
         |  SELECT tbl, 'rows_match_expected' AS check_name,
-        |         CAST(exp AS BIGINT) AS observed, true AS ok FROM rows3
-        |  UNION ALL SELECT tbl, 'null_keys', 0, true FROM rows3
-        |  UNION ALL SELECT tbl, 'dup_keys', 0, true FROM rows3
+        |         CAST(exp AS BIGINT) AS observed, true AS ok FROM rows4
+        |  UNION ALL SELECT tbl, 'null_keys', 0, true FROM rows4
+        |  UNION ALL SELECT tbl, 'dup_keys', 0, true FROM rows4
         |  UNION ALL SELECT tbl, 'published_rows', CAST(exp AS BIGINT), true
-        |  FROM rows3)
+        |  FROM rows4)
         |ORDER BY tbl, check_name""".stripMargin,
     "d07_tfidf" ->
       s"""WITH $tokCte,

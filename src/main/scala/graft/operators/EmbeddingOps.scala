@@ -541,18 +541,23 @@ object EmbeddingOps {
     assign(pts, cent) // the one pass that touches every vector
   }
 
-  /** The three PUBLISHED relations of the d73/d74 vector index —
+  /** The four PUBLISHED relations of the d73/d74 vector index —
     * (cells = (vec_id, cid), codes = (vec_id, m, code), codebook =
-    * (m, code, pos, c)): everything a query needs besides the raw
-    * vectors themselves, which stay in the embeddings table (PQ's whole
-    * point is that the INDEX never duplicates them). Training is the
-    * full build [[ivfPqAnn]]'s scaladoc describes. */
+    * (m, code, pos, c), centroids = (cid, cv) the k coarse IVF
+    * centroids): everything a query needs besides the raw vectors
+    * themselves, which stay in the embeddings table (PQ's whole point
+    * is that the INDEX never duplicates them). The coarse centroids are
+    * what makes nprobe > 1 possible from the store alone — a query
+    * ranks CELLS by centroid similarity before probing, exactly the
+    * d06b probe list — and they are k rows, broadcast-sized at any
+    * corpus scale (every production IVF index ships them). Training is
+    * the full build [[ivfPqAnn]]'s scaladoc describes. */
   private[graft] def pqIndexRelations(s: SparkSession, d: String,
       m: Int = 4, kPq: Int = 16, pqIters: Int = 2,
-      dim: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+      dim: Int = 64): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into $m sub-vectors")
     val sw = dim / m
-    val (cells, _) = ivfCells(s, d)
+    val (cells, cent) = ivfCells(s, d)
     // ——— PQ codebooks: the d59 Lloyd kernel with an added sub-space
     // key — all m codebooks train in ONE chain (sub-spaces are
     // independent, so keying every join/aggregate by `m` computes the
@@ -577,48 +582,70 @@ object EmbeddingOps {
     val cb = subLong.join(codes, Seq("vec_id", "m"))
       .groupBy("m", "code", "pos")
       .agg((dsum(col("x")) / count(lit(1))).as("c"))
-    (cells.select(col("vec_id"), col("cid")), codes, cb)
+    (cells.select(col("vec_id"), col("cid")), codes, cb, cent)
   }
 
   def ivfPqAnn(s: SparkSession, d: String, m: Int = 4, kPq: Int = 16,
-      shortlist: Int = 64, pqIters: Int = 2, dim: Int = 64): DataFrame = {
+      shortlist: Int = 64, pqIters: Int = 2, dim: Int = 64,
+      nprobe: Int = 1): DataFrame = {
     // production read path (round 13): the index publishes ONCE per
     // corpus through the d74 store and every query consumes the
-    // published (cells, codes, codebook) parquet — the d61/d46
-    // composition applied to ANN ("a production index trains once, not
-    // per query"). Off = the self-contained twin; spec pins byte-≡.
+    // published (cells, codes, codebook, centroids) parquet — the
+    // d61/d46 composition applied to ANN ("a production index trains
+    // once, not per query"). Off = the self-contained twin; spec pins
+    // byte-≡.
     val defaults = m == 4 && kPq == 16 && pqIters == 2 && dim == 64
-    val (cells, codes, cb) =
+    val (cells, codes, cb, cent) =
       if (defaults &&
           s.conf.get("spark.graft.shareVectorIndex", "true").toBoolean)
         VectorIndexStore.relations(s, d)
       else pqIndexRelations(s, d, m, kPq, pqIters, dim)
-    ivfPqSearch(s, d, cells, codes, cb, shortlist, dim / m)
+    ivfPqSearch(s, d, cells, codes, cb, cent, shortlist, dim / m, nprobe)
   }
 
   /** The QUERY half of d73 over explicit index relations: broadcast ADC
-    * lookup table, code-only candidate ranking inside the probed cell,
+    * lookup table, code-only candidate ranking inside the probed cells,
     * exact cosine re-rank of the shortlist. Raw vectors are read from
     * the embeddings table exactly twice — the 10 query rows and the
-    * shortlist fetch — never corpus-wide. */
+    * shortlist fetch — never corpus-wide.
+    *
+    * `nprobe` cells per query, ranked by coarse-centroid cosine with
+    * d06b's exact ordering (csim desc, cid asc — the same tie-break as
+    * cell assignment, so the rank-1 probe IS the query's own cell and
+    * nprobe = 1 reproduces the single-probe answer). Multi-probe is
+    * what rescues a boundary vector whose true NN sits in an adjacent
+    * cell — the classic IVF failure the single-probe plan can only
+    * dodge by corpus luck. Cost scales linearly and visibly: candidates
+    * are nprobe·n/k code rows per query, still never the corpus. */
   private[graft] def ivfPqSearch(s: SparkSession, d: String,
-      cells: DataFrame, codes: DataFrame, cb: DataFrame,
-      shortlist: Int, sw: Int): DataFrame = {
+      cells: DataFrame, codes: DataFrame, cb: DataFrame, cent: DataFrame,
+      shortlist: Int, sw: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     graft.functions.CosineSimilarity.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cnorm = cb.groupBy("m", "code").agg(dsum(col("c") * col("c")).as("cn"))
     // ——— queries and the ADC lookup table ———
-    val queries = e.filter(col("vec_id") < 10).join(cells, "vec_id")
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("qcid"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val qLong = queries.select(col("qid"), posexplode(col("qv")))
       .select(col("qid"), (col("pos") / sw).cast("int").as("m"),
         pmod(col("pos"), lit(sw)).as("pos"), col("col").as("qx"))
     val lut = qLong.join(cb, Seq("m", "pos"))
       .groupBy("qid", "m", "code").agg(dsum(col("qx") * col("c")).as("dot"))
-    // ——— probe the query's cell, rank candidates from CODES only ———
-    val adc = queries.select(col("qid"), col("qcid"))
-      .join(cells, col("cid") === col("qcid"))
+    // ——— probe list: the query's nprobe most-similar cells by coarse
+    // centroid (queries × k rows — broadcast-sized at any corpus scale;
+    // the qid-keyed rank window is over ≤ k rows per query) ———
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    // ——— probe the chosen cells, rank candidates from CODES only ———
+    val adc = probes
+      .join(cells, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .join(codes, "vec_id")
       .join(broadcast(lut), Seq("qid", "m", "code"))

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * applied to ANN. A production index trains once per corpus snapshot —
   * the d73 build (IVF cells + PQ codebooks + code words) is the
   * expensive half, the query is cheap — so the publisher job WAP-
-  * publishes THREE relations per corpus and every search consumes the
+  * publishes FOUR relations per corpus and every search consumes the
   * published parquet:
   *
-  *   - `cells`    (vec_id, cid)        — the inverted file,
-  *   - `codes`    (vec_id, m, code)    — m one-byte-domain code words
+  *   - `cells`     (vec_id, cid)       — the inverted file,
+  *   - `codes`     (vec_id, m, code)   — m one-byte-domain code words
   *                                       per vector (the PQ compression),
-  *   - `codebook` (m, code, pos, c)    — the reconstruction vectors.
+  *   - `codebook`  (m, code, pos, c)   — the reconstruction vectors,
+  *   - `centroids` (cid, cv)           — the k coarse IVF centroids
+  *                                       (what ranks cells for
+  *                                       nprobe > 1; k rows, broadcast-
+  *                                       sized at any corpus scale).
   *
   * Raw vectors are deliberately NOT in the store (PQ's point is that
   * the index never duplicates them); a query fetches them from the
@@ -41,13 +45,14 @@ object VectorIndexStore {
   private def baseFor(d: String): String =
     s"$root/${org.apache.commons.codec.digest.DigestUtils.md5Hex(d)}"
 
-  private val Tables3 = Seq(
+  private val IndexTables = Seq(
     ("cells", Seq("vec_id")),
     ("codes", Seq("vec_id")),
-    ("codebook", Seq("m", "code", "pos")))
+    ("codebook", Seq("m", "code", "pos")),
+    ("centroids", Seq("cid")))
 
   /** d74 — the publisher job: run the full d73 index build, WAP-publish
-    * all three relations, return the unioned audit manifests (tbl,
+    * all four relations, return the unioned audit manifests (tbl,
     * check_name, observed, ok). The code table is stored PACKED — one
     * row per vector with its m code words as an m-position array
     * (position = sub-space), which is the m-codes-per-vector layout the
@@ -56,17 +61,19 @@ object VectorIndexStore {
     * are already 0..kPq−1); [[relations]] unpacks with one posexplode.
     * Row-count invariants the oracle rides on: cells is a PARTITION of
     * the corpus (n rows), packed codes is n rows, codebook is
-    * m·kPq·sw = 1024 rows — the last holds iff no PQ cluster is empty,
-    * a fixture property LlmOpsSpec pins per sf (the d73 precondition
+    * m·kPq·sw = 1024 rows (iff no PQ cluster is empty), centroids is
+    * k = 10 rows (iff no IVF cell is empty) — the conditionals are
+    * fixture properties LlmOpsSpec pins per sf (the d73 precondition
     * style). */
   def publish(s: SparkSession, d: String): DataFrame = lockFor(d).synchronized {
-    val (cells, codes, cb) = EmbeddingOps.pqIndexRelations(s, d)
+    val (cells, codes, cb, cent) = EmbeddingOps.pqIndexRelations(s, d)
     // pack: array position = sub-space index (sorted struct collect)
     val packed = codes.groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))
-    val rels = Map("cells" -> cells, "codes" -> packed, "codebook" -> cb)
-    val manifests = Tables3.map { case (name, keyCols) =>
+    val rels = Map("cells" -> cells, "codes" -> packed, "codebook" -> cb,
+      "centroids" -> cent)
+    val manifests = IndexTables.map { case (name, keyCols) =>
       val df = rels(name)
       Sources.writeAuditPublishStaged(s, df, df.count(),
         s"${baseFor(d)}/$name", keyCols = keyCols)
@@ -80,11 +87,12 @@ object VectorIndexStore {
     manifest.orderBy("tbl", "check_name")
   }
 
-  /** Read-side accessor: publish-if-absent, then three plain parquet
+  /** Read-side accessor: publish-if-absent, then four plain parquet
     * scans — column pruning reaches each relation independently; the
     * packed code array unpacks with one posexplode back to the
     * (vec_id, m, code) shape the search joins on. */
-  private[graft] def relations(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def relations(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = built.getOrElse(d, lockFor(d).synchronized {
       built.getOrElse(d, {
         publish(s, d)
@@ -96,6 +104,7 @@ object VectorIndexStore {
       .select(col("vec_id"), posexplode(col("codes")))
       .toDF("vec_id", "m", "code")
     (s.read.parquet(s"$base/cells/published"), codes,
-      s.read.parquet(s"$base/codebook/published"))
+      s.read.parquet(s"$base/codebook/published"),
+      s.read.parquet(s"$base/centroids/published"))
   }
 }

@@ -124,10 +124,10 @@ class EmptyInputSpec extends SparkSpec {
     val occ = operators.Sources.optimisticPublish(spark, emptyDir).collect()
     assert(occ.length === 3)
     occ.foreach { r => assert(r.getLong(2) === 0L && r.isNullAt(3)) }
-    // d74 on an empty corpus: three zero-row tables publish with green
-    // audits (12 manifest rows, every observed 0, every ok true)
+    // d74 on an empty corpus: four zero-row tables publish with green
+    // audits (16 manifest rows, every observed 0, every ok true)
     val idx = operators.VectorIndexStore.publish(spark, emptyDir).collect()
-    assert(idx.length === 12)
+    assert(idx.length === 16)
     idx.foreach { r => assert(r.getLong(2) === 0L && r.getBoolean(3)) }
     // f22 on an empty corpus: the two-table race still commits three
     // zero-total versions per table with intact lineage

@@ -989,15 +989,20 @@ class LlmOpsSpec extends SparkSpec {
       .as[(String, String, Long, Boolean)].collect().toSeq
     assert(man.forall(_._4), s"audit failures: ${man.filterNot(_._4)}")
     val pub = man.filter(_._2 == "published_rows").map(r => r._1 -> r._3).toMap
-    assert(pub === Map("cells" -> n, "codes" -> n, "codebook" -> 1024L))
-    // the 1024 invariant = no PQ cluster empties — pin it per sf so a
-    // fixture change fails HERE, not as a driver hash mismatch
+    assert(pub === Map("cells" -> n, "codes" -> n, "codebook" -> 1024L,
+      "centroids" -> 10L))
+    // the 1024/10 invariants = no PQ cluster and no IVF cell empties —
+    // pin them per sf so a fixture change fails HERE, not as a driver
+    // hash mismatch
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .filter(dd => new java.io.File(s"$dd/embeddings.parquet").exists)
       .foreach { dd =>
-        val (cells, codes, _) = operators.VectorIndexStore.relations(spark, dd)
+        val (cells, codes, _, cent) =
+          operators.VectorIndexStore.relations(spark, dd)
         assert(codes.select("m", "code").distinct().count() === 64L,
           s"$dd: a PQ cluster emptied — the d74 codebook row invariant (1024) broke")
+        assert(cent.count() === 10L,
+          s"$dd: an IVF cell emptied — the d74 centroid row invariant (10) broke")
         assert(cells.count() === spark.read
           .parquet(s"$dd/embeddings.parquet").count(), s"$dd cells partition")
       }
@@ -1031,6 +1036,49 @@ class LlmOpsSpec extends SparkSpec {
       assert(q != n)
       assert(math.abs(cos(vecs(q), vecs(n)) - sim) < 1e-3, s"pair ($q,$n)")
     }
+  }
+
+  test("d73 multi-probe: nprobe=2 recall ≥ nprobe=1 and finds the true NN " +
+    "by structure, not corpus luck") {
+    // the d06b probe-monotonicity pin applied to d73: the nprobe=2
+    // candidate set is a superset of nprobe=1's cell (same probe
+    // ranking, same tie-break), so the exact re-rank can only improve.
+    // The single-probe true-NN property holds on these fixtures only
+    // because every query's NN shares its cell — a boundary vector
+    // whose NN sits in the ADJACENT cell is exactly what nprobe=2
+    // rescues, so the nprobe=2 answer is pinned ≡ brute force too.
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val trueNN = (0L until 10L).map { q =>
+      val qv = vecs(q)
+      q -> vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .maxBy { case (id, s) => (s, -id) }._1
+    }.toMap
+    def answers(nprobe: Int): Map[Long, Long] = {
+      val got = EmbeddingOps.ivfPqAnn(spark, Sf, nprobe = nprobe)
+        .select("qid", "nid").as[(Long, Long)].collect().toMap
+      spark.sharedState.cacheManager.clearCache()
+      got
+    }
+    val a1 = answers(1)
+    val a2 = answers(2)
+    def recall(a: Map[Long, Long]): Double =
+      a.count { case (q, n) => trueNN(q) == n }.toDouble / trueNN.size
+    assert(recall(a2) >= recall(a1),
+      s"multi-probe must not lose recall: ${recall(a2)} < ${recall(a1)}")
+    assert(a2.forall { case (q, n) => trueNN(q) == n },
+      "nprobe=2 must find every true NN (cell-boundary rescue)")
+    // nprobe=1 through the probe-ranking path must equal the own-cell
+    // answer (rank-1 probe ≡ assigned cell — same csim ordering, same
+    // tie-break), and on this corpus both hit every true NN, so the
+    // two answer maps coincide exactly
+    assert(a1 === a2, "nprobe=1 diverged from the own-cell answer")
   }
 
   test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
