@@ -231,6 +231,7 @@ object SparkEntry {
     "s16_versioned_sink" -> (Streaming.versionedFeed _),
     "s17_pair_maintenance" -> (Streaming.pairMaintFeed _),
     "s18_label_maintenance" -> (Streaming.labelMaintFeed _),
+    "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
     // snapshot reconciliation: added/removed/changed + per-column counts
@@ -784,6 +785,34 @@ object SparkEntry {
          |SELECT vec_id, cid, CAST(dist2 AS DOUBLE) AS dist2
          |FROM $fin ORDER BY vec_id""".stripMargin
     },
+    "s20_cdc_replication" ->
+      // the replica after tailing the 3-version s16 ladder's change
+      // feed must equal the source's CURRENT version row-for-row —
+      // derived directly from `customer`: v2 = snapshot merged with the
+      // f13 feed (bucket-2 +100 updates, bucket-5 deletes, +1000000
+      // bucket-8 inserts), v3 = v2 minus the bucket-7 deletes. Applying
+      // feeds ≡ the direct derivation is exactly the CDC inverse
+      // property f15 pins; balances copy through unaggregated, so the
+      // doubles are engine-identical.
+      """WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |u AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        |      FROM customer WHERE c_custkey % 10 = 2
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000,
+        |        'New#' || CAST(c_custkey AS VARCHAR),
+        |        CAST(c_custkey AS DOUBLE)
+        |      FROM customer WHERE c_custkey % 10 = 8),
+        |v2 AS (
+        |  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+        |         ELSE t.c_name END AS c_name,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+        |         ELSE t.c_acctbal END AS c_acctbal
+        |  FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+        |  WHERE COALESCE(u.c_custkey, t.c_custkey) NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 5))
+        |SELECT c_custkey, c_name, c_acctbal FROM v2
+        |WHERE c_custkey % 10 <> 7 ORDER BY c_custkey""".stripMargin,
     "d03_minhash_lsh" ->
       // Same oracle as d02: the banded-MinHash candidates are verified
       // with EXACT Jaccard before emission, so the output contract is

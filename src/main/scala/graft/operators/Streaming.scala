@@ -856,6 +856,117 @@ object Streaming {
       .orderBy("vec_id")
   }
 
+  /** s20 — CDC REPLICATION: the change feed consumed AS a stream. f15
+    * recovers the minimal keyed diff between two retained versions and
+    * s16 writes versions FROM a stream; this closes the remaining
+    * direction — subscribe to a versioned table's change feed and
+    * maintain a derived REPLICA from post-images and deletes alone (the
+    * Delta-CDF/Debezium read path: bootstrap from one snapshot, then
+    * tail O(changes)-sized feeds, never re-reading the source table).
+    *
+    * Apply rule per CDC batch: post-image rows (`insert` +
+    * `update_postimage`) upsert by key, `delete` rows remove their key,
+    * `update_preimage` rows are provenance only and are ignored — the
+    * batch effect is a pure function of (replica, batch), so a
+    * redelivered batch recomputes identical work. Effectively-once is
+    * the [[versionedSink]] marker protocol verbatim: `_applied/<id>`
+    * side marker, `_batch_<id>` carried atomically with the promote
+    * (crash between promote and marker → backfill + no-op), audit
+    * failure → throw with no marker so the engine redelivers.
+    *
+    * Scale: each batch runs ONE anti-join of the replica against the
+    * batch's key set plus a union of the post-images — all keyed, the
+    * feed side batch-sized against a replica of any size — and after
+    * bootstrap never touches the source table: the point of
+    * replicating from a feed. */
+  def cdcReplicaSink(base: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    def backfill(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
+    if (new java.io.File(s"$base/published/_batch_$batchId").exists()) {
+      backfill(); return // crashed between promote and side marker
+    }
+    val s = batch.sparkSession
+    val payload = org.apache.spark.sql.types.StructType(
+      batch.schema.filterNot(_.name == "change_type"))
+    val pubDir = new java.io.File(s"$base/published")
+    val target =
+      if (pubDir.exists()) s.read.parquet(pubDir.toString)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        payload)
+    val post = batch.filter(col("change_type")
+        .isin("insert", "update_postimage"))
+      .drop("change_type")
+    // every key the batch touches leaves the replica once, post-images
+    // come back whole — so an `insert` for a key the replica already
+    // holds (a redelivered-source artifact) degrades to an upsert, not
+    // a duplicate
+    val touched = batch.filter(col("change_type") =!= "update_preimage")
+      .select(col(key)).distinct()
+    val next = target.join(touched, Seq(key), "left_anti").unionByName(post)
+    val audit = Sources.writeAuditPublishStaged(s, next, next.count(), base,
+      keyCols = Seq(key), stagedMarker = Some(s"_batch_$batchId"))
+    val failed = audit.filter(!col("ok"))
+      .select("check_name", "observed").collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"cdcReplicaSink audit failed for batch $batchId: ${failed.mkString(", ")}")
+    backfill()
+  }
+
+  /** The SUBSCRIBE half of s20 — the replication cursor loop: catch the
+    * replica up to the source's current version. Version 1 bootstraps
+    * (the initial snapshot replayed as an all-insert feed — the
+    * standard CDC bootstrap); every later version applies
+    * [[Sources.changesBetween]](v−1, v) — O(changes) rows per feed.
+    * The cursor is the sink's own `_applied` markers, so catch-up is
+    * idempotent: a repeated — or crashed-and-restarted — call skips
+    * every applied version and applies only the missing tail. Returns
+    * the number of feeds applied by THIS call. */
+  def replicateUpTo(s: org.apache.spark.sql.SparkSession, srcBase: String,
+      replicaBase: String, key: String): Int = {
+    val cur = Sources.currentVersion(srcBase)
+    (1 to cur).count { v =>
+      val unapplied = !new java.io.File(s"$replicaBase/_applied/$v").exists
+      if (unapplied) {
+        val feed =
+          if (v == 1) Sources.readAsOf(s, srcBase, 1)
+            .withColumn("change_type", lit("insert"))
+          else Sources.changesBetween(s, srcBase, v - 1, v, key)
+        cdcReplicaSink(replicaBase, key)(feed, v.toLong)
+      }
+      unapplied
+    }
+  }
+
+  /** The s20 registry twin: the s16 ladder (customer snapshot → f13
+    * feed → bucket-7 deletes) builds the 3-version SOURCE, one
+    * [[replicateUpTo]] call tails its change feed into a replica, and
+    * the output is the replica re-read from DISK — which must equal
+    * the source's current version row-for-row (the oracle derives v3's
+    * content directly from `customer`). StreamingSpec drives the sink
+    * through a real `writeStream` and pins idempotent catch-up,
+    * redelivery, audit-retry, and crash-marker behavior. */
+  def cdcReplicationFeed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val (target, feed, _) = Sources.customerLadder(s, d)
+    val b0 = target.withColumn("op", lit("upsert"))
+    val b2 = graft.Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(10L)) === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    val srcBase = java.nio.file.Files.createTempDirectory("graft-cdcsrc").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(srcBase)
+    Seq(b0, feed, b2).zipWithIndex.foreach { case (b, i) =>
+      versionedSink(srcBase.toString, "c_custkey")(b, i.toLong)
+    }
+    val repBase = java.nio.file.Files.createTempDirectory("graft-cdcrep").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(repBase)
+    replicateUpTo(s, srcBase.toString, repBase.toString, "c_custkey")
+    s.read.parquet(s"$repBase/published")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   def upsertBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     // the marker/rename protocol below uses local-FS atomic renames; a
     // production deployment on an object store puts a transactional

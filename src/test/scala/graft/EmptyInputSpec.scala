@@ -157,6 +157,8 @@ class EmptyInputSpec extends SparkSpec {
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
       // s18: empty reference batch → empty centroids/labels stores
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
+      // s20: three empty versions → empty change feeds → empty replica
+      "cdcReplicationFeed" -> (Streaming.cdcReplicationFeed _),
       "payloadStats" -> (Multimodal.payloadStats _),
       "rleStats" -> (Multimodal.rleStats _),
       // m09: no docs → no spans → no bins

@@ -15,6 +15,10 @@ case class Chg(c_custkey: Long, c_name: String, c_acctbal: Double, op: String)
 /** A new-document row for the s17 pair-maintenance replay. */
 case class NewDoc(doc_id: Long, text: String)
 
+/** A CDC row for the s20 replication replay (the f15 feed shape). */
+case class Cdc(c_custkey: Long, c_name: String, c_acctbal: Double,
+  change_type: String)
+
 /** A new-vector row for the s18 label-maintenance replay. */
 case class NewVec(vec_id: Long, embedding: Seq[Float])
 
@@ -607,6 +611,93 @@ class StreamingSpec extends SparkSpec {
     Streaming.labelMaintSink(base)(batches(2).toDF(), 2L)
     assert(new java.io.File(s"$base/_applied/2").exists)
     assert(store() === streamed)
+  }
+
+  test("s20: streamed CDC replication ≡ source current; idempotent catch-up; " +
+    "preimage ignored; redelivery and audit markers") {
+    import org.apache.commons.io.FileUtils
+    // ——— source: the 3-version s16 ladder on disk ———
+    val srcBase = java.nio.file.Files.createTempDirectory("graft-s20src").toString
+    val cust = Tables.customer(spark, Sf)
+    // the s16 ladder batches (same construction as Sources.customerLadder)
+    val b0 = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit("upsert").as("op"))
+    val b1 = cust.filter(pmod(col("c_custkey"), lit(10L)) === 2)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), lit("upsert").as("op"))
+      .unionByName(cust.filter(pmod(col("c_custkey"), lit(10L)) === 5)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("delete").as("op")))
+      .unionByName(cust.filter(pmod(col("c_custkey"), lit(10L)) === 8)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("New#"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_custkey").cast("double").as("c_acctbal"),
+          lit("upsert").as("op")))
+    val b2 = cust.filter(pmod(col("c_custkey"), lit(10L)) === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("delete").as("op"))
+    Seq(b0, b1, b2).zipWithIndex
+      .foreach { case (b, i) => Streaming.versionedSink(srcBase, "c_custkey")(b, i.toLong) }
+    def current(): Seq[String] =
+      sortedRows(operators.Sources.readAsOf(spark, srcBase, 3))
+    // ——— replica driven through a REAL writeStream of CDC rows ———
+    val base = java.nio.file.Files.createTempDirectory("graft-s20rep").toString
+    def cdcRows(df: DataFrame): Seq[Cdc] = df.as[Cdc].collect().toSeq
+    val feeds = Seq(
+      cdcRows(operators.Sources.readAsOf(spark, srcBase, 1)
+        .withColumn("change_type", lit("insert"))),
+      cdcRows(operators.Sources.changesBetween(spark, srcBase, 1, 2, "c_custkey")),
+      cdcRows(operators.Sources.changesBetween(spark, srcBase, 2, 3, "c_custkey")))
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Cdc]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.cdcReplicaSink(base, "c_custkey")(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      feeds.foreach { f => src.addData(f); q.processAllAvailable() }
+    } finally q.stop()
+    def replica(): Seq[String] = sortedRows(spark.read.parquet(s"$base/published"))
+    val streamed = replica()
+    assert(streamed === current(),
+      "replica after tailing the change feed diverged from the source's current version")
+    // ——— the subscribe loop: catch-up is cursor-driven and idempotent ———
+    val base2 = java.nio.file.Files.createTempDirectory("graft-s20rep2").toString
+    assert(Streaming.replicateUpTo(spark, srcBase, base2, "c_custkey") === 3)
+    assert(sortedRows(spark.read.parquet(s"$base2/published")) === current())
+    assert(Streaming.replicateUpTo(spark, srcBase, base2, "c_custkey") === 0,
+      "a caught-up replica must apply nothing")
+    // ——— update_preimage rows are provenance, never applied ———
+    Streaming.cdcReplicaSink(base, "c_custkey")(
+      Seq(Cdc(123456789L, "Ghost", 1.0, "update_preimage")).toDF(), 77L)
+    assert(replica() === streamed, "a preimage-only batch must be a no-op")
+    // ——— redelivered batch id with different data: marker no-op ———
+    Streaming.cdcReplicaSink(base, "c_custkey")(
+      Seq(Cdc(5L, "X", 9.9, "insert")).toDF(), 1L)
+    assert(replica() === streamed)
+    // ——— crash between promote and side marker: backfill + no-op ———
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/77"))
+    Streaming.cdcReplicaSink(base, "c_custkey")(
+      Seq(Cdc(123456789L, "Ghost", 1.0, "update_preimage")).toDF(), 77L)
+    assert(new java.io.File(s"$base/_applied/77").exists, "side marker backfilled")
+    assert(replica() === streamed)
+    // ——— failed audit (null key): throw, no marker, corrected retry applies ———
+    val bad = spark.sql(
+      "SELECT CAST(NULL AS BIGINT) c_custkey, 'X' c_name, " +
+        "CAST(1.0 AS DOUBLE) c_acctbal, 'insert' change_type")
+    intercept[IllegalStateException] {
+      Streaming.cdcReplicaSink(base, "c_custkey")(bad, 78L)
+    }
+    assert(!new java.io.File(s"$base/_applied/78").exists,
+      "failed batch must leave no marker")
+    assert(replica() === streamed)
+    Streaming.cdcReplicaSink(base, "c_custkey")(
+      Seq(Cdc(7777777L, "X", 1.0, "insert")).toDF(), 78L)
+    assert(spark.read.parquet(s"$base/published")
+      .filter(col("c_custkey") === 7777777L).count() === 1L,
+      "corrected retry must apply")
   }
 
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
