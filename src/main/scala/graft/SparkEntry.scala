@@ -231,6 +231,7 @@ object SparkEntry {
     "s16_versioned_sink" -> (Streaming.versionedFeed _),
     "s17_pair_maintenance" -> (Streaming.pairMaintFeed _),
     "s18_label_maintenance" -> (Streaming.labelMaintFeed _),
+    "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
@@ -785,6 +786,18 @@ object SparkEntry {
          |SELECT vec_id, cid, CAST(dist2 AS DOUBLE) AS dist2
          |FROM $fin ORDER BY vec_id""".stripMargin
     },
+    "s19_index_maintenance" ->
+      // the per-vector STORE-SHAPE invariant: after the reference batch
+      // and both deltas, the index holds exactly one cell row and m = 4
+      // code words for EVERY vector — an unadmitted delta vector is a
+      // missing row, a double admission a dup. The cid/code values are
+      // engine artifacts no SQL oracle could reproduce (the d73/d74
+      // footnote discipline); their deep equality (final store ≡
+      // frozen-model assignment over the whole corpus; deltas never
+      // move reference rows) is spec-pinned.
+      """SELECT vec_id, CAST(1 AS BIGINT) AS n_cell_rows,
+        |  CAST(4 AS BIGINT) AS n_code_words
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "s20_cdc_replication" ->
       // the replica after tailing the 3-version s16 ladder's change
       // feed must equal the source's CURRENT version row-for-row —

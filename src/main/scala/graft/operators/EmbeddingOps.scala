@@ -399,34 +399,46 @@ object EmbeddingOps {
     graft.functions.CosineSimilarity.ensureRegistered(s)
     // corpus-sized (every vector), re-read by each Lloyd iteration and
     // both probe sides — same persistence policy as the shingle streams
-    val e = persistCorpus(Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    ivfCellsOver(persistCorpus(Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))), k)
+  }
 
-    // argmax cell per vector as a max_by AGGREGATE over the k candidate
-    // rows (the d53/d59 rule) — partial-combines map-side; the previous
-    // row_number window sorted the n×k candidate stream by vec_id three
-    // times (twice for Lloyd, once for cells). Tie order identical:
-    // (csim desc, cid asc) ≡ max_by key (csim, −cid).
-    def assign(centroids: DataFrame): DataFrame =
-      e.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("v"), col("cid")),
-          struct(col("csim"), -col("cid"))).as("w"))
-        .select(col("vec_id"), col("w.v").as("v"), col("w.cid").as("cid"))
-
+  /** [[ivfCells]] over an explicit (vec_id, v) frame — split out so s19
+    * can train the coarse quantizer ONCE on the reference batch and
+    * freeze it (the s18 lloydCentroids discipline). Caller registers
+    * the cosine function and persists `e` if it is re-read. */
+  private[graft] def ivfCellsOver(e: DataFrame,
+      k: Int = 10): (DataFrame, DataFrame) = {
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
     (1 to 2).foreach { _ =>
-      centroids = assign(centroids)
+      centroids = assignCellsOver(e, centroids)
         .select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
     }
-    (persistCorpus(assign(centroids)), centroids)
+    (persistCorpus(assignCellsOver(e, centroids)), centroids)
   }
+
+  /** Cell assignment of a (vec_id, v) frame to broadcast (cid, cv)
+    * coarse centroids: argmax cell per vector as a max_by AGGREGATE
+    * over the k candidate rows (the d53/d59 rule) — partial-combines
+    * map-side; a row_number window would sort the n×k candidate stream
+    * by vec_id instead. Tie order: (csim desc, cid asc) ≡ max_by key
+    * (csim, −cid) — the same ordering the d06b/d73 probe lists rank
+    * with, which is what makes rank-1-probe ≡ assigned-cell. The one
+    * shared kernel behind the ivfCells Lloyd rounds AND s19's
+    * incremental admission of new vectors against FROZEN centroids. */
+  private[graft] def assignCellsOver(e: DataFrame,
+      centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cid")),
+        struct(col("csim"), -col("cid"))).as("w"))
+      .select(col("vec_id"), col("w.v").as("v"), col("w.cid").as("cid"))
 
   def ivfAnn(s: SparkSession, d: String, nprobe: Int = 1): DataFrame = {
     val k = 10
@@ -505,10 +517,7 @@ object EmbeddingOps {
     * is a training-set choice, never a kernel fork. */
   private[graft] def pqAssignments(cells: DataFrame, m: Int, sw: Int,
       kPq: Int, iters: Int, sampleMod: Int = 1): DataFrame = {
-    val pts = persistCorpus((0 until m).map { mi =>
-      cells.select(col("vec_id"), lit(mi).as("m"),
-        posexplode(slice(col("v"), mi * sw + 1, sw)))
-    }.reduce(_.unionByName(_)).toDF("vec_id", "m", "dim", "v"))
+    val pts = persistCorpus(subspacePoints(cells, m, sw))
     val trainPts =
       if (sampleMod <= 1) pts
       else pts.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
@@ -516,20 +525,12 @@ object EmbeddingOps {
       (if (sampleMod <= 1) cells
        else cells.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0))
         .select(col("vec_id")).orderBy("vec_id").limit(kPq)
-    def assign(over: DataFrame, c: DataFrame): DataFrame =
-      over.join(broadcast(c), Seq("m", "dim"))
-        .groupBy(col("vec_id"), col("m"), col("cid"))
-        .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist2"), col("cid"))).as("w"))
-        .select(col("vec_id"), col("m"), col("w.cid").as("cid"),
-          col("w.dist2").as("dist2"))
     var cent = trainPts.join(broadcast(seedIds), "vec_id")
       .select(col("m"), col("vec_id").as("cid"), col("dim"), col("v").as("c"))
       .cache()
     for (_ <- 1 to iters) {
       val next = trainPts
-        .join(assign(trainPts, cent).select("vec_id", "m", "cid"),
+        .join(pqAssignOver(trainPts, cent).select("vec_id", "m", "cid"),
           Seq("vec_id", "m"))
         .groupBy("m", "cid", "dim")
         .agg((dsum(col("v")) / count(lit(1))).as("c"))
@@ -538,8 +539,33 @@ object EmbeddingOps {
       cent.unpersist(blocking = false)
       cent = next
     }
-    assign(pts, cent) // the one pass that touches every vector
+    pqAssignOver(pts, cent) // the one pass that touches every vector
   }
+
+  /** The sub-space long form (vec_id, m, dim, v) of a (vec_id, v, …)
+    * frame: vector position mi·sw+d becomes row (m = mi, dim = d). The
+    * shared explode behind PQ training, the codebook reconstruction,
+    * and s19's admission of new vectors. */
+  private[graft] def subspacePoints(e: DataFrame, m: Int, sw: Int): DataFrame =
+    (0 until m).map { mi =>
+      e.select(col("vec_id"), lit(mi).as("m"),
+        posexplode(slice(col("v"), mi * sw + 1, sw)))
+    }.reduce(_.unionByName(_)).toDF("vec_id", "m", "dim", "v")
+
+  /** Sub-space code assignment: (vec_id, m, dim, v) points against a
+    * broadcast (m, cid, dim, c) codebook — per (vector, sub-space) the
+    * argmin-dist² code, DECIMAL-exact distances, ties to the smaller
+    * cid (the d59 min-of-struct rule). Shared by the Lloyd iterations,
+    * the every-vector final pass, and s19's incremental admission
+    * against a FROZEN codebook. */
+  private[graft] def pqAssignOver(over: DataFrame, c: DataFrame): DataFrame =
+    over.join(broadcast(c), Seq("m", "dim"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum(dec((col("v") - col("c")) * (col("v") - col("c")))).as("dist2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist2"), col("cid"))).as("w"))
+      .select(col("vec_id"), col("m"), col("w.cid").as("cid"),
+        col("w.dist2").as("dist2"))
 
   /** The four PUBLISHED relations of the d73/d74 vector index —
     * (cells = (vec_id, cid), codes = (vec_id, m, code), codebook =
@@ -555,9 +581,21 @@ object EmbeddingOps {
   private[graft] def pqIndexRelations(s: SparkSession, d: String,
       m: Int = 4, kPq: Int = 16, pqIters: Int = 2,
       dim: Int = 64): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    pqIndexRelationsOver(persistCorpus(Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))),
+      m, kPq, pqIters, dim)
+  }
+
+  /** [[pqIndexRelations]] over an explicit (vec_id, v) frame — the
+    * training kernel s19 freezes on its reference batch. Caller
+    * registers the cosine function. */
+  private[graft] def pqIndexRelationsOver(e: DataFrame,
+      m: Int = 4, kPq: Int = 16, pqIters: Int = 2,
+      dim: Int = 64): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into $m sub-vectors")
     val sw = dim / m
-    val (cells, cent) = ivfCells(s, d)
+    val (cells, cent) = ivfCellsOver(e)
     // ——— PQ codebooks: the d59 Lloyd kernel with an added sub-space
     // key — all m codebooks train in ONE chain (sub-spaces are
     // independent, so keying every join/aggregate by `m` computes the

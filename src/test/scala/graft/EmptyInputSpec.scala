@@ -157,6 +157,8 @@ class EmptyInputSpec extends SparkSpec {
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
       // s18: empty reference batch → empty centroids/labels stores
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
+      // s19: empty reference batch → empty models → empty index store
+      "vectorIndexMaintFeed" -> (Streaming.vectorIndexMaintFeed _),
       // s20: three empty versions → empty change feeds → empty replica
       "cdcReplicationFeed" -> (Streaming.cdcReplicationFeed _),
       "payloadStats" -> (Multimodal.payloadStats _),

@@ -1038,6 +1038,73 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("s19: maintained index ≡ frozen-model admission; deltas never move " +
+    "reference rows; the maintained store is searchable end-to-end") {
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val batches = Seq(emb.filter(pmod(col("vec_id"), lit(10L)) < 8),
+      emb.filter(pmod(col("vec_id"), lit(10L)) === 8),
+      emb.filter(pmod(col("vec_id"), lit(10L)) === 9))
+    val base = java.nio.file.Files.createTempDirectory("graft-s19spec").toString
+    def cellRows(): Seq[String] =
+      spark.read.parquet(s"$base/cells/published").collect().map(_.toString).sorted.toSeq
+    def codeRows(): Seq[String] =
+      spark.read.parquet(s"$base/codes/published").collect().map(_.toString).sorted.toSeq
+    operators.Streaming.vectorIndexMaintSink(base)(batches(0), 0L)
+    val (refCells, refCodes) = (cellRows(), codeRows())
+    operators.Streaming.vectorIndexMaintSink(base)(batches(1), 1L)
+    operators.Streaming.vectorIndexMaintSink(base)(batches(2), 2L)
+    // ——— deltas never move reference rows: the batch-0 subset of the
+    // final store is byte-identical to the store right after batch 0 ———
+    val isRef = (r: String) => {
+      val id = r.drop(1).takeWhile(_ != ',').toLong; id % 10 < 8
+    }
+    assert(cellRows().filter(isRef) === refCells,
+      "a delta moved a reference vector's cell")
+    assert(codeRows().filter(isRef) === refCodes,
+      "a delta moved a reference vector's codes")
+    // ——— delta rows ≡ frozen-model admission computed independently
+    // against the PUBLISHED models (store read-back + upsert under test) ———
+    val cent = spark.read.parquet(s"$base/centroids/published")
+    val cb = spark.read.parquet(s"$base/codebook/published")
+    val deltas = batches(1).unionByName(batches(2))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val expCells = EmbeddingOps.assignCellsOver(deltas, cent)
+      .select(col("vec_id"), col("cid")).collect().map(_.toString).sorted.toSeq
+    assert(cellRows().filterNot(isRef) === expCells,
+      "delta cell admission diverged from frozen-centroid assignment")
+    val expCodes = EmbeddingOps.pqAssignOver(
+        EmbeddingOps.subspacePoints(deltas, 4, 16),
+        cb.select(col("m"), col("code").as("cid"), col("pos").as("dim"), col("c")))
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(codeRows().filterNot(isRef) === expCodes,
+      "delta code admission diverged from frozen-codebook assignment")
+    // ——— the maintained store composes with the real search kernel:
+    // with every cell probed and an uncut shortlist the exact re-rank
+    // must return the global brute-force NN — structurally, because all
+    // candidates reach the exact cosine pass. Queries 8 and 9 were
+    // admitted by the DELTA path, so search-over-incremental is load-
+    // bearing here, not a formality. ———
+    val n = emb.count().toInt
+    val codesLong = spark.read.parquet(s"$base/codes/published")
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "m", "code")
+    val got = EmbeddingOps.ivfPqSearch(spark, Sf,
+        spark.read.parquet(s"$base/cells/published"), codesLong, cb, cent,
+        shortlist = n, sw = 16, nprobe = 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    spark.sharedState.cacheManager.clearCache()
+    val brute = EmbeddingOps.ivfAnn(spark, Sf)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    spark.sharedState.cacheManager.clearCache()
+    assert(got === brute,
+      "search over the incrementally maintained index lost a true NN")
+  }
+
   test("d73 multi-probe: nprobe=2 recall ≥ nprobe=1 and finds the true NN " +
     "by structure, not corpus luck") {
     // the d06b probe-monotonicity pin applied to d73: the nprobe=2

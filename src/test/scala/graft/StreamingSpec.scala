@@ -613,6 +613,53 @@ class StreamingSpec extends SparkSpec {
     assert(store() === streamed)
   }
 
+  test("s19: streamed index maintenance ≡ batch twin; frozen models; " +
+    "redelivery and crash markers") {
+    import org.apache.commons.io.FileUtils
+    val vecs = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+      .as[NewVec].collect().toSeq
+    val batches = Seq(vecs.filter(_.vec_id % 10 < 8),
+      vecs.filter(_.vec_id % 10 == 8), vecs.filter(_.vec_id % 10 == 9))
+    val base = java.nio.file.Files.createTempDirectory("graft-s19").toString
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[NewVec]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.vectorIndexMaintSink(base)(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def store(): Seq[String] =
+      (sortedRows(spark.read.parquet(s"$base/cells/published")) ++
+        sortedRows(spark.read.parquet(s"$base/codes/published")) ++
+        sortedRows(spark.read.parquet(s"$base/codebook/published")) ++
+        sortedRows(spark.read.parquet(s"$base/centroids/published")))
+    val streamed = store()
+    // streamed-on-disk shape ≡ the registry batch twin's invariant view
+    assert(sortedRows(Streaming.vectorIndexMaintFeed(spark, Sf)) ===
+      vecs.map(v => s"[${v.vec_id},1,4]").sorted)
+    // models are frozen: the codebook/centroid tables carry batch 0's
+    // marker only — no later batch republished them
+    assert(new java.io.File(s"$base/codebook/published/_batch_0").exists)
+    assert(!new java.io.File(s"$base/codebook/published/_batch_1").exists &&
+      !new java.io.File(s"$base/codebook/published/_batch_2").exists,
+      "a delta batch republished the frozen codebook")
+    assert(new java.io.File(s"$base/centroids/published/_batch_0").exists)
+    // redelivered batch id (different data): marker makes it a no-op
+    Streaming.vectorIndexMaintSink(base)(
+      Seq(NewVec(424242L, Seq.fill(64)(0.5f))).toDF(), 1L)
+    assert(store() === streamed, "redelivery mutated the index store")
+    // crash between the data-table promotes and the side marker:
+    // redelivery must skip the promoted halves, backfill, never re-merge
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
+    Streaming.vectorIndexMaintSink(base)(batches(2).toDF(), 2L)
+    assert(new java.io.File(s"$base/_applied/2").exists)
+    assert(store() === streamed)
+  }
+
   test("s20: streamed CDC replication ≡ source current; idempotent catch-up; " +
     "preimage ignored; redelivery and audit markers") {
     import org.apache.commons.io.FileUtils
