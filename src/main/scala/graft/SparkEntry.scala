@@ -231,6 +231,7 @@ object SparkEntry {
     "s16_versioned_sink" -> (Streaming.versionedFeed _),
     "s17_pair_maintenance" -> (Streaming.pairMaintFeed _),
     "s18_label_maintenance" -> (Streaming.labelMaintFeed _),
+    "d75_substring_dedup" -> (DedupOps.substringDedup _),
     "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
@@ -786,6 +787,29 @@ object SparkEntry {
          |SELECT vec_id, cid, CAST(dist2 AS DOUBLE) AS dist2
          |FROM $fin ORDER BY vec_id""".stripMargin
     },
+    "d75_substring_dedup" ->
+      // the k-gram-cover semantics mirrored verbatim: position p is
+      // covered iff its 20-gram occurs ≥ 2 times corpus-wide; spans =
+      // maximal covered runs via the p − row_number island trick.
+      // substr is character-based in BOTH engines, so the gram grouping
+      // keys are byte-identical strings.
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE length(text) >= 20),
+        |pts AS (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 19)) AS p
+        |        FROM base),
+        |pos AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |          substr(text, CAST(p AS INT), 20) AS g FROM pts),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, p FROM pos
+        |        WHERE g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, p, p - row_number() OVER
+        |          (PARTITION BY doc_id ORDER BY p) AS grp FROM cov)
+        |SELECT doc_id, min(p) AS span_start,
+        |  max(p) + 19 AS span_end,
+        |  count(*) + 19 AS span_len
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     "s19_index_maintenance" ->
       // the per-vector STORE-SHAPE invariant: after the reference batch
       // and both deltas, the index holds exactly one cell row and m = 4

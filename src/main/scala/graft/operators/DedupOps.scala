@@ -111,6 +111,81 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** d75 — EXACT SUBSTRING dedup at arbitrary alignment (the Lee et
+    * al. "Deduplicating Training Data Makes Language Models Better"
+    * operator, in its distributed k-gram-cover form): find every
+    * maximal span of text whose EVERY length-[[SubstringK]] window
+    * occurs more than once in the corpus, at any offset — the
+    * boilerplate d42's fixed tiles straddle (a duplicated sentence
+    * split across two 32-token chunks matches neither tile) and d57's
+    * paragraph split misses (a duplicated clause inside an otherwise
+    * unique paragraph).
+    *
+    * Semantics (deterministic, oracle-exact): position p of a document
+    * is COVERED iff the k-gram text[p, p+k) occurs ≥ 2 times corpus-
+    * wide (counting every occurrence, including self-overlaps within
+    * one document — periodic runs self-cover, which is what the rule
+    * wants); output = the maximal runs of covered positions as spans
+    * [start, start + run + k − 2], one row each, with the d42-style
+    * removal rule ("cut these spans") left to the caller. This is the
+    * standard conservative approximation of the suffix-array method:
+    * a covered run may CHIMERA — stitch k-grams duplicated at
+    * *different* sources into a span that nowhere occurs whole — so
+    * cover-based removal deletes a superset of the true duplicated
+    * substrings (the safe direction for training-data hygiene; the
+    * spec pins a planted chimera). Exact suffix-array spans need a
+    * global suffix sort, which is the single-node luxury this
+    * distributed form trades away.
+    *
+    * Plan and scale (the d42 discipline): the k-gram relation is
+    * corpus-characters-sized — the honest cost of substring-grain
+    * dedup — but nothing downstream is content-keyed where it hurts:
+    * duplicate detection is `groupBy(g).count` (partial aggregation
+    * collapses a hot boilerplate gram to one row per map task BEFORE
+    * the shuffle), the cover test is a LEFT SEMI join whose build side
+    * is one deduplicated row per duplicated gram (probe-side skew on a
+    * hot gram is AQE-splittable — the build side replicates), and the
+    * island grouping windows on doc_id (bounded by one document's
+    * length) with run-start arithmetic, never on content. At 100 TB
+    * the gram key becomes xxhash64(g) with a within-group verify (the
+    * d01/d42 narrow-shuffle swap) and k-grams stage as a sorted
+    * anchor table reused across runs; the fixture plan keeps exact
+    * strings so the DuckDB oracle mirrors it verbatim. */
+  val SubstringK = 20
+
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupOver(Tables.documents(s, d))
+
+  /** [[substringDedup]] over any (doc_id, text) frame — split out so
+    * specs can plant shared substrings, chimeras, and self-overlapping
+    * periodic runs. */
+  private[graft] def substringDedupOver(docs: DataFrame): DataFrame = {
+    val k = SubstringK
+    val base = docs.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= k)
+    val pos = base.select(col("doc_id"),
+        explode(sequence(lit(1L),
+          (length(col("text")) - (k - 1)).cast("long"))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        col("text").substr(col("p").cast("int"), lit(k)).as("g"))
+    val dupG = pos.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("g")
+    val cov = pos.join(dupG, Seq("g"), "left_semi").select("doc_id", "p")
+    // islands: consecutive covered positions share (p − row_number);
+    // the window is doc_id-keyed (bounded by one document) — the
+    // content column never reaches a partition spec
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    cov.withColumn("grp", col("p") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** d57 — C4-style PARAGRAPH-grain dedup: split each document on
     * newline, keep a paragraph occurrence iff it is the corpus-wide
     * FIRST occurrence of its trimmed content (by (doc_id, position) —

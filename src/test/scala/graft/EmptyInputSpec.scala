@@ -90,6 +90,7 @@ class EmptyInputSpec extends SparkSpec {
       "containmentPairs" -> ((s: org.apache.spark.sql.SparkSession, d: String) => PairGraph.containmentPairs(s, d)),
       "partialDupClusters" -> (PairGraph.partialDupClusters _),
       "spanDedup" -> (DedupOps.spanDedup _),
+      "substringDedup" -> (DedupOps.substringDedup _),
       "sourceCap" -> (DedupOps.sourceCap _),
       "qualityClassifier" -> (QualityOps.qualityClassifier _),
       "editVerify" -> ((s: org.apache.spark.sql.SparkSession, d: String) => PairGraph.editVerify(s, d)),

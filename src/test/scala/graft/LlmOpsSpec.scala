@@ -458,6 +458,46 @@ class LlmOpsSpec extends SparkSpec {
       (3L, 1L, 1L, m(toks("z")))))
   }
 
+  test("d75 substring dedup: planted spans at arbitrary alignment, " +
+    "self-overlap, chimera superset, unique doc silent") {
+    // k = 20. Every building block is aperiodic and pairwise
+    // 20-gram-disjoint, so only the planted structure produces
+    // coverage; boundary-straddling grams occur once and stay silent.
+    val S = (0 until 15).map(i => s"S${('a' + i).toChar}").mkString // 30 chars
+    val u1 = "abcdefghijklmnopqrstuvwxy"                            // 25
+    val u2 = "ABCDEFGHIJKLMNOPQRSTUVWXY"                            // 25
+    val u3 = "0123456789!@#$%^&*()-=_+["                            // 25
+    val P = (0 to 9).map(i => s"P$i").mkString                      // 20
+    val Q = (0 to 9).map(i => s"Q$i").mkString                      // 20
+    val R = (0 to 9).map(i => s"R$i").mkString                      // 20
+    val f5 = "zyxwvutsrqponmlkjihgfedcb"                            // 25
+    val f6 = "ZYXWVUTSRQPONMLKJIHGFEDCB"                            // 25
+    val docs = Seq(
+      (0L, "x!y@z#w$v%u^t&s*r(q)p-o="), // unique, aperiodic → silent
+      (1L, u1 + S + u2), // S at 26..55 — mid-document
+      (2L, u3 + S),      // S at 26..55 — different alignment
+      (3L, "Z" * 60),    // periodic: every 20-gram self-overlaps
+      (4L, P + Q + R),   // chimera target: PQ from doc 5, QR from doc 6
+      (5L, P + Q + f5),
+      (6L, Q + R + f6))
+      .toDF("doc_id", "text")
+    val got = DedupOps.substringDedupOver(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // doc 1/2: the shared 30-char S, exactly, at each doc's offset
+      (1L, 26L, 55L, 30L),
+      (2L, 26L, 55L, 30L),
+      // doc 3: the whole periodic run covers itself
+      (3L, 1L, 60L, 60L),
+      // doc 4: ONE stitched span [1, 60] although PQR occurs nowhere
+      // whole — the documented chimera superset (grams ≤ 21 duplicate
+      // against doc 5, grams ≥ 21 against doc 6, coverage contiguous)
+      (4L, 1L, 60L, 60L),
+      // docs 5/6: their PQ / QR halves, not the fillers
+      (5L, 1L, 40L, 40L),
+      (6L, 1L, 40L, 40L)))
+  }
+
   test("d57 paragraph dedup: first-seen keep + in-order reassembly, all-dup doc empties") {
     // paragraphs P/Q shared across docs; first occurrence by (doc_id,
     // pos) wins. Doc 3 is ALL previously-seen paragraphs → kept empty.
