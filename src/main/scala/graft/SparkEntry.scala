@@ -232,6 +232,7 @@ object SparkEntry {
     "s17_pair_maintenance" -> (Streaming.pairMaintFeed _),
     "s18_label_maintenance" -> (Streaming.labelMaintFeed _),
     "d75_substring_dedup" -> (DedupOps.substringDedup _),
+    "f23_deletion_vectors" -> (Sources.deletionVectors _),
     "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
@@ -1632,6 +1633,23 @@ object SparkEntry {
          |  CAST(base_version AS BIGINT) AS base_version,
          |  CAST(n_rows AS BIGINT) AS n_rows, bal_sum
          |FROM m ORDER BY version""".stripMargin,
+    "f23_deletion_vectors" ->
+      // the per-bucket live/deleted split after tombstoning buckets 5
+      // and 7: pure bucket arithmetic over `customer` — the DV read
+      // path must reproduce exactly the rows a predicate delete would
+      // keep, with the deleted populations recovered from the vector.
+      // bal_live stays NULL for fully-deleted buckets (no coalesce) —
+      // both engines agg an absent group to NULL through the full join.
+      s"""WITH l AS (SELECT c_custkey % 10 AS bucket, count(*) AS n_live,
+         |    ${dsum("c_acctbal")} AS bal_live
+         |  FROM customer WHERE c_custkey % 10 NOT IN (5, 7) GROUP BY 1),
+         |d AS (SELECT c_custkey % 10 AS bucket, count(*) AS n_deleted
+         |  FROM customer WHERE c_custkey % 10 IN (5, 7) GROUP BY 1)
+         |SELECT COALESCE(l.bucket, d.bucket) AS bucket,
+         |  CAST(COALESCE(n_live, 0) AS BIGINT) AS n_live, bal_live,
+         |  CAST(COALESCE(n_deleted, 0) AS BIGINT) AS n_deleted
+         |FROM l FULL OUTER JOIN d ON l.bucket = d.bucket
+         |ORDER BY bucket""".stripMargin,
     "f22_atomic_cas_publish" -> {
       // the race's three versions per table as slice rollups: v1 =
       // buckets 0–7, v2 = 0–8 (publisher A), v3 = all (publisher B's

@@ -1049,6 +1049,137 @@ object Sources {
       .getOrElse(sys.error(s"no lineage marker in $dir"))
   }
 
+  /** f23 — DELETION VECTORS: merge-on-read row-level deletes. f13's
+    * MERGE is copy-on-write — a delete REWRITES every file holding a
+    * matched row, which at 100 TB turns a point delete (GDPR erasure,
+    * a bad-record purge) into a table-sized write. The merge-on-read
+    * alternative every modern table format ships (Delta deletion
+    * vectors, Iceberg v2 position deletes): a delete writes only a
+    * SIDECAR of (data file, row position) tombstones; reads apply the
+    * sidecar with one anti-join; a later compaction materializes the
+    * deletes and clears the vector — write cost moves from
+    * O(files touched) to O(rows deleted), read cost gains one narrow
+    * keyed anti-join until compaction.
+    *
+    * Row identity is the PHYSICAL coordinate (file path, row index)
+    * from Spark's `_metadata` hidden column — exactly what the real
+    * formats use (stable, key-free, unique by construction, uniformly
+    * distributed: the anti-join can never skew, the d42 coordinate
+    * argument). The vector is bound to the CURRENT published snapshot:
+    * compaction rewrites live rows as a fresh version (f14 history
+    * intact) and clears it. Deletes are idempotent — a re-delete of an
+    * already-deleted row adds nothing (hits are computed against the
+    * DV-applied read). Sidecar updates swap via the two-rename
+    * discipline (never delete-then-write live state).
+    *
+    * StorageSpec pins the merge-on-read CLAIM itself: the data files
+    * are byte-identical after a DV delete, the DV read equals the
+    * copy-on-write result, re-deletes are no-ops, and compaction
+    * round-trips content while clearing the vector. */
+  private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The current deletion vector — (file, pos) — empty if none. */
+  private[graft] def readDv(s: SparkSession, base: String): DataFrame = {
+    val dir = new java.io.File(s"$base/dv")
+    if (dir.exists) s.read.parquet(dir.toString)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      DvSchema)
+  }
+
+  /** The published table with its physical row coordinates exposed. */
+  private def taggedScan(s: SparkSession, base: String): DataFrame =
+    s.read.parquet(s"$base/published")
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+
+  /** Merge-on-read READ path: published data minus the deletion
+    * vector — one left-anti join on the (file, pos) coordinate. */
+  private[graft] def readWithDv(s: SparkSession, base: String): DataFrame = {
+    val t = taggedScan(s, base)
+    t.join(readDv(s, base), Seq("file", "pos"), "left_anti")
+      .drop("file", "pos")
+  }
+
+  /** Merge-on-read DELETE: append the coordinates of LIVE rows matching
+    * `pred` to the deletion vector. Touches no data file. Returns the
+    * number of newly tombstoned rows (0 on a re-delete). */
+  private[graft] def dvDelete(s: SparkSession, base: String,
+      pred: Column): Long = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val existing = readDv(s, base)
+    val hits = taggedScan(s, base).filter(pred)
+      .join(existing, Seq("file", "pos"), "left_anti")
+      .select(col("file"), col("pos"))
+    // stage the UNIONED vector first (the plan reads the old dv dir),
+    // then swap with two renames — a crash leaves either the old or
+    // the new vector, never a missing one
+    val staging = new java.io.File(s"$base/dv_staging")
+    val merged = existing.unionByName(hits)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val nNew = s.read.parquet(staging.toString).count() - existing.count()
+    val dir = new java.io.File(s"$base/dv")
+    val old = new java.io.File(s"$base/dv_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    if (dir.exists)
+      NioFiles.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
+    NioFiles.move(staging.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    nNew
+  }
+
+  /** Compaction: materialize the deletion vector — rewrite the live
+    * rows as a fresh retained version (f14 history keeps the
+    * pre-compaction snapshot) and clear the vector. Returns the audit
+    * manifest of the promote. */
+  private[graft] def dvCompact(s: SparkSession, base: String,
+      keyCols: Seq[String]): DataFrame = {
+    val live = readWithDv(s, base)
+    val audit = writeAuditPublishStaged(s, live, live.count(), base,
+      keyCols = keyCols, retainVersions = true)
+    if (audit.filter(!col("ok")).isEmpty)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$base/dv"))
+    audit
+  }
+
+  /** The f23 registry query: publish the customer snapshot, tombstone
+    * buckets 5 and 7 through two DV deletes (data files untouched —
+    * spec-pinned byte identity), and report the per-bucket live/deleted
+    * split read back through the merge-on-read path: buckets 5/7 show
+    * zero live rows and their full populations deleted, every other
+    * bucket the reverse — the row-level delete observable without one
+    * data file rewritten. */
+  def deletionVectors(s: SparkSession, d: String): DataFrame = {
+    import graft.Canon.dsum
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val base = java.nio.file.Files.createTempDirectory("graft-dv").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    writeAuditPublishStaged(s, cust, cust.count(), base.toString,
+      keyCols = Seq("c_custkey"))
+    dvDelete(s, base.toString, pmod(col("c_custkey"), lit(10L)) === 5)
+    dvDelete(s, base.toString, pmod(col("c_custkey"), lit(10L)) === 7)
+    val bucket = pmod(col("c_custkey"), lit(10L)).as("bucket")
+    val live = readWithDv(s, base.toString)
+      .groupBy(bucket).agg(count(lit(1)).as("n_live"),
+        dsum(col("c_acctbal")).as("bal_live"))
+    // the tombstoned rows, recovered by joining the vector back to the
+    // physical coordinates — the DV never stores payload
+    val dead = taggedScan(s, base.toString)
+      .join(readDv(s, base.toString), Seq("file", "pos"), "left_semi")
+      .groupBy(bucket).agg(count(lit(1)).as("n_deleted"))
+    live.join(dead, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        col("bal_live"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+      .orderBy("bucket")
+  }
+
   /** f22 — MULTI-TABLE optimistic CAS publish: f19's all-or-nothing
     * snapshot × f21's compare-and-swap, the full transactional-catalog
     * commit shape. A publisher stages EVERY table of its snapshot

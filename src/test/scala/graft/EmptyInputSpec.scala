@@ -158,6 +158,8 @@ class EmptyInputSpec extends SparkSpec {
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
       // s18: empty reference batch → empty centroids/labels stores
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
+      // f23: empty publish → empty vector → zero live/deleted buckets
+      "deletionVectors" -> (operators.Sources.deletionVectors _),
       // s19: empty reference batch → empty models → empty index store
       "vectorIndexMaintFeed" -> (Streaming.vectorIndexMaintFeed _),
       // s20: three empty versions → empty change feeds → empty replica

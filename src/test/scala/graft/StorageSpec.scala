@@ -389,6 +389,51 @@ class StorageSpec extends SparkSpec {
     assert(snap("by_source") === s2)
   }
 
+  test("f23 deletion vectors: data files untouched, DV read ≡ copy-on-write, " +
+    "idempotent re-delete, compaction round-trips and clears the vector") {
+    import operators.Sources
+    val base = s"$wh/dv"
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    Sources.writeAuditPublishStaged(spark, cust, cust.count(), base,
+      keyCols = Seq("c_custkey"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def dataFiles(): Seq[(String, Long)] =
+      new java.io.File(s"$base/published").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).sorted.toSeq
+    val filesBefore = dataFiles()
+    val b = pmod(col("c_custkey"), lit(10L))
+    // merge-on-read claim: the delete writes ONLY the sidecar
+    assert(Sources.dvDelete(spark, base, b === 5) > 0L)
+    assert(dataFiles() === filesBefore,
+      "a DV delete touched a data file — that is copy-on-write")
+    // the DV read is exactly the copy-on-write result
+    assert(rows(Sources.readWithDv(spark, base)) ===
+      rows(cust.filter(b =!= 5)))
+    // idempotent: tombstoning tombstoned rows adds nothing
+    assert(Sources.dvDelete(spark, base, b === 5) === 0L)
+    // vectors accumulate across deletes
+    assert(Sources.dvDelete(spark, base, b === 7) > 0L)
+    val live = rows(cust.filter(b =!= 5 && b =!= 7))
+    assert(rows(Sources.readWithDv(spark, base)) === live)
+    // compaction: content round-trips, vector cleared, pre-compaction
+    // snapshot retained in f14 history WITH its rows (the DV is not
+    // part of the archived version — history is physical)
+    val audit = Sources.dvCompact(spark, base, Seq("c_custkey"))
+    assert(audit.filter(!col("ok")).isEmpty)
+    assert(!new java.io.File(s"$base/dv").exists,
+      "compaction must clear the vector")
+    assert(rows(spark.read.parquet(s"$base/published")) === live)
+    assert(rows(Sources.readAsOf(spark, base, 1)) === rows(cust),
+      "the pre-compaction snapshot must keep every physical row")
+    // the rewritten files are a fresh coordinate space: deletes keep working
+    assert(Sources.dvDelete(spark, base, b === 3) > 0L)
+    assert(rows(Sources.readWithDv(spark, base)) ===
+      rows(cust.filter(b =!= 5 && b =!= 7 && b =!= 3)))
+  }
+
   test("f21 audit failure discards its staging — no orphan staging dirs") {
     import operators.Sources
     val base = s"$wh/occ_audit"
