@@ -234,6 +234,7 @@ object SparkEntry {
     "d75_substring_dedup" -> (DedupOps.substringDedup _),
     "f23_deletion_vectors" -> (Sources.deletionVectors _),
     "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
+    "s21_asof_enrich" -> (Streaming.asofEnrichBatch _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
@@ -823,6 +824,26 @@ object SparkEntry {
       """SELECT vec_id, CAST(1 AS BIGINT) AS n_cell_rows,
         |  CAST(4 AS BIGINT) AS n_code_words
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "s21_asof_enrich" ->
+      // per error, the argmax purchase by (p_ts, p_event_id) among the
+      // same user's purchases at-or-before the error's ts (µs grain —
+      // CAST truncates DuckDB's ns to Spark's µs), left-complete for
+      // purchase-less errors; purchase values copy through
+      // unaggregated, so the doubles are engine-identical
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT e.event_id AS err_id, p.event_id AS purchase_id,
+        |        p.value AS purchase_value,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |      FROM e JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts)
+        |SELECT e.event_id AS err_id, e.user_id, c.purchase_id,
+        |  c.purchase_value
+        |FROM e LEFT JOIN (SELECT * FROM c WHERE rn = 1) c
+        |  ON c.err_id = e.event_id
+        |ORDER BY err_id""".stripMargin,
     "s20_cdc_replication" ->
       // the replica after tailing the 3-version s16 ladder's change
       // feed must equal the source's CURRENT version row-for-row —

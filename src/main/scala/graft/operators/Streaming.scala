@@ -306,6 +306,70 @@ object Streaming {
       .select(col("user_id"), col("event_id"), col("ordinal"))
       .orderBy("user_id", "ordinal")
 
+  /** s21 — STREAMING AS-OF enrichment: the e20/e42 temporal join as a
+    * stateful stream. Each `error` event is enriched with the SAME
+    * user's most recent `purchase` at-or-before its event time — the
+    * "attach the last thing this key did" join every clickstream/
+    * sessionization pipeline runs live, which neither the stream-stream
+    * equi joins (s06/s10/s15 — time-BOUNDED, not most-recent) nor the
+    * batch as-of kernels express in a stream.
+    *
+    * Shape: both sides arrive as ONE union stream keyed user_id (the
+    * e20 union-tag trick in state form); per-key state is the single
+    * latest purchase so far — O(users), independent of stream length
+    * (no buffering of the error side at all). Within a micro-batch the
+    * group iterator is sorted (ts, kind, event_id) with purchases
+    * before errors at equal ts, so a same-µs purchase matches its
+    * error with Δ = 0 — the e42 tie rule — and output is invariant
+    * under re-batching of an event-time-ordered feed (the s05
+    * contract; StreamingSpec proves state carries across batches).
+    * Purchase-less errors emit with NULL enrichment (left-complete,
+    * the e42 rule). Production hardening for out-of-order feeds is the
+    * documented swap: buffer within the watermark and flush on event-
+    * time timers (the s12 machinery) — same contract, state O(users ×
+    * within-watermark rows) instead of O(users). */
+  def asofEnrich(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.filter(col("event_type").isin("error", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+    ds.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long,
+         it: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+         state: GroupState[(Long, Double)]) => {
+          // FULL-µs ordering (getTime is ms-grain — two same-ms events
+          // with different µs must not tie, the oracle compares full
+          // ts); purchases sort BEFORE errors at equal µs so a same-µs
+          // purchase is visible to its error (Δ = 0, the e42 rule)
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val sorted = it.toSeq.sortBy(r =>
+            (micros(r._2), if (r._4 == "purchase") 0 else 1, r._1))
+          var latest = state.getOption
+          val out = sorted.flatMap {
+            case (eid, _, _, "purchase", v) =>
+              latest = Some((eid, v)); None
+            case (eid, _, _, _, _) =>
+              Some((user, eid, latest.map(_._1), latest.map(_._2)))
+          }
+          latest.foreach(state.update)
+          out.iterator
+        })
+      .toDF("user_id", "err_id", "purchase_id", "purchase_value")
+  }
+
+  /** Batch entry for [[asofEnrich]] (oracle: per error, the argmax
+    * purchase by (p_ts, p_event_id) among p_ts ≤ err_ts, left joined). */
+  def asofEnrichBatch(s: SparkSession, d: String): DataFrame =
+    asofEnrich(Tables.events(s, d))
+      .select(col("err_id"), col("user_id"), col("purchase_id"),
+        col("purchase_value"))
+      .orderBy("err_id")
+
   /** E17d — the same per-user arrival ordinal via `transformWithState`,
     * Spark 4's arbitrary-state API (typed ValueState handles, explicit
     * TimeMode, per-state TTL — the successor to

@@ -146,6 +146,7 @@ class EmptyInputSpec extends SparkSpec {
       "sessions" -> (Streaming.sessions _),
       "dedupFirst" -> (Streaming.dedupFirst _),
       "stateOrdinal" -> (Streaming.stateOrdinal _),
+      "asofEnrichBatch" -> (Streaming.asofEnrichBatch _),
       "streamJoin" -> (Streaming.streamJoin _),
       "dedupThenWindow" -> (Streaming.dedupThenWindow _),
       // rounds 7–8

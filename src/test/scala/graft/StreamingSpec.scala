@@ -134,6 +134,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("s21 as-of enrichment: streaming ≡ batch; planted ties and " +
+    "purchase-less errors") {
+    // the real stream: the same union feed, state = one latest purchase
+    // per user carried across micro-batches
+    val streamed = runStream("t_asof", Streaming.asofEnrich)
+      .filter(col("err_id") =!= SentinelId)
+      .select("err_id", "user_id", "purchase_id", "purchase_value")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    val batch = Streaming.asofEnrichBatch(spark, Sf)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(streamed === batch)
+    // planted micro-fixture: same-µs purchase matches (Δ = 0), a LATER
+    // purchase never matches an earlier error, equal-ts purchases tie
+    // to the larger event_id, and the purchase-less error is
+    // left-complete with NULLs. Fed as TWO batches split MID-USER so
+    // the match for the second error can only come from state.
+    def ev(id: Long, us: Long, u: Long, k: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(us / 1000) {
+        setNanos((us % 1000000L).toInt * 1000)
+      }, u, k, v, "{}")
+    val b1 = Seq(
+      ev(1, 1000000L, 7, "purchase", 10.0),
+      ev(2, 1000000L, 7, "purchase", 20.0), // same ts: larger id wins
+      ev(3, 1000000L, 7, "error", 0.0),     // same-µs: matches id 2
+      ev(4, 5000000L, 9, "error", 0.0))     // user 9 never purchases
+    val b2 = Seq(
+      ev(5, 9000000L, 7, "error", 0.0),     // matched from STATE (id 2)
+      ev(6, 9500000L, 7, "purchase", 30.0), // after error 5 — no effect on it
+      ev(7, 9900000L, 7, "error", 0.0))     // matches id 6
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streaming.asofEnrich(src.toDF())
+      .writeStream.format("memory").queryName("t_asof_planted")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2).foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_asof_planted")
+      .select("err_id", "purchase_id", "purchase_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got === Set(
+      (3L, Some(2L), Some(20.0)),
+      (4L, None, None),
+      (5L, Some(2L), Some(20.0)),
+      (7L, Some(6L), Some(30.0))))
+  }
+
   test("file-source stream: tumbling agg over a parquet directory ≡ batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // replay the corpus as 4 event-time-ordered parquet files
