@@ -235,6 +235,7 @@ object SparkEntry {
     "f23_deletion_vectors" -> (Sources.deletionVectors _),
     "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
     "s21_asof_enrich" -> (Streaming.asofEnrichBatch _),
+    "s22_asof_disordered" -> (Streaming.asofEnrichDisorderedFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
@@ -824,6 +825,24 @@ object SparkEntry {
       """SELECT vec_id, CAST(1 AS BIGINT) AS n_cell_rows,
         |  CAST(4 AS BIGINT) AS n_code_words
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "s22_asof_disordered" ->
+      // s21's oracle VERBATIM: the disorder-tolerant variant must give
+      // the ordered answer back from a deliberately disordered replay —
+      // that identity is the operator's whole claim
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT e.event_id AS err_id, p.event_id AS purchase_id,
+        |        p.value AS purchase_value,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |          ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |      FROM e JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts)
+        |SELECT e.event_id AS err_id, e.user_id, c.purchase_id,
+        |  c.purchase_value
+        |FROM e LEFT JOIN (SELECT * FROM c WHERE rn = 1) c
+        |  ON c.err_id = e.event_id
+        |ORDER BY err_id""".stripMargin,
     "s21_asof_enrich" ->
       // per error, the argmax purchase by (p_ts, p_event_id) among the
       // same user's purchases at-or-before the error's ts (µs grain —

@@ -370,6 +370,163 @@ object Streaming {
         col("purchase_value"))
       .orderBy("err_id")
 
+  /** s22 — the DISORDER-TOLERANT as-of: [[asofEnrich]]'s documented
+    * production swap made real. s21's O(users) state is correct only on
+    * an event-time-ordered feed — a purchase arriving one micro-batch
+    * AFTER an error it precedes in event time is silently missed. This
+    * variant buffers BOTH sides per key and flushes strictly below the
+    * watermark on event-time TIMERS (the s12 machinery), so the output
+    * is correct for ANY arrival order the watermark admits — the same
+    * answer, re-derived under the weakest ordering assumption a real
+    * bus (Kafka across partitions) actually provides.
+    *
+    * Mechanics: rows append to a per-user ListState buffer; every
+    * invocation (data or expired timer) flushes the buffered rows whose
+    * event time is strictly below the current watermark — by the
+    * watermark guarantee no future row can sort before them — in the
+    * same (µs, purchases-first, event_id) order as s21, advancing the
+    * latest-purchase ValueState and emitting enriched errors; the
+    * remainder re-buffers with a timer at its earliest event time, so a
+    * group that never hears again still flushes when the watermark
+    * passes it. State is O(users × within-watermark rows) — the honest
+    * price of disorder tolerance, bounded by the watermark delay, and
+    * the reason BOTH variants exist (the s21/s22 pair is the ordering-
+    * assumption dial). Rows later than the watermark delay are dropped
+    * by the engine upstream — the standard late-data contract.
+    *
+    * The registry twin is the only registry entry that executes a REAL
+    * streaming query: a deliberately DISORDERED file replay (events
+    * dealt round-robin across six files by event_id, one file per
+    * micro-batch — event time jumps wildly across batches) plus a
+    * far-future sentinel file that drives the final watermark, and the
+    * output still hash-matches the ordered oracle (s21's, verbatim). */
+  def asofEnrichBuffered(events: DataFrame, delay: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState, ListState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+    // NO pre-state kind filter: a filter can be pushed below the
+    // EventTimeWatermark node, hiding the watermark-driving sentinel
+    // from it — kinds other than error/purchase are skipped INSIDE the
+    // processor instead (they still advance the watermark, the s12
+    // sentinel discipline)
+    val ds = events.withWatermark("ts", delay)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+    type Buffered = (Long, Long, String, Double) // (event_id, µs, kind, value)
+    type Latest = (Long, Double)                 // (purchase_id, value)
+    class AsofProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, String, Double),
+        (Long, Long, Option[Long], Option[Double])] {
+      type Out = (Long, Long, Option[Long], Option[Double])
+      @transient private var buf: ListState[Buffered] = _
+      @transient private var latest: ValueState[Latest] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getListState[Buffered]("buf",
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Long, String, Double)](),
+          TTLConfig.NONE)
+        latest = getHandle.getValueState[Latest]("latest",
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Double)](),
+          TTLConfig.NONE)
+      }
+      /** Flush everything strictly below the watermark, in s21's order;
+        * re-buffer the rest with a timer at its earliest event time. */
+      private def flush(key: Long, wmMs: Long): Iterator[Out] = {
+        val all = buf.get().toSeq
+        val (ready, rest) = all.partition(_._2 / 1000 < wmMs)
+        buf.clear()
+        // materialize before deleting — mutating the timer store while
+        // its iterator is open corrupts the listing
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+        if (rest.nonEmpty) {
+          rest.foreach(buf.appendValue)
+          getHandle.registerTimer(rest.map(_._2 / 1000).min + 1)
+        }
+        var cur: Option[Latest] = if (latest.exists()) Some(latest.get()) else None
+        val out = ready
+          .sortBy(r => (r._2, if (r._3 == "purchase") 0 else 1, r._1))
+          .flatMap {
+            case (eid, _, "purchase", v) => cur = Some((eid, v)); None
+            case (eid, _, _, _) =>
+              Some((key, eid, cur.map(_._1), cur.map(_._2)))
+          }
+        cur.foreach(latest.update)
+        out.iterator
+      }
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+          timerValues: TimerValues): Iterator[Out] = {
+        rows.foreach { case (eid, ts, _, kind, v) =>
+          if (kind == "error" || kind == "purchase")
+            buf.appendValue((eid,
+              ts.getTime / 1000 * 1000000L + ts.getNanos / 1000, kind, v))
+        }
+        flush(key, timerValues.getCurrentWatermarkInMs())
+      }
+      override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[Out] =
+        flush(key, timerValues.getCurrentWatermarkInMs())
+    }
+    ds.groupByKey(_._3)
+      .transformWithState(new AsofProcessor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "err_id", "purchase_id", "purchase_value")
+  }
+
+  /** The s22 registry twin — a real streaming query over a disordered
+    * file replay (see the scaladoc above); oracle identical to s21's. */
+  def asofEnrichDisorderedFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s22").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(dir)
+    // ts → TIMESTAMP: withWatermark rejects NTZ, and the UTC session
+    // makes the cast value-preserving (the standing events-table rule)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // six round-robin shards by event_id: each spans the WHOLE corpus
+    // time range, so the one-file-per-trigger replay jumps backwards in
+    // event time on every micro-batch — the disorder under test. The
+    // watermark delay must exceed the corpus span (any smaller delay
+    // would legitimately DROP the older shards as late data — the
+    // late-data contract, not what this twin measures), so it is sized
+    // from the data and the sentinel lands beyond ts_max + delay.
+    (0 until 6).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(6L)) === i)
+        .coalesce(1).write.parquet(s"$dir/replay/part_$i")
+    }
+    val spanH = {
+      val r = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      if (r.isNullAt(0)) 1L
+      else (r.getLong(1) - r.getLong(0)) / 3600000000L + 2L // µs → h, +margin
+    }
+    // far-future sentinel, path-sorted LAST: drives the final watermark
+    // past every real event so every buffer flushes
+    ev.orderBy(col("ts").desc).limit(1)
+      .select(lit(-1L).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${spanH + 2} HOURS")).as("ts"),
+        lit(0L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      .coalesce(1).write.parquet(s"$dir/replay/part_9_sentinel")
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/replay/part_*")
+    val name = s"s22_sink_${System.identityHashCode(dir)}"
+    val q = asofEnrichBuffered(src, s"$spanH hours")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("err_id"), col("user_id"), col("purchase_id"),
+        col("purchase_value"))
+      .orderBy("err_id")
+  }
+
   /** E17d — the same per-user arrival ordinal via `transformWithState`,
     * Spark 4's arbitrary-state API (typed ValueState handles, explicit
     * TimeMode, per-state TTL — the successor to

@@ -147,6 +147,8 @@ class EmptyInputSpec extends SparkSpec {
       "dedupFirst" -> (Streaming.dedupFirst _),
       "stateOrdinal" -> (Streaming.stateOrdinal _),
       "asofEnrichBatch" -> (Streaming.asofEnrichBatch _),
+      // s22: zero events -> zero files' rows -> empty stream, empty sink
+      "asofEnrichDisorderedFeed" -> (Streaming.asofEnrichDisorderedFeed _),
       "streamJoin" -> (Streaming.streamJoin _),
       "dedupThenWindow" -> (Streaming.dedupThenWindow _),
       // rounds 7–8

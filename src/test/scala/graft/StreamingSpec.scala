@@ -181,6 +181,41 @@ class StreamingSpec extends SparkSpec {
       (7L, Some(6L), Some(30.0))))
   }
 
+  test("s22 buffered as-of: correct under disorder where s21's ordered " +
+    "contract is not; disordered file replay ≡ ordered batch") {
+    // planted: the error arrives one micro-batch BEFORE the purchase
+    // that precedes it in event time — the exact case the s21 contract
+    // excludes. The buffered variant must hold the error below the
+    // watermark and match it once the purchase lands.
+    def ev(id: Long, us: Long, u: Long, k: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(us / 1000) {
+        setNanos((us % 1000000L).toInt * 1000)
+      }, u, k, v, "{}")
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streaming.asofEnrichBuffered(src.toDF(), "10 seconds")
+      .writeStream.format("memory").queryName("t_s22_planted")
+      .outputMode("append").start()
+    try {
+      Seq(
+        Seq(ev(1, 10000000L, 7, "error", 0.0),      // error first...
+          ev(4, 11000000L, 9, "error", 0.0)),        // ...and a loner
+        Seq(ev(2, 5000000L, 7, "purchase", 42.0)),   // its purchase, LATE
+        Seq(ev(99, 100000000L, 0, "sentinel", 0.0))  // flush everything
+      ).foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_s22_planted")
+      .select("err_id", "purchase_id", "purchase_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got === Set(
+      (1L, Some(2L), Some(42.0)), // rescued: s21 would emit NULL here
+      (4L, None, None)))
+    // the corpus twin: a deliberately disordered file replay must give
+    // the ORDERED answer back — the operator's whole claim
+    assert(sortedRows(Streaming.asofEnrichDisorderedFeed(spark, Sf)) ===
+      sortedRows(Streaming.asofEnrichBatch(spark, Sf)))
+  }
+
   test("file-source stream: tumbling agg over a parquet directory ≡ batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // replay the corpus as 4 event-time-ordered parquet files
