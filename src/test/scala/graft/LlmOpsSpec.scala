@@ -498,6 +498,41 @@ class LlmOpsSpec extends SparkSpec {
       (6L, 1L, 40L, 40L)))
   }
 
+  test("d75 hot gram: boilerplate in EVERY doc stays partial-agg + semi-join, result exact") {
+    // the boilerplate-frequency skew case: one 25-char string planted in
+    // all 300 documents (300 × 6 = 1800 occurrences of its hot grams).
+    // The duplicate count must collapse map-side (groupBy partial agg)
+    // and the per-doc span must still come out exactly — one span per
+    // doc covering the planted region, never the unique filler.
+    val B = (0 to 9).map(i => s"B$i").mkString + "BOILR" // 25 chars
+    val docs = (0L until 300L).map { d =>
+      // unique aperiodic filler per doc: no cross-doc or internal
+      // 20-gram repeats outside the planted boilerplate
+      val u = s"<doc-$d>" + (0 to 9).map(i => s"${('a' + (d % 17)).toChar}$d$i").mkString
+      (d, u + B)
+    }.toDF("doc_id", "text")
+    val q = DedupOps.substringDedupOver(docs)
+    val got = q.as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 300, s"expected one span per doc, got ${got.length}")
+    got.foreach { case (d, s, e, len) =>
+      assert(e - s + 1 === len && len >= 25,
+        s"doc $d span [$s,$e] len $len must cover the planted boilerplate")
+    }
+    // every doc's span END is the doc end (B is a suffix) and the span
+    // covers B plus at most k−1 boundary chars: fillers share short
+    // suffixes ("…09"|B grams repeat across docs), so coverage may
+    // bleed a FEW chars left of B — bounded by the gram width, never
+    // into the unique filler body. That bounded bleed is the
+    // documented conservative-superset semantics at a skew boundary.
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (d, _, e, len) =>
+      assert(e === lens(d), s"doc $d span must end at the doc end")
+      assert(len >= 25L && len <= 25L + 19L,
+        s"doc $d span len $len: boilerplate plus bounded boundary bleed")
+    }
+  }
+
   test("d57 paragraph dedup: first-seen keep + in-order reassembly, all-dup doc empties") {
     // paragraphs P/Q shared across docs; first occurrence by (doc_id,
     // pos) wins. Doc 3 is ALL previously-seen paragraphs → kept empty.
