@@ -233,6 +233,7 @@ object SparkEntry {
     "s18_label_maintenance" -> (Streaming.labelMaintFeed _),
     "d75_substring_dedup" -> (DedupOps.substringDedup _),
     "f23_deletion_vectors" -> (Sources.deletionVectors _),
+    "f24_branch_merge" -> (Sources.branchMerge _),
     "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
     "s21_asof_enrich" -> (Streaming.asofEnrichBatch _),
     "s22_asof_disordered" -> (Streaming.asofEnrichDisorderedFeed _),
@@ -1673,6 +1674,27 @@ object SparkEntry {
          |  CAST(base_version AS BIGINT) AS base_version,
          |  CAST(n_rows AS BIGINT) AS n_rows, bal_sum
          |FROM m ORDER BY version""".stripMargin,
+    "f24_branch_merge" ->
+      // the four lifecycle stages from pure customer arithmetic:
+      // main_v1 = the snapshot; branch_exp / main_merged /
+      // main_after_stale_reject = the snapshot with bucket-2 balances
+      // +100 (the merge adopted the branch; the stale rejection moved
+      // nothing). Exact-decimal balance sums per bucket.
+      s"""WITH b AS (SELECT c_custkey % 10 AS bucket, c_acctbal,
+         |    CASE WHEN c_custkey % 10 = 2 THEN c_acctbal + 100.0
+         |         ELSE c_acctbal END AS bumped
+         |  FROM customer),
+         |v1 AS (SELECT bucket, count(*) AS n_rows,
+         |    ${dsum("c_acctbal")} AS bal_sum FROM b GROUP BY 1),
+         |v2 AS (SELECT bucket, count(*) AS n_rows,
+         |    ${dsum("bumped")} AS bal_sum FROM b GROUP BY 1)
+         |SELECT stage, bucket, CAST(n_rows AS BIGINT) AS n_rows, bal_sum
+         |FROM (
+         |  SELECT 'main_v1' AS stage, * FROM v1
+         |  UNION ALL SELECT 'branch_exp', * FROM v2
+         |  UNION ALL SELECT 'main_merged', * FROM v2
+         |  UNION ALL SELECT 'main_after_stale_reject', * FROM v2)
+         |ORDER BY stage, bucket""".stripMargin,
     "f23_deletion_vectors" ->
       // the per-bucket live/deleted split after tombstoning buckets 5
       // and 7: pure bucket arithmetic over `customer` — the DV read

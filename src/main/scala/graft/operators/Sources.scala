@@ -1180,6 +1180,128 @@ object Sources {
       .orderBy("bucket")
   }
 
+  /** f24 — ZERO-COPY BRANCHING over the version store: the catalog
+    * feature (Nessie, LakeFS, Iceberg branches) that turns a versioned
+    * table into a git-like workspace — fork the current snapshot for
+    * free, experiment in isolation, merge back atomically or be
+    * rejected if main moved.
+    *
+    * Model (LakeFS semantics): a branch is a REF — `branches/<name>/
+    * _fork` records the main version it forked from; until the first
+    * branch write, reads resolve straight to the forked main snapshot
+    * (ZERO data copied, the whole point). A branch write publishes into
+    * the branch's OWN WAP base (`branches/<name>/` — its own version
+    * ladder, its own audits), leaving main's version pool untouched:
+    * isolation is structural, not conventional. Merge-back is f21's
+    * compare-and-swap: under main's publish lock, a branch whose fork
+    * base is no longer main's current version is REJECTED whole (the
+    * caller re-forks and re-applies — the optimistic-concurrency
+    * rebase), otherwise the branch snapshot promotes as main's next
+    * retained version and the branch is marked merged. On this local-FS
+    * layout the merge writes the branch content once into main's
+    * staging; a manifest table format re-points data files instead —
+    * same API, O(metadata) merge. */
+  private[graft] def createBranch(s: SparkSession, main: String,
+      name: String): Int = {
+    val fork = currentVersion(main)
+    require(fork >= 1, s"cannot branch $main before its first publish")
+    val dir = new java.io.File(s"$main/branches/$name")
+    require(!dir.exists, s"branch $name already exists at $main")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_fork"), fork.toString)
+    fork
+  }
+
+  private[graft] def forkVersionOf(main: String, name: String): Int =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$main/branches/$name/_fork")).trim.toInt
+
+  /** Branch read: branch-local published if any write happened, else
+    * the forked main snapshot (the zero-copy path). */
+  private[graft] def readBranch(s: SparkSession, main: String,
+      name: String): DataFrame = {
+    val bBase = s"$main/branches/$name"
+    if (new java.io.File(s"$bBase/published").exists)
+      s.read.parquet(s"$bBase/published")
+    else readAsOf(s, main, forkVersionOf(main, name))
+  }
+
+  /** Branch write: full WAP publish into the branch's own base. */
+  private[graft] def writeBranch(s: SparkSession, main: String,
+      name: String, df: DataFrame, keyCols: Seq[String]): DataFrame =
+    writeAuditPublishStaged(s, df, df.count(), s"$main/branches/$name",
+      keyCols = keyCols, retainVersions = true)
+
+  /** Merge-back: fast-forward CAS. True iff main's current version
+    * still equals the branch's fork base; a stale branch is rejected
+    * whole and left intact for the caller to re-fork. */
+  private[graft] def mergeBranch(s: SparkSession, main: String,
+      name: String, keyCols: Seq[String]): Boolean =
+    publishLockFor(main).synchronized {
+      val fork = forkVersionOf(main, name)
+      if (currentVersion(main) != fork) false
+      else {
+        val content = readBranch(s, main, name)
+        val audit = writeAuditPublishStaged(s, content, content.count(),
+          main, keyCols = keyCols, retainVersions = true)
+        require(audit.filter(!col("ok")).isEmpty,
+          s"branch $name failed main's publish audit")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$main/branches/$name/_merged"),
+          currentVersion(main).toString)
+        true
+      }
+    }
+
+  /** The f24 registry query: fork two branches off the customer
+    * snapshot, update bucket-2 balances on one, and walk the whole
+    * lifecycle — isolation (main unchanged while the branch diverges),
+    * fast-forward merge (main adopts the branch content), stale
+    * rejection (the second branch, forked from the same base, is
+    * refused after main moved — and main is untouched by the refusal).
+    * Output: per-bucket aggregates at each lifecycle stage, all
+    * re-read from DISK. */
+  def branchMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.Canon.dsum
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val main = java.nio.file.Files.createTempDirectory("graft-branch").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(main)
+    writeAuditPublishStaged(s, cust, cust.count(), main.toString,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    createBranch(s, main.toString, "exp")
+    createBranch(s, main.toString, "stale")
+    val bumped = readBranch(s, main.toString, "exp")
+      .withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(10L)) === 2, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+    writeBranch(s, main.toString, "exp", bumped, Seq("c_custkey"))
+    def agg(stage: String, df: DataFrame): DataFrame =
+      df.groupBy(pmod(col("c_custkey"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("c_acctbal")).as("bal_sum"))
+        .select(lit(stage).as("stage"), col("bucket"), col("n_rows"),
+          col("bal_sum"))
+    require(mergeBranch(s, main.toString, "exp", Seq("c_custkey")),
+      "fast-forward merge of a fresh branch must succeed")
+    // the stale branch (fork v1, main now v2) must be refused whole —
+    // and the refusal must not move main
+    require(!mergeBranch(s, main.toString, "stale", Seq("c_custkey")),
+      "a stale branch must be rejected")
+    // all four stages read AFTER the lifecycle completes, so no lazy
+    // scan races the merge's promote rename: pre-merge main is the
+    // archived v1 (byte-identical to the pre-merge published — the f14
+    // retention contract, StorageSpec-pinned), the branch keeps its own
+    // published, and the two post-stages both read main's current
+    // published (equal by design: the stale rejection moved nothing)
+    agg("main_v1", readAsOf(s, main.toString, 1))
+      .unionByName(agg("branch_exp", readBranch(s, main.toString, "exp")))
+      .unionByName(agg("main_merged", s.read.parquet(s"$main/published")))
+      .unionByName(agg("main_after_stale_reject",
+        s.read.parquet(s"$main/published")))
+      .orderBy("stage", "bucket")
+  }
+
   /** f22 — MULTI-TABLE optimistic CAS publish: f19's all-or-nothing
     * snapshot × f21's compare-and-swap, the full transactional-catalog
     * commit shape. A publisher stages EVERY table of its snapshot

@@ -161,6 +161,8 @@ class EmptyInputSpec extends SparkSpec {
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
       // s18: empty reference batch → empty centroids/labels stores
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
+      // f24: empty snapshot branches/merges fine → zero bucket rows
+      "branchMerge" -> (operators.Sources.branchMerge _),
       // f23: empty publish → empty vector → zero live/deleted buckets
       "deletionVectors" -> (operators.Sources.deletionVectors _),
       // s19: empty reference batch → empty models → empty index store

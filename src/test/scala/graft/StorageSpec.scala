@@ -434,6 +434,60 @@ class StorageSpec extends SparkSpec {
       rows(cust.filter(b =!= 5 && b =!= 7 && b =!= 3)))
   }
 
+  test("f24 branching: zero-copy fork, write isolation, fast-forward merge, " +
+    "stale rejection, re-fork rebase") {
+    import operators.Sources
+    val main = s"$wh/branch"
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // branching an unpublished table refuses loudly
+    intercept[IllegalArgumentException] {
+      Sources.createBranch(spark, main, "early")
+    }
+    Sources.writeAuditPublishStaged(spark, cust, cust.count(), main,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    val snap = rows(spark.read.parquet(s"$main/published"))
+    assert(Sources.createBranch(spark, main, "exp") === 1)
+    // duplicate branch names refuse
+    intercept[IllegalArgumentException] {
+      Sources.createBranch(spark, main, "exp")
+    }
+    // ZERO-COPY: the fork wrote one ref file, no data
+    assert(new java.io.File(s"$main/branches/exp").listFiles.map(_.getName)
+      .toSeq === Seq("_fork"), "a fork must copy no data")
+    assert(rows(Sources.readBranch(spark, main, "exp")) === snap,
+      "an unwritten branch reads the forked snapshot")
+    // ISOLATION: a branch write leaves main byte-identical
+    val b = pmod(col("c_custkey"), lit(10L))
+    val bumped = Sources.readBranch(spark, main, "exp")
+      .withColumn("c_acctbal",
+        when(b === 2, col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+    Sources.writeBranch(spark, main, "exp", bumped, Seq("c_custkey"))
+    assert(rows(spark.read.parquet(s"$main/published")) === snap,
+      "a branch write leaked into main")
+    val expRows = rows(Sources.readBranch(spark, main, "exp"))
+    assert(expRows !== snap)
+    // a second branch forked from the same base, then a fast-forward
+    // merge of the first: main adopts the branch content, v1 archives
+    Sources.createBranch(spark, main, "stale")
+    assert(Sources.mergeBranch(spark, main, "exp", Seq("c_custkey")))
+    assert(rows(spark.read.parquet(s"$main/published")) === expRows)
+    assert(rows(Sources.readAsOf(spark, main, 1)) === snap,
+      "pre-merge main must survive as the archived version")
+    assert(new java.io.File(s"$main/branches/exp/_merged").exists)
+    // STALE REJECTION: fork base 1, main now 2 — refused whole, main
+    // and the stale branch both untouched
+    assert(!Sources.mergeBranch(spark, main, "stale", Seq("c_custkey")))
+    assert(rows(spark.read.parquet(s"$main/published")) === expRows)
+    assert(!new java.io.File(s"$main/branches/stale/_merged").exists)
+    // the rebase path: re-fork from current and merge cleanly
+    assert(Sources.createBranch(spark, main, "stale2") === 2)
+    assert(Sources.mergeBranch(spark, main, "stale2", Seq("c_custkey")),
+      "a re-forked branch must fast-forward")
+  }
+
   test("f21 audit failure discards its staging — no orphan staging dirs") {
     import operators.Sources
     val base = s"$wh/occ_audit"
