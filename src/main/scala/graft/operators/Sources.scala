@@ -1082,8 +1082,37 @@ object Sources {
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType)))
 
-  /** The current deletion vector — (file, pos) — empty if none. */
+  /** Crash recovery for [[dvDelete]]'s two-rename swap: between the
+    * `dv → dv_old` and `dv_staging → dv` moves the vector path is
+    * ABSENT, and an unrecovered crash there would make [[readDv]]
+    * return an EMPTY vector — silently resurrecting every tombstoned
+    * row, the worst direction for a GDPR-style delete. The recovery
+    * key is `dv_staging`: that dir survives to the gap ONLY as the
+    * already-complete new vector (the swap's first rename runs after
+    * staging is fully written and counted), so `dv` absent + staging
+    * present ⟹ complete the swap forward. `dv_old` alone is NEVER
+    * restored — after [[dvCompact]] clears the vector, a stale
+    * `dv_old` with `dv` legitimately absent means "no deletes", and
+    * restoring it would resurrect pre-compaction tombstones against
+    * the rewritten files. ([[dvCompact]] deletes both leftovers when
+    * it clears the vector, so the ambiguity never arises with live
+    * state.) */
+  private def recoverDvSwap(base: String): Unit = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val dir = new java.io.File(s"$base/dv")
+    val staging = new java.io.File(s"$base/dv_staging")
+    val old = new java.io.File(s"$base/dv_old")
+    if (!dir.exists && staging.exists) {
+      NioFiles.move(staging.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteQuietly(old): Unit
+    }
+  }
+
+  /** The current deletion vector — (file, pos) — empty if none.
+    * Runs [[recoverDvSwap]] first, so every reader self-heals a crash
+    * caught between [[dvDelete]]'s two renames. */
   private[graft] def readDv(s: SparkSession, base: String): DataFrame = {
+    recoverDvSwap(base)
     val dir = new java.io.File(s"$base/dv")
     if (dir.exists) s.read.parquet(dir.toString)
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1115,8 +1144,10 @@ object Sources {
       .join(existing, Seq("file", "pos"), "left_anti")
       .select(col("file"), col("pos"))
     // stage the UNIONED vector first (the plan reads the old dv dir),
-    // then swap with two renames — a crash leaves either the old or
-    // the new vector, never a missing one
+    // then swap with two renames. The instant between the renames has
+    // NO dv dir — [[recoverDvSwap]] (run by every readDv) completes
+    // the swap from the surviving staging dir, so a crash there heals
+    // to the NEW vector instead of silently reading an empty one
     val staging = new java.io.File(s"$base/dv_staging")
     val merged = existing.unionByName(hits)
     merged.write.mode("overwrite").parquet(staging.toString)
@@ -1140,9 +1171,18 @@ object Sources {
     val live = readWithDv(s, base)
     val audit = writeAuditPublishStaged(s, live, live.count(), base,
       keyCols = keyCols, retainVersions = true)
-    if (audit.filter(!col("ok")).isEmpty)
+    if (audit.filter(!col("ok")).isEmpty) {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$base/dv"))
+      // clear any stale swap leftovers WITH the vector: a leftover
+      // dv_staging from a pre-compaction crash state (a) would
+      // otherwise be "completed" by recoverDvSwap into a stale vector
+      // over the rewritten files
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$base/dv_staging"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$base/dv_old")): Unit
+    }
     audit
   }
 

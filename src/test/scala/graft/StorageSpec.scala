@@ -434,6 +434,53 @@ class StorageSpec extends SparkSpec {
       rows(cust.filter(b =!= 5 && b =!= 7 && b =!= 3)))
   }
 
+  test("f23 DV swap crash recovery: the between-renames gap heals FORWARD " +
+    "(never an empty vector), and a post-compaction stale dv_old is never restored") {
+    import operators.Sources
+    import org.apache.commons.io.FileUtils
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val base = s"$wh/dv_crash"
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    Sources.writeAuditPublishStaged(spark, cust, cust.count(), base,
+      keyCols = Seq("c_custkey"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val b = pmod(col("c_custkey"), lit(10L))
+    Sources.dvDelete(spark, base, b === 5)
+    val v1 = rows(Sources.readDv(spark, base))
+    Sources.dvDelete(spark, base, b === 7)
+    val v2 = rows(Sources.readDv(spark, base))
+    assert(v2.size > v1.size)
+    // manufacture the killed-JVM state BETWEEN dvDelete's two renames
+    // (unreachable in-process): dv absent, dv_old = the older vector,
+    // dv_staging = the complete newer vector
+    val dv = new java.io.File(s"$base/dv")
+    val dvOld = new java.io.File(s"$base/dv_old")
+    val dvStaging = new java.io.File(s"$base/dv_staging")
+    FileUtils.deleteQuietly(dvOld); FileUtils.deleteQuietly(dvStaging)
+    NioFiles.move(dv.toPath, dvStaging.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // (any older content works as dv_old — the point is it must LOSE)
+    dvOld.mkdirs()
+    // the recovery: readDv completes the swap forward to the NEW vector
+    assert(rows(Sources.readDv(spark, base)) === v2,
+      "the between-renames crash must heal to the new vector, not empty")
+    assert(dv.exists && !dvStaging.exists && !dvOld.exists,
+      "recovery must restore dv and clear the swap leftovers")
+    assert(rows(Sources.readWithDv(spark, base)) ===
+      rows(cust.filter(b =!= 5 && b =!= 7)),
+      "a recovered vector must keep every tombstone")
+    // post-compaction: a stale dv_old alone is NOT a crash state — the
+    // vector was legitimately cleared, and restoring dv_old would
+    // resurrect pre-compaction tombstones against rewritten files
+    Sources.dvCompact(spark, base, Seq("c_custkey"))
+    assert(!dv.exists && !dvStaging.exists && !dvOld.exists,
+      "compaction must clear the vector AND the swap leftovers")
+    dvOld.mkdirs() // a stray leftover from an ancient crash
+    assert(rows(Sources.readDv(spark, base)) === Nil,
+      "a stale dv_old must never be restored into a cleared vector")
+  }
+
   test("f24 branching: zero-copy fork, write isolation, fast-forward merge, " +
     "stale rejection, re-fork rebase") {
     import operators.Sources
