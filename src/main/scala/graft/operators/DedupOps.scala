@@ -163,12 +163,16 @@ object DedupOps {
     val k = SubstringK
     val base = docs.select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= k)
-    val pos = base.select(col("doc_id"),
+    // the k-gram relation is re-read by BOTH consumers below (the
+    // duplicate count and the semi-join probe) — corpus-characters-
+    // sized, so it gets the persistCorpus treatment rather than being
+    // exploded twice
+    val pos = LlmOps.persistCorpus(base.select(col("doc_id"),
         explode(sequence(lit(1L),
           (length(col("text")) - (k - 1)).cast("long"))).as("p"),
         col("text"))
       .select(col("doc_id"), col("p"),
-        col("text").substr(col("p").cast("int"), lit(k)).as("g"))
+        col("text").substr(col("p").cast("int"), lit(k)).as("g")))
     val dupG = pos.groupBy("g").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("g")
     val cov = pos.join(dupG, Seq("g"), "left_semi").select("doc_id", "p")
