@@ -828,6 +828,212 @@ object Sources {
       .orderBy("check_name")
   }
 
+  // ———— bucketed O(Δ) store upserts (the maintenance-sink publish path) ————
+
+  /** Bucket count for the streaming-maintained stores (docs/pairs,
+    * labels, cells/codes, CDC replica). The store's published layout
+    * is `published/bucket=<b>/` — a delta batch stages and swaps ONLY
+    * its touched buckets, so per-batch bytes written are
+    * O(Δ · bucketBytes), never the corpus: the Delta/Hudi copy-on-write
+    * grain, where a bucket plays the role of one target-sized file. At
+    * 100 TB the knob scales with store size (keep bucketBytes ≈ one
+    * ideal file; a uniformly-hashed Δ of n keys then touches ≤ n
+    * buckets and rewrites ≤ n ideal files); locally 8 keeps sf0.1
+    * buckets file-sized. */
+  private[graft] val MaintBuckets = 8
+
+  /** The bucket a key routes to — a pure function of the key columns
+    * (xxhash64, Spark's codegen'd 64-bit hash), so a key can never
+    * change buckets and per-bucket key-uniqueness implies store-wide
+    * key-uniqueness (the audit below never needs a cross-bucket
+    * check). */
+  private[graft] def bucketOf(nBuckets: Int, keyCols: Seq[String]): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
+
+  /** Crash recovery for [[bucketedUpsertStaged]]'s per-bucket rename
+    * swap — the [[recoverDvSwap]] discipline at bucket grain. The gap:
+    * between `published/bucket=<b> → aside_bucket_<b>` and
+    * `staging/bucket=<b> → published/bucket=<b>` the bucket is absent;
+    * a crash there must heal FORWARD from the surviving staged dir
+    * (complete at swap time by construction — the staging write and
+    * audit both finished before any rename). If the staged dir is
+    * somehow gone too, the aside restores (backward) — either way the
+    * bucket is never silently empty. A stale aside WITH the bucket
+    * present (crash after the swap, before cleanup) just deletes. */
+  private[graft] def recoverBucketSwaps(base: String): Unit = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val dir = new java.io.File(base)
+    val asides = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("aside_bucket_"))
+    asides.foreach { aside =>
+      val b = aside.getName.stripPrefix("aside_bucket_")
+      val pub = new java.io.File(s"$base/published/bucket=$b")
+      val staged = new java.io.File(s"$base/staging/bucket=$b")
+      if (!pub.exists) {
+        pub.getParentFile.mkdirs()
+        if (staged.exists)
+          NioFiles.move(staged.toPath, pub.toPath, StandardCopyOption.ATOMIC_MOVE)
+        else
+          NioFiles.move(aside.toPath, pub.toPath, StandardCopyOption.ATOMIC_MOVE)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(aside): Unit
+    }
+  }
+
+  /** Read a bucketed store's published table (Hive `bucket=<b>` dirs),
+    * dropping the routing column; an empty `schema`-typed frame when
+    * nothing has published yet. Runs [[recoverBucketSwaps]] first so
+    * every reader self-heals a crash caught mid-swap. */
+  private[graft] def readBucketedStore(s: SparkSession, base: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    recoverBucketSwaps(base)
+    val pub = new java.io.File(s"$base/published")
+    val hasData = pub.exists &&
+      Option(pub.list()).exists(_.exists(_.startsWith("bucket=")))
+    if (hasData) s.read.parquet(pub.toString).drop("bucket")
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** O(Δ) keyed upsert into a bucketed store — the publish half the
+    * streaming maintenance sinks (s17/s18/s19/s20) need at 100 TB,
+    * where "read the whole store, union the delta, rewrite everything"
+    * turns a micro-batch into a corpus-sized write. Protocol:
+    *
+    *   1. route the delta (and any delete keys) to buckets via
+    *      [[bucketOf]]; collect the touched bucket ids (≤ nBuckets —
+    *      planner-sized by construction);
+    *   2. skip buckets already carrying this batch's `stagedMarker`
+    *      (a redelivered/crash-resumed batch re-promotes nothing);
+    *   3. read ONLY the pending buckets' published dirs, merge:
+    *      insert-only (default) keeps the STORE's row on a key
+    *      collision — a re-sent key with a changed payload is ignored
+    *      consistently, never split across tables — while
+    *      `newWins = true` (the CDC apply rule) replaces touched keys
+    *      with the delta's rows and removes `deleteKeys`;
+    *   4. stage the merged pending buckets in ONE partitioned write,
+    *      audit (expected rows, null/dup keys, misrouted keys — bucket
+    *      = f(key) makes per-bucket dup-freedom store-wide);
+    *   5. on a clean audit, drop the marker into each staged bucket
+    *      (it travels atomically with the rename) and swap each
+    *      pending bucket with the two-rename discipline. A bucket
+    *      whose merged content is EMPTY (every row deleted) promotes
+    *      as a removal.
+    *
+    * Untouched buckets are never read, never written, byte-identical
+    * across the batch (StorageSpec pins this). Crash anywhere:
+    * re-running the batch is idempotent — promoted buckets skip via
+    * their marker, unpromoted buckets re-merge to identical content
+    * (both merge rules are pure functions of (published bucket, delta)
+    * and re-applying a delta already absorbed is a no-op); the
+    * mid-swap gap heals via [[recoverBucketSwaps]]. The residual
+    * torn-read window (a reader between two bucket swaps) is the same
+    * local-FS gap the single-table promote documents — a production
+    * object store closes it with a transactional table commit.
+    * Returns the (check_name, observed, ok) audit manifest. */
+  private[graft] def bucketedUpsertStaged(s: SparkSession, delta: DataFrame,
+      base: String, keyCols: Seq[String], stagedMarker: String,
+      nBuckets: Int = MaintBuckets, newWins: Boolean = false,
+      deleteKeys: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    recoverBucketSwaps(base)
+    val pubRoot = new java.io.File(s"$base/published")
+    val bCol = bucketOf(nBuckets, keyCols)
+    val deltaB = delta.withColumn("bucket", bCol)
+    val delB = deleteKeys.map(_.withColumn("bucket", bCol))
+    // NULL keys are never lost here: Spark's hash expressions are
+    // null-safe (a null child leaves the hash at its seed), so a
+    // null-key row routes to a REAL bucket and the staged null_keys
+    // audit below rejects it — it cannot silently vanish from the write
+    val touched: Seq[Int] =
+      (deltaB.select("bucket") +: delB.map(_.select("bucket")).toSeq)
+        .reduce(_ unionByName _).distinct()
+        .as[Int].collect().toSeq.sorted
+    val pending = touched.filterNot(b =>
+      new java.io.File(s"$pubRoot/bucket=$b/$stagedMarker").exists)
+    if (pending.isEmpty)
+      return Seq(("already_applied", touched.size.toLong, true))
+        .toDF("check_name", "observed", "ok")
+    val deltaP = deltaB.filter(col("bucket").isin(pending.map(Integer.valueOf): _*))
+    val delP = delB.map(_.filter(col("bucket").isin(pending.map(Integer.valueOf): _*)))
+    val existingPaths = pending
+      .map(b => s"$pubRoot/bucket=$b")
+      .filter(p => new java.io.File(p).exists)
+    val existing =
+      if (existingPaths.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          deltaP.schema)
+      else s.read.option("basePath", pubRoot.toString)
+        .parquet(existingPaths: _*).select(deltaP.columns.map(col): _*)
+    val merged =
+      if (!newWins)
+        existing.unionByName(
+          deltaP.join(existing.select(keyCols.map(col): _*), keyCols, "left_anti"))
+      else {
+        val touchedKeys = delP.foldLeft(deltaP.select(keyCols.map(col): _*))(
+          (a, d) => a.unionByName(d.select(keyCols.map(col): _*))).distinct()
+        existing.join(touchedKeys, keyCols, "left_anti").unionByName(deltaP)
+      }
+    val expected = merged.count()
+    val staging = new java.io.File(s"$base/staging")
+    org.apache.commons.io.FileUtils.deleteQuietly(staging)
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+    // an all-rows-deleted merge stages NOTHING (partitionBy writes no
+    // dirs for an empty frame) — the promote loop below still runs the
+    // removals, but the audit must not try to infer a schema from air
+    val staged =
+      if (Option(staging.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.startsWith("bucket=")))
+        s.read.parquet(staging.toString)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaP.schema)
+    val nStaged = staged.count()
+    val nNullKey = staged.filter(
+      keyCols.map(col(_).isNull).reduce(_ || _)).count()
+    val nDupKey = nStaged - staged.select(keyCols.map(col): _*).distinct().count()
+    val nMisrouted = staged.filter(col("bucket") =!= bCol).count()
+    val checks = Seq(
+      ("rows_match_expected", nStaged, nStaged == expected),
+      ("null_keys", nNullKey, nNullKey == 0L),
+      ("dup_keys", nDupKey, nDupKey == 0L),
+      ("misrouted_keys", nMisrouted, nMisrouted == 0L))
+    val allOk = checks.forall(_._3)
+    if (allOk) {
+      pubRoot.mkdirs()
+      pending.foreach { b =>
+        val stagedDir = new java.io.File(staging, s"bucket=$b")
+        val pubDir = new java.io.File(pubRoot, s"bucket=$b")
+        val aside = new java.io.File(s"$base/aside_bucket_$b")
+        org.apache.commons.io.FileUtils.deleteQuietly(aside)
+        if (stagedDir.exists) {
+          // marker BEFORE the rename: it travels atomically with the data
+          new java.io.File(stagedDir, stagedMarker).createNewFile(): Unit
+          if (pubDir.exists)
+            NioFiles.move(pubDir.toPath, aside.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+          NioFiles.move(stagedDir.toPath, pubDir.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+        } else if (pubDir.exists)
+          // every row deleted: the promote IS the removal
+          NioFiles.move(pubDir.toPath, aside.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+        org.apache.commons.io.FileUtils.deleteQuietly(aside): Unit
+      }
+    }
+    val nTouchedPublished =
+      if (allOk) {
+        val livePaths = pending.map(b => s"$pubRoot/bucket=$b")
+          .filter(p => new java.io.File(p).exists)
+        if (livePaths.isEmpty) 0L
+        else s.read.option("basePath", pubRoot.toString)
+          .parquet(livePaths: _*).count()
+      } else 0L
+    (checks :+ (("published_rows_touched", nTouchedPublished, allOk)))
+      .toDF("check_name", "observed", "ok")
+      .orderBy("check_name")
+  }
+
   /** f19 — ATOMIC MULTI-TABLE PUBLISH (the consistent-snapshot rung
     * the single-table WAP ladder is missing): derived tables that are
     * only correct TOGETHER — a pair relation and its cluster labels, a

@@ -895,39 +895,40 @@ object Streaming {
     * stable by construction (docs are immutable, the exact verify reads
     * full shingle sets), so the merge is insert-only dedup.
     *
+    * PUBLISH IS O(Δ): both stores live in the
+    * [[Sources.bucketedUpsertStaged]] layout (`published/bucket=<b>/`,
+    * bucket = f(key)) — each batch stages and swaps ONLY the buckets
+    * its delta touches, so per-batch bytes written scale with the
+    * delta, never the store. A micro-batch that re-read and re-wrote a
+    * corpus-sized docs table was the one 100 TB scale-killer in the
+    * compute-O(Δ) design this sink replaces.
+    *
     * Crash discipline (the s16 ladder, two tables): PAIRS promotes
-    * first, then DOCS, each carrying an atomic `_batch_<id>` staged
-    * marker; every recomputation is a pure function of
+    * first, then DOCS, each bucket carrying an atomic `_batch_<id>`
+    * staged marker; every recomputation is a pure function of
     * dedup(docs-store ∪ batch), so a redelivery after ANY crash point
-    * recomputes identical work and per-table markers skip the halves
-    * already promoted — no duplicate versions, no torn reads for the
-    * NEXT batch (it sees either pre- or post-batch docs, both of which
-    * reproduce the same union). Failed audit → throw, no marker, the
-    * engine redelivers (the versionedSink contract).
+    * recomputes identical work and per-BUCKET markers skip the buckets
+    * already promoted — no duplicate rows (the upsert is insert-only),
+    * no torn reads for the NEXT batch (it sees each docs bucket pre- or
+    * post-batch; both reproduce the same union). Failed audit → throw,
+    * no marker, the engine redelivers (the versionedSink contract).
     *
     * Scale: per batch ONE union scan builds the shingle stream (the
     * stand-in for appending to a published shingle index), candidates
-    * and verify are Δ-proportional, the pair merge is output-sized.
-    * StreamingSpec drives a real writeStream through this body; the
-    * registry twin feeds three deterministic batches. */
+    * and verify are Δ-proportional, and the store writes are
+    * touched-bucket-sized. StreamingSpec drives a real writeStream
+    * through this body; the registry twin feeds three deterministic
+    * batches. */
   def pairStoreSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$base/_applied/$batchId")
     if (marker.exists()) return // redelivered batch: effectively once
     val s = batch.sparkSession
     val docsBase = s"$base/docs"
     val pairsBase = s"$base/pairs"
-    def tableDone(tb: String): Boolean =
-      new java.io.File(s"$tb/published/_batch_$batchId").exists
     def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
-    if (tableDone(docsBase) && tableDone(pairsBase)) { doneAll(); return }
-    def readOr(tb: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
-      val pub = new java.io.File(s"$tb/published")
-      if (pub.exists) s.read.parquet(pub.toString)
-      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    def publish(tb: String, df: DataFrame, keyCols: Seq[String]): Unit = {
-      val audit = Sources.writeAuditPublishStaged(s, df, df.count(), tb,
-        keyCols = keyCols, stagedMarker = Some(s"_batch_$batchId"))
+    def publishDelta(tb: String, delta: DataFrame, keyCols: Seq[String]): Unit = {
+      val audit = Sources.bucketedUpsertStaged(s, delta, tb, keyCols,
+        stagedMarker = s"_batch_$batchId")
       val failed = audit.filter(!col("ok"))
         .select("check_name", "observed").collect()
       if (failed.nonEmpty)
@@ -937,20 +938,16 @@ object Streaming {
     }
     // the whole batch effect is a pure function of this union — docs are
     // immutable, so recomputation after any crash point is identical
-    val union = readOr(docsBase, batch.schema).unionByName(batch)
-      .dropDuplicates("doc_id")
-    if (!tableDone(pairsBase)) {
-      val newPairs = PairGraph.deltaPairs(union,
-        batch.select(col("doc_id")), PairStore.Threshold)
-      val merged = readOr(pairsBase, newPairs.schema)
-        .unionByName(newPairs).dropDuplicates("i", "j")
-      publish(pairsBase, merged, Seq("i", "j"))
-    }
-    // docs promote SECOND: the pairs staging plan reads docs/published —
-    // promoting docs first would rename its files out from under the
-    // lazy scan (and a pairs-done/docs-pending crash state recomputes
-    // the same union either way)
-    if (!tableDone(docsBase)) publish(docsBase, union, Seq("doc_id"))
+    val newDocs = batch.dropDuplicates("doc_id")
+    val union = Sources.readBucketedStore(s, docsBase, batch.schema)
+      .unionByName(newDocs).dropDuplicates("doc_id")
+    val newPairs = PairGraph.deltaPairs(union,
+      batch.select(col("doc_id")), PairStore.Threshold)
+    // pairs promote FIRST (their staging plan reads docs buckets —
+    // swapping docs first would rename files out from under the lazy
+    // scan); a pairs-done/docs-pending crash recomputes the same union
+    publishDelta(pairsBase, newPairs, Seq("i", "j"))
+    publishDelta(docsBase, newDocs, Seq("doc_id"))
     doneAll()
   }
 
@@ -976,7 +973,13 @@ object Streaming {
       .zipWithIndex.foreach { case (b, i) =>
         pairStoreSink(base.toString)(b, i.toLong)
       }
-    s.read.parquet(s"$base/pairs/published")
+    // a bucketed store that NOTHING routed to is never created (the
+    // O(Δ) contract — an empty delta writes nothing); that happens iff
+    // the corpus is empty, where the right answer is the empty pair set
+    if (!new java.io.File(s"$base/pairs/published").exists)
+      docs.limit(0).select(col("doc_id").as("i"), col("doc_id").as("j"),
+        round4(lit(0.0)).as("jac"))
+    else s.read.parquet(s"$base/pairs/published")
       .select(col("i"), col("j"), round4(col("jac")).as("jac"))
       .orderBy("i", "j")
   }
@@ -992,15 +995,23 @@ object Streaming {
     * Labels are stable by construction (vectors immutable, centroids
     * frozen), so the merge is insert-only dedup.
     *
+    * PUBLISH IS O(Δ): the corpus-sized LABEL store lives in the
+    * [[Sources.bucketedUpsertStaged]] layout — each batch stages and
+    * swaps only the vec_id buckets its delta touches (insert-only: a
+    * re-sent vec_id keeps its stored label). The CENTROID table is a
+    * k·dim MODEL (KB at any corpus scale), so it keeps the whole-table
+    * WAP promote — full rewrite is the right shape for model tables,
+    * wrong only for corpus-sized ones.
+    *
     * Crash discipline is [[pairStoreSink]]'s verbatim: labels promote
     * first, then centroids (batch 0 only — later batches find the
-    * centroid table already complete), each with the atomic
-    * `_batch_<id>` staged marker; the batch effect is a pure function
-    * of (frozen centroids, batch), so redelivery after any crash point
-    * recomputes identical work. Batch 0's two tables both derive from
-    * the in-memory batch, not from each other's published paths, so the
-    * promote order carries no read-after-rename hazard; labels-first
-    * keeps the s17 symmetry.
+    * centroid table already complete), with per-BUCKET `_batch_<id>`
+    * markers on labels and the whole-table marker on centroids; the
+    * batch effect is a pure function of (frozen centroids, batch), so
+    * redelivery after any crash point recomputes identical work.
+    * Batch 0's two tables both derive from the in-memory batch, not
+    * from each other's published paths, so the promote order carries
+    * no read-after-rename hazard; labels-first keeps the s17 symmetry.
     *
     * Scale: per delta one broadcast of the k·dim centroid table against
     * the batch's exploded points — the cheapest possible admission of
@@ -1015,9 +1026,7 @@ object Streaming {
     def tableDone(tb: String): Boolean =
       new java.io.File(s"$tb/published/_batch_$batchId").exists
     def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
-    def publish(tb: String, df: DataFrame, keyCols: Seq[String]): Unit = {
-      val audit = Sources.writeAuditPublishStaged(s, df, df.count(), tb,
-        keyCols = keyCols, stagedMarker = Some(s"_batch_$batchId"))
+    def checkAudit(tb: String, audit: DataFrame): Unit = {
       val failed = audit.filter(!col("ok"))
         .select("check_name", "observed").collect()
       if (failed.nonEmpty)
@@ -1038,18 +1047,14 @@ object Streaming {
         EmbeddingOps.lloydCentroids(batch, pts,
           EmbeddingOps.KmeansK, EmbeddingOps.KmeansIters)
       }
-    if (!tableDone(labBase)) {
-      val labels = EmbeddingOps.assignEmbeddings(batch, cent)
-      val target =
-        if (new java.io.File(s"$labBase/published").exists)
-          s.read.parquet(s"$labBase/published")
-        else s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], labels.schema)
-      publish(labBase,
-        target.unionByName(labels).dropDuplicates("vec_id"), Seq("vec_id"))
-    }
+    val labels = EmbeddingOps.assignEmbeddings(batch, cent)
+      .dropDuplicates("vec_id")
+    checkAudit(labBase, Sources.bucketedUpsertStaged(s, labels, labBase,
+      Seq("vec_id"), stagedMarker = s"_batch_$batchId"))
     if (isTraining && !tableDone(centBase))
-      publish(centBase, cent, Seq("cid", "dim"))
+      checkAudit(centBase, Sources.writeAuditPublishStaged(s, cent,
+        cent.count(), centBase, keyCols = Seq("cid", "dim"),
+        stagedMarker = Some(s"_batch_$batchId")))
     doneAll()
   }
 
@@ -1071,7 +1076,12 @@ object Streaming {
       .zipWithIndex.foreach { case (b, i) =>
         labelMaintSink(base.toString)(b, i.toLong)
       }
-    s.read.parquet(s"$base/labels/published")
+    // empty corpus → no vec_id ever routed → the bucketed label store
+    // was never created; the right answer is the empty label set
+    if (!new java.io.File(s"$base/labels/published").exists)
+      emb.limit(0).select(col("vec_id"), col("vec_id").as("cid"),
+        lit(0.0).as("dist2"))
+    else s.read.parquet(s"$base/labels/published")
       .select(col("vec_id"), col("cid"),
         col("dist2").cast("double").as("dist2"))
       .orderBy("vec_id")
@@ -1104,8 +1114,10 @@ object Streaming {
     * redelivers.
     *
     * Scale: the delta path never touches the published corpus-sized
-    * tables except as upsert targets (keyed anti-join + union, batch
-    * side broadcast-sized), and the model broadcasts are KB-sized at
+    * tables except through [[Sources.bucketedUpsertStaged]] — per
+    * batch only the vec_id buckets the delta routes to are read,
+    * staged, and swapped, so index-maintenance I/O is
+    * O(Δ · bucketBytes) — and the model broadcasts are KB-sized at
     * any corpus scale. The full retrain stays the d74 weekly job —
     * rerun it when the frozen quantizers drift from the data
     * distribution (the recall spec is the gate). */
@@ -1119,9 +1131,7 @@ object Streaming {
     def tableDone(tb: String): Boolean =
       new java.io.File(s"$tb/published/_batch_$batchId").exists
     def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
-    def publish(tb: String, df: DataFrame, keyCols: Seq[String]): Unit = {
-      val audit = Sources.writeAuditPublishStaged(s, df, df.count(), tb,
-        keyCols = keyCols, stagedMarker = Some(s"_batch_$batchId"))
+    def checkAudit(tb: String, audit: DataFrame): Unit = {
       val failed = audit.filter(!col("ok"))
         .select("check_name", "observed").collect()
       if (failed.nonEmpty)
@@ -1129,11 +1139,9 @@ object Streaming {
           s"vectorIndexMaintSink audit failed for batch $batchId at $tb: " +
             failed.mkString(", "))
     }
-    def readOr(tb: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
-      val pub = new java.io.File(s"$tb/published")
-      if (pub.exists) s.read.parquet(pub.toString)
-      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    def publish(tb: String, df: DataFrame, keyCols: Seq[String]): Unit =
+      checkAudit(tb, Sources.writeAuditPublishStaged(s, df, df.count(), tb,
+        keyCols = keyCols, stagedMarker = Some(s"_batch_$batchId")))
     val centPublished = new java.io.File(s"${tables("centroids")}/published")
     val isTraining = !centPublished.exists || tableDone(tables("centroids"))
     // persisted: the Lloyd rounds (batch 0) and the two admission paths
@@ -1161,14 +1169,16 @@ object Streaming {
           .select(col("vec_id"), col("m"), col("cid").as("code"))
         (cells, packCodes(codes), cb0, cent0)
       }
-    if (!tableDone(tables("cells")))
-      publish(tables("cells"),
-        readOr(tables("cells"), newCells.schema).unionByName(newCells)
-          .dropDuplicates("vec_id"), Seq("vec_id"))
-    if (!tableDone(tables("codes")))
-      publish(tables("codes"),
-        readOr(tables("codes"), newCodes.schema).unionByName(newCodes)
-          .dropDuplicates("vec_id"), Seq("vec_id"))
+    // corpus-sized data tables: O(Δ) bucketed upserts, insert-only —
+    // a re-sent vec_id keeps its STORED row in BOTH tables (one merge
+    // rule, applied per table), so a conflicting re-send can never
+    // leave cells on the old assignment while codes take the new one
+    checkAudit(tables("cells"), Sources.bucketedUpsertStaged(s,
+      newCells.dropDuplicates("vec_id"), tables("cells"), Seq("vec_id"),
+      stagedMarker = s"_batch_$batchId"))
+    checkAudit(tables("codes"), Sources.bucketedUpsertStaged(s,
+      newCodes.dropDuplicates("vec_id"), tables("codes"), Seq("vec_id"),
+      stagedMarker = s"_batch_$batchId"))
     if (isTraining) {
       if (!tableDone(tables("codebook")))
         publish(tables("codebook"), cb, Seq("m", "code", "pos"))
@@ -1209,6 +1219,11 @@ object Streaming {
       .zipWithIndex.foreach { case (b, i) =>
         vectorIndexMaintSink(base.toString)(b, i.toLong)
       }
+    // empty corpus → the bucketed cells/codes stores were never
+    // created; the store-shape invariant over nothing is no rows
+    if (!new java.io.File(s"$base/cells/published").exists)
+      return emb.limit(0).select(col("vec_id"),
+        lit(0L).as("n_cell_rows"), lit(0L).as("n_code_words"))
     val cells = s.read.parquet(s"$base/cells/published")
       .groupBy("vec_id").agg(count(lit(1)).as("n_cell_rows"))
     val codes = s.read.parquet(s"$base/codes/published")
@@ -1239,38 +1254,32 @@ object Streaming {
     * (crash between promote and marker → backfill + no-op), audit
     * failure → throw with no marker so the engine redelivers.
     *
-    * Scale: each batch runs ONE anti-join of the replica against the
-    * batch's key set plus a union of the post-images — all keyed, the
-    * feed side batch-sized against a replica of any size — and after
-    * bootstrap never touches the source table: the point of
-    * replicating from a feed. */
+    * Scale: the replica lives in the [[Sources.bucketedUpsertStaged]]
+    * layout, applied in `newWins` mode — post-images replace their
+    * keys' stored rows, delete keys leave — so each batch reads,
+    * stages, and swaps ONLY the key buckets the feed touches:
+    * apply I/O is O(changes · bucketBytes) against a replica of any
+    * size, and after bootstrap the source table is never re-read — the
+    * point of replicating from a feed. */
   def cdcReplicaSink(base: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$base/_applied/$batchId")
     if (marker.exists()) return // redelivered batch: effectively once
     def backfill(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
-    if (new java.io.File(s"$base/published/_batch_$batchId").exists()) {
-      backfill(); return // crashed between promote and side marker
-    }
     val s = batch.sparkSession
-    val payload = org.apache.spark.sql.types.StructType(
-      batch.schema.filterNot(_.name == "change_type"))
-    val pubDir = new java.io.File(s"$base/published")
-    val target =
-      if (pubDir.exists()) s.read.parquet(pubDir.toString)
-      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        payload)
+    // post-images come back whole, so an `insert` for a key the replica
+    // already holds (a redelivered-source artifact) degrades to an
+    // upsert, not a duplicate; preimages are provenance only. A crash
+    // between the bucket promotes and the side marker heals here: every
+    // touched bucket carries the batch marker, so the re-apply is a
+    // per-bucket no-op and the side marker backfills
     val post = batch.filter(col("change_type")
         .isin("insert", "update_postimage"))
       .drop("change_type")
-    // every key the batch touches leaves the replica once, post-images
-    // come back whole — so an `insert` for a key the replica already
-    // holds (a redelivered-source artifact) degrades to an upsert, not
-    // a duplicate
-    val touched = batch.filter(col("change_type") =!= "update_preimage")
+    val deletes = batch.filter(col("change_type") === "delete")
       .select(col(key)).distinct()
-    val next = target.join(touched, Seq(key), "left_anti").unionByName(post)
-    val audit = Sources.writeAuditPublishStaged(s, next, next.count(), base,
-      keyCols = Seq(key), stagedMarker = Some(s"_batch_$batchId"))
+    val audit = Sources.bucketedUpsertStaged(s, post, base, Seq(key),
+      stagedMarker = s"_batch_$batchId", newWins = true,
+      deleteKeys = Some(deletes))
     val failed = audit.filter(!col("ok"))
       .select("check_name", "observed").collect()
     if (failed.nonEmpty)
@@ -1327,7 +1336,12 @@ object Streaming {
     val repBase = java.nio.file.Files.createTempDirectory("graft-cdcrep").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(repBase)
     replicateUpTo(s, srcBase.toString, repBase.toString, "c_custkey")
-    s.read.parquet(s"$repBase/published")
+    // empty source → all-empty change feeds → the bucketed replica was
+    // never created; the replica of an empty table is empty
+    if (!new java.io.File(s"$repBase/published").exists)
+      graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).limit(0)
+    else s.read.parquet(s"$repBase/published")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy("c_custkey")
   }

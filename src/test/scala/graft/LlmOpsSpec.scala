@@ -1121,10 +1121,14 @@ class LlmOpsSpec extends SparkSpec {
       emb.filter(pmod(col("vec_id"), lit(10L)) === 8),
       emb.filter(pmod(col("vec_id"), lit(10L)) === 9))
     val base = java.nio.file.Files.createTempDirectory("graft-s19spec").toString
+    // the maintained stores are bucketed (published/bucket=<b>/) —
+    // drop the routing column to compare payload rows
     def cellRows(): Seq[String] =
-      spark.read.parquet(s"$base/cells/published").collect().map(_.toString).sorted.toSeq
+      spark.read.parquet(s"$base/cells/published").drop("bucket")
+        .collect().map(_.toString).sorted.toSeq
     def codeRows(): Seq[String] =
-      spark.read.parquet(s"$base/codes/published").collect().map(_.toString).sorted.toSeq
+      spark.read.parquet(s"$base/codes/published").drop("bucket")
+        .collect().map(_.toString).sorted.toSeq
     operators.Streaming.vectorIndexMaintSink(base)(batches(0), 0L)
     val (refCells, refCodes) = (cellRows(), codeRows())
     operators.Streaming.vectorIndexMaintSink(base)(batches(1), 1L)
@@ -1169,7 +1173,8 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("vec_id"), posexplode(col("codes")))
       .toDF("vec_id", "m", "code")
     val got = EmbeddingOps.ivfPqSearch(spark, Sf,
-        spark.read.parquet(s"$base/cells/published"), codesLong, cb, cent,
+        spark.read.parquet(s"$base/cells/published").drop("bucket"),
+        codesLong, cb, cent,
         shortlist = n, sw = 16, nprobe = 10)
       .select("qid", "nid").as[(Long, Long)].collect().toMap
     spark.sharedState.cacheManager.clearCache()

@@ -535,6 +535,98 @@ class StorageSpec extends SparkSpec {
       "a re-forked branch must fast-forward")
   }
 
+  test("f24 concurrent merge race: two branches racing under main's publish " +
+    "lock — exactly one fast-forwards, the loser CAS-rejects whole") {
+    import operators.Sources
+    val main = s"$wh/branch_race"
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Sources.writeAuditPublishStaged(spark, cust, cust.count(), main,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    val b = pmod(col("c_custkey"), lit(10L))
+    // two branches forked from the SAME base, divergent content
+    Seq(("r1", 100.0), ("r2", 200.0)).foreach { case (name, bump) =>
+      Sources.createBranch(spark, main, name)
+      Sources.writeBranch(spark, main, name,
+        Sources.readBranch(spark, main, name).withColumn("c_acctbal",
+          when(b === 2, col("c_acctbal") + bump).otherwise(col("c_acctbal"))),
+        Seq("c_custkey"))
+    }
+    val (w1, w2) = (rows(Sources.readBranch(spark, main, "r1")),
+      rows(Sources.readBranch(spark, main, "r2")))
+    // race the merges from two real threads: the publish lock
+    // serializes them, and whichever runs second sees main advanced
+    // past its fork base and must reject — the f21/f22 CAS shape
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def racer(name: String) = Future {
+      gate.await()
+      Sources.mergeBranch(spark, main, name, Seq("c_custkey"))
+    }
+    val (f1, f2) = (racer("r1"), racer("r2"))
+    gate.countDown()
+    val results = Seq(Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    assert(results.count(identity) === 1,
+      s"exactly one racing merge must win, got $results")
+    val winner = if (results.head) w1 else w2
+    assert(rows(spark.read.parquet(s"$main/published")) === winner,
+      "main must hold exactly the winning branch's content")
+    assert(operators.Sources.currentVersion(main) === 2,
+      "the losing merge must not have minted a version")
+  }
+
+  test("f24 branch-from-branch: the ref mechanics recurse — fork off a " +
+    "WRITTEN branch works end-to-end, fork off an unwritten branch refuses") {
+    import operators.Sources
+    val main = s"$wh/branch_nest"
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Sources.writeAuditPublishStaged(spark, cust, cust.count(), main,
+      keyCols = Seq("c_custkey"), retainVersions = true)
+    val mainSnap = rows(spark.read.parquet(s"$main/published"))
+    Sources.createBranch(spark, main, "exp")
+    // an UNWRITTEN branch has no version ladder of its own — forking
+    // from it refuses loudly (same guard as branching an unpublished
+    // table), rather than silently forking from nothing
+    intercept[IllegalArgumentException] {
+      Sources.createBranch(spark, s"$main/branches/exp", "sub")
+    }
+    val b = pmod(col("c_custkey"), lit(10L))
+    Sources.writeBranch(spark, main, "exp",
+      Sources.readBranch(spark, main, "exp").withColumn("c_acctbal",
+        when(b === 2, col("c_acctbal") + 100.0).otherwise(col("c_acctbal"))),
+      Seq("c_custkey"))
+    val expSnap = rows(Sources.readBranch(spark, main, "exp"))
+    // a WRITTEN branch is itself a version ladder — the same ref-file
+    // mechanics recurse: fork it, diverge, merge back into the PARENT
+    val expBase = s"$main/branches/exp"
+    assert(Sources.createBranch(spark, expBase, "sub") === 1)
+    assert(rows(Sources.readBranch(spark, expBase, "sub")) === expSnap,
+      "an unwritten sub-branch reads the parent branch's snapshot")
+    Sources.writeBranch(spark, expBase, "sub",
+      Sources.readBranch(spark, expBase, "sub").withColumn("c_acctbal",
+        when(b === 5, col("c_acctbal") + 7.0).otherwise(col("c_acctbal"))),
+      Seq("c_custkey"))
+    val subSnap = rows(Sources.readBranch(spark, expBase, "sub"))
+    assert(subSnap !== expSnap)
+    assert(rows(Sources.readBranch(spark, main, "exp")) === expSnap,
+      "a sub-branch write leaked into its parent branch")
+    assert(rows(spark.read.parquet(s"$main/published")) === mainSnap,
+      "a sub-branch write leaked into main")
+    assert(Sources.mergeBranch(spark, expBase, "sub", Seq("c_custkey")),
+      "merging a fresh sub-branch into its parent must fast-forward")
+    assert(rows(Sources.readBranch(spark, main, "exp")) === subSnap,
+      "the parent branch must adopt the sub-branch content")
+    assert(rows(spark.read.parquet(s"$main/published")) === mainSnap,
+      "a sub-branch merge must not move main")
+  }
+
   test("f21 audit failure discards its staging — no orphan staging dirs") {
     import operators.Sources
     val base = s"$wh/occ_audit"
@@ -879,6 +971,159 @@ class StorageSpec extends SparkSpec {
     assert((v1 -- minus) ++ plus === v2)
     assert(minus.subsetOf(v1) && plus.subsetOf(v2))
     assert((v1 & plus).isEmpty, "postimages must differ from their preimages")
+  }
+
+  // ———— bucketed O(Δ) store upserts (the s17–s20 publish path) ————
+
+  /** Content fingerprint of a bucket dir: relative path → (size, MD5).
+    * Byte-identity of untouched buckets is THE O(Δ) claim — if a delta
+    * batch leaves a bucket's files bit-for-bit unchanged, it never
+    * rewrote them. */
+  private def fingerprint(dir: java.io.File): Map[String, (Long, String)] =
+    Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      f.getName -> ((f.length(),
+        md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString))
+    }.toMap
+
+  private def bucketDirs(base: String): Seq[java.io.File] =
+    Option(new java.io.File(s"$base/published").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("bucket=")).toSeq
+      .sortBy(_.getName)
+
+  test("bucketed upsert: untouched buckets byte-identical, insert-only keeps " +
+    "the stored row, redelivery skips, result ≡ full rewrite") {
+    import operators.Sources
+    val base = s"$wh/bup"
+    val a = (1L to 200L).map(k => (k, s"payload_$k")).toDF("k", "v")
+    val audit0 = Sources.bucketedUpsertStaged(spark, a, base, Seq("k"), "_batch_0")
+    assert(audit0.filter(!col("ok")).isEmpty)
+    assert(bucketDirs(base).size > 1, "fixture must span several buckets")
+    val before = bucketDirs(base).map(d => d.getName -> fingerprint(d)).toMap
+    // delta: two new keys + one RE-SENT key with a changed payload
+    val delta = Seq((1001L, "new_a"), (1002L, "new_b"), (7L, "CONFLICT"))
+      .toDF("k", "v")
+    val touched = delta
+      .select(Sources.bucketOf(Sources.MaintBuckets, Seq("k")).as("b"))
+      .distinct().as[Int].collect().toSet
+    assert(touched.size < Sources.MaintBuckets,
+      "delta must leave at least one bucket untouched for the pin to bite")
+    val audit1 = Sources.bucketedUpsertStaged(spark, delta, base, Seq("k"), "_batch_1")
+    assert(audit1.filter(!col("ok")).isEmpty)
+    // THE O(Δ) pin: every untouched bucket's files are bit-for-bit
+    // unchanged — the batch never read or wrote them
+    bucketDirs(base).filterNot(d =>
+        touched.contains(d.getName.stripPrefix("bucket=").toInt))
+      .foreach { d =>
+        assert(fingerprint(d) === before(d.getName),
+          s"${d.getName} was rewritten by a delta that never touched it")
+      }
+    // markers land on touched buckets only
+    bucketDirs(base).foreach { d =>
+      val b = d.getName.stripPrefix("bucket=").toInt
+      assert(new java.io.File(d, "_batch_1").exists === touched.contains(b))
+    }
+    // bucketed ≡ full rewrite; insert-only means the STORE's row wins a
+    // key conflict — consistently (the re-sent key keeps payload_7)
+    val expect = ((1L to 200L).map(k => (k, s"payload_$k")) ++
+      Seq((1001L, "new_a"), (1002L, "new_b"))).map(_.toString()).sorted
+    def readStore(): Seq[String] =
+      Sources.readBucketedStore(spark, base, a.schema)
+        .as[(Long, String)].collect().map(_.toString()).sorted.toSeq
+    assert(readStore() === expect)
+    // redelivery with the same marker and DIFFERENT data: every touched
+    // bucket carries the marker, so nothing moves — all dirs identical
+    val after = bucketDirs(base).map(d => d.getName -> fingerprint(d)).toMap
+    val audit2 = Sources.bucketedUpsertStaged(spark,
+      Seq((9999L, "ghost")).toDF("k", "v"), base, Seq("k"), "_batch_1")
+    assert(audit2.filter(!col("ok")).isEmpty)
+    assert(bucketDirs(base).map(d => d.getName -> fingerprint(d)).toMap
+      === after, "a marker-skipped redelivery mutated the store")
+    // null keys fail the audit and nothing promotes
+    val bad = Seq((Some(1L), "x"), (None: Option[Long], "null_key"))
+      .toDF("k", "v")
+    val audit3 = Sources.bucketedUpsertStaged(spark, bad, base, Seq("k"), "_batch_2")
+    assert(audit3.filter(col("check_name") === "null_keys" && !col("ok"))
+      .count() === 1L, "a null key must fail the audit")
+    assert(readStore() === expect, "a failed audit must promote nothing")
+  }
+
+  test("bucketed upsert newWins + deletes: CDC apply at bucket grain, " +
+    "untouched buckets byte-identical, empty-bucket delete promotes as removal") {
+    import operators.Sources
+    val base = s"$wh/bup_cdc"
+    val a = (1L to 200L).map(k => (k, s"v0_$k")).toDF("k", "v")
+    Sources.bucketedUpsertStaged(spark, a, base, Seq("k"), "_batch_0")
+    val before = bucketDirs(base).map(d => d.getName -> fingerprint(d)).toMap
+    // CDC batch: update key 3, insert key 5000, delete key 8
+    val post = Seq((3L, "v1_3"), (5000L, "v1_5000")).toDF("k", "v")
+    val dels = Seq(Tuple1(8L)).toDF("k")
+    val touched = post.select("k").union(dels)
+      .select(Sources.bucketOf(Sources.MaintBuckets, Seq("k")).as("b"))
+      .distinct().as[Int].collect().toSet
+    assert(touched.size < Sources.MaintBuckets)
+    val audit = Sources.bucketedUpsertStaged(spark, post, base, Seq("k"),
+      "_batch_1", newWins = true, deleteKeys = Some(dels))
+    assert(audit.filter(!col("ok")).isEmpty)
+    bucketDirs(base).filterNot(d =>
+        touched.contains(d.getName.stripPrefix("bucket=").toInt))
+      .foreach(d => assert(fingerprint(d) === before(d.getName)))
+    val expect = ((1L to 200L).filterNot(_ == 8L).filterNot(_ == 3L)
+      .map(k => (k, s"v0_$k")) ++ Seq((3L, "v1_3"), (5000L, "v1_5000")))
+      .map(_.toString()).sorted
+    assert(Sources.readBucketedStore(spark, base, a.schema)
+      .as[(Long, String)].collect().map(_.toString()).sorted.toSeq === expect)
+    // deleting EVERY key of one bucket promotes the bucket's removal —
+    // and the store stays readable
+    val all = Sources.readBucketedStore(spark, base, a.schema)
+      .withColumn("b", Sources.bucketOf(Sources.MaintBuckets, Seq("k")))
+    val victim = all.groupBy("b").count().orderBy("b").limit(1)
+      .select("b").as[Int].head()
+    val victimKeys = all.filter(col("b") === victim).select("k")
+    val survivors = all.filter(col("b") =!= victim)
+      .select("k", "v").as[(Long, String)].collect().map(_.toString()).sorted.toSeq
+    val audit2 = Sources.bucketedUpsertStaged(spark,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        a.schema),
+      base, Seq("k"), "_batch_2", newWins = true, deleteKeys = Some(victimKeys))
+    assert(audit2.filter(!col("ok")).isEmpty)
+    assert(!new java.io.File(s"$base/published/bucket=$victim").exists,
+      "an all-rows-deleted bucket must be removed")
+    assert(Sources.readBucketedStore(spark, base, a.schema)
+      .as[(Long, String)].collect().map(_.toString()).sorted.toSeq === survivors)
+  }
+
+  test("bucketed upsert crash recovery: the mid-swap gap heals forward " +
+    "(killed-JVM state), and readers self-heal") {
+    import operators.Sources
+    import org.apache.commons.io.FileUtils
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val base = s"$wh/bup_crash"
+    val a = (1L to 100L).map(k => (k, s"v0_$k")).toDF("k", "v")
+    Sources.bucketedUpsertStaged(spark, a, base, Seq("k"), "_batch_0")
+    val delta = Seq((2001L, "new")).toDF("k", "v")
+    Sources.bucketedUpsertStaged(spark, delta, base, Seq("k"), "_batch_1")
+    val want = Sources.readBucketedStore(spark, base, a.schema)
+      .as[(Long, String)].collect().map(_.toString()).sorted.toSeq
+    // manufacture the killed-JVM state BETWEEN a bucket's two renames:
+    // published/bucket=b absent, aside_bucket_b = the old bucket,
+    // staging/bucket=b = the complete new bucket
+    val b = delta.select(Sources.bucketOf(Sources.MaintBuckets, Seq("k")).as("b"))
+      .as[Int].head()
+    val pub = new java.io.File(s"$base/published/bucket=$b")
+    val aside = new java.io.File(s"$base/aside_bucket_$b")
+    val staged = new java.io.File(s"$base/staging/bucket=$b")
+    FileUtils.deleteQuietly(staged); staged.getParentFile.mkdirs()
+    FileUtils.copyDirectory(pub, staged)
+    FileUtils.deleteQuietly(aside)
+    NioFiles.move(pub.toPath, aside.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // the reader heals forward from the staged dir and clears the aside
+    assert(Sources.readBucketedStore(spark, base, a.schema)
+      .as[(Long, String)].collect().map(_.toString()).sorted.toSeq === want,
+      "the mid-swap crash must heal to the complete staged bucket")
+    assert(pub.exists && !aside.exists,
+      "recovery must restore the bucket and clear the aside")
   }
 
   test("f13 Type-1 merge of the latest-change feed ≡ e31 SCD2 current rows") {

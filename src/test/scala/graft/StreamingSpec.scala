@@ -638,13 +638,19 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$base/docs/published").collect().map(_.toString).sorted.toSeq
       === docsSnap, "redelivery mutated the store")
     // crash between the two promotes/side marker: lose the side marker
-    // AND the docs table's batch marker — redelivery must re-publish
-    // only the docs half from the identical recomputed union and must
-    // NOT re-merge pairs
+    // AND one docs BUCKET's batch marker — redelivery must re-publish
+    // only that bucket from the identical recomputed merge and must
+    // NOT re-merge pairs (their buckets still carry the marker)
     FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
-    FileUtils.deleteQuietly(new java.io.File(s"$base/docs/published/_batch_2"))
+    val victim = new java.io.File(s"$base/docs/published").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .find(d => new java.io.File(d, "_batch_2").exists)
+      .getOrElse(fail("no docs bucket carries batch 2's marker"))
+    FileUtils.deleteQuietly(new java.io.File(victim, "_batch_2"))
     Streaming.pairStoreSink(base)(batches(2).toDF(), 2L)
     assert(new java.io.File(s"$base/_applied/2").exists, "marker backfilled")
+    assert(new java.io.File(victim, "_batch_2").exists,
+      "redelivery must re-promote the marker-less bucket")
     assert(storePairs() === streamed)
     assert(spark.read.parquet(s"$base/docs/published")
       .collect().map(_.toString).sorted.toSeq === docsSnap,
@@ -788,14 +794,18 @@ class StreamingSpec extends SparkSpec {
     try {
       feeds.foreach { f => src.addData(f); q.processAllAvailable() }
     } finally q.stop()
-    def replica(): Seq[String] = sortedRows(spark.read.parquet(s"$base/published"))
+    // the replica is a bucketed store — drop the routing column to
+    // compare payload rows against the (unbucketed) source version
+    def replica(): Seq[String] =
+      sortedRows(spark.read.parquet(s"$base/published").drop("bucket"))
     val streamed = replica()
     assert(streamed === current(),
       "replica after tailing the change feed diverged from the source's current version")
     // ——— the subscribe loop: catch-up is cursor-driven and idempotent ———
     val base2 = java.nio.file.Files.createTempDirectory("graft-s20rep2").toString
     assert(Streaming.replicateUpTo(spark, srcBase, base2, "c_custkey") === 3)
-    assert(sortedRows(spark.read.parquet(s"$base2/published")) === current())
+    assert(sortedRows(spark.read.parquet(s"$base2/published").drop("bucket"))
+      === current())
     assert(Streaming.replicateUpTo(spark, srcBase, base2, "c_custkey") === 0,
       "a caught-up replica must apply nothing")
     // ——— update_preimage rows are provenance, never applied ———
