@@ -84,18 +84,35 @@ class ContractSpec extends SparkSpec {
     assert(Bench.healthFlags(2, truncated = false) === ""","passes":2,"degraded":true""")
   }
 
-  test("bench per-pass totals: completed passes only, run order (round-13 cadence pin)") {
+  test("bench per-pass totals: completed passes only, run order, " +
+    "count distinguishes short from fast (round-13/14 cadence pins)") {
     // round-13 showed 169→197 s total drift across same-day clean runs
     // with flat medians; passTotals is the committed diagnostic that
     // separates the contention signature (drifting pass totals) from a
     // code regression (uniformly slower passes) without a re-run
     val p1 = Map("a" -> 1.0, "b" -> 2.0)
     val p2 = Map("a" -> 1.5, "b" -> 2.5) // b failed nowhere; full passes
-    assert(Bench.passTotals(Seq(p1, p2)) === Seq(3.0, 4.0))
+    assert(Bench.passTotals(Seq(p1, p2)) === Seq((3.0, 2), (4.0, 2)))
     assert(Bench.passTotals(Nil) === Nil)
-    // a pass where one query failed sums only its completed queries —
-    // the failed list, not the total, carries that information
-    assert(Bench.passTotals(Seq(Map("a" -> 1.0))) === Seq(1.0))
+    // the count term (round-14 advisor finding): a pass where one query
+    // failed is visible AS short-counted, even when the query succeeded
+    // in another pass and so never reaches the top-level failed list —
+    // without it a short-sum pass was indistinguishable from a fast one
+    assert(Bench.passTotals(Seq(Map("a" -> 1.0), p1))
+      === Seq((1.0, 1), (3.0, 2)))
+  }
+
+  test("bench warmup subset: every WarmupKey resolves in the registry") {
+    // the warmup runs a fixed representative subset (round-14: a full
+    // 213-query discarded pass pushed the driver artifact past its
+    // 1200 s deadline); a renamed registry key must fail HERE, not
+    // after a ~10-minute bench startup
+    val missing = Bench.WarmupKeys.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"WarmupKeys not in registry: $missing")
+    assert(Bench.WarmupKeys.distinct.size === Bench.WarmupKeys.size)
+    // representative means SMALL: the subset must stay an order of
+    // magnitude below the suite, or the deadline fix silently unwinds
+    assert(Bench.WarmupKeys.size * 5 <= SparkEntry.queries.size)
   }
 
   test("flagship entry() returns rows") {
