@@ -300,6 +300,7 @@ object SparkEntry {
     "d64_cluster_profile" -> (EmbeddingOps.clusterProfile _),
     // BPE merge-rule training over the word-frequency table (3 rounds)
     "d65_bpe_merges" -> (QualityOps.bpeMerges _),
+    "d76_unigram_lm" -> (QualityOps.unigramLm _),
     // BPE encode: apply the learned merges, per-doc token counts
     "d68_bpe_encode" -> (QualityOps.bpeEncode _),
     // threshold sweep: model-vs-rule PR curve at 11 logit cutoffs
@@ -2797,6 +2798,13 @@ object SparkEntry {
          |  UNION ALL SELECT 2, l, r, pair_count FROM b2
          |  UNION ALL SELECT 3, l, r, pair_count FROM b3)
          |ORDER BY step""".stripMargin,
+    "d76_unigram_lm" ->
+      // the two hard-EM rounds unrolled: seed substring counts,
+      // Viterbi round 1 (the packed-string DP, 12 per-position CTE
+      // steps), prune-unused (chars survive), re-score, Viterbi
+      // round 2; ln canonicalized to DECIMAL(30,6) per term (d34),
+      // usage counts integer-exact, share round4-contracted
+      d76Sql,
     "d68_bpe_encode" ->
       // the same 3 training rounds, then the THIRD rule applied (r3 —
       // training materializes only r2), symbol counts on the vocab,
@@ -3885,6 +3893,91 @@ object SparkEntry {
     * (wf), spaced symbol reps (r0), and three unrolled
     * pair-count/argmax/merge rounds (p1/b1/r1 … p3/b3) — shared by d65
     * (reads b1..b3) and d68 (applies b3 to r2 and joins tok back). */
+  /** One Viterbi pass for the d76 oracle, unrolled: `{tag}_d0..dMaxW`
+    * per-position CTE steps over the SAME packed dp strings the Spark
+    * fold carries — 12-char zero-padded DECIMAL(30,6) cost ‖ piece
+    * path — with the 3-candidate argmin as one `least` (both engines
+    * skip nulls and compare byte-wise). `costsCte` must expose
+    * (piece, c DECIMAL(30,6)). */
+  private def d76ViterbiCtes(tag: String, costsCte: String): String = {
+    val lMax = operators.QualityOps.UniMaxPiece
+    val maxW = operators.QualityOps.UniMaxWord
+    val steps = (1 to maxW).map { j =>
+      val cands = (1 to lMax).filter(_ <= j).map { k =>
+        val prev = s"dp${j - k}"
+        val piece = s"substr(word, ${j - k + 1}, $k)"
+        // single-line candidate: the surrounding templates stripMargin,
+        // and a continuation line starting with '||' would lose a pipe
+        s"CASE WHEN $prev IS NOT NULL AND len(m[$piece]) = 1 THEN " +
+          s"lpad(CAST(CAST(CAST(substr($prev, 1, 12) AS DECIMAL(30,6)) " +
+          s"+ m[$piece][1] AS DECIMAL(30,6)) AS VARCHAR), 12, '0') " +
+          s"|| substr($prev, 13) || ' ' || $piece END"
+      } :+ "CAST(NULL AS VARCHAR)" // least needs >= 2 args at j = 1
+      s"""${tag}_d$j AS (SELECT *, least(${cands.mkString(",\n  ")}) AS dp$j
+         |  FROM ${tag}_d${j - 1})""".stripMargin
+    }
+    val whens = (1 to maxW).map(j => s"WHEN $j THEN dp$j").mkString(" ")
+    (Seq(
+      s"${tag}_vm AS (SELECT map(list(piece), list(c)) AS m FROM $costsCte)",
+      s"${tag}_d0 AS (SELECT word, cnt, m, '00000.000000' AS dp0 FROM wf, ${tag}_vm)") ++
+      steps ++ Seq(
+      s"""${tag}_best AS (SELECT word, cnt,
+         |  CASE length(word) $whens END AS dp FROM ${tag}_d$maxW)""".stripMargin,
+      s"""${tag}_seg AS (SELECT word, cnt,
+         |  unnest(string_split(trim(substr(dp, 13)), ' ')) AS piece
+         |  FROM ${tag}_best)""".stripMargin)).mkString(",\n")
+  }
+
+  /** The d76 oracle: the full two-round hard-EM loop — seed counts,
+    * Viterbi round 1, prune-unused (chars survive), re-score, Viterbi
+    * round 2 — over the exact packed-string DP of [[d76ViterbiCtes]].
+    * Costs canonicalize each ln to DECIMAL(30,6) before arithmetic
+    * (the d34 contract); counts are integer sums — exact. */
+  private def d76Sql: String = {
+    val lMax = operators.QualityOps.UniMaxPiece
+    val v = operators.QualityOps.UniSeedMulti
+    val maxW = operators.QualityOps.UniMaxWord
+    val subsArms = (1 to lMax).map { k =>
+      s"""SELECT substr(word, p, $k) AS piece, cnt FROM wf,
+         |  (SELECT unnest(range(1, ${maxW + 2 - k})) AS p) ps
+         |  WHERE length(word) >= p + $k - 1""".stripMargin
+    }.mkString(" UNION ALL ")
+    def costs(name: String, from: String) =
+      s"""$name AS (SELECT piece,
+         |  CAST(CAST(ln((SELECT SUM(ucnt) FROM $from) + (SELECT COUNT(*) FROM $from))
+         |      AS DECIMAL(30,6))
+         |    - CAST(ln(ucnt + 1) AS DECIMAL(30,6)) AS DECIMAL(30,6)) AS c
+         |  FROM $from)""".stripMargin
+    s"""WITH tok AS (SELECT unnest(string_split(lower(trim(regexp_replace(
+       |    nfc_normalize(text), '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM documents),
+       |wf AS (SELECT word, count(*) AS cnt FROM tok
+       |  WHERE length(word) > 0 GROUP BY word),
+       |subs AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS ucnt
+       |  FROM ($subsArms) GROUP BY piece),
+       |chars AS (SELECT piece, ucnt FROM subs WHERE length(piece) = 1),
+       |v0 AS (SELECT piece, ucnt FROM chars
+       |  UNION ALL
+       |  SELECT piece, ucnt FROM (SELECT piece, ucnt FROM subs
+       |    WHERE length(piece) > 1 ORDER BY ucnt DESC, piece LIMIT $v)),
+       |${costs("v0c", "v0")},
+       |${d76ViterbiCtes("r1", "v0c")},
+       |u1 AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS ucnt
+       |  FROM r1_seg GROUP BY piece),
+       |v1 AS (SELECT c.piece, coalesce(u1.ucnt, 0) AS ucnt
+       |    FROM chars c LEFT JOIN u1 ON c.piece = u1.piece
+       |  UNION ALL
+       |  SELECT piece, ucnt FROM u1 WHERE length(piece) > 1),
+       |${costs("v1c", "v1")},
+       |${d76ViterbiCtes("r2", "v1c")},
+       |u2 AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_used
+       |  FROM r2_seg GROUP BY piece)
+       |SELECT piece, n_used,
+       |  ${round4("CAST(n_used AS DOUBLE) / CAST((SELECT SUM(n_used) FROM u2) AS DOUBLE)")}
+       |    AS share
+       |FROM u2 ORDER BY piece""".stripMargin
+  }
+
   private def bpeCtes =
     """tok AS (
       |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(

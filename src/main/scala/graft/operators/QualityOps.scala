@@ -1033,4 +1033,153 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
+  // ———— d76: unigram-LM tokenizer training (hard-EM / Viterbi) ————
+
+  /** Max piece length the DP considers (SentencePiece defaults to much
+    * longer; 3 keeps the oracle's candidate fan-in at 3 per position). */
+  private[graft] val UniMaxPiece = 3
+  /** Seed-vocabulary cap for multi-char pieces (top-V by weighted
+    * substring count, ties by piece — deterministic). */
+  private[graft] val UniSeedMulti = 60
+  /** DP unroll bound: the DuckDB oracle materializes exactly this many
+    * per-position steps, so a longer word REFUSES loudly (the d65/e45
+    * discipline) instead of silently truncating its segmentation. */
+  private[graft] val UniMaxWord = 12
+
+  /** d76 — UNIGRAM-LM TOKENIZER TRAINING (the SentencePiece family —
+    * Kudo 2018 — the production complement to d65's BPE): seed a
+    * vocabulary from frequent substrings, then alternate (E) segmenting
+    * the corpus into the maximum-likelihood piece sequence per word and
+    * (M) re-estimating piece probabilities from segmentation usage,
+    * pruning pieces the segmentations abandoned. This implementation is
+    * the hard-EM / VITERBI form: the E-step takes each word's single
+    * best segmentation rather than full forward–backward expectations —
+    * the standard decode-time rule, and the training variant this
+    * engine can ORACLE: lattice expectations are unboundedly long float
+    * sums no cross-engine hash can pin, whereas the Viterbi argmin over
+    * DECIMAL(30,6)-canonicalized ln scores (the d34 ln contract, with
+    * d18's add-one smoothing) is exact in both engines.
+    *
+    * The plan shape, per EM round: ONE corpus scan ever happens (the
+    * word-frequency aggregate — the d65 grain; everything after runs at
+    * vocabulary grain, Heaps-law sublinear in corpus size). The Viterbi
+    * DP is a single codegen'd `aggregate` fold over each word's
+    * positions with a 3-slot sliding window — dp state is a PACKED
+    * string (12-char zero-padded DECIMAL cost ‖ piece path), so the
+    * argmin over split candidates is one `least(...)` (cost compares
+    * numerically at fixed width, then the path lexicographically —
+    * deterministic tie-break, both engines byte-wise). Piece costs
+    * reach the fold as one broadcast map (KB-sized at any corpus
+    * scale). The DuckDB oracle unrolls the same DP as [[UniMaxWord]]
+    * per-position CTE steps over the same packed strings — byte-equal
+    * candidates, byte-equal `least`.
+    *
+    * Rounds: seed counts (weighted substring occurrences, all chars +
+    * top-[[UniSeedMulti]] multi-char) → segment → usage counts → PRUNE
+    * multi-char pieces with zero usage (chars always survive — the
+    * SentencePiece character-coverage invariant) → re-score → segment →
+    * final (piece, n_used, share). Fixed two rounds so the oracle
+    * unrolls them as CTEs (the d59/d65 discipline). */
+  def unigramLm(s: SparkSession, d: String): DataFrame =
+    unigramLmOver(s, Tables.documents(s, d))
+
+  private[graft] def unigramLmOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (lMax, v) = (UniMaxPiece, UniSeedMulti)
+    val wf = docs
+      .select(explode(toks(normText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .cache() // vocabulary-sized; read by the seed pass + both E-steps
+    // refuse loudly past the oracle's DP unroll (never truncate a word)
+    val maxLen = Option(wf.agg(max(length(col("word")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    require(maxLen <= UniMaxWord,
+      s"unigramLm: a corpus word of length $maxLen exceeds the " +
+        s"$UniMaxWord-position DP unroll the oracle mirrors exactly; " +
+        "raise UniMaxWord (and the oracle's step count) for such corpora")
+    // seed counts: weighted occurrences of every substring of length
+    // 1..lMax (the d75 position-explode at word grain, corpus-free)
+    val subs = (1 to lMax).map { k =>
+      wf.filter(length(col("word")) >= k)
+        .select(col("cnt"), col("word"),
+          explode(sequence(lit(1), length(col("word")) - (k - 1))).as("p"))
+        .select(col("word").substr(col("p"), lit(k)).as("piece"), col("cnt"))
+    }.reduce(_ unionByName _)
+      .groupBy("piece").agg(sum(col("cnt")).cast("long").as("ucnt"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    val vocab0 = chars.unionByName(
+      subs.filter(length(col("piece")) > 1)
+        .orderBy(col("ucnt").desc, col("piece")).limit(v))
+    val u1 = viterbiUsage(wf, pieceCosts(vocab0))
+    // prune: multi-char pieces the segmentation abandoned drop; chars
+    // always survive (full character coverage keeps every word
+    // segmentable), carrying their usage (0 if always inside pieces)
+    val v1 = chars.select("piece").join(u1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("ucnt"), lit(0L)).as("ucnt"))
+      .unionByName(u1.filter(length(col("piece")) > 1))
+    val u2 = viterbiUsage(wf, pieceCosts(v1))
+    val tot2 = u2.agg(sum(col("ucnt")).as("t2"))
+    u2.crossJoin(broadcast(tot2))
+      .select(col("piece"), col("ucnt").as("n_used"),
+        round4(col("ucnt").cast("double") / col("t2").cast("double"))
+          .as("share"))
+      .orderBy("piece")
+  }
+
+  /** Piece costs from usage counts: cost = dec(ln(total + |V|)) −
+    * dec(ln(cnt + 1)) ≥ 0 — the negated add-one-smoothed log
+    * probability, each ln canonicalized to DECIMAL(30,6) BEFORE any
+    * arithmetic (the d34 cross-engine ln contract). */
+  private def pieceCosts(vc: DataFrame): DataFrame = {
+    val t = vc.agg(sum(col("ucnt")).as("tot"), count(lit(1)).as("nv"))
+    vc.crossJoin(broadcast(t)).select(col("piece"),
+      (dec(log(col("tot") + col("nv"))) - dec(log(col("ucnt") + lit(1))))
+        .cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("c"))
+  }
+
+  /** One E-step: Viterbi-segment every distinct word against `costs`
+    * and return weighted piece usage (piece, ucnt). The DP state per
+    * position is a PACKED string — `lpad(cost, 12, '0') ‖ path` with
+    * the path carrying its leading guard space — so the 3-candidate
+    * argmin is one `least` (both engines skip null candidates and
+    * compare byte-wise: cost numerically at fixed width, then the path
+    * lexicographically). The fold keeps a 3-slot sliding window
+    * (s0 = dp[j−1], s1 = dp[j−2], s2 = dp[j−3]); chars are always in
+    * the vocabulary, so dp[j] is never null on a feasible prefix. */
+  private def viterbiUsage(wf: DataFrame, costs: DataFrame): DataFrame = {
+    val vm = costs.agg(
+      map_from_arrays(collect_list(col("piece")), collect_list(col("c")))
+        .as("vm"))
+    val word = col("word")
+    def unpack(dp: Column): Column =
+      dp.substr(lit(1), lit(12))
+        .cast(org.apache.spark.sql.types.DecimalType(30, 6))
+    def path(dp: Column): Column = dp.substr(lit(13), lit(1000))
+    def cand(prev: Column, j: Column, k: Int): Column = {
+      val piece = word.substr((j - lit(k - 1)).cast("int"), lit(k))
+      val pc = element_at(col("vm"), piece)
+      when(j >= k && prev.isNotNull && pc.isNotNull,
+        concat(
+          lpad(((unpack(prev) + pc)
+              .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .cast("string"), 12, "0"),
+          path(prev), lit(" "), piece))
+    }
+    val init = struct(
+      lit("00000.000000").as("s0"),
+      lit(null).cast("string").as("s1"),
+      lit(null).cast("string").as("s2"))
+    val dp = aggregate(sequence(lit(1), length(word)), init,
+      (acc, j) => struct(
+        least(cand(acc.getField("s0"), j, 1),
+          cand(acc.getField("s1"), j, 2),
+          cand(acc.getField("s2"), j, 3)).as("s0"),
+        acc.getField("s0").as("s1"),
+        acc.getField("s1").as("s2")),
+      acc => acc.getField("s0"))
+    wf.crossJoin(broadcast(vm))
+      .select(col("cnt"), explode(split(trim(path(dp)), " ")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).cast("long").as("ucnt"))
+  }
+
 }

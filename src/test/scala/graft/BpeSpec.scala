@@ -71,6 +71,103 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ———— d76 unigram-LM training (hard-EM / Viterbi) ————
+
+  /** dec6(ln x): the d34 cross-engine ln contract the operator's costs
+    * use — each ln canonicalized to 6 decimals (HALF_UP, both engines'
+    * double→decimal cast) before any arithmetic. */
+  private def dec6ln(x: Long): BigDecimal =
+    BigDecimal(math.log(x.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Brute-force Viterbi: enumerate EVERY segmentation (pieces ≤ 3,
+    * vocabulary-restricted), argmin by (total cost, path string) — the
+    * operator's packed-string DP must compute exactly this. */
+  private def refSegment(w: String, cost: Map[String, BigDecimal]): List[String] = {
+    def segs(i: Int): List[List[String]] =
+      if (i == w.length) List(Nil)
+      else (1 to math.min(3, w.length - i)).toList.flatMap { k =>
+        val piece = w.substring(i, i + k)
+        if (cost.contains(piece)) segs(i + k).map(piece :: _) else Nil
+      }
+    segs(0).map(sg => (sg.map(cost).sum, sg.mkString(" "), sg))
+      .minBy { case (c, p, _) => (c, p) }._3
+  }
+
+  /** Reference hard-EM unigram LM — the operator's whole loop in plain
+    * Scala: seed substring counts (chars + top-V multi), two
+    * cost→Viterbi→usage rounds with prune-unused between them. Returns
+    * (final usage counts, the round-2 segmentations). */
+  private def refUni(words: Map[String, Long]): (Map[String, Long], Map[String, List[String]]) = {
+    val (lMax, v) = (3, 60)
+    val subs = words.toSeq.flatMap { case (w, c) =>
+      for (k <- 1 to lMax; p <- 0 to w.length - k)
+        yield (w.substring(p, p + k), c)
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    val chars = subs.filter(_._1.length == 1)
+    val v0 = chars ++ subs.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(v)
+    def costs(vc: Map[String, Long]): Map[String, BigDecimal] = {
+      val denom = dec6ln(vc.values.sum + vc.size)
+      vc.map { case (p, c) => p -> (denom - dec6ln(c + 1)) }
+    }
+    def usage(cost: Map[String, BigDecimal]): Map[String, Long] =
+      words.toSeq.flatMap { case (w, c) => refSegment(w, cost).map(_ -> c) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val u1 = usage(costs(v0))
+    val v1 = chars.map { case (p, _) => p -> u1.getOrElse(p, 0L) } ++
+      u1.filter(_._1.length > 1)
+    val c1 = costs(v1)
+    (usage(c1), words.keys.map(w => w -> refSegment(w, c1)).toMap)
+  }
+
+  private def corpusWords(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.select(explode(split(lower(trim(regexp_replace(
+        call_function(functions.NfcNormalize.Name, col("text")),
+        "\\s+", " "))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+
+  test("d76 differential vs brute-force hard-EM reference on the real corpus") {
+    val words = corpusWords(Tables.documents(spark, Sf))
+    val (want, _) = refUni(words)
+    val got = operators.QualityOps.unigramLm(spark, Sf)
+      .select("piece", "n_used").as[(String, Long)].collect().toMap
+    assert(got === want)
+    // coverage invariant: the final segmentation covers every character
+    // of every word occurrence exactly once
+    val totChars = words.map { case (w, c) => w.length * c }.sum
+    assert(got.map { case (p, n) => p.length * n }.sum === totChars,
+      "final usage must tile the corpus characters exactly")
+  }
+
+  test("d76 planted: the DP is true Viterbi, not greedy longest-match") {
+    // counts engineered so the optimal segmentation of 'xxy' is
+    // [x, xy] (cheap frequent pieces) while greedy longest-match takes
+    // [xxy] — a fixture where only a real argmin over split points wins
+    val docs = (
+      Seq.fill(40)("xy") ++ Seq.fill(6)("xx") ++ Seq("xxy")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = corpusWords(docs)
+    val (want, seg2) = refUni(words)
+    // the fixture is load-bearing: round 2 segments xxy as x + xy,
+    // NOT the longest-match prefix xxy
+    assert(seg2("xxy") === List("x", "xy"),
+      s"fixture lost its point: xxy segmented as ${seg2("xxy")}")
+    val got = operators.QualityOps.unigramLmOver(spark, docs)
+      .select("piece", "n_used").as[(String, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("d76 refuses a word past the oracle's DP unroll instead of truncating") {
+    val docs = Seq((1L, "a twelvecharsw ok"), (2L, "supercalifragilistic"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      operators.QualityOps.unigramLmOver(spark, docs).collect()
+    }
+    assert(ex.getMessage.contains("DP unroll"))
+  }
+
   /** Reference encode: apply learned merges in order, greedy
     * left-to-right, to one word's symbol vector. */
   private def refApply(word: String, merges: Seq[(Long, String, String, Long)]): Int = {

@@ -26,6 +26,8 @@ class EmptyInputSpec extends SparkSpec {
       "exactDedup" -> (DedupOps.exactDedup _),
       // d65 on an empty corpus: empty vocabulary, zero merge rows
       "bpeMerges" -> (QualityOps.bpeMerges _),
+      // d76: empty corpus → empty word table → empty vocab, zero pieces
+      "unigramLm" -> (QualityOps.unigramLm _),
       // d66: both retrieval lists empty → empty fusion
       "hybridRrf" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         EmbeddingOps.hybridRrf(s, d)),
