@@ -975,10 +975,15 @@ object Sources {
           (a, d) => a.unionByName(d.select(keyCols.map(col): _*))).distinct()
         existing.join(touchedKeys, keyCols, "left_anti").unionByName(deltaP)
       }
+    // the merged frame is read twice (expected count + staged write) —
+    // persist it so the touched-bucket read and the merge joins run
+    // once, not per action
+    merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = merged.count()
     val staging = new java.io.File(s"$base/staging")
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+    merged.unpersist()
     // an all-rows-deleted merge stages NOTHING (partitionBy writes no
     // dirs for an empty frame) — the promote loop below still runs the
     // removals, but the audit must not try to infer a schema from air
@@ -988,11 +993,23 @@ object Sources {
         s.read.parquet(staging.toString)
       else s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaP.schema)
-    val nStaged = staged.count()
-    val nNullKey = staged.filter(
-      keyCols.map(col(_).isNull).reduce(_ || _)).count()
-    val nDupKey = nStaged - staged.select(keyCols.map(col): _*).distinct().count()
-    val nMisrouted = staged.filter(col("bucket") =!= bCol).count()
+    // ONE audit pass over the staged bytes: count, null keys, misroutes
+    // and the distinct-key count come out of a single aggregate (the
+    // per-publish job count is the constant that dominates these sinks
+    // at toy scale). countDistinct skips any-NULL rows, so dup_keys is
+    // only exact on a null-free batch — and a batch WITH null keys
+    // already fails the null_keys check.
+    val aRow = staged.agg(
+      count(lit(1)).as("n"),
+      sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)).as("nulls"),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("dk"),
+      sum(when(col("bucket") =!= bCol, 1L).otherwise(0L)).as("mis")).head()
+    def longAt(i: Int): Long = if (aRow.isNullAt(i)) 0L else aRow.getLong(i)
+    val nStaged = longAt(0)
+    val nNullKey = longAt(1)
+    val nDupKey = (nStaged - nNullKey) - longAt(2)
+    val nMisrouted = longAt(3)
     val checks = Seq(
       ("rows_match_expected", nStaged, nStaged == expected),
       ("null_keys", nNullKey, nNullKey == 0L),
