@@ -301,6 +301,7 @@ object SparkEntry {
     // BPE merge-rule training over the word-frequency table (3 rounds)
     "d65_bpe_merges" -> (QualityOps.bpeMerges _),
     "d76_unigram_lm" -> (QualityOps.unigramLm _),
+    "d77_unigram_encode" -> (QualityOps.unigramEncode _),
     // BPE encode: apply the learned merges, per-doc token counts
     "d68_bpe_encode" -> (QualityOps.bpeEncode _),
     // threshold sweep: model-vs-rule PR curve at 11 logit cutoffs
@@ -2805,6 +2806,10 @@ object SparkEntry {
       // round 2; ln canonicalized to DECIMAL(30,6) per term (d34),
       // usage counts integer-exact, share round4-contracted
       d76Sql,
+    "d77_unigram_encode" ->
+      // the shared trained vocabulary applied: per-word token counts
+      // off the round-2 best segmentations + the d68 doc-grain join
+      d77Sql,
     "d68_bpe_encode" ->
       // the same 3 training rounds, then the THIRD rule applied (r3 —
       // training materializes only r2), symbol counts on the vocab,
@@ -3928,12 +3933,14 @@ object SparkEntry {
          |  FROM ${tag}_best)""".stripMargin)).mkString(",\n")
   }
 
-  /** The d76 oracle: the full two-round hard-EM loop — seed counts,
-    * Viterbi round 1, prune-unused (chars survive), re-score, Viterbi
-    * round 2 — over the exact packed-string DP of [[d76ViterbiCtes]].
-    * Costs canonicalize each ln to DECIMAL(30,6) before arithmetic
-    * (the d34 contract); counts are integer sums — exact. */
-  private def d76Sql: String = {
+  /** The shared d76/d77 training CTE block: the full two-round hard-EM
+    * loop — seed counts, Viterbi round 1, prune-unused (chars
+    * survive), re-score, Viterbi round 2 — over the exact
+    * packed-string DP of [[d76ViterbiCtes]]. Costs canonicalize each
+    * ln to DECIMAL(30,6) before arithmetic (the d34 contract); counts
+    * are integer sums — exact. Exposes `tok` (doc_id, word), `wf`,
+    * `r2_seg` (word, cnt, piece) and `r2_best` (word, cnt, dp). */
+  private def d76TrainCtes: String = {
     val lMax = operators.QualityOps.UniMaxPiece
     val v = operators.QualityOps.UniSeedMulti
     val maxW = operators.QualityOps.UniMaxWord
@@ -3948,7 +3955,7 @@ object SparkEntry {
          |      AS DECIMAL(30,6))
          |    - CAST(ln(ucnt + 1) AS DECIMAL(30,6)) AS DECIMAL(30,6)) AS c
          |  FROM $from)""".stripMargin
-    s"""WITH tok AS (SELECT unnest(string_split(lower(trim(regexp_replace(
+    s"""tok AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(
        |    nfc_normalize(text), '\\s+', ' ', 'g'))), ' ')) AS word
        |  FROM documents),
        |wf AS (SELECT word, count(*) AS cnt FROM tok
@@ -3969,14 +3976,39 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT piece, ucnt FROM u1 WHERE length(piece) > 1),
        |${costs("v1c", "v1")},
-       |${d76ViterbiCtes("r2", "v1c")},
+       |${d76ViterbiCtes("r2", "v1c")}""".stripMargin
+  }
+
+  private def d76Sql: String =
+    s"""WITH $d76TrainCtes,
        |u2 AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_used
        |  FROM r2_seg GROUP BY piece)
        |SELECT piece, n_used,
        |  ${round4("CAST(n_used AS DOUBLE) / CAST((SELECT SUM(n_used) FROM u2) AS DOUBLE)")}
        |    AS share
        |FROM u2 ORDER BY piece""".stripMargin
-  }
+
+  /** The d77 oracle: the same trained vocabulary applied — per-word
+    * token counts off the round-2 best segmentations, doc grain via
+    * the token stream joined back on word (the d68 shape). */
+  private def d77Sql: String =
+    s"""WITH $d76TrainCtes,
+       |wt AS (SELECT word,
+       |    CAST(len(string_split(trim(substr(dp, 13)), ' ')) AS BIGINT) AS n_sym,
+       |    CAST(length(word) AS BIGINT) AS n_chr FROM r2_best),
+       |tw AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+       |pd AS (SELECT doc_id, count(*) AS n_words,
+       |    CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       |    CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+       |  FROM tw JOIN wt USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_words, 0) AS n_words,
+       |  coalesce(pd.n_chars, 0) AS n_chars,
+       |  coalesce(pd.n_tokens, 0) AS n_tokens,
+       |  CASE WHEN pd.n_chars > 0 THEN
+       |    ${round4("CAST(pd.n_tokens AS DOUBLE) / pd.n_chars")} END AS compression
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private def bpeCtes =
     """tok AS (

@@ -1084,12 +1084,28 @@ object QualityOps {
     unigramLmOver(s, Tables.documents(s, d))
 
   private[graft] def unigramLmOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (wf, c1) = unigramTrain(docs)
+    val u2 = pieceUsage(viterbiPaths(wf, c1))
+    val tot2 = u2.agg(sum(col("ucnt")).as("t2"))
+    u2.crossJoin(broadcast(tot2))
+      .select(col("piece"), col("ucnt").as("n_used"),
+        round4(col("ucnt").cast("double") / col("t2").cast("double"))
+          .as("share"))
+      .orderBy("piece")
+  }
+
+  /** The d76 training loop through its FINAL piece costs: word-freq
+    * table (cached — vocabulary-sized, read by the seed pass and both
+    * E-steps), seed vocabulary, round-1 segment/usage, prune-unused,
+    * re-score. Shared by d76 (one more segmentation → usage output)
+    * and d77 (one more segmentation → per-doc token counts). */
+  private def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
     val (lMax, v) = (UniMaxPiece, UniSeedMulti)
     val wf = docs
       .select(explode(toks(normText(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .cache() // vocabulary-sized; read by the seed pass + both E-steps
+      .cache()
     // refuse loudly past the oracle's DP unroll (never truncate a word)
     val maxLen = Option(wf.agg(max(length(col("word")))).head().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0)
@@ -1110,20 +1126,14 @@ object QualityOps {
     val vocab0 = chars.unionByName(
       subs.filter(length(col("piece")) > 1)
         .orderBy(col("ucnt").desc, col("piece")).limit(v))
-    val u1 = viterbiUsage(wf, pieceCosts(vocab0))
+    val u1 = pieceUsage(viterbiPaths(wf, pieceCosts(vocab0)))
     // prune: multi-char pieces the segmentation abandoned drop; chars
     // always survive (full character coverage keeps every word
     // segmentable), carrying their usage (0 if always inside pieces)
     val v1 = chars.select("piece").join(u1, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("ucnt"), lit(0L)).as("ucnt"))
       .unionByName(u1.filter(length(col("piece")) > 1))
-    val u2 = viterbiUsage(wf, pieceCosts(v1))
-    val tot2 = u2.agg(sum(col("ucnt")).as("t2"))
-    u2.crossJoin(broadcast(tot2))
-      .select(col("piece"), col("ucnt").as("n_used"),
-        round4(col("ucnt").cast("double") / col("t2").cast("double"))
-          .as("share"))
-      .orderBy("piece")
+    (wf, pieceCosts(v1))
   }
 
   /** Piece costs from usage counts: cost = dec(ln(total + |V|)) −
@@ -1137,16 +1147,21 @@ object QualityOps {
         .cast(org.apache.spark.sql.types.DecimalType(30, 6)).as("c"))
   }
 
-  /** One E-step: Viterbi-segment every distinct word against `costs`
-    * and return weighted piece usage (piece, ucnt). The DP state per
-    * position is a PACKED string — `lpad(cost, 12, '0') ‖ path` with
-    * the path carrying its leading guard space — so the 3-candidate
-    * argmin is one `least` (both engines skip null candidates and
-    * compare byte-wise: cost numerically at fixed width, then the path
+  /** Weighted piece usage (piece, ucnt) from per-word segmentations. */
+  private def pieceUsage(paths: DataFrame): DataFrame =
+    paths.select(col("cnt"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).cast("long").as("ucnt"))
+
+  /** One E-step: Viterbi-segment every distinct word against `costs`,
+    * returning (word, cnt, pieces array). The DP state per position is
+    * a PACKED string — `lpad(cost, 12, '0') ‖ path` with the path
+    * carrying its leading guard space — so the 3-candidate argmin is
+    * one `least` (both engines skip null candidates and compare
+    * byte-wise: cost numerically at fixed width, then the path
     * lexicographically). The fold keeps a 3-slot sliding window
     * (s0 = dp[j−1], s1 = dp[j−2], s2 = dp[j−3]); chars are always in
     * the vocabulary, so dp[j] is never null on a feasible prefix. */
-  private def viterbiUsage(wf: DataFrame, costs: DataFrame): DataFrame = {
+  private def viterbiPaths(wf: DataFrame, costs: DataFrame): DataFrame = {
     val vm = costs.agg(
       map_from_arrays(collect_list(col("piece")), collect_list(col("c")))
         .as("vm"))
@@ -1178,8 +1193,46 @@ object QualityOps {
         acc.getField("s1").as("s2")),
       acc => acc.getField("s0"))
     wf.crossJoin(broadcast(vm))
-      .select(col("cnt"), explode(split(trim(path(dp)), " ")).as("piece"))
-      .groupBy("piece").agg(sum(col("cnt")).cast("long").as("ucnt"))
+      .select(col("word"), col("cnt"),
+        split(trim(path(dp)), " ").as("pieces"))
+  }
+
+  /** d77 — UNIGRAM-LM ENCODE / corpus token counting (the d68
+    * complement, completing the unigram family as d65/d68 complete
+    * BPE): train the d76 vocabulary, then segment the corpus under the
+    * FINAL piece costs — the same shared Viterbi fold training used, so
+    * train/encode can never drift — and report per-document
+    * n_words/n_chars/n_tokens + round4 compression. String work runs on
+    * the DISTINCT VOCABULARY (Heaps-law sublinear); doc grain comes
+    * from one (word) equi-join of the corpus token stream against the
+    * vocabulary-sized per-word token counts + a map-side-combined
+    * per-doc sum — the corpus never carries piece strings (the d68
+    * plan shape verbatim). */
+  def unigramEncode(s: SparkSession, d: String): DataFrame =
+    unigramEncodeOver(s, Tables.documents(s, d))
+
+  private[graft] def unigramEncodeOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (wf, c1) = unigramTrain(docs)
+    val wordTok = viterbiPaths(wf, c1).select(col("word"),
+      size(col("pieces")).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_chr"))
+    val words = docs
+      .select(col("doc_id"), explode(toks(normText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+    val perDoc = words.join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_chars").isNotNull && col("n_chars") > 0,
+          round4(col("n_tokens").cast("double") / col("n_chars")))
+          .as("compression"))
+      .orderBy("doc_id")
   }
 
 }

@@ -159,6 +159,42 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("d77 differential: per-doc token counts vs brute-force round-2 segmentations") {
+    val (_, seg2) = refUni(corpusWords(Tables.documents(spark, Sf)))
+    // reference per-doc counts from the doc-grain token stream and the
+    // reference segmentations — the d68 differential shape
+    val docWords = Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(split(lower(trim(regexp_replace(
+          call_function(functions.NfcNormalize.Name, col("text")),
+          "\\s+", " "))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[(Long, String)].collect().toSeq
+    val want = docWords.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.size.toLong,
+        ws.map(_._2.length.toLong).sum,
+        ws.map(w => seg2(w._2).size.toLong).sum))
+    }
+    val got = operators.QualityOps.unigramEncode(spark, Sf)
+      .select("doc_id", "n_words", "n_chars", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs whose text normalizes to nothing report zeros
+    val wordless = got.keySet -- want.keySet
+    wordless.foreach(id => assert(got(id) === ((0L, 0L, 0L))))
+    assert(got -- wordless === want)
+  }
+
+  test("d77 planted: encode counts reflect the Viterbi split, not greedy") {
+    // the d76 fixture: xxy segments as [x, xy] → 2 tokens (greedy
+    // longest-match would count 1)
+    val docs = (
+      Seq.fill(40)("xy") ++ Seq.fill(6)("xx") ++ Seq("xxy")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val enc = operators.QualityOps.unigramEncodeOver(spark, docs)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(enc(46L) === 2L, "xxy must encode as x + xy (2 tokens)")
+  }
+
   test("d76 refuses a word past the oracle's DP unroll instead of truncating") {
     val docs = Seq((1L, "a twelvecharsw ok"), (2L, "supercalifragilistic"))
       .toDF("doc_id", "text")

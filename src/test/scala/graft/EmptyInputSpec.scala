@@ -28,6 +28,8 @@ class EmptyInputSpec extends SparkSpec {
       "bpeMerges" -> (QualityOps.bpeMerges _),
       // d76: empty corpus → empty word table → empty vocab, zero pieces
       "unigramLm" -> (QualityOps.unigramLm _),
+      // d77: no docs → no rows on the doc-grain left join either
+      "unigramEncode" -> (QualityOps.unigramEncode _),
       // d66: both retrieval lists empty → empty fusion
       "hybridRrf" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         EmbeddingOps.hybridRrf(s, d)),
