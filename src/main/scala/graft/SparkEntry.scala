@@ -234,6 +234,7 @@ object SparkEntry {
     "d75_substring_dedup" -> (DedupOps.substringDedup _),
     "f23_deletion_vectors" -> (Sources.deletionVectors _),
     "f24_branch_merge" -> (Sources.branchMerge _),
+    "f25_bucket_rescale" -> (Sources.bucketRescale _),
     "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
     "s21_asof_enrich" -> (Streaming.asofEnrichBatch _),
     "s22_asof_disordered" -> (Streaming.asofEnrichDisorderedFeed _),
@@ -1676,6 +1677,13 @@ object SparkEntry {
          |  CAST(base_version AS BIGINT) AS base_version,
          |  CAST(n_rows AS BIGINT) AS n_rows, bal_sum
          |FROM m ORDER BY version""".stripMargin,
+    "f25_bucket_rescale" ->
+      // content preservation through the rescale is pure customer
+      // arithmetic (the two insert-only deltas tile the table); the
+      // per-row routing measurement is Spark-side (bucket ids are
+      // xxhash64 artifacts) and the oracle pins the all-true column
+      """SELECT c_custkey, c_name, c_acctbal, TRUE AS routed_ok
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "f24_branch_merge" ->
       // the four lifecycle stages from pure customer arithmetic:
       // main_v1 = the snapshot; branch_exp / main_merged /

@@ -880,12 +880,31 @@ object Sources {
     }
   }
 
+  /** Crash recovery for [[rebucketStore]]'s whole-layout swap: the
+    * `_rescaled` marker is dropped into the restaged layout only AFTER
+    * its audit passes, so `published` absent + a marker-carrying
+    * `restage` ⟹ the swap was interrupted between its two renames —
+    * complete it forward. A markerless restage with `published` intact
+    * is an aborted stage write and is cleared. */
+  private def recoverRescale(base: String): Unit = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val pub = new java.io.File(s"$base/published")
+    val restage = new java.io.File(s"$base/restage")
+    if (!pub.exists && new java.io.File(restage, "_rescaled").exists) {
+      NioFiles.move(restage.toPath, pub.toPath, StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$base/published.old")): Unit
+    } else if (pub.exists && restage.exists)
+      org.apache.commons.io.FileUtils.deleteQuietly(restage): Unit
+  }
+
   /** Read a bucketed store's published table (Hive `bucket=<b>` dirs),
     * dropping the routing column; an empty `schema`-typed frame when
     * nothing has published yet. Runs [[recoverBucketSwaps]] first so
     * every reader self-heals a crash caught mid-swap. */
   private[graft] def readBucketedStore(s: SparkSession, base: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    recoverRescale(base)
     recoverBucketSwaps(base)
     val pub = new java.io.File(s"$base/published")
     val hasData = pub.exists &&
@@ -937,6 +956,7 @@ object Sources {
       deleteKeys: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    recoverRescale(base)
     recoverBucketSwaps(base)
     val pubRoot = new java.io.File(s"$base/published")
     val bCol = bucketOf(nBuckets, keyCols)
@@ -1049,6 +1069,110 @@ object Sources {
     (checks :+ (("published_rows_touched", nTouchedPublished, allOk)))
       .toDF("check_name", "observed", "ok")
       .orderBy("check_name")
+  }
+
+  /** f25 — BUCKET-COUNT RESCALING for the O(Δ)-maintained stores: the
+    * maintenance job that keeps [[bucketedUpsertStaged]]'s guarantee
+    * honest as a store GROWS. Per-batch upsert I/O is
+    * O(Δ · bucketBytes); with the bucket count fixed, bucketBytes grows
+    * with the store and the O(Δ) publish silently decays toward
+    * O(store / nBuckets) per touched bucket. The fix every bucketed
+    * format ships (Delta OPTIMIZE / Hudi clustering / Hive
+    * ALTER ... INTO n BUCKETS): periodically rewrite the store at a
+    * wider modulus. A key's bucket is a pure function of (key, n), so
+    * the rescale must rewrite EVERYTHING — a full-store pass, correct
+    * for a rare maintenance job (the f10/d74 cadence), wrong per batch,
+    * which is exactly why it is a separate operator and not part of the
+    * upsert.
+    *
+    * Protocol: restage the whole store partitioned by the NEW modulus,
+    * audit (rows preserved, null/dup keys, every row routed to its
+    * new-modulus bucket), drop the `_rescaled` marker into the restaged
+    * layout (it travels with the rename), then swap the layouts with
+    * the two-rename discipline. The mid-swap gap heals FORWARD via
+    * [[recoverRescale]], run by every reader and upsert. Old per-bucket
+    * `_batch_<id>` markers do not survive the rewrite — a batch
+    * redelivered from before the rescale RE-APPLIES (idempotently, by
+    * the merge rules) instead of skipping; the effectively-once side
+    * markers (`_applied/<id>`) are unaffected. */
+  private[graft] def rebucketStore(s: SparkSession, base: String,
+      keyCols: Seq[String], newBuckets: Int): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    recoverRescale(base)
+    recoverBucketSwaps(base)
+    val pub = new java.io.File(s"$base/published")
+    require(pub.exists, s"rebucketStore: nothing published at $base")
+    val bCol = bucketOf(newBuckets, keyCols)
+    val cur = s.read.parquet(pub.toString)
+    val expected = cur.count()
+    val df = cur.drop("bucket").withColumn("bucket", bCol)
+    val restage = new java.io.File(s"$base/restage")
+    org.apache.commons.io.FileUtils.deleteQuietly(restage)
+    df.write.partitionBy("bucket").mode("overwrite").parquet(restage.toString)
+    val staged = s.read.parquet(restage.toString)
+    val aRow = staged.agg(
+      count(lit(1)).as("n"),
+      sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)).as("nulls"),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("dk"),
+      sum(when(col("bucket") =!= bCol, 1L).otherwise(0L)).as("mis")).head()
+    def longAt(i: Int): Long = if (aRow.isNullAt(i)) 0L else aRow.getLong(i)
+    val (nStaged, nNullKey) = (longAt(0), longAt(1))
+    val checks = Seq(
+      ("rows_match_expected", nStaged, nStaged == expected),
+      ("null_keys", nNullKey, nNullKey == 0L),
+      ("dup_keys", (nStaged - nNullKey) - longAt(2),
+        (nStaged - nNullKey) - longAt(2) == 0L),
+      ("misrouted_keys", longAt(3), longAt(3) == 0L))
+    val allOk = checks.forall(_._3)
+    if (allOk) {
+      // marker BEFORE the swap: published absent + marker-carrying
+      // restage is the recoverable forward state
+      new java.io.File(restage, "_rescaled").createNewFile(): Unit
+      val old = new java.io.File(s"$base/published.old")
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
+      NioFiles.move(pub.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
+      NioFiles.move(restage.toPath, pub.toPath, StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteQuietly(old): Unit
+    }
+    val nPublished = if (allOk) s.read.parquet(pub.toString).count() else 0L
+    (checks :+ (("published_rows", nPublished, allOk)))
+      .toDF("check_name", "observed", "ok")
+      .orderBy("check_name")
+  }
+
+  /** The f25 registry query: build a bucketed store from two
+    * insert-only delta batches over `customer` at the default modulus,
+    * rescale it to 2× [[MaintBuckets]], and output the content re-read
+    * from the NEW layout — each row carrying `routed_ok`, the
+    * Spark-side MEASUREMENT that its physical `bucket=` partition
+    * equals the new modulus's routing function (the oracle pins the
+    * all-true column; bucket ids themselves are xxhash64 artifacts no
+    * SQL oracle can reproduce — the d73/d74 footnote discipline). A
+    * lost row, a duplicated row, or one mis-moved row is a wrong row
+    * here. */
+  def bucketRescale(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val base = java.nio.file.Files.createTempDirectory("graft-rescale").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    bucketedUpsertStaged(s, cust.filter(pmod(col("c_custkey"), lit(10L)) < 8),
+      base.toString, Seq("c_custkey"), "_batch_0")
+    bucketedUpsertStaged(s, cust.filter(pmod(col("c_custkey"), lit(10L)) >= 8),
+      base.toString, Seq("c_custkey"), "_batch_1")
+    val widened = MaintBuckets * 2
+    if (new java.io.File(s"$base/published").exists) {
+      val audit = rebucketStore(s, base.toString, Seq("c_custkey"), widened)
+      val failed = audit.filter(!col("ok")).collect()
+      require(failed.isEmpty, s"f25 rescale audit failed: ${failed.mkString(", ")}")
+      s.read.parquet(s"$base/published")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          (col("bucket") === bucketOf(widened, Seq("c_custkey")))
+            .as("routed_ok"))
+        .orderBy("c_custkey")
+    } else // empty corpus: no key ever routed, nothing to rescale
+      cust.limit(0).withColumn("routed_ok", lit(true))
   }
 
   /** f19 — ATOMIC MULTI-TABLE PUBLISH (the consistent-snapshot rung

@@ -167,6 +167,8 @@ class EmptyInputSpec extends SparkSpec {
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
       // f24: empty snapshot branches/merges fine → zero bucket rows
       "branchMerge" -> (operators.Sources.branchMerge _),
+      // f25: empty deltas never create the store → nothing to rescale
+      "bucketRescale" -> (operators.Sources.bucketRescale _),
       // f23: empty publish → empty vector → zero live/deleted buckets
       "deletionVectors" -> (operators.Sources.deletionVectors _),
       // s19: empty reference batch → empty models → empty index store

@@ -1094,6 +1094,50 @@ class StorageSpec extends SparkSpec {
       .as[(Long, String)].collect().map(_.toString()).sorted.toSeq === survivors)
   }
 
+  test("f25 bucket rescale: content identical at the new modulus, routing " +
+    "exact, upserts continue at the new width, crash heals forward") {
+    import operators.Sources
+    import org.apache.commons.io.FileUtils
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    val base = s"$wh/rescale"
+    val a = (1L to 300L).map(k => (k, s"v_$k")).toDF("k", "v")
+    Sources.bucketedUpsertStaged(spark, a, base, Seq("k"), "_batch_0")
+    def content(): Seq[(Long, String)] =
+      Sources.readBucketedStore(spark, base, a.schema)
+        .as[(Long, String)].collect().sorted.toSeq
+    val before = content()
+    val audit = Sources.rebucketStore(spark, base, Seq("k"), 32)
+    assert(audit.filter(!col("ok")).isEmpty)
+    // the layout actually widened, every row routed by the NEW modulus,
+    // and the content is identical as a set
+    val out = spark.read.parquet(s"$base/published")
+    assert(out.filter(col("bucket") =!= Sources.bucketOf(32, Seq("k")))
+      .count() === 0L, "a row survived the rescale in a stale bucket")
+    assert(out.select("bucket").distinct().count() > Sources.MaintBuckets,
+      "the rescale must widen the physical layout")
+    assert(content() === before, "the rescale changed the content")
+    // the store keeps absorbing deltas at the new width
+    Sources.bucketedUpsertStaged(spark, Seq((9001L, "new")).toDF("k", "v"),
+      base, Seq("k"), "_batch_1", nBuckets = 32)
+    assert(content() === (before :+ ((9001L, "new"))).sorted)
+    // killed-JVM state BETWEEN the layout swap's renames: published
+    // absent, restage = the complete audited layout with its marker —
+    // the next reader completes the swap forward
+    val pub = new java.io.File(s"$base/published")
+    val restage = new java.io.File(s"$base/restage")
+    FileUtils.deleteQuietly(restage)
+    val want = content()
+    NioFiles.move(pub.toPath, restage.toPath, StandardCopyOption.ATOMIC_MOVE)
+    new java.io.File(restage, "_rescaled").createNewFile()
+    assert(content() === want, "the mid-swap crash must heal forward")
+    assert(pub.exists && !restage.exists)
+    // a markerless restage with published intact is an aborted stage
+    // write — cleared, never promoted
+    restage.mkdirs()
+    assert(content() === want)
+    assert(!restage.exists, "an unaudited restage must be cleared, not kept")
+  }
+
   test("bucketed upsert crash recovery: the mid-swap gap heals forward " +
     "(killed-JVM state), and readers self-heal") {
     import operators.Sources
