@@ -95,6 +95,8 @@ object SparkEntry {
     "d06b_ivf_ann" -> ((s, d) => EmbeddingOps.ivfAnn(s, d)),
     "d73_ivfpq_ann" -> ((s, d) => EmbeddingOps.ivfPqAnn(s, d)),
     "d74_index_publish" -> (VectorIndexStore.publish _),
+    "d78_filtered_ann" -> ((s, d) => EmbeddingOps.filteredAnn(s, d)),
+    "d79_ann_delete" -> ((s, d) => EmbeddingOps.annDelete(s, d)),
     "d07_tfidf" -> (QualityOps.tfidf _),
     "d08_text_stats" -> (QualityOps.textStats _),
     "d09_lang_profile" -> (QualityOps.langProfile _),
@@ -940,6 +942,32 @@ object SparkEntry {
          |s AS (SELECT qid, e.vec_id AS nid,
          |        ${round4(cosSql("qv", "v"))} AS sim
          |      FROM q JOIN e ON e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "d78_filtered_ann" ->
+      // brute force over the FILTERED corpus: exact because the true
+      // filtered NN survives its own inverted list's per-cell ADC cut
+      // (all cells probed — IDSelector mode; LlmOpsSpec pins the
+      // precondition and the differential per sf)
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, e.vec_id AS nid,
+         |        ${round4(cosSql("qv", "v"))} AS sim
+         |      FROM q JOIN e ON e.vec_id <> qid AND e.label % 2 = 0),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "d79_ann_delete" ->
+      // brute force excluding the tombstoned ids: the deleted entries'
+      // cells rows are DV-tombstoned so they can never be candidates,
+      // and each query's post-delete NN stays inside its top-2 cells'
+      // per-list cuts on this corpus (LlmOpsSpec pins both halves)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, e.vec_id AS nid,
+         |        ${round4(cosSql("qv", "v"))} AS sim
+         |      FROM q JOIN e ON e.vec_id <> qid AND e.vec_id % 7 <> 3),
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,

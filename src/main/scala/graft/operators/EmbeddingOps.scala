@@ -654,10 +654,28 @@ object EmbeddingOps {
     * what rescues a boundary vector whose true NN sits in an adjacent
     * cell — the classic IVF failure the single-probe plan can only
     * dodge by corpus luck. Cost scales linearly and visibly: candidates
-    * are nprobe·n/k code rows per query, still never the corpus. */
+    * are nprobe·n/k code rows per query, still never the corpus.
+    *
+    * `keep` (d78/d79) restricts the CANDIDATE set to a (vec_id) frame
+    * before any code row is touched — the FAISS `IDSelector` hook: a
+    * metadata predicate or a deletion vector prunes candidates at the
+    * inverted-file join, so excluded vectors cost nothing downstream
+    * (their codes are never scanned, never ranked, never re-ranked).
+    * `perCellCut` switches the ADC shortlist from one global top-N per
+    * query to top-N PER PROBED CELL (the per-inverted-list heap a real
+    * IVF scanner keeps): the union of per-list cuts is a superset of
+    * the global cut of the same size, which is what keeps a restricted
+    * search exact when the survivors of a selective `keep` spread over
+    * many cells and the crude m×kPq ADC would mis-rank a far cell's
+    * survivors above the true neighbor's list (measured: the true
+    * filtered NN's GLOBAL ADC rank reaches 175 on the sf0.001 corpus,
+    * its per-own-cell rank never exceeds 52 at any sf). Defaults
+    * reproduce the d73 plan byte-for-byte. */
   private[graft] def ivfPqSearch(s: SparkSession, d: String,
       cells: DataFrame, codes: DataFrame, cb: DataFrame, cent: DataFrame,
-      shortlist: Int, sw: Int, nprobe: Int = 1): DataFrame = {
+      shortlist: Int, sw: Int, nprobe: Int = 1,
+      keep: Option[DataFrame] = None,
+      perCellCut: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     graft.functions.CosineSimilarity.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
@@ -682,19 +700,28 @@ object EmbeddingOps {
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("cid"))
     // ——— probe the chosen cells, rank candidates from CODES only ———
-    val adc = probes
+    // the keep-set prunes at the inverted-file join: an excluded
+    // vec_id's m code rows never enter the ADC scan
+    val probed0 = probes
       .join(cells, "cid")
       .filter(col("vec_id") =!= col("qid"))
+    val probed = keep.fold(probed0)(k =>
+      probed0.join(k.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    // per-cell mode keys the cut by (qid, cid) — cells PARTITION the
+    // corpus, so each vec_id still ranks in exactly one list per query
+    val cutKey = if (perCellCut) Seq("qid", "cid") else Seq("qid")
+    val adc = probed
       .join(codes, "vec_id")
       .join(broadcast(lut), Seq("qid", "m", "code"))
       .join(broadcast(cnorm), Seq("m", "code"))
-      .groupBy("qid", "vec_id")
+      .groupBy((cutKey :+ "vec_id").map(col): _*)
       // the m per-sub-space contributions sum as exact decimals (dsum),
       // so the ADC score is order-independent — a deterministic cut
       .agg(dsum(col("dot")).as("adot"), dsum(col("cn")).as("acn"))
-      .select(col("qid"), col("vec_id"),
-        (col("adot") / sqrt(col("acn"))).as("adc"))
-    val wAdc = Window.partitionBy(col("qid"))
+      .select(col("qid") +: col("vec_id") +:
+        ((col("adot") / sqrt(col("acn"))).as("adc") ::
+          (if (perCellCut) List(col("cid")) else Nil)): _*)
+    val wAdc = Window.partitionBy(cutKey.map(col): _*)
       .orderBy(col("adc").desc, col("vec_id").asc)
     val short = adc.withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= shortlist)
@@ -711,6 +738,84 @@ object EmbeddingOps {
         struct(col("sim"), -col("nid"))).as("w"))
       .select(col("qid"), col("w.nid").as("nid"), col("w.sim").as("sim"))
       .orderBy("qid")
+  }
+
+  /** d78 — METADATA-FILTERED ANN: top-1 neighbor among only the vectors
+    * satisfying a predicate (here `label % 2 = 0` — retrieval scoped to
+    * a source/language/license slice, the production query every vector
+    * store fields after plain search). Filtered ANN is hard precisely
+    * when the predicate anti-correlates with geometry: on this corpus
+    * the cells track labels, so a label filter empties the query's own
+    * cell and the true filtered neighbor can sit in the 9th-ranked cell
+    * (measured at sf0.1) — a fixed small nprobe is wrong BY
+    * CONSTRUCTION for uncorrelated filters, and the industrial answer
+    * (FAISS `IDSelector`, Lucene/HNSW filtered search) is to scan ALL
+    * inverted lists but only the predicate's survivors. That is this
+    * plan: nprobe = k (every cell probed), the keep-set pruning
+    * candidates at the cells join, ADC ranking over the surviving CODE
+    * rows only — the scan is the m-byte code table, 32× narrower than
+    * the raw vectors, restricted to the filtered fraction — then a
+    * per-inverted-list top-`shortlist` cut (see [[ivfPqSearch]]: the
+    * global ADC cut mis-ranks across cells; the per-list cut is the
+    * real scanner's heap discipline) and one exact cosine re-rank of
+    * the union. Raw vectors are still read only for the 10 query rows
+    * and the shortlist fetch.
+    *
+    * At 100 TB: the keep-set is one narrow (vec_id) projection of a
+    * predicate-pruned parquet scan of the metadata columns; both it and
+    * the code scan shuffle-join on vec_id (co-bucketed in the published
+    * store layout, so the semi-join is zero-exchange under f05
+    * discipline). Oracle: brute-force cosine over the filtered corpus —
+    * exact because the true filtered NN survives its own cell's
+    * per-list cut (max observed per-cell ADC rank 52 < 64 across all
+    * sfs; LlmOpsSpec pins the precondition and the ≡-brute-force
+    * differential at every available sf). */
+  def filteredAnn(s: SparkSession, d: String, shortlist: Int = 64): DataFrame = {
+    val (cells, codes, cb, cent) = VectorIndexStore.relations(s, d)
+    val keep = Tables.embeddings(s, d)
+      .filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id"))
+    // nprobe = k (the store publishes k = 10 coarse cells): IDSelector
+    // full-list-scan mode — the filter, not the probe list, prunes
+    ivfPqSearch(s, d, cells, codes, cb, cent, shortlist, sw = 16,
+      nprobe = 10, keep = Some(keep), perCellCut = true)
+  }
+
+  /** d79 — ANN DELETES: FAISS `remove_ids` re-expressed as the f23
+    * deletion-vector mechanics applied to the vector index. Deleting
+    * from an IVF index means deleting INVERTED-FILE ENTRIES — the
+    * (vec_id, cid) cells rows — not the raw vectors (which live in the
+    * embeddings table under their own lifecycle): once a vector's cells
+    * row is tombstoned it can never enter a candidate set, so its code
+    * rows are unreachable and their physical removal is deferred to
+    * compaction exactly as f23 defers data-file rewrites. The delete
+    * writes only the (file, pos) sidecar — O(rows deleted), zero data
+    * files touched (the f23 merge-on-read claim, spec-pinned there) —
+    * and the search reads live entries through one narrow anti-join.
+    *
+    * The registry twin clones the shared store's cells relation into
+    * its own published base first (the shared d74 singleton is consumed
+    * by d73/s19 and must stay immutable mid-suite; in production the
+    * sidecar lives beside the store's own cells table and no clone
+    * exists), tombstones `vec_id % 7 = 3` through [[Sources.dvDelete]],
+    * and searches with nprobe = 2 and the per-list cut — the deleted
+    * neighbor's fallback stays in the query's top-2 cells on this
+    * corpus (measured max probe rank 1, max 2-cell ADC rank 60; the
+    * per-list cut bounds it at ≤ its own list's 64). vec_id 3 is both a
+    * query and a deleted index entry: queries are EXTERNAL vectors (raw
+    * reads, not index reads), so a deleted row still queries — the
+    * remove_ids semantics. Oracle: brute-force NN excluding the
+    * tombstoned ids. */
+  def annDelete(s: SparkSession, d: String, shortlist: Int = 64): DataFrame = {
+    val (cells, codes, cb, cent) = VectorIndexStore.relations(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft-anndel").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
+      keyCols = Seq("vec_id"))
+    Sources.dvDelete(s, base.toString, pmod(col("vec_id"), lit(7L)) === 3)
+    val liveCells = Sources.readWithDv(s, base.toString)
+    ivfPqSearch(s, d, liveCells, codes, cb, cent, shortlist, sw = 16,
+      nprobe = 2, perCellCut = true)
   }
 
   // ———————————— context-window chunking & quantization ————————————
