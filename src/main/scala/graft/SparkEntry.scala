@@ -97,6 +97,7 @@ object SparkEntry {
     "d74_index_publish" -> (VectorIndexStore.publish _),
     "d78_filtered_ann" -> ((s, d) => EmbeddingOps.filteredAnn(s, d)),
     "d79_ann_delete" -> ((s, d) => EmbeddingOps.annDelete(s, d)),
+    "d80_knn_graph" -> ((s, d) => EmbeddingOps.knnGraph(s, d)),
     "d07_tfidf" -> (QualityOps.tfidf _),
     "d08_text_stats" -> (QualityOps.textStats _),
     "d09_lang_profile" -> (QualityOps.langProfile _),
@@ -240,6 +241,7 @@ object SparkEntry {
     "s19_index_maintenance" -> (Streaming.vectorIndexMaintFeed _),
     "s21_asof_enrich" -> (Streaming.asofEnrichBatch _),
     "s22_asof_disordered" -> (Streaming.asofEnrichDisorderedFeed _),
+    "s23_index_deletes" -> (Streaming.indexDeleteFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
@@ -963,6 +965,30 @@ object SparkEntry {
       // cells rows are DV-tombstoned so they can never be candidates,
       // and each query's post-delete NN stays inside its top-2 cells'
       // per-list cuts on this corpus (LlmOpsSpec pins both halves)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT qid, e.vec_id AS nid,
+         |        ${round4(cosSql("qv", "v"))} AS sim
+         |      FROM q JOIN e ON e.vec_id <> qid AND e.vec_id % 7 <> 3),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "d80_knn_graph" ->
+      // the block key (label) makes the graph semantics exact and
+      // SQL-expressible — the per-vertex window reproduces verbatim
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |        ${round4(cosSql("a.v", "b.v"))} AS sim
+         |      FROM e a JOIN e b
+         |        ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY i ORDER BY sim DESC, j) AS knn_rank FROM p)
+         |SELECT i, knn_rank, j, sim FROM r WHERE knn_rank <= 3
+         |ORDER BY i, knn_rank""".stripMargin,
+    "s23_index_deletes" ->
+      // streaming ≡ batch: three streamed tombstone batches land the
+      // store in exactly d79's post-delete state, so the oracle is
+      // d79's brute force minus the tombstoned ids
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
          |s AS (SELECT qid, e.vec_id AS nid,

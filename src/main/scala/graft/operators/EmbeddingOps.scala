@@ -818,6 +818,43 @@ object EmbeddingOps {
       nprobe = 2, perCellCut = true)
   }
 
+  /** d80 — blocked k-NN GRAPH: every vector's top-k most-similar
+    * neighbors within its block, the batch primitive under SemDeDup's
+    * within-cluster comparisons, graph-based dedup (d19 consumes pair
+    * relations exactly like this), and kNN-graph clustering. d05 ranks
+    * the corpus's top pairs globally; this emits the per-vertex
+    * adjacency (i, knn_rank, j, sim) — the GRAPH, not the headline
+    * pairs.
+    *
+    * Blocking is the d05 argument: the join key bounds candidates at
+    * Σ block² instead of n², and with labels as the block key the
+    * semantics are EXACT and SQL-expressible (a production run swaps in
+    * the d74 coarse cells or d03's LSH bands as the key — same plan,
+    * approximate-by-blocking semantics, the documented trade). The
+    * per-vertex cut is a row_number window keyed by i — bounded by one
+    * block's width, and Spark 4's InferWindowGroupLimit inserts a
+    * PARTIAL WindowGroupLimit below the shuffle, so each map task ships
+    * only its local top-k candidates per vertex, never its full block
+    * quadrant: the shuffle is O(k·n), not O(Σ block²) (plan-pinned).
+    * At 100 TB: blocks are bounded by construction (cell/band fanout
+    * caps, the d03 discipline), the self-join shuffles once on the
+    * block key, and the graph lands bucketed by i for the downstream
+    * consumer. */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("i")).orderBy(col("sim").desc, col("j").asc)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round4(cosine(col("a.v"), col("b.v"))).as("sim"))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("i"), col("knn_rank"), col("j"), col("sim"))
+      .orderBy("i", "knn_rank")
+  }
+
   // ———————————— context-window chunking & quantization ————————————
 
 

@@ -1485,11 +1485,35 @@ object Sources {
     * number of newly tombstoned rows (0 on a re-delete). */
   private[graft] def dvDelete(s: SparkSession, base: String,
       pred: Column): Long = {
-    import java.nio.file.{Files => NioFiles, StandardCopyOption}
     val existing = readDv(s, base)
-    val hits = taggedScan(s, base).filter(pred)
+    dvAppend(s, base, existing, taggedScan(s, base).filter(pred)
       .join(existing, Seq("file", "pos"), "left_anti")
-      .select(col("file"), col("pos"))
+      .select(col("file"), col("pos")))
+  }
+
+  /** [[dvDelete]] keyed by a FRAME instead of a predicate — the s23
+    * streaming shape: a micro-batch of delete keys semi-joins the
+    * tagged scan (never a driver-side `isin`, so a wide delta batch
+    * stays distributed), and the sidecar append is the same
+    * stage-then-two-rename swap. Idempotent like dvDelete: already-
+    * tombstoned coordinates are anti-joined away, so a redelivered
+    * batch appends nothing. */
+  private[graft] def dvDeleteMatching(s: SparkSession, base: String,
+      keys: DataFrame, joinCols: Seq[String]): Long = {
+    val existing = readDv(s, base)
+    dvAppend(s, base, existing, taggedScan(s, base)
+      .join(keys.select(joinCols.map(col): _*).dropDuplicates(joinCols),
+        joinCols, "left_semi")
+      .join(existing, Seq("file", "pos"), "left_anti")
+      .select(col("file"), col("pos")))
+  }
+
+  /** The shared sidecar-append core behind [[dvDelete]] /
+    * [[dvDeleteMatching]]: union `hits` into the current vector and
+    * swap it in. Returns the newly tombstoned row count. */
+  private def dvAppend(s: SparkSession, base: String,
+      existing: DataFrame, hits: DataFrame): Long = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
     // stage the UNIONED vector first (the plan reads the old dv dir),
     // then swap with two renames. The instant between the renames has
     // NO dv dir — [[recoverDvSwap]] (run by every readDv) completes

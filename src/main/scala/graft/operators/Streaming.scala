@@ -1346,6 +1346,64 @@ object Streaming {
       .orderBy("c_custkey")
   }
 
+  /** s23 — STREAMING index DELETES: the missing verb of the maintained
+    * vector index. d74 builds it, s19 admits streamed ADDS by frozen-
+    * model assignment, d79 deletes from it in batch — this consumes a
+    * STREAM of delete keys and tombstones their inverted-file entries
+    * per micro-batch through the f23 deletion-vector sidecar
+    * ([[Sources.dvDeleteMatching]]: the batch's keys semi-join the
+    * tagged cells scan, never a driver-side isin). Per-batch write =
+    * the (file, pos) sidecar swap alone — O(rows deleted this batch),
+    * ZERO data files touched at any store size (spec pins published
+    * cells bytes identical across delete batches), which is the one
+    * maintenance verb where merge-on-read beats even the bucketed
+    * upsert: nothing is re-staged, the tombstone IS the write. Code
+    * rows for dead ids become unreachable at the cells join; their
+    * physical removal is a compaction ([[Sources.dvCompact]]) on the
+    * f10/d74 cadence.
+    *
+    * Effectively-once is belt-and-braces: the `_applied/<id>` side
+    * marker skips a redelivered batch outright, and underneath,
+    * dvDeleteMatching is idempotent anyway (already-tombstoned
+    * coordinates anti-join away — a half-applied crash redelivery
+    * appends nothing twice). A crash between the sidecar's two renames
+    * heals FORWARD in every reader (the f23 recoverDvSwap discipline,
+    * inherited verbatim). */
+  def indexDeleteSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    Sources.dvDeleteMatching(batch.sparkSession, base,
+      batch.select(col("vec_id")), Seq("vec_id"))
+    marker.getParentFile.mkdirs(); marker.createNewFile(): Unit
+  }
+
+  /** The s23 registry twin: clone the shared d74 store's cells relation
+    * into this operator's own published base (the mid-suite-immutable
+    * singleton argument of d79), stream the `vec_id % 7 = 3` delete
+    * keys in as THREE micro-batches (split by `(vec_id / 7) % 3` — the
+    * s19 batch convention), then search the maintained store end-to-end
+    * with the real d73 kernel (nprobe = 2, per-list cut). The final
+    * store state is BY CONSTRUCTION the d79 batch-delete state —
+    * streaming ≡ batch, the s17/s18/s19 twin discipline — so the oracle
+    * is d79's: brute-force NN excluding every streamed tombstone. */
+  def indexDeleteFeed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val (cells, codes, cb, cent) = VectorIndexStore.relations(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft-ixdel").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
+      keyCols = Seq("vec_id"))
+    val dels = graft.Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(7L)) === 3)
+      .select(col("vec_id"),
+        pmod((col("vec_id") / 7).cast("long"), lit(3L)).as("b"))
+    (0L to 2L).foreach { i =>
+      indexDeleteSink(base.toString)(dels.filter(col("b") === i), i)
+    }
+    val live = Sources.readWithDv(s, base.toString)
+    EmbeddingOps.ivfPqSearch(s, d, live, codes, cb, cent,
+      shortlist = 64, sw = 16, nprobe = 2, perCellCut = true)
+  }
+
   def upsertBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     // the marker/rename protocol below uses local-FS atomic renames; a
     // production deployment on an object store puts a transactional

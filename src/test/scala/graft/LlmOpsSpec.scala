@@ -1337,6 +1337,43 @@ class LlmOpsSpec extends SparkSpec {
         "the fixtures no longer witness the delete")
   }
 
+  test("d80 knn graph ≡ in-memory per-vertex block top-3; ranks dense " +
+    "per vertex; edges stay inside blocks") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        col("label"))
+      .as[(Long, Seq[Double], Int)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byLabel = vecs.groupBy(_._3)
+    val expect = vecs.flatMap { case (i, vi, lbl) =>
+      byLabel(lbl).filter(_._1 != i)
+        .map { case (j, vj, _) =>
+          (j, BigDecimal(cos(vi, vj)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (j, s) => (-s, j) }
+        .take(3).zipWithIndex
+        .map { case ((j, s), r) => (i, r + 1, j, s) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = EmbeddingOps.knnGraph(spark, Sf)
+      .select("i", "knn_rank", "j", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === expect, "knn graph drifted from the per-vertex brute force")
+    // structural re-statements of the contract: per-vertex ranks are
+    // dense 1..min(3, block-1), and no edge crosses a block
+    val labels = vecs.map(v => v._1 -> v._3).toMap
+    assert(got.forall { case (i, _, j, _) => labels(i) == labels(j) },
+      "an edge crossed its block")
+    got.groupBy(_._1).foreach { case (i, edges) =>
+      val want = math.min(3, byLabel(labels(i)).length - 1)
+      assert(edges.map(_._2).sorted === (1 to want),
+        s"vertex $i ranks not dense 1..$want")
+    }
+  }
+
   test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
     val rows = SamplingOps.seqPacking(spark, Sf)
       .select("doc_id", "shard", "n_tokens", "start_off", "first_bin", "last_bin")

@@ -22,6 +22,8 @@ case class Cdc(c_custkey: Long, c_name: String, c_acctbal: Double,
 /** A new-vector row for the s18 label-maintenance replay. */
 case class NewVec(vec_id: Long, embedding: Seq[Float])
 
+case class DelKey(vec_id: Long)
+
 /** Streaming ≡ batch on bounded input (SURVEY §2.4 E16/E17): each shared
   * transformation is executed once as a real Structured Streaming query
   * over a MemoryStream replay of `events` (multiple micro-batches, append
@@ -837,6 +839,67 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/published")
       .filter(col("c_custkey") === 7777777L).count() === 1L,
       "corrected retry must apply")
+  }
+
+  test("s23: streamed index deletes ≡ the d79 batch delete; sidecar-only " +
+    "writes (data files byte-identical); redelivery and idempotence") {
+    import org.apache.commons.io.FileUtils
+    // ——— the store under maintenance: the shared index's cells
+    // relation cloned to its own published base (the feed's setup) ———
+    val (cells, _, _, _) = operators.VectorIndexStore.relations(spark, Sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-s23").toString
+    operators.Sources.writeAuditPublishStaged(spark, cells, cells.count(),
+      base, keyCols = Seq("vec_id"))
+    def dataFileHashes(): Map[String, String] =
+      new java.io.File(s"$base/published").listFiles
+        .filter(f => f.isFile && !f.getName.startsWith("_"))
+        .map(f => f.getName ->
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    val before = dataFileHashes()
+    def dv(): Seq[String] = sortedRows(operators.Sources.readDv(spark, base))
+    // ——— three delete batches through a REAL writeStream ———
+    val dels = Tables.embeddings(spark, Sf)
+      .filter(pmod(col("vec_id"), lit(7L)) === 3)
+      .select(col("vec_id")).as[DelKey].collect().toSeq
+    val batches = (0L to 2L).map(i => dels.filter(k => (k.vec_id / 7) % 3 == i))
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[DelKey]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.indexDeleteSink(base)(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // the merge-on-read claim, streamed: three delete batches wrote the
+    // sidecar ONLY — every published data file is byte-identical
+    assert(dataFileHashes() === before,
+      "a streamed delete batch rewrote a published data file")
+    val streamed = dv()
+    assert(streamed.size === dels.size,
+      s"sidecar holds ${streamed.size} tombstones, expected ${dels.size}")
+    // live reads hide exactly the tombstoned ids
+    val live = operators.Sources.readWithDv(spark, base)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dels.forall(k => !live.contains(k.vec_id)), "a tombstoned id is live")
+    assert(live.size === cells.count() - dels.size)
+    // streamed ≡ the d79 batch twin, end-to-end through the real search
+    assert(sortedRows(Streaming.indexDeleteFeed(spark, Sf)) ===
+      sortedRows(operators.EmbeddingOps.annDelete(spark, Sf)),
+      "streamed store's search diverged from the batch delete's")
+    // redelivered batch id (different data): the marker makes it a no-op
+    Streaming.indexDeleteSink(base)(Seq(DelKey(0L)).toDF(), 1L)
+    assert(dv() === streamed, "redelivery appended tombstones")
+    // marker lost (crash between sidecar swap and marker): the re-apply
+    // is idempotent underneath — already-tombstoned coordinates
+    // anti-join away, so the sidecar is unchanged and the marker backfills
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
+    Streaming.indexDeleteSink(base)(batches(2).toDF(), 2L)
+    assert(new java.io.File(s"$base/_applied/2").exists)
+    assert(dv() === streamed, "idempotent re-apply mutated the sidecar")
   }
 
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
