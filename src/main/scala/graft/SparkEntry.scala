@@ -172,6 +172,8 @@ object SparkEntry {
     "m08_asset_dedup" -> ((s, d) => Multimodal.assetDedup(s, d)),
     // interleaved multimodal packing: per-(shard, bin) text/vision occupancy
     "m09_interleaved_pack" -> (Multimodal.interleavedPack _),
+    // shot segmentation: frames grouped into scenes at motion-energy spikes
+    "m10_shot_segments" -> (Multimodal.shotSegments _),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -3315,6 +3317,47 @@ object SparkEntry {
         |  CAST(sum((va - vb) * (va - vb)) AS BIGINT)::DOUBLE / flen AS mean_sq
         |FROM v GROUP BY doc_id, fid, flen
         |ORDER BY doc_id, frame_id""".stripMargin,
+    "m10_shot_segments" ->
+      // m07's HEX differencing verbatim, then the integer-exact
+      // adaptive threshold (2·energy·n_pairs > 3·Σenergy — 1.5× mean,
+      // no IEEE division) and a cumulative-cut islands window; frame 0
+      // anchors shot 1, the cut frame opens its shot
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, hx, n,
+        |    unnest(range(CAST(ceil(n::DOUBLE / 64) AS BIGINT))) AS fid
+        |  FROM h),
+        |p AS (SELECT doc_id, fid, hx, least(64, n - fid * 64) AS flen
+        |  FROM f WHERE fid >= 1),
+        |k AS (SELECT doc_id, fid, flen, hx,
+        |    unnest(range(CAST(flen AS BIGINT))) AS kk
+        |  FROM p),
+        |v AS (SELECT doc_id, fid,
+        |    CAST(('0x' || substr(hx, CAST((fid * 64 + kk) * 2 + 1 AS BIGINT), 2))
+        |      AS BIGINT) AS va,
+        |    CAST(('0x' || substr(hx, CAST(((fid - 1) * 64 + kk) * 2 + 1 AS BIGINT), 2))
+        |      AS BIGINT) AS vb
+        |  FROM k),
+        |e AS (SELECT doc_id, fid,
+        |    CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS energy
+        |  FROM v GROUP BY doc_id, fid),
+        |t AS (SELECT doc_id, CAST(sum(energy) AS BIGINT) AS tot_e,
+        |    count(*) AS n_pairs FROM e GROUP BY doc_id),
+        |c AS (SELECT e.doc_id, fid, energy,
+        |    CASE WHEN energy * n_pairs * 2 > tot_e * 3 THEN 1 ELSE 0 END AS cut
+        |  FROM e JOIN t ON e.doc_id = t.doc_id),
+        |u AS (SELECT f.doc_id, f.fid, coalesce(c.cut, 0) AS cut,
+        |    coalesce(c.energy, 0) AS energy
+        |  FROM f LEFT JOIN c ON f.doc_id = c.doc_id AND f.fid = c.fid),
+        |g AS (SELECT *, 1 + sum(cut) OVER (PARTITION BY doc_id ORDER BY fid
+        |    ROWS UNBOUNDED PRECEDING) AS shot_id FROM u)
+        |SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+        |  CAST(min(fid) AS BIGINT) AS first_frame,
+        |  CAST(max(fid) AS BIGINT) AS last_frame, count(*) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS shot_energy
+        |FROM g GROUP BY doc_id, shot_id
+        |ORDER BY doc_id, shot_id""".stripMargin,
     "m06_rle_stats" ->
       // run counting in HEX space (2 hex chars = 1 byte, byte-true for
       // any payload): change-flag islands over generated positions;

@@ -810,12 +810,24 @@ object EmbeddingOps {
     val (cells, codes, cb, cent) = VectorIndexStore.relations(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-anndel").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
-      keyCols = Seq("vec_id"))
+    requireCleanPublish(
+      Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
+        keyCols = Seq("vec_id")), "d79 cells clone")
     Sources.dvDelete(s, base.toString, pmod(col("vec_id"), lit(7L)) === 3)
     val liveCells = Sources.readWithDv(s, base.toString)
     ivfPqSearch(s, d, liveCells, codes, cb, cent, shortlist, sw = 16,
       nprobe = 2, perCellCut = true)
+  }
+
+  /** Throw if a WAP publish manifest carries any failed check — a
+    * discarded audit is a silent broken store (d79/s23 clone path). */
+  private[operators] def requireCleanPublish(manifest: DataFrame,
+      what: String): Unit = {
+    val failed = manifest.filter(!col("ok"))
+      .select("check_name", "observed").collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"$what publish failed its audit: ${failed.mkString(", ")}")
   }
 
   /** d80 — blocked k-NN GRAPH: every vector's top-k most-similar

@@ -318,6 +318,64 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** m10 — SHOT segmentation: group each payload's frames into scenes
+    * at motion-energy spikes — what a video pipeline runs right after
+    * m07's differencing (PySceneDetect's content-detector shape:
+    * threshold the inter-frame signal, cut where it spikes, emit
+    * per-shot rows for downstream sampling/dedup at the SHOT grain
+    * rather than the frame grain). A frame is a CUT when its energy
+    * exceeds 1.5× its payload's mean energy, tested in exact integer
+    * form — `2 · energy · n_pairs > 3 · Σ energy` — so the adaptive
+    * threshold needs no IEEE division and can never drift between
+    * engines (1.5, not the folkloric 2: text-byte frames are near-
+    * uniform and their spike ratio tops out just under 2 on this
+    * corpus — a threshold no frame ever crosses is a no-op operator;
+    * the specs pin that cuts actually fire); the cut frame OPENS its
+    * shot (the transition belongs to the new scene). Frame 0 has no
+    * predecessor signal and anchors shot 1; a one-frame payload is one
+    * one-frame shot.
+    *
+    * Plan: m07's differencing reused verbatim, one payload-grain
+    * aggregate for the thresholds (joined back broadcast-or-shuffle by
+    * doc_id), then the e34 gaps-and-islands shape — shot_id =
+    * 1 + running cut count over a doc_id-keyed frame-order window
+    * (payload-proportional partitions, never content-keyed) — and one
+    * groupBy(doc, shot) rollup. Everything after the byte differencing
+    * is frame-count-grain: at 100 TB the only heavy term is m07's
+    * scan, which this shares, not repeats, with a persisted-frames
+    * caller. */
+  def shotSegments(s: SparkSession, d: String): DataFrame =
+    shotSegmentsOver(frames(s, d))
+
+  private[graft] def shotSegmentsOver(fr: DataFrame): DataFrame = {
+    val en = motionEnergyOver(fr)
+      .select(col("doc_id"), col("frame_id"), col("motion_energy"))
+    val tot = en.groupBy("doc_id")
+      .agg(dsum_long(col("motion_energy")).as("tot_e"),
+        count(lit(1)).as("n_pairs"))
+    val flags = en.join(tot, "doc_id")
+      .select(col("doc_id"), col("frame_id"), col("motion_energy"),
+        (col("motion_energy") * col("n_pairs") * 2L >
+          col("tot_e") * 3L).cast("int").as("cut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    fr.select(col("doc_id"), col("frame_id"))
+      .join(flags, Seq("doc_id", "frame_id"), "left_outer")
+      .withColumn("shot_id", (lit(1L) + sum(coalesce(col("cut"), lit(0))).over(w))
+        .cast("long"))
+      .groupBy("doc_id", "shot_id")
+      .agg(min(col("frame_id")).as("first_frame"),
+        max(col("frame_id")).as("last_frame"),
+        count(lit(1)).as("n_frames"),
+        dsum_long(coalesce(col("motion_energy"), lit(0L))).as("shot_energy"))
+      .orderBy("doc_id", "shot_id")
+  }
+
+  /** Exact integer sum that stays BIGINT-typed in both engines. */
+  private def dsum_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c).cast("long")
+
   /** m06 — RUN-LENGTH compressibility profile of the payload byte
     * stream: maximal equal-byte runs counted in ONE left fold over the
     * `byte_values` array (state = (prev, current-run, max-run, runs) —

@@ -1390,8 +1390,9 @@ object Streaming {
     val (cells, codes, cb, cent) = VectorIndexStore.relations(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-ixdel").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
-      keyCols = Seq("vec_id"))
+    EmbeddingOps.requireCleanPublish(
+      Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
+        keyCols = Seq("vec_id")), "s23 cells clone")
     val dels = graft.Tables.embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(7L)) === 3)
       .select(col("vec_id"),

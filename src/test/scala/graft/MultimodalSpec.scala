@@ -295,6 +295,65 @@ class MultimodalSpec extends SparkSpec {
     assert(e1 > 0 && e2 > 0)
   }
 
+  test("m10 planted: a spike frame opens a new shot; quiet frames extend; " +
+    "one-frame payload is one one-frame shot; empty payload skipped") {
+    // 4 frames: 0,1 identical (energy(1)=0), 2 flips every byte (the
+    // spike), 3 repeats 2 (energy(3)=0) → per-doc mean = e2/3, the
+    // 1.5× test fires only on frame 2: shots [0,1] and [2,3]
+    val quiet = (0 until 64).map(_ => 7.toByte).toArray
+    val loud = (0 until 64).map(_ => 250.toByte).toArray
+    val p1 = quiet ++ quiet ++ loud ++ loud
+    val e2 = 64L * (250L - 7L) * (250L - 7L)
+    val media = Seq((1L, p1), (2L, quiet), (3L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.shotSegmentsOver(Multimodal.frameRows(media))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 1L, 2L, 0L),   // frames 0-1, zero energy
+      (1L, 2L, 2L, 3L, 2L, e2),   // the cut OPENS shot 2; frame 3 extends it
+      (2L, 1L, 0L, 0L, 1L, 0L)))  // single frame; doc 3 (empty) skipped
+  }
+
+  test("m10 ≡ in-memory segmentation on the corpus; cuts actually fire") {
+    // full-pipeline differential: UTF-8 payload bytes → 64-byte frames →
+    // consecutive diffs → 1.5×-mean integer threshold → islands
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val expect = docs.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8").map(b => (b & 0xff).toLong)
+      if (bytes.isEmpty) Seq.empty
+      else {
+        val nF = math.ceil(bytes.length / 64.0).toInt
+        def frame(f: Int) = bytes.slice(f * 64, math.min((f + 1) * 64, bytes.length))
+        val energies = (1 until nF).map { f =>
+          val (a, b) = (frame(f), frame(f - 1))
+          f.toLong -> a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.toMap
+        val tot = energies.values.sum
+        val nP = energies.size.toLong
+        val cut = (f: Long) =>
+          f > 0 && 2L * energies(f) * nP > 3L * tot
+        var sid = 1L
+        val assigned = (0 until nF).map { f =>
+          if (cut(f.toLong)) sid += 1
+          (f.toLong, sid)
+        }
+        assigned.groupBy(_._2).toSeq.map { case (shot, fs) =>
+          val frames = fs.map(_._1)
+          (id, shot, frames.min, frames.max, frames.size.toLong,
+            frames.filter(_ > 0).map(energies).sum)
+        }
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Multimodal.shotSegments(spark, Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect, "shot segmentation drifted from the in-memory model")
+    // the threshold is live on this corpus: at least one payload has > 1
+    // shot (a threshold no frame crosses would make m10 a no-op)
+    assert(got.exists(_._2 > 1L),
+      "no payload segmented into > 1 shot — the cut threshold never fires")
+  }
+
   private implicit class ToMap2(val rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
