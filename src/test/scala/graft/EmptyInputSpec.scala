@@ -107,7 +107,11 @@ class EmptyInputSpec extends SparkSpec {
       "sessionize" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Relational.sessionize(s, d)),
       "patchGrid" -> (Multimodal.patchGrid _),
       // round 11: empty master + empty batch → no variants, no matches
-      "fuzzyJoin2" -> (DedupOps.fuzzyJoin2 _)
+      "fuzzyJoin2" -> (DedupOps.fuzzyJoin2 _),
+      // round 15: empty index store → no probes, no candidates, no rows
+      "filteredAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.filteredAnn(s, d)),
+      "annDelete" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.annDelete(s, d)),
+      "knnGraph" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.knnGraph(s, d))
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
@@ -180,6 +184,10 @@ class EmptyInputSpec extends SparkSpec {
       // m09: no docs → no spans → no bins
       "interleavedPack" -> (Multimodal.interleavedPack _),
       "motionEnergy" -> (Multimodal.motionEnergy _),
+      // m10: no frames → no energies → no shots
+      "shotSegments" -> (Multimodal.shotSegments _),
+      // s23: empty cells clone published, no delete keys, no query rows
+      "indexDeleteFeed" -> (Streaming.indexDeleteFeed _),
       "hopWindowMeta" -> (Multimodal.hopWindowMeta _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
