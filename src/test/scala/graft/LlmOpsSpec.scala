@@ -1337,6 +1337,39 @@ class LlmOpsSpec extends SparkSpec {
         "the fixtures no longer witness the delete")
   }
 
+  test("d79/s23 deferred half: compacting the tombstoned cells store " +
+    "clears the sidecar and leaves the search answer byte-identical") {
+    // both scaladocs promise "physical removal defers to compaction" —
+    // pin the promise: after dvCompact the vector is gone, the live
+    // row count is materialized, and the d73 kernel over the compacted
+    // store returns exactly the DV-search answer
+    import graft.operators.{Sources, VectorIndexStore}
+    val (cells, codes, cb, cent) = VectorIndexStore.relations(spark, Sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-d79c").toString
+    Sources.writeAuditPublishStaged(spark, cells, cells.count(), base,
+      keyCols = Seq("vec_id"))
+    Sources.dvDelete(spark, base, pmod(col("vec_id"), lit(7L)) === 3)
+    def search(live: org.apache.spark.sql.DataFrame) =
+      EmbeddingOps.ivfPqSearch(spark, Sf, live, codes, cb, cent,
+        shortlist = 64, sw = 16, nprobe = 2, perCellCut = true)
+        .collect().map(_.toString).toSeq
+    val viaDv = search(Sources.readWithDv(spark, base))
+    spark.sharedState.cacheManager.clearCache()
+    val audit = Sources.dvCompact(spark, base, Seq("vec_id"))
+    assert(audit.filter(!col("ok")).isEmpty, "compaction audit failed")
+    assert(!new java.io.File(s"$base/dv").exists,
+      "compaction left the deletion vector behind")
+    val compacted = spark.read.parquet(s"$base/published")
+    val nAll = cells.count()
+    val nDel = cells.filter(pmod(col("vec_id"), lit(7L)) === 3).count()
+    assert(compacted.count() === nAll - nDel,
+      "compaction did not materialize the deletes")
+    // the search over the compacted store (no vector left to apply)
+    // reproduces the pre-compaction merge-on-read answer
+    assert(search(compacted) === viaDv,
+      "search answer changed across compaction")
+  }
+
   test("d80 knn graph ≡ in-memory per-vertex block top-3; ranks dense " +
     "per vertex; edges stay inside blocks") {
     val vecs = Tables.embeddings(spark, Sf)
