@@ -254,6 +254,7 @@ object SparkEntry {
     "p09_fd_profile" -> (Profiling.fdProfile _),
     // per-group Pearson r + OLS line from exact decimal power sums
     "p10_regression_profile" -> (Profiling.regressionProfile _),
+    "p11_embedding_profile" -> (Profiling.embeddingProfile _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
@@ -1860,6 +1861,22 @@ object SparkEntry {
          |    THEN ${round4("(sy * sxx - sx * sxy) / (n * sxx - sx * sx)")}
          |    END AS intercept
          |FROM a ORDER BY flag""".stripMargin,
+    "p11_embedding_profile" ->
+      // p01's decimal power-sum discipline over the unnested vector
+      // positions: both engines round each sum to double once, then
+      // mean/stddev are the same IEEE expression tree on identical
+      // inputs; min/max exact
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |x0 AS (SELECT v, unnest(range(len(v))) AS i FROM e),
+         |x AS (SELECT CAST(i AS INT) AS pos, v[CAST(i + 1 AS INT)] AS val
+         |      FROM x0),
+         |a AS (SELECT pos, count(val) AS n, ${dsum("val")} AS s,
+         |        ${dsum("val * val")} AS s2,
+         |        min(val) AS min, max(val) AS max
+         |      FROM x GROUP BY pos)
+         |SELECT pos, n, s / n AS mean,
+         |  sqrt((s2 - s * s / n) / (n - 1)) AS stddev, min, max
+         |FROM a ORDER BY pos""".stripMargin,
     "p09_fd_profile" ->
       // key rules: violations = rows − distinct; FD rules: LHS groups
       // with >1 distinct RHS. All integer counts.

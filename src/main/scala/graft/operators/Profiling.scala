@@ -23,6 +23,39 @@ object Profiling {
     * unpivot-first plan triples the rows through the aggregate and
     * measured ~2× slower), then the single result row unpivots to one
     * row per column. */
+  /** p11 — per-DIMENSION embedding profile: the p01 column profile
+    * applied to the vector corpus, one row per embedding position with
+    * (n, mean, stddev, min, max). This is the QA gate a vector pipeline
+    * runs before committing to a storage/index layout: a dead dimension
+    * (stddev ≈ 0) wastes PQ codebook capacity and Matryoshka prefix
+    * budget (d15/d29 consumers), a scale-outlier dimension dominates
+    * int8 quantization ranges, and a mean far from 0 breaks the
+    * symmetric-quantizer assumption — all visible from this one
+    * relation.
+    *
+    * Plan: ONE corpus scan, posexplode to (pos, val), then a 64-group
+    * aggregate — partial aggregation collapses each map task to
+    * dim-many rows before the shuffle, so shuffled bytes are
+    * O(dim · tasks) at any corpus size. Exact-decimal sums (dsum, the
+    * p01/Canon discipline) make mean/stddev order-independent and
+    * bit-identical cross-engine; min/max are exact by nature. */
+  def embeddingProfile(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .toDF("pos", "val")
+    x.groupBy(col("pos"))
+      .agg(count(col("val")).as("n"),
+        dsum(col("val")).as("s"),
+        dsum(col("val") * col("val")).as("s2"),
+        min(col("val")).as("min"), max(col("val")).as("max"))
+      .select(col("pos"), col("n"),
+        (col("s") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s") * col("s") / col("n")) /
+          (col("n") - 1)).as("stddev"),
+        col("min"), col("max"))
+      .orderBy("pos")
+  }
+
   def columnProfile(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val aggs = cols.flatMap { c =>

@@ -111,7 +111,9 @@ class EmptyInputSpec extends SparkSpec {
       // round 15: empty index store → no probes, no candidates, no rows
       "filteredAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.filteredAnn(s, d)),
       "annDelete" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.annDelete(s, d)),
-      "knnGraph" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.knnGraph(s, d))
+      "knnGraph" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.knnGraph(s, d)),
+      // p11: no vectors → no positions → no profile rows
+      "embeddingProfile" -> (operators.Profiling.embeddingProfile _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }

@@ -20,6 +20,29 @@ class ProfilingSpec extends SparkSpec {
     assert(m("control_total") === direct.getDouble(2))
   }
 
+  test("p11 embedding profile ≡ in-memory decimal power sums; dense " +
+    "position cover; every dimension fully counted") {
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .as[Seq[Double]].collect()
+    val dim = vecs.head.length
+    def dsumJvm(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val got = Profiling.embeddingProfile(spark, Sf)
+      .as[(Int, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === (0 until dim), "positions not dense 0..dim-1")
+    got.foreach { case (pos, n, mean, stddev, mn, mx) =>
+      val xs = vecs.map(_(pos))
+      assert(n === vecs.length.toLong, s"dim $pos dropped rows")
+      val s = dsumJvm(xs); val s2 = dsumJvm(xs.map(x => x * x))
+      assert(mean === s / n, s"dim $pos mean drifted")
+      assert(stddev === math.sqrt((s2 - s * s / n) / (n - 1)),
+        s"dim $pos stddev drifted")
+      assert(mn === xs.min && mx === xs.max, s"dim $pos extrema drifted")
+    }
+  }
+
   test("p03 histogram: exact mass conservation, tiling edges, extrema coverage") {
     val li = Tables.lineitem(spark, Sf)
     val n = li.count()
