@@ -775,10 +775,13 @@ object EmbeddingOps {
     val keep = Tables.embeddings(s, d)
       .filter(pmod(col("label"), lit(2)) === 0)
       .select(col("vec_id"))
-    // nprobe = k (the store publishes k = 10 coarse cells): IDSelector
-    // full-list-scan mode — the filter, not the probe list, prunes
+    // nprobe = k (every published coarse cell): IDSelector full-list-
+    // scan mode — the filter, not the probe list, prunes. Derived from
+    // the store (a k-row count, planner-sized) so a centroid-count
+    // change can never silently downgrade the full scan to a partial
+    // probe and break the brute-force-oracle exactness.
     ivfPqSearch(s, d, cells, codes, cb, cent, shortlist, sw = 16,
-      nprobe = 10, keep = Some(keep), perCellCut = true)
+      nprobe = cent.count().toInt, keep = Some(keep), perCellCut = true)
   }
 
   /** d79 — ANN DELETES: FAISS `remove_ids` re-expressed as the f23
@@ -807,16 +810,46 @@ object EmbeddingOps {
     * remove_ids semantics. Oracle: brute-force NN excluding the
     * tombstoned ids. */
   def annDelete(s: SparkSession, d: String, shortlist: Int = 64): DataFrame = {
-    val (cells, codes, cb, cent) = VectorIndexStore.relations(s, d)
-    val base = java.nio.file.Files.createTempDirectory("graft-anndel").toFile
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    requireCleanPublish(
-      Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
-        keyCols = Seq("vec_id")), "d79 cells clone")
-    Sources.dvDelete(s, base.toString, pmod(col("vec_id"), lit(7L)) === 3)
-    val liveCells = Sources.readWithDv(s, base.toString)
+    val (_, codes, cb, cent) = VectorIndexStore.relations(s, d)
+    val base = clonedCells(s, d, "anndel") { b =>
+      Sources.dvDelete(s, b, pmod(col("vec_id"), lit(7L)) === 3): Unit
+    }
+    val liveCells = Sources.readWithDv(s, base)
     ivfPqSearch(s, d, liveCells, codes, cb, cent, shortlist, sw = 16,
       nprobe = 2, perCellCut = true)
+  }
+
+  // tombstoned cells clones, ONE per (tag, corpus) per JVM (the
+  // VectorIndexStore TrieMap pattern): the d79/s23 registry twins need
+  // a private mutable copy of the shared store's immutable cells
+  // relation, and a fresh exit-cleaned temp clone per INVOCATION
+  // accumulates one full cells copy per bench pass for the process
+  // lifetime. The mutation is deterministic per corpus, so reuse is
+  // sound; production has no clone at all (the sidecar lives beside
+  // the store's own cells table).
+  private val cellClones = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val cellCloneLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Clone the published cells relation of corpus `d` into a cached
+    * per-(tag, corpus) base and apply `mutate` to it exactly once;
+    * later calls reuse the mutated clone. */
+  private[operators] def clonedCells(s: SparkSession, d: String, tag: String)(
+      mutate: String => Unit): String = {
+    val key = s"$tag:$d"
+    val lock = cellCloneLocks.getOrElseUpdate(key, new Object)
+    cellClones.getOrElse(key, lock.synchronized {
+      cellClones.getOrElse(key, {
+        val (cells, _, _, _) = VectorIndexStore.relations(s, d)
+        val base = java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+        requireCleanPublish(
+          Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
+            keyCols = Seq("vec_id")), s"$tag cells clone")
+        mutate(base.toString)
+        cellClones(key) = base.toString
+        base.toString
+      })
+    })
   }
 
   /** Throw if a WAP publish manifest carries any failed check — a

@@ -1101,11 +1101,10 @@ object QualityOps {
     * and d77 (one more segmentation → per-doc token counts). */
   private def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
     val (lMax, v) = (UniMaxPiece, UniSeedMulti)
-    val wf = docs
+    val wf = persistCorpus(docs
       .select(explode(toks(normText(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .groupBy("word").agg(count(lit(1)).as("cnt")))
     // refuse loudly past the oracle's DP unroll (never truncate a word)
     val maxLen = Option(wf.agg(max(length(col("word")))).head().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0)

@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
 object Streaming {
   import Canon._
 
+  /** Write a sink's effectively-once marker, LOUDLY: `mkdirs`/
+    * `createNewFile` return false on failure, and a silently-missing
+    * marker downgrades every `_applied/<id>` belt to at-least-once
+    * (harmless only where the guarded effect happens to be idempotent).
+    * NIO throws on a broken marker directory instead of masking it;
+    * an already-present marker (a crash-backfill re-run) is fine. */
+  private[operators] def markApplied(marker: java.io.File): Unit = {
+    java.nio.file.Files.createDirectories(marker.getParentFile.toPath)
+    if (!marker.exists())
+      java.nio.file.Files.createFile(marker.toPath): Unit
+  }
+
   // ——————————————— shared event-time transformations ———————————————
 
   /** E16a — tumbling 1-hour windows per event type. */
@@ -827,8 +839,7 @@ object Streaming {
     // version on redelivery: the promoted-marker check catches it, we
     // backfill the side marker and no-op.
     if (new java.io.File(s"$base/published/_batch_$batchId").exists()) {
-      marker.getParentFile.mkdirs()
-      marker.createNewFile(): Unit
+      markApplied(marker)
       return
     }
     val s = batch.sparkSession
@@ -853,8 +864,7 @@ object Streaming {
     if (failed.nonEmpty)
       throw new IllegalStateException(
         s"versionedSink audit failed for batch $batchId: ${failed.mkString(", ")}")
-    marker.getParentFile.mkdirs()
-    marker.createNewFile(): Unit
+    markApplied(marker)
   }
 
   /** The s16 registry instance (batch twin — StreamingSpec drives the
@@ -925,7 +935,7 @@ object Streaming {
     val s = batch.sparkSession
     val docsBase = s"$base/docs"
     val pairsBase = s"$base/pairs"
-    def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
+    def doneAll(): Unit = markApplied(marker)
     def publishDelta(tb: String, delta: DataFrame, keyCols: Seq[String]): Unit = {
       val audit = Sources.bucketedUpsertStaged(s, delta, tb, keyCols,
         stagedMarker = s"_batch_$batchId")
@@ -1025,7 +1035,7 @@ object Streaming {
     val labBase = s"$base/labels"
     def tableDone(tb: String): Boolean =
       new java.io.File(s"$tb/published/_batch_$batchId").exists
-    def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
+    def doneAll(): Unit = markApplied(marker)
     def checkAudit(tb: String, audit: DataFrame): Unit = {
       val failed = audit.filter(!col("ok"))
         .select("check_name", "observed").collect()
@@ -1130,7 +1140,7 @@ object Streaming {
       .map(n => n -> s"$base/$n").toMap
     def tableDone(tb: String): Boolean =
       new java.io.File(s"$tb/published/_batch_$batchId").exists
-    def doneAll(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
+    def doneAll(): Unit = markApplied(marker)
     def checkAudit(tb: String, audit: DataFrame): Unit = {
       val failed = audit.filter(!col("ok"))
         .select("check_name", "observed").collect()
@@ -1264,7 +1274,7 @@ object Streaming {
   def cdcReplicaSink(base: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$base/_applied/$batchId")
     if (marker.exists()) return // redelivered batch: effectively once
-    def backfill(): Unit = { marker.getParentFile.mkdirs(); marker.createNewFile(): Unit }
+    def backfill(): Unit = markApplied(marker)
     val s = batch.sparkSession
     // post-images come back whole, so an `insert` for a key the replica
     // already holds (a redelivered-source artifact) degrades to an
@@ -1374,7 +1384,7 @@ object Streaming {
     if (marker.exists()) return // redelivered batch: effectively once
     Sources.dvDeleteMatching(batch.sparkSession, base,
       batch.select(col("vec_id")), Seq("vec_id"))
-    marker.getParentFile.mkdirs(); marker.createNewFile(): Unit
+    markApplied(marker)
   }
 
   /** The s23 registry twin: clone the shared d74 store's cells relation
@@ -1387,20 +1397,19 @@ object Streaming {
     * streaming ≡ batch, the s17/s18/s19 twin discipline — so the oracle
     * is d79's: brute-force NN excluding every streamed tombstone. */
   def indexDeleteFeed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val (cells, codes, cb, cent) = VectorIndexStore.relations(s, d)
-    val base = java.nio.file.Files.createTempDirectory("graft-ixdel").toFile
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    EmbeddingOps.requireCleanPublish(
-      Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
-        keyCols = Seq("vec_id")), "s23 cells clone")
-    val dels = graft.Tables.embeddings(s, d)
-      .filter(pmod(col("vec_id"), lit(7L)) === 3)
-      .select(col("vec_id"),
-        pmod((col("vec_id") / 7).cast("long"), lit(3L)).as("b"))
-    (0L to 2L).foreach { i =>
-      indexDeleteSink(base.toString)(dels.filter(col("b") === i), i)
+    val (_, codes, cb, cent) = VectorIndexStore.relations(s, d)
+    val base = EmbeddingOps.clonedCells(s, d, "ixdel") { b =>
+      val dels = graft.Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(7L)) === 3)
+        .select(col("vec_id"),
+          // integer `div`, not double `/`: beyond 2^53 the truncated
+          // double quotient can diverge from (vec_id / 7) % 3
+          pmod(expr("vec_id div 7"), lit(3L)).as("b"))
+      (0L to 2L).foreach { i =>
+        indexDeleteSink(b)(dels.filter(col("b") === i), i)
+      }
     }
-    val live = Sources.readWithDv(s, base.toString)
+    val live = Sources.readWithDv(s, base)
     EmbeddingOps.ivfPqSearch(s, d, live, codes, cb, cent,
       shortlist = 64, sw = 16, nprobe = 2, perCellCut = true)
   }
@@ -1441,8 +1450,7 @@ object Streaming {
     if (curDir.exists()) FileUtils.moveDirectory(curDir, prevDir)
     FileUtils.moveDirectory(nextDir, curDir)
     FileUtils.deleteQuietly(prevDir)
-    marker.getParentFile.mkdirs()
-    marker.createNewFile(): Unit
+    markApplied(marker)
   }
 
   /** Batch reference for the upsert sink's final state: the last event
