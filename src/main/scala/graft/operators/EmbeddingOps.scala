@@ -780,8 +780,11 @@ object EmbeddingOps {
     // the store (a k-row count, planner-sized) so a centroid-count
     // change can never silently downgrade the full scan to a partial
     // probe and break the brute-force-oracle exactness.
+    // max(1, …): an empty corpus publishes zero centroids, and
+    // ivfPqSearch refuses nprobe < 1 (the search is vacuous either way)
     ivfPqSearch(s, d, cells, codes, cb, cent, shortlist, sw = 16,
-      nprobe = cent.count().toInt, keep = Some(keep), perCellCut = true)
+      nprobe = math.max(1L, cent.count()).toInt, keep = Some(keep),
+      perCellCut = true)
   }
 
   /** d79 — ANN DELETES: FAISS `remove_ids` re-expressed as the f23

@@ -914,6 +914,38 @@ object Sources {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** The bucket ids a frame's rows route to — the read-side half of the
+    * O(Δ) contract: collect the (≤ nBuckets, planner-sized) id set,
+    * then scan ONLY those `bucket=<b>` dirs. */
+  private[graft] def touchedBucketIds(df: DataFrame, cols: Seq[String],
+      nBuckets: Int = MaintBuckets): Seq[Int] = {
+    import df.sparkSession.implicits._
+    df.select(bucketOf(nBuckets, cols).as("bucket")).distinct()
+      .as[Int].collect().toSeq.sorted
+  }
+
+  /** Bucket-PRUNED read of a bucketed store: only the named buckets'
+    * published dirs enter the scan, so a probe's read I/O is
+    * O(|buckets| · bucketBytes) regardless of store size — the
+    * "probe a published index" shape s17's incremental maintenance
+    * rides on. Missing dirs (nothing ever routed there) read as empty;
+    * an empty id set (or an unborn store) yields a typed empty frame.
+    * Runs the same crash healing as [[readBucketedStore]]. */
+  private[graft] def readBucketedStoreBuckets(s: SparkSession, base: String,
+      schema: org.apache.spark.sql.types.StructType,
+      buckets: Seq[Int]): DataFrame = {
+    recoverRescale(base)
+    recoverBucketSwaps(base)
+    val pubRoot = s"$base/published"
+    val paths = buckets.map(b => s"$pubRoot/bucket=$b")
+      .filter(p => new java.io.File(p).exists)
+    if (paths.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.option("basePath", pubRoot)
+      .parquet(paths: _*).drop("bucket")
+      .select(schema.fieldNames.map(col): _*)
+  }
+
   /** O(Δ) keyed upsert into a bucketed store — the publish half the
     * streaming maintenance sinks (s17/s18/s19/s20) need at 100 TB,
     * where "read the whole store, union the delta, rewrite everything"
@@ -953,13 +985,23 @@ object Sources {
   private[graft] def bucketedUpsertStaged(s: SparkSession, delta: DataFrame,
       base: String, keyCols: Seq[String], stagedMarker: String,
       nBuckets: Int = MaintBuckets, newWins: Boolean = false,
-      deleteKeys: Option[DataFrame] = None): DataFrame = {
+      deleteKeys: Option[DataFrame] = None,
+      bucketCols: Seq[String] = Nil, sumCols: Seq[String] = Nil): DataFrame = {
     import s.implicits._
     import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    require(!(newWins && sumCols.nonEmpty),
+      "newWins and sumCols are distinct merge rules — pick one")
+    require(bucketCols.isEmpty || bucketCols.forall(keyCols.contains),
+      "bucketCols must be a subset of keyCols: bucket = f(key) is what " +
+        "makes per-bucket key-uniqueness store-wide")
     recoverRescale(base)
     recoverBucketSwaps(base)
     val pubRoot = new java.io.File(s"$base/published")
-    val bCol = bucketOf(nBuckets, keyCols)
+    // routing on a key-column SUBSET (e.g. a posting index keyed
+    // (shingle, doc_id) but bucketed by shingle alone) keeps a probe
+    // by that subset bucket-prunable — readBucketedStoreBuckets reads
+    // only the buckets the probe keys route to
+    val bCol = bucketOf(nBuckets, if (bucketCols.nonEmpty) bucketCols else keyCols)
     val deltaB = delta.withColumn("bucket", bCol)
     val delB = deleteKeys.map(_.withColumn("bucket", bCol))
     // NULL keys are never lost here: Spark's hash expressions are
@@ -987,7 +1029,17 @@ object Sources {
       else s.read.option("basePath", pubRoot.toString)
         .parquet(existingPaths: _*).select(deltaP.columns.map(col): _*)
     val merged =
-      if (!newWins)
+      if (sumCols.nonEmpty)
+        // counter merge (the s17 shingle-DF store): one row per key,
+        // counters added — re-applying an absorbed delta is NOT a
+        // no-op here, which is exactly why the per-bucket marker skip
+        // above is load-bearing for this rule
+        existing.unionByName(deltaP)
+          .groupBy((keyCols :+ "bucket").map(col): _*)
+          .agg(sumCols.head -> "sum", sumCols.tail.map(_ -> "sum"): _*)
+          .toDF(keyCols ++ Seq("bucket") ++ sumCols: _*)
+          .select(deltaP.columns.map(col): _*)
+      else if (!newWins)
         existing.unionByName(
           deltaP.join(existing.select(keyCols.map(col): _*), keyCols, "left_anti"))
       else {

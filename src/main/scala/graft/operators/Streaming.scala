@@ -896,69 +896,207 @@ object Streaming {
   }
 
   /** s17 — STREAMING pair-store maintenance: the d46 publisher stops
-    * being a daily batch job. Each micro-batch of NEW documents (a) is
-    * merged into the docs store, and (b) probes the union's shingle
-    * index for the pairs it introduces ([[PairGraph.deltaPairs]] — the
-    * full-corpus df/cap with candidate generation restricted to pairs
-    * touching the delta, so candidate volume is Δ-proportional), which
-    * upsert into the published pair store keyed (i, j). Values are
-    * stable by construction (docs are immutable, the exact verify reads
-    * full shingle sets), so the merge is insert-only dedup.
+    * being a daily batch job. Each micro-batch of NEW documents is
+    * merged into the docs store, and the pairs it introduces upsert
+    * into the published pair store keyed (i, j). Values are stable by
+    * construction (docs are immutable, the exact verify reads full
+    * shingle sets), so the pair merge is insert-only dedup.
     *
-    * PUBLISH IS O(Δ): both stores live in the
-    * [[Sources.bucketedUpsertStaged]] layout (`published/bucket=<b>/`,
-    * bucket = f(key)) — each batch stages and swaps ONLY the buckets
-    * its delta touches, so per-batch bytes written scale with the
-    * delta, never the store. A micro-batch that re-read and re-wrote a
-    * corpus-sized docs table was the one 100 TB scale-killer in the
-    * compute-O(Δ) design this sink replaces.
+    * THE WHOLE BATCH IS O(Δ) — reads and writes. Four relations live
+    * in the [[Sources.bucketedUpsertStaged]] layout
+    * (`published/bucket=<b>/`, bucket = f(key)):
     *
-    * Crash discipline (the s16 ladder, two tables): PAIRS promotes
-    * first, then DOCS, each bucket carrying an atomic `_batch_<id>`
-    * staged marker; every recomputation is a pure function of
-    * dedup(docs-store ∪ batch), so a redelivery after ANY crash point
-    * recomputes identical work and per-BUCKET markers skip the buckets
-    * already promoted — no duplicate rows (the upsert is insert-only),
-    * no torn reads for the NEXT batch (it sees each docs bucket pre- or
-    * post-batch; both reproduce the same union). Failed audit → throw,
-    * no marker, the engine redelivers (the versionedSink contract).
+    *   - `docs`  (doc_id, text)          keyed/bucketed doc_id
+    *   - `pairs` (i, j, …, jac)          keyed/bucketed (i, j)
+    *   - `shdf`  (shingle, df)           keyed/bucketed shingle —
+    *     the MAINTAINED shingle document-frequency relation: each
+    *     batch SUM-merges its delta's per-shingle counts, so the zipf
+    *     cap re-derives from maintained totals instead of a per-batch
+    *     corpus re-scan (the round-15 read-side scale-killer);
+    *   - `shidx` (shingle, doc_id, n_sh) keyed (shingle, doc_id),
+    *     bucketed shingle — the PUBLISHED shingle index (postings of
+    *     CURRENTLY-RARE shingles only; a shingle's postings are
+    *     evicted the batch its maintained df crosses the cap, so a
+    *     bucket's bytes stay bounded by its shingle count × cap and
+    *     the zipf head never bloats the probe path).
     *
-    * Scale: per batch ONE union scan builds the shingle stream (the
-    * stand-in for appending to a published shingle index), candidates
-    * and verify are Δ-proportional, and the store writes are
-    * touched-bucket-sized. StreamingSpec drives a real writeStream
-    * through this body; the registry twin feeds three deterministic
-    * batches. */
+    * Writes stage and swap only touched buckets ([[Sources
+    * .bucketedUpsertStaged]]); reads are bucket-PRUNED probes
+    * ([[Sources.readBucketedStoreBuckets]]): the batch reads the docs
+    * buckets its own doc_ids route to (the genuinely-new anti-join),
+    * the shdf/shidx buckets its own shingles route to (df readback +
+    * posting probe — each rare shingle carries ≤ cap postings), and
+    * the docs buckets its candidate pairs route to (exact verify).
+    * Nothing in the batch plan scans a corpus-sized relation
+    * (StorageSpec pins the plan's input files to the touched buckets).
+    *
+    * Candidate semantics are EXACTLY [[PairGraph.deltaPairs]]'s: a
+    * shared shingle with a genuinely-new doc is BY DEFINITION one of
+    * the batch's own shingles, so probing the index with the delta's
+    * rare shingles reproduces the full-corpus candidate set restricted
+    * to pairs touching the delta; rarity (df ≤ cap) is judged on the
+    * post-merge maintained totals = the union-so-far df the one-shot
+    * derivation computes. The hot-count upper-bound prune is dropped
+    * (it would need partner hot counts, which change as shingles cross
+    * the cap); the bound is sound, so verifying the un-pruned
+    * candidate set yields the identical pair relation (PairStoreSpec
+    * pins incremental ≡ one-shot at every sf).
+    *
+    * Crash discipline (the s16 ladder, four tables): shdf promotes
+    * FIRST (every later read wants post-merge totals — and the
+    * SUM-merge is the one rule where re-applying an absorbed delta is
+    * not a no-op, so its per-bucket `_batch_<id>` marker skip is
+    * load-bearing), then shidx, then pairs, then DOCS last: the
+    * genuinely-new anti-join reads the docs store, so every
+    * recomputation before the docs promote sees the pre-batch corpus
+    * and derives identical deltas; a doc re-sent in a LATER batch
+    * anti-joins away and cannot double-count df. Failed audit →
+    * throw, no marker, the engine redelivers (the versionedSink
+    * contract). StreamingSpec drives a real writeStream through this
+    * body; the registry twin feeds three deterministic batches. */
   def pairStoreSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$base/_applied/$batchId")
     if (marker.exists()) return // redelivered batch: effectively once
     val s = batch.sparkSession
-    val docsBase = s"$base/docs"
-    val pairsBase = s"$base/pairs"
-    def doneAll(): Unit = markApplied(marker)
-    def publishDelta(tb: String, delta: DataFrame, keyCols: Seq[String]): Unit = {
-      val audit = Sources.bucketedUpsertStaged(s, delta, tb, keyCols,
-        stagedMarker = s"_batch_$batchId")
-      val failed = audit.filter(!col("ok"))
-        .select("check_name", "observed").collect()
-      if (failed.nonEmpty)
-        throw new IllegalStateException(
-          s"pairStoreSink audit failed for batch $batchId at $tb: " +
-            failed.mkString(", "))
-    }
-    // the whole batch effect is a pure function of this union — docs are
-    // immutable, so recomputation after any crash point is identical
-    val newDocs = batch.dropDuplicates("doc_id")
-    val union = Sources.readBucketedStore(s, docsBase, batch.schema)
-      .unionByName(newDocs).dropDuplicates("doc_id")
-    val newPairs = PairGraph.deltaPairs(union,
-      batch.select(col("doc_id")), PairStore.Threshold)
-    // pairs promote FIRST (their staging plan reads docs buckets —
-    // swapping docs first would rename files out from under the lazy
-    // scan); a pairs-done/docs-pending crash recomputes the same union
-    publishDelta(pairsBase, newPairs, Seq("i", "j"))
-    publishDelta(docsBase, newDocs, Seq("doc_id"))
-    doneAll()
+    val batchDocs = batch.dropDuplicates("doc_id")
+    // genuinely new = not already published; the probe reads ONLY the
+    // docs buckets the batch's own ids route to
+    val newDocs = batchDocs.join(
+      Sources.readBucketedStoreBuckets(s, s"$base/docs", batchDocs.schema,
+        Sources.touchedBucketIds(batchDocs, Seq("doc_id")))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val shBuckets = shingleStoreMerge(s, base, newDocs, batchId)
+      val (newPairs, cached) = incrementalPairs(s, base, newDocs, shBuckets)
+      try {
+        publishChecked(s, s"$base/pairs", newPairs, Seq("i", "j"), batchId)
+      } finally cached.unpersist()
+      publishChecked(s, s"$base/docs", batchDocs, Seq("doc_id"), batchId)
+      markApplied(marker)
+    } finally newDocs.unpersist()
+  }
+
+  /** One [[Sources.bucketedUpsertStaged]] publish + audit check; a
+    * failed check throws so the engine redelivers (no marker). */
+  private def publishChecked(s: SparkSession, tb: String, delta: DataFrame,
+      keyCols: Seq[String], batchId: Long, bucketCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil, newWins: Boolean = false,
+      deleteKeys: Option[DataFrame] = None): Unit = {
+    val audit = Sources.bucketedUpsertStaged(s, delta, tb, keyCols,
+      stagedMarker = s"_batch_$batchId", bucketCols = bucketCols,
+      sumCols = sumCols, newWins = newWins, deleteKeys = deleteKeys)
+    val failed = audit.filter(!col("ok"))
+      .select("check_name", "observed").collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"pairStoreSink audit failed for batch $batchId at $tb: " +
+          failed.mkString(", "))
+  }
+
+  private val ShDfSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "shingle STRING, df BIGINT")
+  private val ShIdxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "shingle STRING, doc_id BIGINT, n_sh BIGINT")
+
+  /** s17 steps 1–2: SUM-merge the batch's shingle counts into the
+    * maintained DF store, then maintain the posting index — insert the
+    * batch's postings for (post-merge) rare shingles, evict the stored
+    * postings of shingles the batch pushed over the cap. Returns the
+    * touched shingle-bucket ids (the probe set for
+    * [[incrementalPairs]]). Package-visible so StorageSpec can pin the
+    * batch plan's input files to the touched buckets. */
+  private[graft] def shingleStoreMerge(s: SparkSession, base: String,
+      newDocs: DataFrame, batchId: Long): Seq[Int] = {
+    val cap = PairGraph.MaxShingleDf
+    val shB = LlmOps.docShinglesOver(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfDelta = shB.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        publishChecked(s, s"$base/shdf", dfDelta, Seq("shingle"), batchId,
+          sumCols = Seq("df"))
+        val shBuckets = Sources.touchedBucketIds(dfDelta, Seq("shingle"))
+        // post-merge totals for the batch's own shingles — crash-
+        // consistent: a redelivered batch re-reads the same post-state
+        // (the marker skip above made the re-merge a no-op)
+        val dfNow = Sources.readBucketedStoreBuckets(s, s"$base/shdf",
+            ShDfSchema, shBuckets)
+          .join(dfDelta.withColumnRenamed("df", "d_add"), "shingle")
+        val newlyHot = dfNow
+          .filter(col("df") > cap && col("df") - col("d_add") <= cap)
+          .select(col("shingle"))
+        val evictKeys = Sources.readBucketedStoreBuckets(s, s"$base/shidx",
+            ShIdxSchema, shBuckets)
+          .join(newlyHot, Seq("shingle"), "left_semi")
+          .select(col("shingle"), col("doc_id"))
+        val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val idxDelta = shB.join(sizesB, "doc_id")
+          .join(dfNow.filter(col("df") <= cap).select(col("shingle")),
+            Seq("shingle"), "left_semi")
+          .select(col("shingle"), col("doc_id"), col("n_sh"))
+        publishChecked(s, s"$base/shidx", idxDelta, Seq("shingle", "doc_id"),
+          batchId, bucketCols = Seq("shingle"), newWins = true,
+          deleteKeys = Some(evictKeys))
+        shBuckets
+      } finally dfDelta.unpersist()
+    } finally shB.unpersist()
+  }
+
+  /** s17 steps 3–4: probe the maintained index with the batch, verify
+    * exactly. Candidates = postings of the batch's (post-merge) rare
+    * shingles — each list ≤ cap entries — self-joined under the d02
+    * size-ratio prefilter, requiring one genuinely-new side; verify
+    * re-derives the candidate docs' FULL shingle sets from the docs
+    * store (bucket-pruned to the candidates' own buckets) ∪ the batch.
+    * Returns (the (i, j, n_common, n_i, n_j, jac) delta, the cached
+    * candidate subtree) — the caller unpersists the latter after
+    * publishing the former. */
+  private[graft] def incrementalPairs(s: SparkSession, base: String,
+      newDocs: DataFrame, shBuckets: Seq[Int]): (DataFrame, DataFrame) = {
+    val threshold = PairStore.Threshold
+    val cap = PairGraph.MaxShingleDf
+    // every posting of a batch shingle, old and new docs alike (the
+    // batch's own postings just published); rarity from maintained df
+    val post = Sources.readBucketedStoreBuckets(s, s"$base/shidx",
+        ShIdxSchema, shBuckets)
+      .join(Sources.readBucketedStoreBuckets(s, s"$base/shdf",
+          ShDfSchema, shBuckets)
+          .filter(col("df") <= cap).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      .join(LlmOps.docShinglesOver(newDocs).select(col("shingle")).distinct(),
+        Seq("shingle"), "left_semi")
+      .join(newDocs.select(col("doc_id"), lit(1L).as("is_new")),
+        Seq("doc_id"), "left")
+    val cand = post.as("a")
+      .join(post.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.n_sh") * threshold <= col("b.n_sh") &&
+        col("b.n_sh") * threshold <= col("a.n_sh") &&
+        (col("a.is_new").isNotNull || col("b.is_new").isNotNull))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(first(col("a.n_sh")).as("n_i"), first(col("b.n_sh")).as("n_j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand
+      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+    val docTexts = Sources.readBucketedStoreBuckets(s, s"$base/docs",
+        newDocs.schema, Sources.touchedBucketIds(candDocs, Seq("doc_id")))
+      .unionByName(newDocs)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val docsets = LlmOps.docShinglesOver(docTexts)
+      .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
+    val pairs = cand
+      .join(docsets.select(col("doc_id").as("i"), col("ss").as("ss_i")), "i")
+      .join(docsets.select(col("doc_id").as("j"), col("ss").as("ss_j")), "j")
+      .withColumn("n_common",
+        size(array_intersect(col("ss_i"), col("ss_j"))).cast("long"))
+      .withColumn("jac",
+        col("n_common").cast("double") /
+          (col("n_i") + col("n_j") - col("n_common")))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "n_common", "n_i", "n_j", "jac")
+    (pairs, cand)
   }
 
   /** The s17 registry twin (StreamingSpec drives the same batches
