@@ -102,6 +102,34 @@ class ContractSpec extends SparkSpec {
       === Seq((1.0, 1), (3.0, 2)))
   }
 
+  test("bench shard-merge arithmetic: assignment partitions the registry, " +
+    "effective passes = min over shards (round-16 driver-grade fix)") {
+    // shard-major measured passes (round 16): under a deadline cut the
+    // completed shards still carry 3 samples per query — the shard
+    // split and the degraded verdict must be mechanically trustworthy
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    for (n <- Seq(1, 2, 3)) {
+      val shards = Bench.shardAssignment(keys, n)
+      assert(shards.size === n)
+      // partition: every key in exactly one shard, order-preserving
+      assert(shards.flatten.sorted === keys)
+      assert(shards.map(_.size).sum === keys.size)
+      // deterministic round-robin: key i → shard i % n
+      keys.zipWithIndex.foreach { case (k, i) =>
+        assert(shards(i % n).contains(k), s"$k missing from shard ${i % n}")
+      }
+      // balanced within one element
+      assert(shards.map(_.size).max - shards.map(_.size).min <= 1)
+    }
+    // effective passes: the min over ALL shards, unreached shards = 0
+    assert(Bench.effectivePasses(Map(0 -> 3, 1 -> 3), 2) === 3)
+    assert(Bench.effectivePasses(Map(0 -> 3, 1 -> 1), 2) === 1)
+    assert(Bench.effectivePasses(Map(0 -> 3), 2) === 0)
+    assert(Bench.effectivePasses(Map(0 -> 2), 1) === 2)
+    // and the single-shard case reproduces the old passCount semantics
+    assert(Bench.shardAssignment(keys, 1) === Seq(keys))
+  }
+
   test("bench warmup subset: every WarmupKey resolves in the registry") {
     // the warmup runs a fixed representative subset (round-14: a full
     // 213-query discarded pass pushed the driver artifact past its
