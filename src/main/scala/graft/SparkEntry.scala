@@ -98,6 +98,7 @@ object SparkEntry {
     "d78_filtered_ann" -> ((s, d) => EmbeddingOps.filteredAnn(s, d)),
     "d79_ann_delete" -> ((s, d) => EmbeddingOps.annDelete(s, d)),
     "d80_knn_graph" -> ((s, d) => EmbeddingOps.knnGraph(s, d)),
+    "d80b_knn_graph_cells" -> ((s, d) => EmbeddingOps.knnGraphCells(s, d)),
     "d07_tfidf" -> (QualityOps.tfidf _),
     "d08_text_stats" -> (QualityOps.textStats _),
     "d09_lang_profile" -> (QualityOps.langProfile _),
@@ -310,6 +311,7 @@ object SparkEntry {
     "d65_bpe_merges" -> (QualityOps.bpeMerges _),
     "d76_unigram_lm" -> (QualityOps.unigramLm _),
     "d77_unigram_encode" -> (QualityOps.unigramEncode _),
+    "d81_wordpiece_encode" -> (QualityOps.wordpieceEncode _),
     // BPE encode: apply the learned merges, per-doc token counts
     "d68_bpe_encode" -> (QualityOps.bpeEncode _),
     // threshold sweep: model-vs-rule PR curve at 11 logit cutoffs
@@ -988,6 +990,25 @@ object SparkEntry {
          |        (PARTITION BY i ORDER BY sim DESC, j) AS knn_rank FROM p)
          |SELECT i, knn_rank, j, sim FROM r WHERE knn_rank <= 3
          |ORDER BY i, knn_rank""".stripMargin,
+    "d80b_knn_graph_cells" -> {
+      // the production blocking key: the published d74 coarse cells.
+      // The WHOLE cell chain is engine-deterministic (seed cells =
+      // vec_id < 10, two cosine-argmax rounds with decimal-canonical
+      // centroid means, final assignment), so the oracle unrolls it as
+      // CTEs — the d59 Lloyd-mirror discipline — then runs the
+      // within-cell window verbatim (the d80 pattern).
+      val (ctes, fin) = ivfCellCtes
+      s"""WITH $ctes,
+         |g AS (SELECT e.vec_id, a.cid, e.v
+         |      FROM e JOIN $fin a ON e.vec_id = a.vec_id),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |        ${round4(cosSql("a.v", "b.v"))} AS sim
+         |      FROM g a JOIN g b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY i ORDER BY sim DESC, j) AS knn_rank FROM p)
+         |SELECT i, knn_rank, j, sim FROM r WHERE knn_rank <= 3
+         |ORDER BY i, knn_rank""".stripMargin
+    },
     "s23_index_deletes" ->
       // streaming ≡ batch: three streamed tombstone batches land the
       // store in exactly d79's post-delete state, so the oracle is
@@ -2891,6 +2912,11 @@ object SparkEntry {
       // the shared trained vocabulary applied: per-word token counts
       // off the round-2 best segmentations + the d68 doc-grain join
       d77Sql,
+    "d81_wordpiece_encode" ->
+      // the positional (##) seed vocabulary + the greedy longest-match
+      // steps unrolled (12 per-position CTEs, each consuming the
+      // longest vocabulary piece), then the d77 doc-grain join
+      d81Sql,
     "d68_bpe_encode" ->
       // the same 3 training rounds, then the THIRD rule applied (r3 —
       // training materializes only r2), symbol counts on the vocab,
@@ -3807,6 +3833,36 @@ object SparkEntry {
     * `a{iters+1}(vec_id, cid, dist2)` — shared by d59 (per-cluster
     * rollup) and d60 (within-cluster pair verify). Returns (ctes,
     * finalAssignName). */
+  /** The unrolled IVF coarse-quantizer chain — `ivfCellsOver` mirrored
+    * exactly: seed cells = the vec_id < 10 vectors, two Lloyd rounds of
+    * cosine-argmax assignment (ties → smaller cid) + decimal-canonical
+    * per-dimension centroid means, then the final assignment
+    * `a3(vec_id, cid)`. Engine-deterministic end to end: the means are
+    * DECIMAL(30,6)-canonical (the d59 rule) and cosine is an in-order
+    * double dot product in both engines. */
+  private def ivfCellCtes: (String, String) = {
+    def assign(i: Int, cIn: String) =
+      s"""a$i AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cIn c) WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""c$i AS (SELECT cid, list(cm ORDER BY dim) AS cv FROM (
+         |    SELECT a.cid, ed.dim,
+         |      CAST(SUM(CAST(ed.x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(ed.x) AS cm
+         |    FROM ed JOIN a$i a ON ed.vec_id = a.vec_id
+         |    GROUP BY a.cid, ed.dim) GROUP BY cid)""".stripMargin
+    (s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ed AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+        |         unnest(v) AS x FROM e),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+        |${assign(1, "c0")},
+        |${update(1)},
+        |${assign(2, "c1")},
+        |${update(2)},
+        |${assign(3, "c2")}""".stripMargin, "a3")
+  }
+
   private def kmeansCtes: (String, String) = kmeansCtesOver(None)
 
   /** The d59 Lloyd CTE chain, optionally TRAINED on a vec_id slice
@@ -4131,6 +4187,70 @@ object SparkEntry {
        |    ${round4("CAST(pd.n_tokens AS DOUBLE) / pd.n_chars")} END AS compression
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The d81 oracle: the positional (`##`) seed vocabulary — every
+    * substring counted under its positional form, all single-char
+    * forms + top-V multi-char — then the greedy longest-match walk
+    * unrolled as [[operators.QualityOps.UniMaxWord]] per-position CTE
+    * steps: each step computes the LONGEST matching piece length
+    * (`adv`) at the current position and appends that positional
+    * piece; a position inside a consumed piece (or past the word)
+    * passes through. Then the d77 doc-grain join verbatim. */
+  private def d81Sql: String = {
+    val lMax = operators.QualityOps.UniMaxPiece
+    val v = operators.QualityOps.UniSeedMulti
+    val maxW = operators.QualityOps.UniMaxWord
+    val subsArms = (1 to lMax).map { k =>
+      s"""SELECT CASE WHEN p = 1 THEN substr(word, p, $k)
+         |         ELSE '##' || substr(word, p, $k) END AS piece,
+         |    $k AS stem_len, cnt FROM wf,
+         |  (SELECT unnest(range(1, ${maxW + 2 - k})) AS p) ps
+         |  WHERE length(word) >= p + $k - 1""".stripMargin
+    }.mkString(" UNION ALL ")
+    def tagged(len: String) =
+      s"CASE WHEN pos = 1 THEN substr(word, pos, $len) " +
+        s"ELSE '##' || substr(word, pos, $len) END"
+    val advArms = (lMax to 2 by -1).map(k =>
+      s"WHEN length(word) >= pos + ${k - 1} " +
+        s"AND len(m[${tagged(k.toString)}]) = 1 THEN $k").mkString(" ")
+    val steps = (1 to maxW).map { j =>
+      s"""g$j AS (SELECT word, cnt, m, pos + adv AS pos,
+         |    CASE WHEN adv = 0 THEN path
+         |         ELSE path || ' ' || ${tagged("adv")} END AS path
+         |  FROM (SELECT *, CASE WHEN pos > length(word) THEN 0
+         |      $advArms ELSE 1 END AS adv FROM g${j - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(
+       |    nfc_normalize(text), '\\s+', ' ', 'g'))), ' ')) AS word
+       |  FROM documents),
+       |wf AS (SELECT word, count(*) AS cnt FROM tok
+       |  WHERE length(word) > 0 GROUP BY word),
+       |subs AS (SELECT piece, stem_len, CAST(SUM(cnt) AS BIGINT) AS ucnt
+       |  FROM ($subsArms) GROUP BY piece, stem_len),
+       |v0 AS (SELECT piece FROM subs WHERE stem_len = 1
+       |  UNION ALL
+       |  SELECT piece FROM (SELECT piece, ucnt FROM subs
+       |    WHERE stem_len > 1 ORDER BY ucnt DESC, piece LIMIT $v)),
+       |vm AS (SELECT map(list(piece), list(1)) AS m FROM v0),
+       |g0 AS (SELECT word, cnt, m, 1 AS pos, '' AS path FROM wf, vm),
+       |$steps,
+       |wt AS (SELECT word,
+       |    CAST(len(string_split(trim(path), ' ')) AS BIGINT) AS n_sym,
+       |    CAST(length(word) AS BIGINT) AS n_chr FROM g$maxW),
+       |tw AS (SELECT doc_id, word FROM tok WHERE length(word) > 0),
+       |pd AS (SELECT doc_id, count(*) AS n_words,
+       |    CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       |    CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+       |  FROM tw JOIN wt USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_words, 0) AS n_words,
+       |  coalesce(pd.n_chars, 0) AS n_chars,
+       |  coalesce(pd.n_tokens, 0) AS n_tokens,
+       |  CASE WHEN pd.n_chars > 0 THEN
+       |    ${round4("CAST(pd.n_tokens AS DOUBLE) / pd.n_chars")} END AS compression
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   private def bpeCtes =
     """tok AS (

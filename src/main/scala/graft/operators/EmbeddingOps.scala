@@ -414,7 +414,13 @@ object EmbeddingOps {
     (1 to 2).foreach { _ =>
       centroids = assignCellsOver(e, centroids)
         .select(col("cid"), posexplode(col("v")))
-        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+        // decimal-canonical mean (the d59 Lloyd rule): the centroid
+        // values — and therefore every cosine argmax against them —
+        // become engine-deterministic, which is what lets d80b's
+        // oracle mirror the cell assignment in SQL (double summation
+        // order would otherwise drift between Spark's partial
+        // aggregation and DuckDB's scan order)
+        .groupBy("cid", "pos").agg(davg(col("col")).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
@@ -890,11 +896,55 @@ object EmbeddingOps {
     * consumer. */
   def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     graft.functions.CosineSimilarity.ensureRegistered(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    knnGraphOver(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").as("block"),
+        asDouble(col("embedding")).as("v")), k)
+  }
+
+  /** d80b — the k-NN graph on its PRODUCTION blocking key: the
+    * published d74 coarse cells instead of the label column. Same
+    * kernel, same plan — only the block relation changes — and the
+    * semantics become approximate-by-blocking (a vertex's true
+    * neighbor can live across a cell boundary; LlmOpsSpec pins that
+    * the disagreement vs the global exact graph is EXACTLY those
+    * boundary vertices). The cells are store-fed ([[VectorIndexStore]],
+    * the d73/d74 read discipline) and engine-deterministic (seeded
+    * Lloyd, decimal-canonical centroid means), so the oracle mirrors
+    * the whole chain — seed cells, two cosine-argmax/mean rounds,
+    * final assignment, then the within-cell window verbatim. */
+  def knnGraphCells(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val (cells, _, _, _) = VectorIndexStore.relations(s, d)
+    knnGraphOver(Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(cells.select(col("vec_id"), col("cid").as("block")), "vec_id"), k)
+  }
+
+  /** The generic blocked k-NN kernel over an explicit
+    * (vec_id, block, v) frame. `maxBlock` is the BLOCK-WIDTH GUARD:
+    * the self-join computes Σ block² candidate similarities, which is
+    * the documented "blocks are bounded by construction" requirement —
+    * a hot block (skewed label, degenerate cell) turns the plan
+    * quadratic, so the kernel REFUSES loudly (naming the block and its
+    * width) instead of silently degrading. At 100 TB the caller's
+    * blocking discipline (cell/band fanout caps) keeps widths far
+    * below the guard; the guard is the tripwire for when it fails. */
+  private[graft] def knnGraphOver(e: DataFrame, k: Int,
+      maxBlock: Long = KnnMaxBlock): DataFrame = {
+    val widest = e.groupBy("block").agg(count(lit(1)).as("n"))
+      .agg(max_by(struct(col("block"), col("n")), col("n")).as("w"))
+      .select(col("w.block"), col("w.n")).collect()
+    widest.headOption.filter(r => !r.isNullAt(1) && r.getLong(1) > maxBlock)
+      .foreach { r =>
+        throw new IllegalStateException(
+          s"knnGraph block '${r.get(0)}' has width ${r.getLong(1)} > " +
+            s"$maxBlock: a hot block makes the blocked self-join " +
+            "quadratic — cap the blocking key's fanout (the d02/d03 " +
+            "DF-cap discipline) or widen the guard deliberately")
+      }
     val w = Window.partitionBy(col("i")).orderBy(col("sim").desc, col("j").asc)
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.block") === col("b.block") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         round4(cosine(col("a.v"), col("b.v"))).as("sim"))
       .withColumn("knn_rank", row_number().over(w))
@@ -902,6 +952,12 @@ object EmbeddingOps {
       .select(col("i"), col("knn_rank"), col("j"), col("sim"))
       .orderBy("i", "knn_rank")
   }
+
+  /** Block-width guard for [[knnGraphOver]]: 4096² ≈ 17 M similarities
+    * per block is the most a single block may cost before the kernel
+    * refuses — generous at fixture scale (widest observed block ≈ 500
+    * at sf0.1), deliberately conservative at 100 TB. */
+  private[graft] val KnnMaxBlock = 4096L
 
   // ———————————— context-window chunking & quantization ————————————
 

@@ -1099,19 +1099,27 @@ object QualityOps {
     * E-steps), seed vocabulary, round-1 segment/usage, prune-unused,
     * re-score. Shared by d76 (one more segmentation → usage output)
     * and d77 (one more segmentation → per-doc token counts). */
-  private def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
-    val (lMax, v) = (UniMaxPiece, UniSeedMulti)
+  /** The shared word-frequency table + the DP-unroll refusal rule —
+    * the ONE corpus scan under d76/d77/d81 (everything downstream runs
+    * at vocabulary grain). */
+  private def wordFreq(docs: DataFrame, who: String): DataFrame = {
     val wf = persistCorpus(docs
       .select(explode(toks(normText(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt")))
-    // refuse loudly past the oracle's DP unroll (never truncate a word)
+    // refuse loudly past the oracle's unroll (never truncate a word)
     val maxLen = Option(wf.agg(max(length(col("word")))).head().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0)
     require(maxLen <= UniMaxWord,
-      s"unigramLm: a corpus word of length $maxLen exceeds the " +
-        s"$UniMaxWord-position DP unroll the oracle mirrors exactly; " +
+      s"$who: a corpus word of length $maxLen exceeds the " +
+        s"$UniMaxWord-position unroll the oracle mirrors exactly; " +
         "raise UniMaxWord (and the oracle's step count) for such corpora")
+    wf
+  }
+
+  private def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (lMax, v) = (UniMaxPiece, UniSeedMulti)
+    val wf = wordFreq(docs, "unigramLm")
     // seed counts: weighted occurrences of every substring of length
     // 1..lMax (the d75 position-explode at word grain, corpus-free)
     val subs = (1 to lMax).map { k =>
@@ -1232,6 +1240,120 @@ object QualityOps {
           round4(col("n_tokens").cast("double") / col("n_chars")))
           .as("compression"))
       .orderBy("doc_id")
+  }
+
+  /** d81 — WORDPIECE ENCODE (BERT's tokenizer family, completing the
+    * trio beside BPE d65/d68 and unigram-LM d76/d77): greedy
+    * LONGEST-MATCH segmentation under a trained vocabulary with the
+    * `##` continuation convention — a word-INITIAL piece is stored
+    * bare, a word-INTERNAL piece is stored `##`-prefixed, and the
+    * encoder consumes the longest vocabulary piece at each position
+    * (no DP, no costs — the decode rule BERT ships). Greedy is NOT
+    * Viterbi: where d76 minimizes total canonicalized cost, WordPiece
+    * commits to the longest prefix and can land on a LONGER
+    * segmentation (TokenizerProps plants the classic case and pins
+    * the disagreement).
+    *
+    * Vocabulary: the d76 seed machinery applied positionally — every
+    * corpus substring of length 1..[[UniMaxPiece]] counts weighted by
+    * word frequency UNDER ITS POSITIONAL FORM (bare at position 1,
+    * `##`-prefixed elsewhere); all single-char pieces survive in both
+    * forms (positional character coverage: every corpus word stays
+    * segmentable, because any char at any position generated its own
+    * positional form), plus the top-[[UniSeedMulti]] multi-char
+    * pieces by (weighted count desc, piece) — deterministic, no RNG.
+    *
+    * Plan shape: the d68/d77 discipline verbatim — ONE corpus scan
+    * (the shared [[wordFreq]]), the greedy fold runs on the DISTINCT
+    * VOCABULARY of words (Heaps-law sublinear) as a codegen'd
+    * `aggregate` over positions with a (next-position, path) state
+    * and the vocabulary broadcast as one membership map, then doc
+    * grain from one (word) equi-join of the token stream. The DuckDB
+    * oracle unrolls the same greedy steps ([[UniMaxWord]] CTEs) over
+    * the same positional pieces — refuse-loudly past the unroll. */
+  def wordpieceEncode(s: SparkSession, d: String): DataFrame =
+    wordpieceEncodeOver(s, Tables.documents(s, d))
+
+  private[graft] def wordpieceEncodeOver(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val wf = wordFreq(docs, "wordpieceEncode")
+    val wordTok = greedyPaths(wf, wordpieceVocab(wf)).select(col("word"),
+      size(col("pieces")).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_chr"))
+    val words = docs
+      .select(col("doc_id"), explode(toks(normText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+    val perDoc = words.join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_chars").isNotNull && col("n_chars") > 0,
+          round4(col("n_tokens").cast("double") / col("n_chars")))
+          .as("compression"))
+      .orderBy("doc_id")
+  }
+
+  /** The positional (`##`) seed vocabulary: (piece) rows — all
+    * single-char positional forms + the top-[[UniSeedMulti]]
+    * multi-char forms by weighted count (ties → piece). */
+  private[graft] def wordpieceVocab(wf: DataFrame): DataFrame = {
+    val lMax = UniMaxPiece
+    val subs = (1 to lMax).map { k =>
+      wf.filter(length(col("word")) >= k)
+        .select(col("cnt"),
+          explode(sequence(lit(1), length(col("word")) - (k - 1))).as("p"),
+          col("word"))
+        .select(
+          when(col("p") === 1, col("word").substr(col("p"), lit(k)))
+            .otherwise(concat(lit("##"),
+              col("word").substr(col("p"), lit(k)))).as("piece"),
+          lit(k).as("stem_len"), col("cnt"))
+    }.reduce(_ unionByName _)
+      .groupBy("piece", "stem_len")
+      .agg(sum(col("cnt")).cast("long").as("ucnt"))
+    subs.filter(col("stem_len") === 1).select("piece")
+      .unionByName(subs.filter(col("stem_len") > 1)
+        .orderBy(col("ucnt").desc, col("piece")).limit(UniSeedMulti)
+        .select("piece"))
+  }
+
+  /** One greedy longest-match pass: segment every distinct word
+    * against the positional `vocab`, returning (word, cnt, pieces).
+    * The fold state is (next-unconsumed-position, path); at a position
+    * still inside the last consumed piece the state passes through,
+    * otherwise the LONGEST positional piece present in the broadcast
+    * membership map is taken (single chars are always present, so the
+    * fold never stalls). Package-visible so TokenizerProps can plant
+    * the greedy-vs-Viterbi disagreement case. */
+  private[graft] def greedyPaths(wf: DataFrame, vocab: DataFrame): DataFrame = {
+    val vm = vocab.agg(map_from_arrays(collect_list(col("piece")),
+      collect_list(lit(1))).as("vm"))
+    val word = col("word")
+    def hit(j: Column, k: Int): Column = {
+      val raw = word.substr(j.cast("int"), lit(k))
+      val tagged = when(j === 1, raw).otherwise(concat(lit("##"), raw))
+      when(length(word) >= j + lit(k - 1) &&
+        element_at(col("vm"), tagged).isNotNull, tagged)
+    }
+    val init = struct(lit(1).as("nxt"), lit("").as("path"))
+    val path = aggregate(sequence(lit(1), length(word)), init,
+      (acc, j) => {
+        val chosen = coalesce((UniMaxPiece to 1 by -1).map(hit(j, _)): _*)
+        val stemLen = when(chosen.startsWith("##"), length(chosen) - 2)
+          .otherwise(length(chosen))
+        when(j < acc.getField("nxt"), acc).otherwise(struct(
+          (j + stemLen).cast("int").as("nxt"),
+          concat(acc.getField("path"), lit(" "), chosen).as("path")))
+      },
+      acc => acc.getField("path"))
+    wf.crossJoin(broadcast(vm))
+      .select(col("word"), col("cnt"), split(trim(path), " ").as("pieces"))
   }
 
 }

@@ -295,14 +295,24 @@ object Sources {
         least(lit(NBins - 1),
           expr(s"(l_orderkey - $kLo) * $NBins div $range")))
       .write.mode("overwrite").partitionBy("file_id").parquet(path)
-    // manifest from the BYTES ON DISK; 16 rows → driver (planner-sized).
-    // partition-column type inference reads the dir names as INT — cast
-    // back to the writer's long so the row accessors don't mismatch
-    val manifest = s.read.parquet(path)
-      .withColumn("file_id", col("file_id").cast("long"))
-      .groupBy("file_id")
-      .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
-      .collect()
+    // the manifest is ITSELF an incrementally-maintained bucketed store
+    // (round 16 — the scaladoc's 100 TB promise made code): the refresh
+    // recomputes rows for the NAMED files only (from the bytes on disk,
+    // the f09 discipline) and newWins-upserts them — an added or
+    // compacted file touches its own manifest bucket, never the table.
+    // The registry twin rewrites its whole 16-file layout per call, so
+    // it refreshes all 16 ids (∪ any stale store ids → deleted); the
+    // incremental grain is exercised by StorageSpec's add/compact/
+    // delete pins. The pruned read consumes the STORE — one
+    // manifest-sized scan, no per-query rebuild.
+    val storeBase = dir("lineitem_manifest_store")
+    val onDisk = listFileIds(path)
+    val stale = readBucketedStore(s, storeBase, ManifestSchema)
+      .select(col("file_id")).as[Long].collect().toSeq.filterNot(onDisk.contains)
+    refreshManifest(s, path, storeBase, onDisk ++ stale)
+    // 16 rows → driver (planner-sized) — the collect a real planner does
+    val manifest = readBucketedStore(s, storeBase, ManifestSchema)
+      .select(col("file_id"), col("mn"), col("mx")).collect()
     val (qLo, qHi) = (500L, 2500L)
     val keep = manifest
       .filter(m => m.getLong(2) >= qLo && m.getLong(1) <= qHi)
@@ -320,6 +330,49 @@ object Sources {
         dsum(col("l_extendedprice")).as("revenue"))
       .withColumn("files_total", lit(manifest.length.toLong))
       .withColumn("files_read", lit(keep.length.toLong))
+  }
+
+  private[graft] val ManifestSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "file_id BIGINT, mn BIGINT, mx BIGINT, cnt BIGINT")
+
+  /** The `file_id=<b>` ids present in a layout — a driver-side dir
+    * listing (what a catalog serves), never a data scan. */
+  private[graft] def listFileIds(layout: String): Seq[Long] =
+    Option(new java.io.File(layout).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("file_id="))
+      .map(_.getName.stripPrefix("file_id=").toLong).toSeq.sorted
+
+  private val manifestRefreshSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** f17's manifest MAINTENANCE job (the f25 cadence): recompute the
+    * (file_id, min, max, count) manifest rows for the NAMED file ids
+    * only — reading exactly those `file_id=` dirs from the layout, the
+    * bytes-on-disk discipline — and newWins-upsert them into the
+    * manifest store; an id with no surviving dir is a DELETED file and
+    * drops its row. Added file → one new row staged into its bucket;
+    * compacted file → its row replaced; untouched files' manifest
+    * buckets are never read or written (StorageSpec pins byte-identity
+    * and store ≡ full recompute after each mutation). */
+  private[graft] def refreshManifest(s: SparkSession, layout: String,
+      store: String, fileIds: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val (live, gone) = fileIds.distinct
+      .partition(b => new java.io.File(s"$layout/file_id=$b").exists)
+    val rows =
+      if (live.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          ManifestSchema)
+      else s.read.option("basePath", layout)
+        .parquet(live.map(b => s"$layout/file_id=$b"): _*)
+        .withColumn("file_id", col("file_id").cast("long"))
+        .groupBy("file_id")
+        .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"),
+          count(lit(1)).as("cnt"))
+    bucketedUpsertStaged(s, rows, store, Seq("file_id"),
+      stagedMarker = s"_refresh_${manifestRefreshSeq.incrementAndGet()}",
+      newWins = true,
+      deleteKeys = Some(gone.toDF("file_id")))
   }
 
   /** f18 — DYNAMIC PARTITION PRUNING (runtime file skipping off a

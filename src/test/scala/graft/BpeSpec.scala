@@ -195,13 +195,102 @@ class BpeSpec extends SparkSpec {
     assert(enc(46L) === 2L, "xxy must encode as x + xy (2 tokens)")
   }
 
+  /** Reference WordPiece: positional (##) seed vocabulary — every
+    * substring of length 1..3 counted under its positional form, all
+    * single-char forms + the top-60 multi-char by (count desc, piece)
+    * — then greedy longest-match segmentation. */
+  private def refWp(words: Map[String, Long]): Map[String, List[String]] = {
+    val lMax = operators.QualityOps.UniMaxPiece
+    val V = operators.QualityOps.UniSeedMulti
+    val counts = scala.collection.mutable.Map.empty[(String, Int), Long]
+    for ((w, c) <- words; k <- 1 to lMax; p <- 0 to w.length - k) {
+      val raw = w.substring(p, p + k)
+      val piece = if (p == 0) raw else "##" + raw
+      counts((piece, k)) = counts.getOrElse((piece, k), 0L) + c
+    }
+    val chars = counts.keys.filter(_._2 == 1).map(_._1).toSet
+    val multi = counts.toSeq.filter(_._1._2 > 1)
+      .sortBy { case ((p, _), n) => (-n, p) }.take(V).map(_._1._1)
+    val vocab = chars ++ multi
+    words.keys.map { w =>
+      var i = 0
+      val out = List.newBuilder[String]
+      while (i < w.length) {
+        val k = (lMax to 1 by -1).find { k =>
+          i + k <= w.length && {
+            val raw = w.substring(i, i + k)
+            vocab.contains(if (i == 0) raw else "##" + raw)
+          }
+        }.get
+        out += (if (i == 0) w.substring(i, i + k)
+          else "##" + w.substring(i, i + k))
+        i += k
+      }
+      w -> out.result()
+    }.toMap
+  }
+
+  test("d81 differential: per-doc counts vs in-memory greedy WordPiece " +
+    "on the real corpus") {
+    val seg = refWp(corpusWords(Tables.documents(spark, Sf)))
+    val docWords = Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(split(lower(trim(regexp_replace(
+          call_function(functions.NfcNormalize.Name, col("text")),
+          "\\s+", " "))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[(Long, String)].collect().toSeq
+    val want = docWords.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.size.toLong,
+        ws.map(_._2.length.toLong).sum,
+        ws.map(w => seg(w._2).size.toLong).sum))
+    }
+    val got = operators.QualityOps.wordpieceEncode(spark, Sf)
+      .select("doc_id", "n_words", "n_chars", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val wordless = got.keySet -- want.keySet
+    wordless.foreach(id => assert(got(id) === ((0L, 0L, 0L))))
+    assert(got -- wordless === want)
+    // the ## convention is load-bearing: some word must segment into a
+    // continuation piece (count > its char count would be impossible;
+    // instead pin that a multi-char continuation exists somewhere)
+    assert(seg.values.exists(_.exists(p => p.startsWith("##") && p.length > 3)),
+      "vacuous fixture: no multi-char continuation piece used")
+  }
+
+  test("d81 planted: greedy longest-match, NOT Viterbi — the d76 fixture " +
+    "inverted") {
+    // the same corpus where d76/d77 pin xxy → [x, xy] (2 tokens, true
+    // argmin): WordPiece's greedy rule takes the LONGEST prefix xxy —
+    // 1 token — so the two tokenizer families disagree exactly here
+    val docs = (
+      Seq.fill(40)("xy") ++ Seq.fill(6)("xx") ++ Seq("xxy")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val wp = operators.QualityOps.wordpieceEncodeOver(spark, docs)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(wp(46L) === 1L, "xxy must greedy-encode as [xxy] (1 token)")
+    val uni = operators.QualityOps.unigramEncodeOver(spark, docs)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(uni(46L) === 2L, "the Viterbi twin must still split xxy")
+  }
+
+  test("d81 refuses a word past the oracle's unroll instead of truncating") {
+    val docs = Seq((1L, "ok"), (2L, "supercalifragilistic"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      operators.QualityOps.wordpieceEncodeOver(spark, docs).collect()
+    }
+    assert(e.getMessage.contains("wordpieceEncode"))
+  }
+
   test("d76 refuses a word past the oracle's DP unroll instead of truncating") {
     val docs = Seq((1L, "a twelvecharsw ok"), (2L, "supercalifragilistic"))
       .toDF("doc_id", "text")
     val ex = intercept[IllegalArgumentException] {
       operators.QualityOps.unigramLmOver(spark, docs).collect()
     }
-    assert(ex.getMessage.contains("DP unroll"))
+    assert(ex.getMessage.contains("unigramLm") &&
+      ex.getMessage.contains("unroll"))
   }
 
   /** Reference encode: apply learned merges in order, greedy

@@ -112,6 +112,9 @@ class EmptyInputSpec extends SparkSpec {
       "filteredAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.filteredAnn(s, d)),
       "annDelete" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.annDelete(s, d)),
       "knnGraph" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.knnGraph(s, d)),
+      // round 16: empty cells store → no blocks; empty vocab → no words
+      "knnGraphCells" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.knnGraphCells(s, d)),
+      "wordpieceEncode" -> (QualityOps.wordpieceEncode _),
       // p11: no vectors → no positions → no profile rows
       "embeddingProfile" -> (operators.Profiling.embeddingProfile _)
     ).foreach { case (name, fn) =>

@@ -1407,6 +1407,69 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d80b cells-blocked knn graph ≡ in-memory within-cell top-3; " +
+    "disagreement vs the exact graph is exactly the boundary vertices") {
+    val cells = operators.VectorIndexStore.relations(spark, Sf)._1
+      .as[(Long, Int)].collect().toMap
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def top3(i: Long, vi: Seq[Double],
+        pool: Iterable[(Long, Seq[Double])]): Seq[(Long, Int, Long, Double)] =
+      pool.filter(_._1 != i).toSeq
+        .map { case (j, vj) => (j, r4(cos(vi, vj))) }
+        .sortBy { case (j, sim) => (-sim, j) }
+        .take(3).zipWithIndex
+        .map { case ((j, sim), r) => (i, r + 1, j, sim) }
+    val byCell = vecs.groupBy(v => cells(v._1))
+    val expect = vecs.flatMap { case (i, vi) => top3(i, vi, byCell(cells(i))) }
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = EmbeddingOps.knnGraphCells(spark, Sf)
+      .select("i", "knn_rank", "j", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === expect,
+      "cells-blocked knn graph drifted from the within-cell brute force")
+    assert(got.forall { case (i, _, j, _) => cells(i) == cells(j) },
+      "an edge crossed its cell")
+    // THE approximate-by-blocking boundary pin: a vertex's blocked rows
+    // differ from the EXACT (unblocked) graph iff one of its exact
+    // top-3 neighbors lives in another cell — blocking loses exactly
+    // the cross-cell pairs, nothing else
+    val exact = vecs.flatMap { case (i, vi) => top3(i, vi, vecs) }
+      .groupBy(_._1)
+    val blocked = got.groupBy(_._1)
+    vecs.foreach { case (i, _) =>
+      val crossCell = exact(i).exists { case (_, _, j, _) => cells(j) != cells(i) }
+      if (!crossCell)
+        assert(blocked.get(i).map(_.toSeq) === Some(exact(i).toSeq),
+          s"vertex $i: all exact neighbors share its cell, rows must agree")
+      else
+        assert(blocked.get(i).map(_.toSeq) !== Some(exact(i).toSeq),
+          s"vertex $i: an exact neighbor crossed the cell, rows must differ")
+    }
+    assert(vecs.exists { case (i, _) =>
+        exact(i).exists { case (_, _, j, _) => cells(j) != cells(i) } },
+      "vacuous fixture: no vertex has a cross-cell exact neighbor")
+  }
+
+  test("d80 block-width guard refuses a hot block loudly") {
+    val hot = (1L to 50L).map(k => (k, "same", Seq(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "block", "v")
+    val e = intercept[IllegalStateException] {
+      EmbeddingOps.knnGraphOver(hot, 3, maxBlock = 10L).collect()
+    }
+    assert(e.getMessage.contains("'same'") && e.getMessage.contains("50"),
+      s"guard must name the block and its width: ${e.getMessage}")
+    // at the guard boundary the kernel runs (widths ≤ maxBlock pass)
+    assert(EmbeddingOps.knnGraphOver(hot, 3, maxBlock = 50L).count() > 0)
+  }
+
   test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
     val rows = SamplingOps.seqPacking(spark, Sf)
       .select("doc_id", "shard", "n_tokens", "start_off", "first_bin", "last_bin")

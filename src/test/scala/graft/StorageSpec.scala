@@ -1317,6 +1317,54 @@ class StorageSpec extends SparkSpec {
       spark.read.parquet(storePairs.toString).isEmpty)
   }
 
+  test("f17 manifest store: incremental add/compact/delete ≡ full recompute, " +
+    "untouched manifest buckets byte-identical") {
+    import operators.Sources
+    val layout = s"$wh/f17_layout"
+    val store = s"$wh/f17_manifest"
+    def bin(b: Long, keys: Seq[Long]): Unit =
+      keys.map(k => (k, b)).toDF("l_orderkey", "file_id")
+        .write.mode("overwrite").parquet(s"$layout/file_id=$b")
+    (0L to 5L).foreach(b => bin(b, (b * 100 + 1) to (b * 100 + 50)))
+    def fullRecompute(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(layout)
+        .withColumn("file_id", col("file_id").cast("long"))
+        .groupBy("file_id")
+        .agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"),
+          count(lit(1)).as("cnt"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def storeRows(): Set[(Long, Long, Long, Long)] =
+      Sources.readBucketedStore(spark, store, Sources.ManifestSchema)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // bootstrap: every file
+    Sources.refreshManifest(spark, layout, store, Sources.listFileIds(layout))
+    assert(storeRows() === fullRecompute())
+    val before = bucketDirs(store).map(d => d.getName -> fingerprint(d)).toMap
+    // ADD a file: refresh names only the new id
+    bin(99L, 9901L to 9920L)
+    Sources.refreshManifest(spark, layout, store, Seq(99L))
+    assert(storeRows() === fullRecompute(), "add diverged from recompute")
+    // COMPACT a file (rewrite with different content): row replaced
+    bin(3L, Seq(301L, 399L))
+    Sources.refreshManifest(spark, layout, store, Seq(3L))
+    assert(storeRows() === fullRecompute(), "compaction diverged")
+    // DELETE a file: its manifest row drops
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$layout/file_id=5"))
+    Sources.refreshManifest(spark, layout, store, Seq(5L))
+    assert(storeRows() === fullRecompute(), "delete left a stale row")
+    assert(!storeRows().exists(_._1 == 5L))
+    // untouched manifest buckets never rewritten across the three
+    // mutations (the O(Δ) grain at manifest scale)
+    val touchedIds = Seq(99L, 3L, 5L).toDF("file_id")
+      .select(Sources.bucketOf(Sources.MaintBuckets, Seq("file_id")).as("b"))
+      .distinct().as[Int].collect().toSet
+    bucketDirs(store).filterNot(d =>
+        touchedIds.contains(d.getName.stripPrefix("bucket=").toInt))
+      .foreach(d => assert(fingerprint(d) === before(d.getName),
+        s"manifest ${d.getName} rewritten by a refresh that never touched it"))
+  }
+
   test("f13 Type-1 merge of the latest-change feed ≡ e31 SCD2 current rows") {
     // SCD Type-2 keeps history; Type-1 keeps only the latest value. So
     // merging each user's LAST event (by the e31 (ts, event_id) order)
