@@ -245,6 +245,7 @@ object SparkEntry {
     "s21_asof_enrich" -> (Streaming.asofEnrichBatch _),
     "s22_asof_disordered" -> (Streaming.asofEnrichDisorderedFeed _),
     "s23_index_deletes" -> (Streaming.indexDeleteFeed _),
+    "s24_drift_monitor" -> (Streaming.driftMonitorFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
@@ -1022,6 +1023,44 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "s24_drift_monitor" ->
+      // p12's PSI mirrored per monitored snapshot: reference bins from
+      // the %4<2 slice's extrema, counts CLAMPED into the edge bins
+      // (greatest/least keeps the integral div on non-negative
+      // operands, where DuckDB // ≡ Spark div), add-one-smoothed
+      // shares as IEEE divisions of exact integers, each ln
+      // DECIMAL(30,6)-canonical before the product
+      s"""WITH l AS (SELECT doc_id % 4 AS g,
+         |        CAST(length(text) AS BIGINT) AS x FROM documents),
+         |gr AS (SELECT min(x) AS lo, greatest(max(x) - min(x) + 1, 1) AS rng,
+         |        count(*) AS t_ref FROM l WHERE g < 2),
+         |rc AS (SELECT least(9, (x - gr.lo) * 10 // gr.rng) AS bucket,
+         |        count(*) AS n_ref
+         |      FROM l, gr WHERE g < 2 GROUP BY 1),
+         |sp AS (SELECT unnest(range(0, 10)) AS bucket),
+         |r AS (SELECT sp.bucket, CAST(coalesce(rc.n_ref, 0) AS BIGINT) AS n_ref
+         |      FROM sp LEFT JOIN rc ON sp.bucket = rc.bucket),
+         |oc AS (SELECT g - 1 AS batch_id,
+         |        greatest(0, least(9, (x - gr.lo) * 10 // gr.rng)) AS bucket,
+         |        count(*) AS n_obs
+         |      FROM l, gr WHERE g >= 2 GROUP BY 1, 2),
+         |ot AS (SELECT g - 1 AS batch_id, count(*) AS t_obs
+         |      FROM l WHERE g >= 2 GROUP BY 1),
+         |j AS (SELECT ot.batch_id, r.bucket, r.n_ref,
+         |        CAST(coalesce(oc.n_obs, 0) AS BIGINT) AS n_obs,
+         |        gr.t_ref, ot.t_obs
+         |      FROM ot CROSS JOIN r CROSS JOIN gr
+         |      LEFT JOIN oc ON oc.batch_id = ot.batch_id
+         |        AND oc.bucket = r.bucket),
+         |w AS (SELECT batch_id, bucket, n_ref, n_obs,
+         |        CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE) AS p,
+         |        CAST(n_obs + 1 AS DOUBLE) / CAST(t_obs + 10 AS DOUBLE) AS q
+         |      FROM j)
+         |SELECT batch_id, bucket, n_ref, n_obs,
+         |  ${round4("p")} AS share_ref, ${round4("q")} AS share_obs,
+         |  ${round4("(p - q) * CAST(CAST(ln(p / q) AS DECIMAL(30,6)) AS DOUBLE)")}
+         |    AS psi
+         |FROM w ORDER BY batch_id, bucket""".stripMargin,
     "d74_index_publish" ->
       // the WAP manifests over the four index relations, by invariant:
       // cells partitions the corpus (n), the PACKED code table is one

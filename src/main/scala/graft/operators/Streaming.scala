@@ -1591,6 +1591,141 @@ object Streaming {
     markApplied(marker)
   }
 
+  /** s24 — STREAMING DRIFT MONITOR: p12's PSI brought to the ingest
+    * path, the s18 frozen-model discipline applied to monitoring. The
+    * FIRST batch is the reference snapshot: its length extrema freeze
+    * the 10 integral bins (the p12/f17 closed-form formula) and its
+    * histogram publishes as a 10-row model table (KB at any corpus
+    * scale — whole-table promote, the centroid-table rule). Every
+    * later batch computes its per-bin PSI terms against the FROZEN
+    * reference — monitored batches never move the bins or the
+    * reference counts (a drifting reference would hide exactly the
+    * drift being measured; StreamingSpec pins the reference dir
+    * byte-identical across monitored batches) — and appends its rows
+    * to `psi/batch=<id>/`. Out-of-range lengths clamp into the edge
+    * bins (`greatest(0, least(9, …))` — a reference bin layout cannot
+    * anticipate a drifted snapshot's range, and clamping is what
+    * real PSI monitoring does with overflow bins; the clamp also
+    * keeps the integer `div` on non-negative operands, where Spark
+    * `div` ≡ DuckDB `//`).
+    *
+    * Scale: each batch is ONE scan of ITSELF + a broadcast of the
+    * 10-row reference — nothing corpus-sized, nothing keyed by
+    * history. Crash discipline: each batch's psi rows are a pure
+    * function of (frozen reference, batch), so a redelivery
+    * recomputes identical rows and the overwrite + `_applied` marker
+    * make it effectively once; an EMPTY monitored batch emits
+    * nothing (no snapshot arrived — and the empty-corpus feed stays
+    * empty end to end). */
+  def driftMonitorSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    val s = batch.sparkSession
+    import s.implicits._
+    val nBins = 10L
+    val refDir = new java.io.File(s"$base/ref")
+    val lens = batch.select(length(col("text")).cast("long").as("x"))
+    if (!new java.io.File(refDir, "_ready").exists) {
+      // FIRST batch = the reference snapshot: freeze bins + histogram
+      val r = lens.agg(min(col("x")), max(col("x"))).head()
+      if (!r.isNullAt(0)) {
+        val lo = r.getLong(0)
+        val rng = math.max(r.getLong(1) - lo + 1, 1L)
+        val hist = s.range(nBins).select(col("id").as("bucket"))
+          .join(lens.withColumn("bucket",
+              least(lit(nBins - 1), expr(s"(x - $lo) * $nBins div $rng")))
+            .groupBy("bucket").agg(count(lit(1)).as("n_ref")),
+            Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            lit(lo).as("lo"), lit(rng).as("rng"))
+        val staging = new java.io.File(s"$base/ref_staging")
+        org.apache.commons.io.FileUtils.deleteQuietly(staging)
+        hist.coalesce(1).write.parquet(staging.toString)
+        // markers travel atomically with the rename: _ready gates the
+        // frozen-reference branch, _batch_<id> records WHICH batch
+        // froze it (a crash between this rename and the side marker
+        // must redeliver as a no-op, never as a monitored batch — the
+        // reference scoring PSI against itself would read as "no
+        // drift" forever)
+        markApplied(new java.io.File(staging, "_ready"))
+        markApplied(new java.io.File(staging, s"_batch_$batchId"))
+        org.apache.commons.io.FileUtils.deleteQuietly(refDir)
+        java.nio.file.Files.move(staging.toPath, refDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      markApplied(marker)
+      return
+    }
+    if (new java.io.File(refDir, s"_batch_$batchId").exists) {
+      // redelivered reference batch (crash before the side marker):
+      // the freeze already promoted — backfill and no-op
+      markApplied(marker)
+      return
+    }
+    // monitored batch: PSI terms vs the frozen reference (broadcast-
+    // sized — 10 rows + 2 literals read to the planner, the f17 rule)
+    val ref = s.read.parquet(refDir.toString)
+    val h = ref.head()
+    val (lo, rng) = (h.getLong(ref.columns.indexOf("lo")),
+      h.getLong(ref.columns.indexOf("rng")))
+    val refN = ref.agg(sum(col("n_ref"))).head().getLong(0)
+    val counts = lens.withColumn("bucket",
+        greatest(lit(0L), least(lit(nBins - 1),
+          expr(s"(x - $lo) * $nBins div $rng"))))
+      .groupBy("bucket").agg(count(lit(1)).as("n_obs"))
+    val obsN = lens.count()
+    if (obsN > 0L) {
+      val pCol = (col("n_ref") + 1).cast("double") /
+        lit((refN + nBins).toDouble)
+      val qCol = (col("n_obs") + 1).cast("double") /
+        lit((obsN + nBins).toDouble)
+      val rows = ref.select(col("bucket"), col("n_ref"))
+        .join(counts, Seq("bucket"), "left")
+        .select(lit(batchId).as("batch_id"), col("bucket"), col("n_ref"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .select(col("batch_id"), col("bucket"), col("n_ref"), col("n_obs"),
+          graft.Canon.round4(pCol).as("share_ref"),
+          graft.Canon.round4(qCol).as("share_obs"),
+          graft.Canon.round4((pCol - qCol) *
+            graft.Canon.dec(log(pCol / qCol)).cast("double")).as("psi"))
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/psi/batch=$batchId")
+    }
+    markApplied(marker)
+  }
+
+  /** The s24 registry twin (StreamingSpec drives the same batches
+    * through a real `writeStream.foreachBatch`): the corpus arrives as
+    * the `doc_id % 4 < 2` reference snapshot, then the %4 = 2 and
+    * %4 = 3 monitored snapshots; output = every monitored batch's PSI
+    * rows re-read from DISK, ordered (batch_id, bucket). The oracle
+    * recomputes reference bins, clamped counts, smoothed shares and
+    * canonical-ln terms per monitored slice — drift fidelity is what
+    * hashes. */
+  def driftMonitorFeed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-drift").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Seq(docs.filter(pmod(col("doc_id"), lit(4L)) < 2),
+        docs.filter(pmod(col("doc_id"), lit(4L)) === 2),
+        docs.filter(pmod(col("doc_id"), lit(4L)) === 3))
+      .zipWithIndex.foreach { case (b, i) =>
+        driftMonitorSink(base.toString)(b, i.toLong)
+      }
+    val psiRoot = new java.io.File(base, "psi")
+    val dirs = Option(psiRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "batch_id BIGINT, bucket BIGINT, n_ref BIGINT, n_obs BIGINT, " +
+            "share_ref DOUBLE, share_obs DOUBLE, psi DOUBLE"))
+    else s.read.option("basePath", psiRoot.toString).parquet(dirs: _*)
+      .select("batch_id", "bucket", "n_ref", "n_obs",
+        "share_ref", "share_obs", "psi")
+      .orderBy("batch_id", "bucket")
+  }
+
   /** Batch reference for the upsert sink's final state: the last event
     * per user by (ts, event_id). */
   def lastEventPerUser(events: DataFrame): DataFrame = {

@@ -174,6 +174,7 @@ class EmptyInputSpec extends SparkSpec {
       "trendingTopK" -> (Streaming.trendingTopKBatch _),
       // s17: three empty batches publish empty docs/pairs stores
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
+      "driftMonitorFeed" -> (Streaming.driftMonitorFeed _),
       // s18: empty reference batch → empty centroids/labels stores
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
       // f24: empty snapshot branches/merges fine → zero bucket rows

@@ -902,6 +902,73 @@ class StreamingSpec extends SparkSpec {
     assert(dv() === streamed, "idempotent re-apply mutated the sidecar")
   }
 
+  test("s24: streamed drift monitor ≡ batch twin; the reference freezes on " +
+    "batch 0 and never moves; redelivery and crash markers") {
+    import org.apache.commons.io.FileUtils
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+      .as[NewDoc].collect().toSeq
+    val batches = Seq(docs.filter(_.doc_id % 4 < 2),
+      docs.filter(_.doc_id % 4 == 2), docs.filter(_.doc_id % 4 == 3))
+    val base = java.nio.file.Files.createTempDirectory("graft-s24").toString
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[NewDoc]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.driftMonitorSink(base)(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    def refBytes(): Map[String, String] =
+      new java.io.File(s"$base/ref").listFiles.filter(_.isFile)
+        .map(f => f.getName ->
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    var frozen: Map[String, String] = Map.empty
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        src.addData(b); q.processAllAvailable()
+        if (i == 0) frozen = refBytes()
+        else assert(refBytes() === frozen,
+          s"monitored batch $i moved the frozen reference")
+      }
+    } finally q.stop()
+    def psi(): Seq[String] = {
+      val dirs = new java.io.File(s"$base/psi").listFiles
+        .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+      spark.read.parquet(dirs: _*)
+        .select("batch_id", "bucket", "n_ref", "n_obs",
+          "share_ref", "share_obs", "psi")
+        .orderBy("batch_id", "bucket").collect().map(_.toString).toSeq
+    }
+    val streamed = psi()
+    assert(streamed.size === 20, "two monitored batches × 10 bins")
+    // streamed-on-disk ≡ the registry batch twin
+    assert(streamed === Streaming.driftMonitorFeed(spark, Sf)
+      .collect().map(_.toString).toSeq)
+    // every PSI term ≥ 0 (sign(p−q) = sign(ln(p/q)))
+    spark.read.parquet(s"$base/psi/batch=1", s"$base/psi/batch=2")
+      .select("psi").as[Double].collect()
+      .foreach(v => assert(v >= 0.0, s"negative PSI term $v"))
+    // redelivered batch id (different data): the marker makes it a no-op
+    Streaming.driftMonitorSink(base)(
+      Seq(NewDoc(999999L, "drifted drifted drifted")).toDF(), 1L)
+    assert(psi() === streamed, "redelivery mutated the monitor output")
+    assert(refBytes() === frozen)
+    // crash between the reference freeze and the side marker: the ref
+    // dir carries _batch_0, so a redelivered batch 0 backfills and
+    // no-ops instead of scoring the reference against itself
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/0"))
+    Streaming.driftMonitorSink(base)(batches(0).toDF(), 0L)
+    assert(new java.io.File(s"$base/_applied/0").exists, "marker backfilled")
+    assert(refBytes() === frozen && psi() === streamed,
+      "a redelivered reference batch must be a pure no-op")
+    // crash between a monitored batch's write and its marker: the rows
+    // are a pure function of (frozen ref, batch) — identical re-write
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
+    Streaming.driftMonitorSink(base)(batches(2).toDF(), 2L)
+    assert(psi() === streamed, "crash re-apply changed the PSI rows")
+  }
+
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
     // constructs the states a kill can leave BETWEEN the swap's renames
     // (not reachable by in-process calls) and asserts the recovery
