@@ -257,7 +257,6 @@ object SparkEntry {
     // per-group Pearson r + OLS line from exact decimal power sums
     "p10_regression_profile" -> (Profiling.regressionProfile _),
     "p11_embedding_profile" -> (Profiling.embeddingProfile _),
-    "p12_drift_profile" -> (Profiling.driftProfile _),
     // complete-mode running totals (the no-watermark dashboard aggregate)
     "s11_running_totals" -> (Streaming.runningTotalsBatch _),
     "s12_timer_sessions" -> ((s, d) => Streaming.timerSessionsBatch(s, d)),
@@ -1024,7 +1023,8 @@ object SparkEntry {
          |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
     "s24_drift_monitor" ->
-      // p12's PSI mirrored per monitored snapshot: reference bins from
+      // p05's PSI construction mirrored per monitored snapshot (s24 is
+      // its streaming twin): reference bins from
       // the %4<2 slice's extrema, counts CLAMPED into the edge bins
       // (greatest/least keeps the integral div on non-negative
       // operands, where DuckDB // ≡ Spark div), add-one-smoothed
@@ -1938,37 +1938,6 @@ object SparkEntry {
          |SELECT pos, n, s / n AS mean,
          |  sqrt((s2 - s * s / n) / (n - 1)) AS stddev, min, max
          |FROM a ORDER BY pos""".stripMargin,
-    "p12_drift_profile" ->
-      // the PSI construction mirrored term by term: parity snapshots,
-      // f17 closed-form integral bins over the global min/max (DuckDB
-      // `//` ≡ Spark `div`), add-one-smoothed shares as IEEE double
-      // divisions of exact integers, each ln DECIMAL(30,6)-canonical
-      // before the product (the d34 contract), round4 outputs
-      s"""WITH l AS (SELECT doc_id % 2 AS snap,
-         |        CAST(length(text) AS BIGINT) AS x FROM documents),
-         |g AS (SELECT min(x) AS lo, greatest(max(x) - min(x) + 1, 1) AS rng
-         |      FROM l),
-         |b AS (SELECT snap,
-         |        least(9, (x - g.lo) * 10 // g.rng) AS bucket FROM l, g),
-         |c AS (SELECT bucket,
-         |        SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS n_a,
-         |        SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS n_b
-         |      FROM b GROUP BY bucket),
-         |t AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM c),
-         |sp AS (SELECT unnest(range(0, 10)) AS bucket),
-         |j AS (SELECT sp.bucket,
-         |        CAST(coalesce(c.n_a, 0) AS BIGINT) AS n_a,
-         |        CAST(coalesce(c.n_b, 0) AS BIGINT) AS n_b
-         |      FROM sp LEFT JOIN c ON sp.bucket = c.bucket),
-         |w AS (SELECT bucket, n_a, n_b,
-         |        CAST(n_a + 1 AS DOUBLE) / CAST(t_a + 10 AS DOUBLE) AS p,
-         |        CAST(n_b + 1 AS DOUBLE) / CAST(t_b + 10 AS DOUBLE) AS q
-         |      FROM j, t)
-         |SELECT bucket, n_a, n_b,
-         |  ${round4("p")} AS share_a, ${round4("q")} AS share_b,
-         |  ${round4("(p - q) * CAST(CAST(ln(p / q) AS DECIMAL(30,6)) AS DOUBLE)")}
-         |    AS psi
-         |FROM w ORDER BY bucket""".stripMargin,
     "p09_fd_profile" ->
       // key rules: violations = rows − distinct; FD rules: LHS groups
       // with >1 distinct RHS. All integer counts.

@@ -713,62 +713,4 @@ object Profiling {
       .orderBy("flag")
   }
 
-  /** p12 — SNAPSHOT DRIFT PROFILE (Population Stability Index): the
-    * monitoring gate a training-data pipeline runs between ingest
-    * snapshots before trusting a refresh — "did the length/quality
-    * distribution move?" — the standard PSI construction (per-bin
-    * (p − q)·ln(p/q), summed by the consumer; < 0.1 stable, > 0.25
-    * action). Snapshots are the doc_id parity halves (the d17 split
-    * convention standing in for two table versions; production feeds
-    * two f14 AS-OF reads through the same kernel). Feature: document
-    * length in characters; bins: the f17 closed-form integral bins over
-    * the GLOBAL min/max (integer `div` — deterministic, mirrored by
-    * DuckDB `//`, never a sampled quantile), so bin edges are
-    * engine-identical. Shares use add-one smoothing over the 10-bin
-    * domain (no ln(0), empty bins well-defined); each ln is
-    * DECIMAL(30,6)-canonicalized before the product (the d34
-    * cross-engine ln contract); every per-bin term is ≥ 0 by
-    * construction (sign(p−q) = sign(ln(p/q)) — ProfilingSpec pins it,
-    * plus the identical-snapshots ⇒ exactly-zero case).
-    *
-    * Plan: ONE corpus scan → (snap, bin) counts (map-side combined,
-    * shuffled rows ≤ 2·bins·tasks), a 10-row static spine left-joined
-    * so every bin reports, totals broadcast back. Corpus-size
-    * independent output; 100 TB posture is the aggregate itself. */
-  def driftProfile(s: SparkSession, d: String): DataFrame =
-    driftProfileOver(s, Tables.documents(s, d))
-
-  private[graft] def driftProfileOver(s: SparkSession,
-      docs: DataFrame): DataFrame = {
-    val nBins = 10L
-    val lens = docs.select(pmod(col("doc_id"), lit(2L)).as("snap"),
-      length(col("text")).cast("long").as("x"))
-    val r = lens.agg(min(col("x")), max(col("x"))).head()
-    val spine = s.range(nBins).select(col("id").as("bucket"))
-    if (r.isNullAt(0))
-      return spine.select(col("bucket"), lit(0L).as("n_a"), lit(0L).as("n_b"),
-          round4(lit(0.1)).as("share_a"), round4(lit(0.1)).as("share_b"),
-          round4(lit(0.0)).as("psi"))
-        .limit(0)
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val range = math.max(hi - lo + 1, 1L)
-    val counts = lens
-      .withColumn("bucket",
-        least(lit(nBins - 1), expr(s"(x - $lo) * $nBins div $range")))
-      .groupBy("bucket")
-      .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n_b"))
-    val tot = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
-    val pCol = (col("n_a") + 1).cast("double") / (col("t_a") + nBins).cast("double")
-    val qCol = (col("n_b") + 1).cast("double") / (col("t_b") + nBins).cast("double")
-    spine.join(counts, Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"), col("n_a"), col("n_b"),
-        round4(pCol).as("share_a"), round4(qCol).as("share_b"),
-        round4((pCol - qCol) * dec(log(pCol / qCol)).cast("double")).as("psi"))
-      .orderBy("bucket")
-  }
 }

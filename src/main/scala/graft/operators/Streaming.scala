@@ -1591,10 +1591,12 @@ object Streaming {
     markApplied(marker)
   }
 
-  /** s24 — STREAMING DRIFT MONITOR: p12's PSI brought to the ingest
+  /** s24 — STREAMING DRIFT MONITOR: p05's PSI brought to the ingest
     * path, the s18 frozen-model discipline applied to monitoring. The
     * FIRST batch is the reference snapshot: its length extrema freeze
-    * the 10 integral bins (the p12/f17 closed-form formula) and its
+    * the 10 integral bins (the f17 closed-form formula — integer `div`
+    * rather than p05's float-width p03 bins, the form that stays exact
+    * when the frozen extrema become plan literals) and its
     * histogram publishes as a 10-row model table (KB at any corpus
     * scale — whole-table promote, the centroid-table rule). Every
     * later batch computes its per-bin PSI terms against the FROZEN

@@ -116,9 +116,7 @@ class EmptyInputSpec extends SparkSpec {
       "knnGraphCells" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.knnGraphCells(s, d)),
       "wordpieceEncode" -> (QualityOps.wordpieceEncode _),
       // p11: no vectors → no positions → no profile rows
-      "embeddingProfile" -> (operators.Profiling.embeddingProfile _),
-      // p12: no docs → no extrema → no bins
-      "driftProfile" -> (operators.Profiling.driftProfile _)
+      "embeddingProfile" -> (operators.Profiling.embeddingProfile _)
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }

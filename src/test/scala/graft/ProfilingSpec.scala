@@ -388,47 +388,4 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
-  test("p12 drift: every PSI term non-negative, terms from the in-memory " +
-    "reference, identical snapshots score exactly zero") {
-    import spark.implicits._
-    val got = operators.Profiling.driftProfile(spark, Sf)
-      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
-    assert(got.map(_._1) === (0L to 9L), "one row per bin, in order")
-    // sign property: sign(p − q) = sign(ln(p/q)), so each term ≥ 0
-    got.foreach { case (b, _, _, _, _, psi) =>
-      assert(psi >= 0.0, s"bucket $b PSI term negative: $psi")
-    }
-    // in-memory reference: same bins, same smoothing, same ln contract
-    val lens = Tables.documents(spark, Sf)
-      .select((col("doc_id") % 2).as("snap"),
-        length(col("text")).cast("long").as("x"))
-      .as[(Long, Long)].collect().toSeq
-    val lo = lens.map(_._2).min
-    val rng = math.max(lens.map(_._2).max - lo + 1, 1L)
-    val byBin = lens.groupBy { case (_, x) => math.min(9L, (x - lo) * 10 / rng) }
-    val (ta, tb) = (lens.count(_._1 == 0).toLong, lens.count(_._1 == 1).toLong)
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val want = (0L to 9L).map { b =>
-      val na = byBin.get(b).map(_.count(_._1 == 0).toLong).getOrElse(0L)
-      val nb = byBin.get(b).map(_.count(_._1 == 1).toLong).getOrElse(0L)
-      val p = (na + 1).toDouble / (ta + 10).toDouble
-      val q = (nb + 1).toDouble / (tb + 10).toDouble
-      val lnC = BigDecimal(math.log(p / q))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (b, na, nb, r4(p), r4(q), r4((p - q) * lnC))
-    }
-    assert(got === want)
-    assert(got.map(_._6).sum > 0.0,
-      "vacuous fixture: parity snapshots show zero drift everywhere")
-    // identical snapshots: every text present under BOTH parities →
-    // n_a = n_b per bin → every term exactly 0.0 (not just small)
-    val texts = Seq("aa", "bbbb", "cccccc", "dddddddd")
-    val twin = texts.zipWithIndex.flatMap { case (t, i) =>
-      Seq((2L * i, t), (2L * i + 1, t))
-    }.toDF("doc_id", "text")
-    val zero = operators.Profiling.driftProfileOver(spark, twin)
-      .select("psi").as[Double].collect()
-    assert(zero.forall(_ === 0.0), s"identical snapshots must score 0: ${zero.toSeq}")
-  }
 }
