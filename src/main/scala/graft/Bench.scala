@@ -71,6 +71,7 @@ object Bench {
   private var attempted = Set.empty[String]               // every query we started
   private var shardsG = 1                                 // shard count (env)
   private var shardPasses = Map.empty[Int, Int]           // shard idx → completed passes
+  private var shardOrderG = Seq.empty[Int]                // shard RUN order this run
   private var sfDirG = ""
   private var outFileG: Option[String] = None
   private val emitted = new AtomicBoolean(false)
@@ -176,19 +177,31 @@ object Bench {
     // headroom. Inter-pass drift stays readable: passTotals carries
     // one (total, count) entry per completed shard-pass in run order,
     // and the full record names the per-shard pass counts.
+    // default 3 shards (round 17): at ~394 s/suite-pass on a quiet box
+    // and ~40% driver-box contention, 2 shards × (3 passes) cannot fit
+    // the 1200 s deadline — round 16 left shard 0 with ZERO driver
+    // passes. 3 shards ≈ 130 s/shard-pass cold: each shard's
+    // median-of-3 completes inside its slice of the deadline, so a cut
+    // costs one shard's evidence, not half the registry's.
     val nShards = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_SHARDS").map(_.toInt).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_BENCH_SHARDS").map(_.toInt).getOrElse(3))
     lock.synchronized { shardsG = nShards }
     // Rotate which shard runs FIRST by day: under a recurring deadline
     // cut the first shard is the one that finishes driver-grade, and a
     // FIXED order would starve the same half of the registry of
     // 3-sample evidence round after round. Day-of-epoch keeps the
     // order deterministic within a day (re-runs comparable) while
-    // rotating across rounds. Shard IDENTITY (membership, shardPasses
-    // indexing) is unchanged — only run order moves.
-    val rot = ((System.currentTimeMillis / 86400000L) % nShards).toInt
+    // rotating across rounds; SPARK_GRAFT_BENCH_ROTATION overrides for
+    // reproducible reruns (a midnight-straddling pair of runs measures
+    // different halves driver-grade otherwise), and the chosen order
+    // is committed in the full record (`shardOrder`) so the artifact
+    // alone says which shards ran first. Shard IDENTITY (membership,
+    // shardPasses indexing) is unchanged — only run order moves.
+    val rot = sys.env.get("SPARK_GRAFT_BENCH_ROTATION").map(_.toInt)
+      .getOrElse(((System.currentTimeMillis / 86400000L) % nShards).toInt)
     val shardNames = shardAssignment(queries.map(_._1), nShards)
     val order = (0 until nShards).map(i => (i + rot) % nShards)
+    lock.synchronized { shardOrderG = order }
     note(s"shards=$nShards order=${order.mkString(",")}")
     val byName = queries.toMap
     for (si <- order if clean; names = shardNames(si)) {
@@ -227,8 +240,9 @@ object Bench {
     * falling back to the warmup timing for queries with no measured
     * sample. Idempotent — first caller (main path or shutdown hook) wins. */
   private def emit(truncated: Boolean): Unit = {
-    val (w, ps, cur, att, sfDir, outFile, nShards, shp) = lock.synchronized {
-      (warmup, passes, current, attempted, sfDirG, outFileG, shardsG, shardPasses)
+    val (w, ps, cur, att, sfDir, outFile, nShards, shp, shOrder) = lock.synchronized {
+      (warmup, passes, current, attempted, sfDirG, outFileG, shardsG,
+        shardPasses, shardOrderG)
     }
     if (!emitted.compareAndSet(false, true)) return
     val eff = effectivePasses(shp, nShards)
@@ -288,12 +302,14 @@ object Bench {
         ts.map { case (t, n) => s"[$t,$n]" }.mkString("[", ",", "]")}"""
     }
     // shard bookkeeping (full record only): shard count + per-shard
-    // completed passes, so a reader can tell "shard 0 driver-grade,
-    // shard 1 cut" from the artifact alone
+    // completed passes + the RUN ORDER (rotation), so a reader can
+    // tell "shard 0 driver-grade, shard 1 cut" AND which shard a
+    // deadline cut hit first from the artifact alone
     val shardPart =
       if (nShards <= 1) ""
       else s""","shards":$nShards,"shardPasses":${
-        (0 until nShards).map(shp.getOrElse(_, 0)).mkString("[", ",", "]")}"""
+        (0 until nShards).map(shp.getOrElse(_, 0)).mkString("[", ",", "]")
+      },"shardOrder":${shOrder.mkString("[", ",", "]")}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull$ptPart$shardPart$extra,"sf":"$sfDir"}"""
     try {

@@ -411,8 +411,14 @@ object EmbeddingOps {
       k: Int = 10): (DataFrame, DataFrame) = {
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      .cache()
     (1 to 2).foreach { _ =>
-      centroids = assignCellsOver(e, centroids)
+      // materialize each round's k-row centroid table (the d59
+      // lloydCentroids discipline — round 16 skipped it here and the
+      // decimal aggregate chain re-evaluated NESTED under every later
+      // consumer: round 2's broadcast, the final assignment, and each
+      // probe list re-ran round 1, doubling the d74 build)
+      val next = assignCellsOver(e, centroids)
         .select(col("cid"), posexplode(col("v")))
         // decimal-canonical mean (the d59 Lloyd rule): the centroid
         // values — and therefore every cosine argmax against them —
@@ -424,6 +430,10 @@ object EmbeddingOps {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
+        .cache()
+      next.count() // materialize before releasing the parent round
+      centroids.unpersist(blocking = false)
+      centroids = next
     }
     (persistCorpus(assignCellsOver(e, centroids)), centroids)
   }
@@ -836,6 +846,14 @@ object EmbeddingOps {
   // lifetime. The mutation is deterministic per corpus, so reuse is
   // sound; production has no clone at all (the sidecar lives beside
   // the store's own cells table).
+  // ASSUMPTION (shared with VectorIndexStore.built, which feeds this
+  // clone): one corpus per path per JVM. The cache key is the corpus
+  // PATH, so fixture data regenerated at the same path mid-JVM — or
+  // two corpora sharing a path — would silently serve a clone built
+  // from the old contents. The test/bench harnesses never mutate a
+  // corpus dir in-process (the driver regenerates fixtures between
+  // JVMs), and a production store keys its snapshots by immutable
+  // version, not by mutable path.
   private val cellClones = scala.collection.concurrent.TrieMap.empty[String, String]
   private val cellCloneLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 

@@ -1277,6 +1277,7 @@ object QualityOps {
   private[graft] def wordpieceEncodeOver(s: SparkSession,
       docs: DataFrame): DataFrame = {
     val wf = wordFreq(docs, "wordpieceEncode")
+    requireNoHash(wf, "wordpieceEncode")
     val wordTok = greedyPaths(wf, wordpieceVocab(wf)).select(col("word"),
       size(col("pieces")).cast("long").as("n_sym"),
       length(col("word")).cast("long").as("n_chr"))
@@ -1297,6 +1298,26 @@ object QualityOps {
           round4(col("n_tokens").cast("double") / col("n_chars")))
           .as("compression"))
       .orderBy("doc_id")
+  }
+
+  /** WordPiece's `##` continuation marker makes a corpus word that
+    * itself contains '#' structurally ambiguous: a word-initial
+    * literal "##x" and a word-internal 'x' derive the SAME positional
+    * form "##x" (two vocabulary rows, one map key — `map_from_arrays`
+    * and DuckDB `map()` both throw on the duplicate), and no tag
+    * convention can tell them apart after the fact. Real WordPiece
+    * deployments sidestep this at pre-tokenization; this engine
+    * REFUSES loudly (the UniMaxWord discipline) instead of letting
+    * the hazard surface as an opaque duplicate-key error. */
+  private def requireNoHash(wf: DataFrame, who: String): Unit = {
+    val offender = wf.filter(col("word").contains("#"))
+      .select("word").limit(1).collect()
+    require(offender.isEmpty,
+      s"$who: corpus word '${offender.headOption.map(_.getString(0))
+        .getOrElse("")}' contains '#', which collides with the " +
+        "WordPiece '##' continuation marker (positional forms become " +
+        "ambiguous and vocabulary map keys duplicate); strip '#' in " +
+        "pre-tokenization for such corpora")
   }
 
   /** The positional (`##`) seed vocabulary: (piece) rows — all
@@ -1335,21 +1356,27 @@ object QualityOps {
     val vm = vocab.agg(map_from_arrays(collect_list(col("piece")),
       collect_list(lit(1))).as("vm"))
     val word = col("word")
+    // each candidate carries the CONSUMED length k alongside the
+    // positional piece: the fold advances by the matched k directly
+    // (the oracle's `adv` rule), never by inferring the stem from the
+    // '##' prefix — prefix inference mis-advances on a piece that
+    // starts with a literal '#' (see [[requireNoHash]], which refuses
+    // such corpora outright for the vocabulary-key ambiguity)
     def hit(j: Column, k: Int): Column = {
       val raw = word.substr(j.cast("int"), lit(k))
       val tagged = when(j === 1, raw).otherwise(concat(lit("##"), raw))
       when(length(word) >= j + lit(k - 1) &&
-        element_at(col("vm"), tagged).isNotNull, tagged)
+        element_at(col("vm"), tagged).isNotNull,
+        struct(tagged.as("piece"), lit(k).as("k")))
     }
     val init = struct(lit(1).as("nxt"), lit("").as("path"))
     val path = aggregate(sequence(lit(1), length(word)), init,
       (acc, j) => {
         val chosen = coalesce((UniMaxPiece to 1 by -1).map(hit(j, _)): _*)
-        val stemLen = when(chosen.startsWith("##"), length(chosen) - 2)
-          .otherwise(length(chosen))
         when(j < acc.getField("nxt"), acc).otherwise(struct(
-          (j + stemLen).cast("int").as("nxt"),
-          concat(acc.getField("path"), lit(" "), chosen).as("path")))
+          (j + chosen.getField("k")).cast("int").as("nxt"),
+          concat(acc.getField("path"), lit(" "),
+            chosen.getField("piece")).as("path")))
       },
       acc => acc.getField("path"))
     wf.crossJoin(broadcast(vm))

@@ -283,6 +283,20 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("wordpieceEncode"))
   }
 
+  test("d81 refuses a corpus word containing '#' — the ## marker collision") {
+    // a word-initial literal "##x" and a word-internal 'x' derive the
+    // SAME positional form "##x": two vocabulary rows, one map key —
+    // map_from_arrays/DuckDB map() would throw an opaque duplicate-key
+    // error, and the greedy walk's consumed-length accounting becomes
+    // ambiguous. The engine refuses loudly up front instead.
+    val docs = Seq((1L, "ax bx"), (2L, "##x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      operators.QualityOps.wordpieceEncodeOver(spark, docs).collect()
+    }
+    assert(e.getMessage.contains("'#'") &&
+      e.getMessage.contains("wordpieceEncode"))
+  }
+
   test("d76 refuses a word past the oracle's DP unroll instead of truncating") {
     val docs = Seq((1L, "a twelvecharsw ok"), (2L, "supercalifragilistic"))
       .toDF("doc_id", "text")

@@ -1317,6 +1317,49 @@ class StorageSpec extends SparkSpec {
       spark.read.parquet(storePairs.toString).isEmpty)
   }
 
+  test("s17 eviction with a rare-phase pair: a pair verified while its " +
+    "shingles were rare SURVIVES the cap crossing; one-shot would drop it " +
+    "— the superset semantics pinned non-vacuously") {
+    import operators.{PairGraph, Streaming}
+    val base = s"$wh/s17_evict_pair"
+    // batch 0: two identical docs — 3 shared shingles, each df = 2
+    // (rare), so pair (1,2) verifies at jac = 1.0 and publishes
+    val b0 = Seq((1L, "p1 p2 p3 p4 p5"), (2L, "p1 p2 p3 p4 p5"))
+      .toDF("doc_id", "text")
+    Streaming.pairStoreSink(base)(b0, 0L)
+    def pairs(): Seq[(Long, Long, Double)] =
+      spark.read.parquet(s"$base/pairs/published")
+        .select("i", "j", "jac").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs() === Seq((1L, 2L, 1.0)), "rare-phase pair must publish")
+    // batch 1: 25 docs carry the same phrase behind unique tails — the
+    // shared shingles cross the df cap (2 + 25 > 20) while every NEW
+    // candidate dies on the size-ratio prefilter (8 shingles vs 3) or
+    // post-merge rarity (the shared shingles are already hot)
+    val b1 = (101L to 125L)
+      .map(k => (k, s"p1 p2 p3 p4 p5 u${k}a u${k}b u${k}c u${k}d u${k}e"))
+      .toDF("doc_id", "text")
+    Streaming.pairStoreSink(base)(b1, 1L)
+    assert(spark.read.parquet(s"$base/shidx/published")
+      .filter(col("shingle") === "p1 p2 p3").count() === 0L,
+      "cap crossing must evict the shared shingle's postings")
+    // THE intended store semantics: pairs are verified against the
+    // union-so-far df, and eviction stops FUTURE candidate generation —
+    // it never retracts verified history. The rare-phase pair stays.
+    assert(pairs() === Seq((1L, 2L, 1.0)),
+      "cap crossing must not retract the rare-phase pair")
+    // …while the one-shot derivation over the FINAL corpus suppresses
+    // the pair (its only shared shingles are hot there): the store is a
+    // strict superset in exactly this case — the honest trade the s17
+    // scaladoc documents, and the reason convergence specs carry a
+    // per-sf set-equality precondition
+    val oneShot = PairGraph.jaccardPairsOver(
+      operators.LlmOps.docShinglesOver(b0.unionByName(b1)), 0.8,
+      PairGraph.MaxShingleDf)
+    assert(oneShot.isEmpty,
+      "fixture drift: one-shot must suppress the hot-shingle pair for " +
+        "the superset pin to bite")
+  }
+
   test("f17 manifest store: incremental add/compact/delete ≡ full recompute, " +
     "untouched manifest buckets byte-identical") {
     import operators.Sources
