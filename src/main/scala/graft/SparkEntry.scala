@@ -99,6 +99,7 @@ object SparkEntry {
     "d79_ann_delete" -> ((s, d) => EmbeddingOps.annDelete(s, d)),
     "d80_knn_graph" -> ((s, d) => EmbeddingOps.knnGraph(s, d)),
     "d80b_knn_graph_cells" -> ((s, d) => EmbeddingOps.knnGraphCells(s, d)),
+    "d82_knn_graph_dedup" -> ((s, d) => EmbeddingOps.knnGraphDedup(s, d)),
     "d07_tfidf" -> (QualityOps.tfidf _),
     "d08_text_stats" -> (QualityOps.textStats _),
     "d09_lang_profile" -> (QualityOps.langProfile _),
@@ -246,6 +247,7 @@ object SparkEntry {
     "s22_asof_disordered" -> (Streaming.asofEnrichDisorderedFeed _),
     "s23_index_deletes" -> (Streaming.indexDeleteFeed _),
     "s24_drift_monitor" -> (Streaming.driftMonitorFeed _),
+    "s25_drift_multi" -> (Streaming.driftMultiFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
@@ -313,6 +315,7 @@ object SparkEntry {
     "d76_unigram_lm" -> (QualityOps.unigramLm _),
     "d77_unigram_encode" -> (QualityOps.unigramEncode _),
     "d81_wordpiece_encode" -> (QualityOps.wordpieceEncode _),
+    "d83_tokenizer_profile" -> (QualityOps.tokenizerProfile _),
     // BPE encode: apply the learned merges, per-doc token counts
     "d68_bpe_encode" -> (QualityOps.bpeEncode _),
     // threshold sweep: model-vs-rule PR curve at 11 logit cutoffs
@@ -1010,6 +1013,48 @@ object SparkEntry {
          |SELECT i, knn_rank, j, sim FROM r WHERE knn_rank <= 3
          |ORDER BY i, knn_rank""".stripMargin
     },
+    "d82_knn_graph_dedup" -> {
+      // the d80b adjacency chain verbatim (engine-deterministic cells +
+      // the within-cell window), edges kept at sim >= tau, transitive
+      // closure via recursive CTE (the d19 oracle shape), then the d53
+      // keep-best window per family — three existing oracle shapes
+      // composed, exactly as the operator composes their kernels
+      val (ctes, fin) = ivfCellCtes
+      s"""WITH RECURSIVE $ctes,
+         |g AS (SELECT e.vec_id, a.cid, e.v
+         |      FROM e JOIN $fin a ON e.vec_id = a.vec_id),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |        ${round4(cosSql("a.v", "b.v"))} AS sim
+         |      FROM g a JOIN g b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY i ORDER BY sim DESC, j) AS knn_rank FROM p),
+         |eg AS (SELECT i, j FROM r WHERE knn_rank <= 3 AND sim >= 0.40
+         |       UNION ALL
+         |       SELECT j, i FROM r WHERE knn_rank <= 3 AND sim >= 0.40),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT i, i FROM eg
+         |  UNION
+         |  SELECT rc.src, e2.j FROM reach rc JOIN eg e2 ON e2.i = rc.node),
+         |lbl AS (SELECT src AS vec_id, min(node) AS family_id
+         |        FROM reach GROUP BY src),
+         |asg AS (SELECT e0.vec_id, coalesce(l.family_id, e0.vec_id) AS family_id
+         |        FROM (SELECT vec_id FROM embeddings) e0
+         |        LEFT JOIN lbl l USING (vec_id)),
+         |sz AS (SELECT family_id, count(*) AS family_size FROM asg GROUP BY 1),
+         |tq AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |q AS (SELECT doc_id AS vec_id,
+         |        ${round4(s"ln(1.0 + len(t)) * ${round4("len(list_distinct(t))::DOUBLE / len(t)")}")}
+         |          AS quality_score
+         |      FROM tq),
+         |jn AS (SELECT a.vec_id, a.family_id, sz.family_size, q.quality_score
+         |       FROM asg a JOIN sz USING (family_id) JOIN q USING (vec_id)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY family_id
+         |        ORDER BY quality_score DESC, vec_id) AS rnk FROM jn),
+         |kb AS (SELECT family_id, vec_id AS keep_id FROM rk WHERE rnk = 1)
+         |SELECT jn.vec_id, jn.family_id, jn.family_size, jn.quality_score,
+         |  kb.keep_id, jn.vec_id = kb.keep_id AS kept
+         |FROM jn JOIN kb USING (family_id) ORDER BY jn.vec_id""".stripMargin
+    },
     "s23_index_deletes" ->
       // streaming ≡ batch: three streamed tombstone batches land the
       // store in exactly d79's post-delete state, so the oracle is
@@ -1061,6 +1106,52 @@ object SparkEntry {
          |  ${round4("(p - q) * CAST(CAST(ln(p / q) AS DECIMAL(30,6)) AS DOUBLE)")}
          |    AS psi
          |FROM w ORDER BY batch_id, bucket""".stripMargin,
+    "s25_drift_multi" ->
+      // s24's PSI construction at (feature, bin) grain: the same
+      // frozen-reference bins / clamped counts / smoothed shares /
+      // canonical-ln terms, PER monitored feature — the feature rows
+      // mirror Streaming.DriftFeatures term for term (len ≡
+      // length(text); words ≡ len(string_split(text, ' ')), the d64
+      // token-count pair)
+      s"""WITH f AS (SELECT doc_id % 4 AS g, 'len' AS feature,
+         |        CAST(length(text) AS BIGINT) AS x FROM documents
+         |      UNION ALL
+         |      SELECT doc_id % 4, 'words',
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents),
+         |gr AS (SELECT feature, min(x) AS lo,
+         |        greatest(max(x) - min(x) + 1, 1) AS rng, count(*) AS t_ref
+         |      FROM f WHERE g < 2 GROUP BY 1),
+         |rc AS (SELECT feature, least(9, (x - gr.lo) * 10 // gr.rng) AS bucket,
+         |        count(*) AS n_ref
+         |      FROM f JOIN gr USING (feature) WHERE g < 2 GROUP BY 1, 2),
+         |sp AS (SELECT feature, unnest(range(0, 10)) AS bucket
+         |      FROM (SELECT DISTINCT feature FROM gr)),
+         |r AS (SELECT sp.feature, sp.bucket,
+         |        CAST(coalesce(rc.n_ref, 0) AS BIGINT) AS n_ref
+         |      FROM sp LEFT JOIN rc
+         |        ON sp.feature = rc.feature AND sp.bucket = rc.bucket),
+         |oc AS (SELECT g - 1 AS batch_id, f.feature,
+         |        greatest(0, least(9, (x - gr.lo) * 10 // gr.rng)) AS bucket,
+         |        count(*) AS n_obs
+         |      FROM f JOIN gr USING (feature) WHERE g >= 2 GROUP BY 1, 2, 3),
+         |ot AS (SELECT g - 1 AS batch_id, feature, count(*) AS t_obs
+         |      FROM f WHERE g >= 2 GROUP BY 1, 2),
+         |j AS (SELECT ot.batch_id, r.feature, r.bucket, r.n_ref,
+         |        CAST(coalesce(oc.n_obs, 0) AS BIGINT) AS n_obs,
+         |        gr.t_ref, ot.t_obs
+         |      FROM ot JOIN r ON r.feature = ot.feature
+         |      JOIN gr ON gr.feature = r.feature
+         |      LEFT JOIN oc ON oc.batch_id = ot.batch_id
+         |        AND oc.feature = r.feature AND oc.bucket = r.bucket),
+         |w AS (SELECT batch_id, feature, bucket, n_ref, n_obs,
+         |        CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE) AS p,
+         |        CAST(n_obs + 1 AS DOUBLE) / CAST(t_obs + 10 AS DOUBLE) AS q
+         |      FROM j)
+         |SELECT batch_id, feature, bucket, n_ref, n_obs,
+         |  ${round4("p")} AS share_ref, ${round4("q")} AS share_obs,
+         |  ${round4("(p - q) * CAST(CAST(ln(p / q) AS DECIMAL(30,6)) AS DOUBLE)")}
+         |    AS psi
+         |FROM w ORDER BY batch_id, feature, bucket""".stripMargin,
     "d74_index_publish" ->
       // the WAP manifests over the four index relations, by invariant:
       // cells partitions the corpus (n), the PACKED code table is one
@@ -2957,6 +3048,10 @@ object SparkEntry {
       // steps unrolled (12 per-position CTEs, each consuming the
       // longest vocabulary piece), then the d77 doc-grain join
       d81Sql,
+    "d83_tokenizer_profile" ->
+      // the three families' training/segmentation chains composed under
+      // one tok/wf + per-family vocabulary-grain stats (see d83Sql)
+      d83Sql,
     "d68_bpe_encode" ->
       // the same 3 training rounds, then the THIRD rule applied (r3 —
       // training materializes only r2), symbol counts on the vocab,
@@ -4236,7 +4331,12 @@ object SparkEntry {
     * (`adv`) at the current position and appends that positional
     * piece; a position inside a consumed piece (or past the word)
     * passes through. Then the d77 doc-grain join verbatim. */
-  private def d81Sql: String = {
+  /** The d81 positional-vocabulary + greedy-walk CTE chain over a
+    * previously-defined `wf` — every CTE name prefixed `t` so d81
+    * (t = "") and d83 (t = "w", beside the d76 chain whose `subs`/`v0`
+    * names would otherwise collide) share one generator. Ends in
+    * `${t}g<UniMaxWord>` (word, cnt, pos, path). */
+  private def wpGreedyCtes(t: String): String = {
     val lMax = operators.QualityOps.UniMaxPiece
     val v = operators.QualityOps.UniSeedMulti
     val maxW = operators.QualityOps.UniMaxWord
@@ -4254,26 +4354,31 @@ object SparkEntry {
       s"WHEN length(word) >= pos + ${k - 1} " +
         s"AND len(m[${tagged(k.toString)}]) = 1 THEN $k").mkString(" ")
     val steps = (1 to maxW).map { j =>
-      s"""g$j AS (SELECT word, cnt, m, pos + adv AS pos,
+      s"""${t}g$j AS (SELECT word, cnt, m, pos + adv AS pos,
          |    CASE WHEN adv = 0 THEN path
          |         ELSE path || ' ' || ${tagged("adv")} END AS path
          |  FROM (SELECT *, CASE WHEN pos > length(word) THEN 0
-         |      $advArms ELSE 1 END AS adv FROM g${j - 1}))""".stripMargin
+         |      $advArms ELSE 1 END AS adv FROM ${t}g${j - 1}))""".stripMargin
     }.mkString(",\n")
+    s"""${t}subs AS (SELECT piece, stem_len, CAST(SUM(cnt) AS BIGINT) AS ucnt
+       |  FROM ($subsArms) GROUP BY piece, stem_len),
+       |${t}v0 AS (SELECT piece FROM ${t}subs WHERE stem_len = 1
+       |  UNION ALL
+       |  SELECT piece FROM (SELECT piece, ucnt FROM ${t}subs
+       |    WHERE stem_len > 1 ORDER BY ucnt DESC, piece LIMIT $v)),
+       |${t}vm AS (SELECT map(list(piece), list(1)) AS m FROM ${t}v0),
+       |${t}g0 AS (SELECT word, cnt, m, 1 AS pos, '' AS path FROM wf, ${t}vm),
+       |$steps""".stripMargin
+  }
+
+  private def d81Sql: String = {
+    val maxW = operators.QualityOps.UniMaxWord
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(
        |    nfc_normalize(text), '\\s+', ' ', 'g'))), ' ')) AS word
        |  FROM documents),
        |wf AS (SELECT word, count(*) AS cnt FROM tok
        |  WHERE length(word) > 0 GROUP BY word),
-       |subs AS (SELECT piece, stem_len, CAST(SUM(cnt) AS BIGINT) AS ucnt
-       |  FROM ($subsArms) GROUP BY piece, stem_len),
-       |v0 AS (SELECT piece FROM subs WHERE stem_len = 1
-       |  UNION ALL
-       |  SELECT piece FROM (SELECT piece, ucnt FROM subs
-       |    WHERE stem_len > 1 ORDER BY ucnt DESC, piece LIMIT $v)),
-       |vm AS (SELECT map(list(piece), list(1)) AS m FROM v0),
-       |g0 AS (SELECT word, cnt, m, 1 AS pos, '' AS path FROM wf, vm),
-       |$steps,
+       |${wpGreedyCtes("")},
        |wt AS (SELECT word,
        |    CAST(len(string_split(trim(path), ' ')) AS BIGINT) AS n_sym,
        |    CAST(length(word) AS BIGINT) AS n_chr FROM g$maxW),
@@ -4292,14 +4397,73 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  private def bpeCtes =
+  /** The d83 oracle: the three trained families' chains composed under
+    * ONE tok/wf — the d76 two-round hard-EM block (tok/wf/…/r2_best),
+    * the d65/d68 BPE rounds ([[bpeRoundCtes]], which is why bpeCtes
+    * split) with the third rule applied, and the d81 greedy chain
+    * prefixed `w` (its bare `subs`/`v0` would collide with d76's) —
+    * then one vocabulary-grain stat block per family and a 3-row
+    * union. Counts integer-exact; each ratio ONE IEEE division of
+    * exact integers, round4-contracted. */
+  private def d83Sql: String = {
+    val maxW = operators.QualityOps.UniMaxWord
+    def statCtes(p: String, fam: String) =
+      s"""${p}st AS (SELECT '$fam' AS family,
+         |    CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS n_words,
+         |    CAST(coalesce(SUM(cnt * length(word)), 0) AS BIGINT) AS n_chars,
+         |    CAST(coalesce(SUM(cnt * len(ps)), 0) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(SUM(CASE WHEN len(ps) = 1 THEN cnt ELSE 0 END), 0)
+         |      AS BIGINT) AS n_single
+         |  FROM ${p}wt),
+         |${p}pc AS (SELECT CAST(count(DISTINCT piece) AS BIGINT)
+         |    AS n_pieces_used
+         |  FROM (SELECT unnest(ps) AS piece FROM ${p}wt))""".stripMargin
+    s"""WITH $d76TrainCtes,
+       |$bpeRoundCtes,
+       |br3 AS (SELECT word, cnt, replace(replace(rep,
+       |    ' ' || (SELECT l FROM b3) || ' ' || (SELECT r FROM b3) || ' ',
+       |    ' ' || (SELECT l FROM b3) || (SELECT r FROM b3) || ' '),
+       |    ' ' || (SELECT l FROM b3) || ' ' || (SELECT r FROM b3) || ' ',
+       |    ' ' || (SELECT l FROM b3) || (SELECT r FROM b3) || ' ') AS rep
+       |    FROM r2),
+       |${wpGreedyCtes("w")},
+       |bwt AS (SELECT word, cnt, string_split(trim(rep), ' ') AS ps FROM br3),
+       |uwt AS (SELECT word, cnt,
+       |    string_split(trim(substr(dp, 13)), ' ') AS ps FROM r2_best),
+       |wwt AS (SELECT word, cnt, string_split(trim(path), ' ') AS ps
+       |    FROM wg$maxW),
+       |${statCtes("b", "bpe")},
+       |${statCtes("u", "unigram")},
+       |${statCtes("w", "wordpiece")},
+       |prof AS (SELECT bst.*, bpc.n_pieces_used FROM bst, bpc
+       |  UNION ALL SELECT ust.*, upc.n_pieces_used FROM ust, upc
+       |  UNION ALL SELECT wst.*, wpc.n_pieces_used FROM wst, wpc)
+       |SELECT family, n_words, n_chars, n_tokens, n_pieces_used,
+       |  CASE WHEN n_words > 0 THEN ${round4("n_tokens::DOUBLE / n_words")} END
+       |    AS fertility,
+       |  CASE WHEN n_chars > 0 THEN ${round4("n_tokens::DOUBLE / n_chars")} END
+       |    AS compression,
+       |  CASE WHEN n_words > 0 THEN ${round4("n_single::DOUBLE / n_words")} END
+       |    AS single_share
+       |FROM prof ORDER BY family""".stripMargin
+  }
+
+  /** bpeCtes split (round 17): the shared tok/wf head and the three
+    * merge rounds separate, so [[d83Sql]] can compose the rounds with
+    * the d76 chain's OWN tok/wf (identical definitions — one set of
+    * names per query). `bpeCtes` is byte-wise the round-16 string. */
+  private def bpeCtes = tokWfCtes + ",\n" + bpeRoundCtes
+
+  private def tokWfCtes =
     """tok AS (
       |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(
       |      nfc_normalize(text), '\s+', ' ', 'g'))), ' ')) AS word
       |  FROM documents),
       |wf AS (SELECT word, count(*) AS cnt FROM tok
-      |       WHERE length(word) > 0 GROUP BY word),
-      |r0 AS (SELECT word,
+      |       WHERE length(word) > 0 GROUP BY word)""".stripMargin
+
+  private def bpeRoundCtes =
+    """r0 AS (SELECT word,
       |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS rep,
       |         cnt FROM wf),
       |p1 AS (SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pair_count

@@ -977,6 +977,66 @@ object EmbeddingOps {
     * at sf0.1), deliberately conservative at 100 TB. */
   private[graft] val KnnMaxBlock = 4096L
 
+  /** The d82 similarity floor: an adjacency edge joins a dedup family
+    * only at sim ≥ τ. The fixtures' isotropic embeddings (max pairwise
+    * cosine ≈ 0.51 — the d35 note) bind τ = 0.40 to demonstrate the
+    * pipeline; real embedding corpora bind τ ≈ 0.95+. */
+  private[graft] val KnnDedupTau = 0.40
+
+  /** d82 — GRAPH-BASED dedup at cluster grain: the consumer d80's
+    * scaladoc promises ("d19 consumes pair relations exactly like
+    * this"), completing SemDeDup's within-cluster comparisons into a
+    * DEDUP DECISION row. The [[knnGraphCells]] adjacency (each
+    * vector's top-k cell-blocked neighbors) filtered to sim ≥ τ is the
+    * pair relation; connected components over it
+    * ([[ConnectedComponents.largeSmallStar]] — the d19 kernel, O(log n)
+    * rounds of edge-proportional joins regardless of family diameter)
+    * are the duplicate FAMILIES; the d53 keep-best rule picks each
+    * family's survivor by d08 quality score (doc_id tie-break; fixture
+    * vec_ids align with doc_ids — the d64 convention). Output mirrors
+    * d53's decision row at vector grain: (vec_id, family_id,
+    * family_size, quality_score, keep_id, kept).
+    *
+    * Why a k-NN graph instead of d60's all-within-cluster pairs: at
+    * production scale a hot semantic cluster has millions of members
+    * and Σ|c|² explodes, while the k-NN adjacency is O(k·n) EDGES by
+    * construction — the graph, not the quadred cluster, is what CC and
+    * keep-best consume. Approximate-by-blocking semantics inherit from
+    * d80b (a cross-cell near-dup pair is missed; the boundary-vertex
+    * disagreement spec pins exactly which).
+    *
+    * Scale: edges O(k·n) and bucketed by i from the graph publish; CC
+    * is edge-proportional per round; the keep rule is a max_by
+    * AGGREGATE per family (map-side combining — never a family-keyed
+    * rank window: a boilerplate family can be huge, the d42 lesson);
+    * one broadcast-able join carries the winner back. Everything
+    * downstream of the graph is output-sized or key-partitioned. */
+  def knnGraphDedup(s: SparkSession, d: String, k: Int = 3,
+      tau: Double = KnnDedupTau): DataFrame = {
+    val edges = knnGraphCells(s, d, k)
+      .filter(col("sim") >= tau)
+      .select(col("i"), col("j"))
+    val labels = ConnectedComponents.largeSmallStar(edges)
+    val asg = Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("family_id"))
+    val sizes = asg.groupBy("family_id").agg(count(lit(1)).as("family_size"))
+    val quality = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"),
+        qualityScore(toks(col("text"))).as("quality_score"))
+    val joined = asg.join(sizes, "family_id").join(quality, "vec_id")
+    val best = joined.groupBy("family_id")
+      .agg(max_by(col("vec_id"),
+        struct(col("quality_score"), (-col("vec_id")).as("neg_id")))
+        .as("keep_id"))
+    joined.join(best, "family_id")
+      .select(col("vec_id"), col("family_id"), col("family_size"),
+        col("quality_score"), col("keep_id"),
+        (col("vec_id") === col("keep_id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
   // ———————————— context-window chunking & quantization ————————————
 
 

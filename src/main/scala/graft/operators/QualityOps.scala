@@ -1383,4 +1383,80 @@ object QualityOps {
       .select(col("word"), col("cnt"), split(trim(path), " ").as("pieces"))
   }
 
+  /** d83 — TOKENIZER-FAMILY COMPARISON profile: the table a curation
+    * run reads BEFORE picking a tokenizer — one row per trained family
+    * (BPE d65/d68, unigram-LM d76/d77, WordPiece d81) with the
+    * corpus-level numbers the choice actually turns on:
+    *
+    *  - `fertility`  = tokens per word occurrence (the pretraining-
+    *    budget multiplier — lower is cheaper),
+    *  - `compression` = tokens per character (the d68 metric at corpus
+    *    grain),
+    *  - `single_share` = share of word OCCURRENCES encoded as ONE
+    *    token (whole-word coverage — the "does the vocabulary know the
+    *    corpus's words" signal; every family here is OOV-free by
+    *    character coverage, so whole-word rate is the discriminating
+    *    coverage number),
+    *  - `n_pieces_used` = distinct pieces the segmentations actually
+    *    used (effective vocabulary).
+    *
+    * All three encoders run their EXISTING kernels over the ONE shared
+    * [[wordFreq]] grain (train + segment at distinct-vocabulary grain,
+    * Heaps-law sublinear; the corpus is scanned once for wf plus once
+    * inside BPE training's own word aggregate); the profile itself is
+    * three vocabulary-sized aggregates + one 3-row union — integer
+    * counts, each ratio ONE IEEE division round4'd (the d38 rule). A
+    * producer-shaped row: it pays unigram's EM and BPE's merge rounds
+    * by construction, like every training twin. */
+  def tokenizerProfile(s: SparkSession, d: String): DataFrame =
+    tokenizerProfileOver(s, Tables.documents(s, d))
+
+  private[graft] def tokenizerProfileOver(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val wf = wordFreq(docs, "tokenizerProfile")
+    requireNoHash(wf, "tokenizerProfile")
+    // BPE: the d65 merge table applied to the shared vocabulary (the
+    // d68 encode shape, segmentation kept as the piece array)
+    val merges = bpeMergesOver(s, docs, iters = 3).collect().sortBy(_.getLong(0))
+    val rep0 = wf.withColumn("rep",
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+    val bpe = merges.foldLeft(rep0) { (v, m) =>
+        v.withColumn("rep", mergePass(col("rep"), m.getString(1), m.getString(2)))
+      }
+      .select(col("word"), col("cnt"), split(trim(col("rep")), " ").as("pieces"))
+    // unigram-LM: train to final costs, one more Viterbi segmentation
+    // (the d77 path)
+    val (wfU, c1) = unigramTrain(docs)
+    val uni = viterbiPaths(wfU, c1).select(col("word"), col("cnt"), col("pieces"))
+    // WordPiece: the d81 greedy walk under the positional vocabulary
+    val wp = greedyPaths(wf, wordpieceVocab(wf))
+      .select(col("word"), col("cnt"), col("pieces"))
+    Seq(("bpe", bpe), ("unigram", uni), ("wordpiece", wp))
+      .map { case (fam, seg) => familyProfile(fam, seg) }
+      .reduce(_ unionByName _)
+      .orderBy("family")
+  }
+
+  /** One family's corpus-level profile row from its (word, cnt,
+    * pieces) segmentation — vocabulary-sized aggregates only. */
+  private def familyProfile(fam: String, seg: DataFrame): DataFrame = {
+    val stats = seg.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n_words"),
+      coalesce(sum(col("cnt") * length(col("word"))), lit(0L)).as("n_chars"),
+      coalesce(sum(col("cnt") * size(col("pieces"))), lit(0L)).as("n_tokens"),
+      coalesce(sum(when(size(col("pieces")) === 1, col("cnt"))
+        .otherwise(0L)), lit(0L)).as("n_single"))
+    val pieces = seg.select(explode(col("pieces")).as("piece"))
+      .agg(count_distinct(col("piece")).as("n_pieces_used"))
+    stats.crossJoin(pieces).select(
+      lit(fam).as("family"),
+      col("n_words"), col("n_chars"), col("n_tokens"), col("n_pieces_used"),
+      when(col("n_words") > 0,
+        round4(col("n_tokens").cast("double") / col("n_words"))).as("fertility"),
+      when(col("n_chars") > 0,
+        round4(col("n_tokens").cast("double") / col("n_chars"))).as("compression"),
+      when(col("n_words") > 0,
+        round4(col("n_single").cast("double") / col("n_words"))).as("single_share"))
+  }
+
 }

@@ -1624,7 +1624,8 @@ object Streaming {
     * recomputes identical rows and the overwrite + `_applied` marker
     * make it effectively once; an EMPTY monitored batch emits
     * nothing (no snapshot arrived — and the empty-corpus feed stays
-    * empty end to end). */
+    * empty end to end). [[driftMultiSink]] (s25) is this monitor at
+    * (feature, bin) grain — the multi-feature ingest gate. */
   def driftMonitorSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$base/_applied/$batchId")
     if (marker.exists()) return // redelivered batch: effectively once
@@ -1732,6 +1733,151 @@ object Streaming {
       .select("batch_id", "bucket", "n_ref", "n_obs",
         "share_ref", "share_obs", "psi")
       .orderBy("batch_id", "bucket")
+  }
+
+  /** The s25 monitored features: name → integral expression over a
+    * documents-shaped batch. Integral on purpose — the frozen bins are
+    * the f17 closed-form integer `div`, exact in both engines; a new
+    * feature is one more row here (the monitor is (feature, bin)-grain
+    * everywhere downstream). Shared with the oracle, term for term. */
+  private[graft] val DriftFeatures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "len" -> length(col("text")).cast("long"),
+    "words" -> size(split(col("text"), " ")).cast("long"))
+
+  /** s25 — MULTI-FEATURE streaming drift monitor: s24's frozen-
+    * reference PSI lifted from one hard-coded feature (text length) to
+    * a (feature, bin)-grain model table — the shape a real ingest gate
+    * runs, where drift in ANY monitored feature (length, token count,
+    * …) must fire. p05's PSI arithmetic is per-term and therefore
+    * feature-agnostic; the lift is purely a grain change:
+    *
+    *  - the FIRST batch freezes, PER FEATURE, the 10 integral bins
+    *    (per-feature extrema, the f17 closed-form `div`) and the
+    *    reference histogram — a (feature, bucket, n_ref, lo, rng)
+    *    model table, |features|×10 rows, KB at any corpus scale,
+    *    whole-table promote with the s24 marker discipline verbatim;
+    *  - every later batch scans ITSELF once (each row emits one
+    *    (feature, x) pair per monitored feature — a width-|features|
+    *    explode in the scan, no extra pass), clamps into the frozen
+    *    edge bins, and emits per-(feature, bucket) PSI terms against
+    *    the broadcast reference.
+    *
+    * Scale: per batch one self-scan + a |features|·10-row broadcast —
+    * nothing corpus-sized, nothing history-keyed (the s24 posture,
+    * unchanged by the extra grain). Crash/redelivery discipline is
+    * s24's verbatim: `_applied` markers, `_batch_<id>` on the frozen
+    * ref (a redelivered reference batch no-ops), psi rows a pure
+    * function of (frozen ref, batch) so re-writes are identical. */
+  def driftMultiSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    val s = batch.sparkSession
+    import s.implicits._
+    val nBins = 10L
+    val refDir = new java.io.File(s"$base/ref")
+    val feats = batch.select(explode(array(DriftFeatures.map { case (n, c) =>
+        struct(lit(n).as("feature"), c.as("x")) }: _*)).as("f"))
+      .select(col("f.feature").as("feature"), col("f.x").as("x"))
+    if (!new java.io.File(refDir, "_ready").exists) {
+      // FIRST batch = the reference snapshot: freeze per-feature bins
+      val gr = feats.groupBy("feature").agg(min(col("x")).as("lo"),
+        greatest(max(col("x")) - min(col("x")) + 1, lit(1L)).as("rng"))
+      if (!gr.isEmpty) {
+        val spine = DriftFeatures.map(_._1).toDF("feature")
+          .crossJoin(s.range(nBins).select(col("id").as("bucket")))
+        val counts = feats.join(gr, "feature")
+          .withColumn("bucket",
+            least(lit(nBins - 1), expr(s"(x - lo) * $nBins div rng")))
+          .groupBy("feature", "bucket").agg(count(lit(1)).as("n_ref"))
+        val hist = spine
+          .join(counts, Seq("feature", "bucket"), "left")
+          .join(gr, "feature")
+          .select(col("feature"), col("bucket"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            col("lo"), col("rng"))
+        val staging = new java.io.File(s"$base/ref_staging")
+        org.apache.commons.io.FileUtils.deleteQuietly(staging)
+        hist.coalesce(1).write.parquet(staging.toString)
+        // the s24 marker protocol verbatim: _ready gates the frozen
+        // branch, _batch_<id> records which batch froze it
+        markApplied(new java.io.File(staging, "_ready"))
+        markApplied(new java.io.File(staging, s"_batch_$batchId"))
+        org.apache.commons.io.FileUtils.deleteQuietly(refDir)
+        java.nio.file.Files.move(staging.toPath, refDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      markApplied(marker)
+      return
+    }
+    if (new java.io.File(refDir, s"_batch_$batchId").exists) {
+      // redelivered reference batch: the freeze already promoted
+      markApplied(marker)
+      return
+    }
+    // monitored batch: per-(feature, bucket) PSI vs the frozen model
+    // table (|features|·10 rows + per-feature extrema — broadcast)
+    val ref = s.read.parquet(refDir.toString)
+    val tRef = ref.groupBy("feature")
+      .agg(sum(col("n_ref")).as("t_ref"), first(col("lo")).as("lo"),
+        first(col("rng")).as("rng"))
+    val counts = feats.join(broadcast(tRef.select("feature", "lo", "rng")),
+        "feature")
+      .withColumn("bucket", greatest(lit(0L), least(lit(nBins - 1),
+        expr(s"(x - lo) * $nBins div rng"))))
+      .groupBy("feature", "bucket").agg(count(lit(1)).as("n_obs"))
+    val tObs = feats.groupBy("feature").agg(count(lit(1)).as("t_obs"))
+    if (!batch.isEmpty) {
+      // one IEEE division of exact integers per share (the d38 rule);
+      // ln canonicalized per term (the d34 contract)
+      val pCol = (col("n_ref") + 1).cast("double") /
+        (col("t_ref") + lit(nBins)).cast("double")
+      val qCol = (col("n_obs") + 1).cast("double") /
+        (col("t_obs") + lit(nBins)).cast("double")
+      val rows = ref.select(col("feature"), col("bucket"), col("n_ref"))
+        .join(counts, Seq("feature", "bucket"), "left")
+        .join(broadcast(tRef.select("feature", "t_ref")), "feature")
+        .join(broadcast(tObs), "feature")
+        .select(lit(batchId).as("batch_id"), col("feature"), col("bucket"),
+          col("n_ref"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          col("t_ref"), col("t_obs"))
+        .select(col("batch_id"), col("feature"), col("bucket"),
+          col("n_ref"), col("n_obs"),
+          graft.Canon.round4(pCol).as("share_ref"),
+          graft.Canon.round4(qCol).as("share_obs"),
+          graft.Canon.round4((pCol - qCol) *
+            graft.Canon.dec(log(pCol / qCol)).cast("double")).as("psi"))
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/psi/batch=$batchId")
+    }
+    markApplied(marker)
+  }
+
+  /** The s25 registry twin (the s24 feed shape at (feature, bin)
+    * grain): reference = the `doc_id % 4 < 2` snapshot, monitored =
+    * the %4 = 2 / %4 = 3 snapshots; output = every monitored batch's
+    * per-(feature, bucket) PSI rows re-read from DISK. */
+  def driftMultiFeed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-driftm").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Seq(docs.filter(pmod(col("doc_id"), lit(4L)) < 2),
+        docs.filter(pmod(col("doc_id"), lit(4L)) === 2),
+        docs.filter(pmod(col("doc_id"), lit(4L)) === 3))
+      .zipWithIndex.foreach { case (b, i) =>
+        driftMultiSink(base.toString)(b, i.toLong)
+      }
+    val psiRoot = new java.io.File(base, "psi")
+    val dirs = Option(psiRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "batch_id BIGINT, feature STRING, bucket BIGINT, n_ref BIGINT, " +
+            "n_obs BIGINT, share_ref DOUBLE, share_obs DOUBLE, psi DOUBLE"))
+    else s.read.option("basePath", psiRoot.toString).parquet(dirs: _*)
+      .select("batch_id", "feature", "bucket", "n_ref", "n_obs",
+        "share_ref", "share_obs", "psi")
+      .orderBy("batch_id", "feature", "bucket")
   }
 
   /** Batch reference for the upsert sink's final state: the last event

@@ -297,6 +297,42 @@ class BpeSpec extends SparkSpec {
       e.getMessage.contains("wordpieceEncode"))
   }
 
+  test("d83 profile ≡ the per-doc encoders' corpus totals; ratios are the " +
+    "pinned single divisions; planted greedy-vs-Viterbi shows in the bill") {
+    val prof = operators.QualityOps.tokenizerProfile(spark, Sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(prof.keySet === Set("bpe", "unigram", "wordpiece"))
+    def docTotals(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.agg(sum("n_words"), sum("n_chars"), sum("n_tokens")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq("bpe" -> operators.QualityOps.bpeEncode(spark, Sf),
+        "unigram" -> operators.QualityOps.unigramEncode(spark, Sf),
+        "wordpiece" -> operators.QualityOps.wordpieceEncode(spark, Sf))
+      .foreach { case (fam, df) =>
+        val (w, c, t) = docTotals(df)
+        val p = prof(fam)
+        // the profile's corpus totals ARE the per-doc encoders' sums —
+        // shared kernels, definitional equality
+        assert((p._2, p._3, p._4) === ((w, c, t)),
+          s"$fam profile totals drifted from the per-doc encoder")
+        assert(p._6 === r4(t.toDouble / w), s"$fam fertility")
+        assert(p._7 === r4(t.toDouble / c), s"$fam compression")
+        assert(p._8 >= 0.0 && p._8 <= 1.0 && p._5 > 0L, s"$fam bounds")
+      }
+    // planted: on the d76/d81 disagreement corpus the greedy family's
+    // corpus token bill strictly undercuts Viterbi's (xxy = 1 vs 2)
+    val docs = (Seq.fill(40)("xy") ++ Seq.fill(6)("xx") ++ Seq("xxy"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pp = operators.QualityOps.tokenizerProfileOver(spark, docs)
+      .select("family", "n_tokens").as[(String, Long)].collect().toMap
+    assert(pp("wordpiece") < pp("unigram"),
+      "planted corpus: the greedy bill must undercut Viterbi's")
+  }
+
   test("d76 refuses a word past the oracle's DP unroll instead of truncating") {
     val docs = Seq((1L, "a twelvecharsw ok"), (2L, "supercalifragilistic"))
       .toDF("doc_id", "text")

@@ -66,6 +66,9 @@ class EmptyInputSpec extends SparkSpec {
       // corpus (empty edge set ⇒ converged after one no-op iteration)
       "neardupClusters" -> (PairGraph.neardupClusters _),
       "clusterKeepBest" -> (DedupOps.clusterKeepBest _),
+      // d82: empty adjacency → empty CC → no vectors to label
+      "knnGraphDedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        EmbeddingOps.knnGraphDedup(s, d)),
       "filterAgreement" -> (QualityOps.filterAgreement _),
       "contamination" -> (PairGraph.contamination _),
       "seqPacking" -> (SamplingOps.seqPacking _),
@@ -120,6 +123,12 @@ class EmptyInputSpec extends SparkSpec {
     ).foreach { case (name, fn) =>
       assert(fn(spark, emptyDir).count() === 0L, s"$name on empty input")
     }
+    // d83 is a PROFILE report: three family rows always, zero counts
+    // and NULL ratios on an empty corpus (the guarded divisions)
+    val tp = operators.QualityOps.tokenizerProfile(spark, emptyDir).collect()
+    assert(tp.length === 3 && tp.forall(r =>
+        r.getLong(1) == 0L && r.getLong(3) == 0L && r.isNullAt(5)),
+      "tokenizerProfile on empty input")
     // f08 is a GLOBAL aggregate (one row always); the z-order write must
     // survive null extrema (empty min/max) and report zero matched rows
     val z = operators.Sources.zorderScan(spark, emptyDir).head()
@@ -173,6 +182,7 @@ class EmptyInputSpec extends SparkSpec {
       // s17: three empty batches publish empty docs/pairs stores
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
       "driftMonitorFeed" -> (Streaming.driftMonitorFeed _),
+      "driftMultiFeed" -> (Streaming.driftMultiFeed _),
       // s18: empty reference batch → empty centroids/labels stores
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
       // f24: empty snapshot branches/merges fine → zero bucket rows

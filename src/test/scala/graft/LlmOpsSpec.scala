@@ -1470,6 +1470,63 @@ class LlmOpsSpec extends SparkSpec {
     assert(EmbeddingOps.knnGraphOver(hot, 3, maxBlock = 50L).count() > 0)
   }
 
+  test("d82 knn-graph dedup ≡ in-memory union-find over the τ-filtered " +
+    "adjacency + quality keep-best; families partition the corpus") {
+    val tau = EmbeddingOps.KnnDedupTau
+    val adj = EmbeddingOps.knnGraphCells(spark, Sf)
+      .select("i", "j", "sim").as[(Long, Long, Double)].collect()
+    val ids = Tables.embeddings(spark, Sf).select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    // union-find (path halving) over the τ-kept edges — the reference
+    // transitive closure, label = smallest reachable id
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    adj.filter(_._3 >= tau).foreach { case (i, j, _) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { val lo = math.min(ri, rj); parent(math.max(ri, rj)) = lo }
+    }
+    // canonicalize to min-id labels (union by min above keeps roots
+    // minimal already; find() settles the chains)
+    val fam = ids.map(i => i -> find(i)).toMap
+    // the d08/d53 quality score recomputed in plain Scala (split keeps
+    // trailing empties like Spark's regex split; round4 = HALF_UP at
+    // scale 4, the Canon contract)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val quality = Tables.documents(spark, Sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      .map { case (id, text) =>
+        val t = text.split(" ", -1).toSeq
+        id -> r4(math.log(1.0 + t.size) * r4(t.distinct.size.toDouble / t.size))
+      }
+    val sizes = fam.values.groupBy(identity).map { case (f, g) => f -> g.size.toLong }
+    val keep = fam.groupBy(_._2).map { case (f, members) =>
+      f -> members.keys.toSeq.sortBy(i => (-quality(i), i)).head
+    }
+    val expect = ids.map { i =>
+      val f = fam(i)
+      (i, f, sizes(f), quality(i), keep(f), i == keep(f))
+    }
+    val got = EmbeddingOps.knnGraphDedup(spark, Sf)
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
+    assert(got === expect, "d82 drifted from the union-find reference")
+    // structural pins: families partition the corpus; exactly one kept
+    // member per family; the kept member's quality dominates
+    assert(got.map(_._1).toSet === ids.toSet)
+    got.groupBy(_._2).foreach { case (f, rows) =>
+      assert(rows.count(_._6) === 1, s"family $f: kept != 1")
+      val k = rows.find(_._6).get
+      assert(rows.forall(r => r._4 < k._4 || (r._4 == k._4 && r._1 >= k._1)),
+        s"family $f: kept member not quality-dominant")
+    }
+    // non-vacuous: at least one multi-member family exists at this sf
+    assert(got.exists(_._3 > 1L), "vacuous fixture: no τ-edge survived")
+  }
+
   test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
     val rows = SamplingOps.seqPacking(spark, Sf)
       .select("doc_id", "shard", "n_tokens", "start_off", "first_bin", "last_bin")

@@ -969,6 +969,82 @@ class StreamingSpec extends SparkSpec {
     assert(psi() === streamed, "crash re-apply changed the PSI rows")
   }
 
+  test("s25: multi-feature drift monitor ≡ batch twin; per-feature bins " +
+    "freeze on batch 0; redelivery and reference-redelivery no-op") {
+    import org.apache.commons.io.FileUtils
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+      .as[NewDoc].collect().toSeq
+    val batches = Seq(docs.filter(_.doc_id % 4 < 2),
+      docs.filter(_.doc_id % 4 == 2), docs.filter(_.doc_id % 4 == 3))
+    val base = java.nio.file.Files.createTempDirectory("graft-s25").toString
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[NewDoc]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.driftMultiSink(base)(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    def refBytes(): Map[String, String] =
+      new java.io.File(s"$base/ref").listFiles.filter(_.isFile)
+        .map(f => f.getName ->
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    var frozen: Map[String, String] = Map.empty
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        src.addData(b); q.processAllAvailable()
+        if (i == 0) frozen = refBytes()
+        else assert(refBytes() === frozen,
+          s"monitored batch $i moved the frozen per-feature reference")
+      }
+    } finally q.stop()
+    def psi(): Seq[String] = {
+      val dirs = new java.io.File(s"$base/psi").listFiles
+        .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+      spark.read.parquet(dirs: _*)
+        .select("batch_id", "feature", "bucket", "n_ref", "n_obs",
+          "share_ref", "share_obs", "psi")
+        .orderBy("batch_id", "feature", "bucket")
+        .collect().map(_.toString).toSeq
+    }
+    val streamed = psi()
+    assert(streamed.size === 40,
+      "two monitored batches × two features × 10 bins")
+    // streamed-on-disk ≡ the registry batch twin
+    assert(streamed === Streaming.driftMultiFeed(spark, Sf)
+      .collect().map(_.toString).toSeq)
+    // the model table carries BOTH features, 10 bins each, with their
+    // own extrema (the grain the s24 monitor lacked)
+    val ref = spark.read.parquet(s"$base/ref")
+    assert(ref.select("feature").distinct().as[String].collect().sorted
+      === Array("len", "words"))
+    assert(ref.groupBy("feature").count().as[(String, Long)].collect()
+      .forall(_._2 == 10L))
+    assert(ref.select("feature", "lo", "rng").distinct().count() === 2L,
+      "each feature must freeze its own extrema")
+    // every PSI term ≥ 0 in every feature
+    psi().foreach(_ => ())
+    spark.read.parquet(s"$base/psi/batch=1", s"$base/psi/batch=2")
+      .select("psi").as[Double].collect()
+      .foreach(v => assert(v >= 0.0, s"negative PSI term $v"))
+    // redelivered monitored batch (different data): marker no-ops it
+    Streaming.driftMultiSink(base)(
+      Seq(NewDoc(999999L, "drifted drifted drifted")).toDF(), 1L)
+    assert(psi() === streamed && refBytes() === frozen)
+    // redelivered REFERENCE batch after losing the side marker: the
+    // ref dir's own _batch_0 makes it a pure no-op
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/0"))
+    Streaming.driftMultiSink(base)(batches(0).toDF(), 0L)
+    assert(new java.io.File(s"$base/_applied/0").exists, "marker backfilled")
+    assert(refBytes() === frozen && psi() === streamed,
+      "a redelivered reference batch must be a pure no-op")
+    // crash between a monitored write and its marker: identical re-write
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
+    Streaming.driftMultiSink(base)(batches(2).toDF(), 2L)
+    assert(psi() === streamed, "crash re-apply changed the PSI rows")
+  }
+
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
     // constructs the states a kill can leave BETWEEN the swap's renames
     // (not reachable by in-process calls) and asserts the recovery
