@@ -902,7 +902,9 @@ object EmbeddingOps {
     * Σ block² instead of n², and with labels as the block key the
     * semantics are EXACT and SQL-expressible (a production run swaps in
     * the d74 coarse cells or d03's LSH bands as the key — same plan,
-    * approximate-by-blocking semantics, the documented trade). The
+    * approximate-by-blocking semantics, the documented trade).
+    * [[knnGraphDedup]] (d82) is the promised consumer: CC over this
+    * adjacency at sim ≥ τ + the d53 keep-best rule per family. The
     * per-vertex cut is a row_number window keyed by i — bounded by one
     * block's width, and Spark 4's InferWindowGroupLimit inserts a
     * PARTIAL WindowGroupLimit below the shuffle, so each map task ships

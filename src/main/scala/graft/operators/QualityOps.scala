@@ -1448,7 +1448,7 @@ object QualityOps {
         .otherwise(0L)), lit(0L)).as("n_single"))
     val pieces = seg.select(explode(col("pieces")).as("piece"))
       .agg(count_distinct(col("piece")).as("n_pieces_used"))
-    stats.crossJoin(pieces).select(
+    stats.crossJoin(broadcast(pieces)).select(
       lit(fam).as("family"),
       col("n_words"), col("n_chars"), col("n_tokens"), col("n_pieces_used"),
       when(col("n_words") > 0,
