@@ -176,6 +176,7 @@ object SparkEntry {
     "m09_interleaved_pack" -> (Multimodal.interleavedPack _),
     // shot segmentation: frames grouped into scenes at motion-energy spikes
     "m10_shot_segments" -> (Multimodal.shotSegments _),
+    "m11_clip_containment" -> ((s, d) => Multimodal.clipContainment(s, d)),
     // — streaming surface (E16–E17), batch form of the shared
     //   transformations; StreamingSpec runs the same transformations as
     //   real streams and asserts streaming ≡ batch —
@@ -3436,6 +3437,39 @@ object SparkEntry {
          |FROM common JOIN sizes si ON si.doc_id = i
          |JOIN sizes sj ON sj.doc_id = j
          |WHERE n_common::DOUBLE / (si.n_fr + sj.n_fr - n_common) >= 0.5
+         |ORDER BY i, j""".stripMargin,
+    "m11_clip_containment" ->
+      // m08's frame-grain candidate CTEs verbatim with the d40
+      // containment denominator, over the base corpus + the derived
+      // CLIP population (docs ≡ 5 mod 20 with > 4 frames contribute
+      // frames 2..4, frame-aligned — hex chars 257..640)
+      s"""WITH bd AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         |assets AS (
+         |  SELECT doc_id, hx FROM bd
+         |  UNION ALL SELECT doc_id + 300000, substr(hx, 257, 384) FROM bd
+         |    WHERE doc_id % 20 = 5 AND length(hx) > 512),
+         |fr AS (SELECT doc_id, unnest(list_distinct(
+         |         [substr(hx, (i - 1) * 128 + 1, 128)
+         |          for i in range(1, CAST(ceil(length(hx) / 128.0) AS BIGINT) + 1)]))
+         |         AS fh
+         |       FROM assets),
+         |freq AS (SELECT fh, count(*) AS df FROM fr GROUP BY fh),
+         |rare AS (SELECT doc_id, fh FROM fr JOIN freq USING (fh)
+         |         WHERE df <= ${graft.operators.PairGraph.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM rare a JOIN rare b
+         |           ON a.fh = b.fh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_fr FROM fr GROUP BY doc_id),
+         |common AS (SELECT c.i, c.j, count(*) AS n_common
+         |           FROM cand c JOIN fr a ON a.doc_id = c.i
+         |           JOIN fr b ON b.doc_id = c.j AND b.fh = a.fh
+         |           GROUP BY 1, 2)
+         |SELECT i, j, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(si.n_fr AS BIGINT) AS n_i, CAST(sj.n_fr AS BIGINT) AS n_j,
+         |  ${round4("n_common::DOUBLE / least(si.n_fr, sj.n_fr)")} AS containment
+         |FROM common JOIN sizes si ON si.doc_id = i
+         |JOIN sizes sj ON sj.doc_id = j
+         |WHERE n_common::DOUBLE / least(si.n_fr, sj.n_fr) >= 0.9
          |ORDER BY i, j""".stripMargin,
     "m09_interleaved_pack" ->
       // the d24 running-total bins with a 64-token vision prefix on

@@ -455,7 +455,21 @@ object Multimodal {
   /** [[assetDedup]] over an explicit (doc_id, payload BINARY) asset
     * table — package-visible for the planted trim/clone/unrelated
     * specs. */
-  private[graft] def assetDedupOver(assets: DataFrame, tau: Double): DataFrame = {
+  private[graft] def assetDedupOver(assets: DataFrame, tau: Double): DataFrame =
+    framePairCounts(assets)
+      .withColumn("jac_raw", col("n_common").cast("double") /
+        (col("n_i") + col("n_j") - col("n_common")))
+      .filter(col("jac_raw") >= tau)
+      .select(col("i"), col("j"), col("n_common"), col("n_i"), col("n_j"),
+        graft.Canon.round4(col("jac_raw")).as("jac"))
+      .orderBy("i", "j")
+
+  /** The shared frame-grain pair kernel behind m08 (Jaccard) and m11
+    * (containment): distinct frame sets, DF cap, rare-frame candidate
+    * pairs, full-set intersection counts — the d02 candidate machinery
+    * at frame grain, metric left to the caller. Returns
+    * (i, j, n_common, n_i, n_j). */
+  private def framePairCounts(assets: DataFrame): DataFrame = {
     val fr = frameRows(assets)
       .select(col("doc_id"), upper(hex(col("frame_bytes"))).as("fh"))
       .distinct()
@@ -474,13 +488,48 @@ object Multimodal {
     common
       .join(sizes.select(col("doc_id").as("i"), col("n_fr").as("n_i")), "i")
       .join(sizes.select(col("doc_id").as("j"), col("n_fr").as("n_j")), "j")
-      .withColumn("jac_raw", col("n_common").cast("double") /
-        (col("n_i") + col("n_j") - col("n_common")))
-      .filter(col("jac_raw") >= tau)
-      .select(col("i"), col("j"), col("n_common"), col("n_i"), col("n_j"),
-        graft.Canon.round4(col("jac_raw")).as("jac"))
-      .orderBy("i", "j")
   }
+
+  /** m11 — CLIP CONTAINMENT: the content-ID question m08 structurally
+    * cannot answer — "is this short asset a CLIP cut out of that long
+    * one?" m08's Jaccard normalizes by the UNION, so a 3-frame clip
+    * inside a 100-frame video scores 3/100 and dies at any useful τ;
+    * the d40 containment rule at frame grain normalizes by the SMALLER
+    * side — n_common / min(n_i, n_j) — and the embedded clip scores
+    * 1.0 regardless of the host's length. Same candidate machinery as
+    * m08 ([[framePairCounts]]: distinct-frame sets, zipf-head DF cap,
+    * rare-frame bucketed equi-join, exact verify — never all-pairs),
+    * one different denominator; at 100 TB the frame key becomes
+    * xxhash64(frame) (the d01 note) and the kernel is unchanged.
+    *
+    * Registry instance: the document payloads plus a derived CLIP
+    * population the oracle mirrors — docs ≡ 5 mod 20 with more than 4
+    * frames contribute id + 3·10⁵ whose payload is frames 2..4 cut at
+    * a frame boundary (substring at byte 2·[[FrameBytes]]+1, length
+    * 3·[[FrameBytes]]) — frame-aligned, so every clip frame IS a
+    * parent frame and the pair scores containment 1.0 while its
+    * Jaccard is ~3/n (the gap the operator exists for; spec pins it). */
+  def clipContainment(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
+    val base = mediaTable(s, d).select(col("doc_id"), col("payload"))
+    val clips = base.filter(pmod(col("doc_id"), lit(20L)) === 5 &&
+        length(col("payload")) > FrameBytes * 4)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        expr(s"substring(payload, ${2 * FrameBytes + 1}, ${3 * FrameBytes})")
+          .as("payload"))
+    clipContainmentOver(base.unionByName(clips), tau)
+  }
+
+  /** [[clipContainment]] over an explicit (doc_id, payload BINARY)
+    * asset table — package-visible for the planted clip/host specs. */
+  private[graft] def clipContainmentOver(assets: DataFrame,
+      tau: Double): DataFrame =
+    framePairCounts(assets)
+      .withColumn("cont_raw", col("n_common").cast("double") /
+        least(col("n_i"), col("n_j")))
+      .filter(col("cont_raw") >= tau)
+      .select(col("i"), col("j"), col("n_common"), col("n_i"), col("n_j"),
+        graft.Canon.round4(col("cont_raw")).as("containment"))
+      .orderBy("i", "j")
 
   /** m09 — INTERLEAVED multimodal sequence packing: the d24 packer
     * extended with a VISION modality — a multimodal pretraining batch

@@ -118,6 +118,9 @@ class EmptyInputSpec extends SparkSpec {
       // round 16: empty cells store → no blocks; empty vocab → no words
       "knnGraphCells" -> ((s: org.apache.spark.sql.SparkSession, d: String) => EmbeddingOps.knnGraphCells(s, d)),
       "wordpieceEncode" -> (QualityOps.wordpieceEncode _),
+      // m11: no assets → no frames → no candidate pairs
+      "clipContainment" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        Multimodal.clipContainment(s, d)),
       // p11: no vectors → no positions → no profile rows
       "embeddingProfile" -> (operators.Profiling.embeddingProfile _)
     ).foreach { case (name, fn) =>

@@ -50,6 +50,35 @@ class MultimodalSpec extends SparkSpec {
       (2L, 3L, 5000L, 5001L, 5000L, 0.9998)))
   }
 
+  test("m11: an embedded clip scores containment 1.0 where jaccard dies; " +
+    "partial overlap stays below tau; registry clips are frame-aligned") {
+    def fr(p: String, i: Int) = p + ("%063d".format(i)) // exactly 64 bytes
+    val host = (0 until 20).map(fr("h", _)).mkString        // 20 frames
+    val clip = (2 until 5).map(fr("h", _)).mkString         // host frames 2..4
+    val partial = (fr("h", 0) +: (0 until 2).map(fr("q", _))).mkString // 1/3 shared
+    val assets = Seq((1L, host.getBytes("UTF-8")), (2L, clip.getBytes("UTF-8")),
+      (3L, partial.getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.clipContainmentOver(assets, 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // the (1,2) clip: containment 3/3 = 1.0; its jaccard 3/20 = 0.15
+    // would die at ANY useful m08 tau — the gap the operator exists for
+    assert(got === Seq((1L, 2L, 3L, 20L, 3L, 1.0)))
+    assert(Multimodal.assetDedupOver(assets, 0.5)
+      .filter(col("i") === 1 && col("j") === 2).count() === 0L,
+      "fixture drift: jaccard must NOT see the embedded clip")
+    // the partial asset shares 1 of its 3 frames: containment 1/3 < 0.9
+    // (present in the unfiltered kernel, cut by tau)
+    assert(!got.exists(r => r._1 == 1L && r._2 == 3L))
+    // the registry's derived clips are frame-aligned by construction:
+    // every planted (parent, parent+300000) pair scores exactly 1.0
+    val reg = Multimodal.clipContainment(spark, Sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val planted = reg.filter { case (i, j, _, _, _, _) => j == i + 300000L }
+    assert(planted.nonEmpty, "vacuous fixture: no clip pair at this sf")
+    assert(planted.forall(_._6 == 1.0),
+      "a frame-aligned clip must be fully contained")
+  }
+
   test("frame sampling tiles the payload exactly") {
     val meta = Multimodal.binaryMeta(spark, Sf)
       .select("doc_id", "n_bytes", "n_frames").as[(Long, Long, Long)]
