@@ -197,8 +197,13 @@ object Bench {
     // is committed in the full record (`shardOrder`) so the artifact
     // alone says which shards ran first. Shard IDENTITY (membership,
     // shardPasses indexing) is unchanged — only run order moves.
-    val rot = sys.env.get("SPARK_GRAFT_BENCH_ROTATION").map(_.toInt)
-      .getOrElse(((System.currentTimeMillis / 86400000L) % nShards).toInt)
+    // floorMod: a stray negative override (or a pre-epoch clock) must
+    // rotate, not index shardNames(-1) and kill the run before any
+    // query executes
+    val rot = java.lang.Math.floorMod(
+      sys.env.get("SPARK_GRAFT_BENCH_ROTATION").map(_.toLong)
+        .getOrElse(System.currentTimeMillis / 86400000L),
+      nShards.toLong).toInt
     val shardNames = shardAssignment(queries.map(_._1), nShards)
     val order = (0 until nShards).map(i => (i + rot) % nShards)
     lock.synchronized { shardOrderG = order }

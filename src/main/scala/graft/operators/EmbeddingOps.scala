@@ -1027,7 +1027,12 @@ object EmbeddingOps {
     val quality = Tables.documents(s, d)
       .select(col("doc_id").as("vec_id"),
         qualityScore(toks(col("text"))).as("quality_score"))
-    val joined = asg.join(sizes, "family_id").join(quality, "vec_id")
+    // persisted: both the keep-best aggregate and the final decision
+    // join consume this corpus-sized chain — without it the scans,
+    // the family_id shuffle and both joins run twice (the ivfCellsOver
+    // lesson)
+    val joined = persistCorpus(
+      asg.join(sizes, "family_id").join(quality, "vec_id"))
     val best = joined.groupBy("family_id")
       .agg(max_by(col("vec_id"),
         struct(col("quality_score"), (-col("vec_id")).as("neg_id")))

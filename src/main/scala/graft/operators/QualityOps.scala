@@ -1117,9 +1117,14 @@ object QualityOps {
     wf
   }
 
-  private def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) =
+    unigramTrainWf(wordFreq(docs, "unigramLm"))
+
+  /** [[unigramTrain]] over an already-derived word-frequency table —
+    * the d83 profile shares ONE wf across all three families instead
+    * of re-deriving it per trainer. */
+  private def unigramTrainWf(wf: DataFrame): (DataFrame, DataFrame) = {
     val (lMax, v) = (UniMaxPiece, UniSeedMulti)
-    val wf = wordFreq(docs, "unigramLm")
     // seed counts: weighted occurrences of every substring of length
     // 1..lMax (the d75 position-explode at word grain, corpus-free)
     val subs = (1 to lMax).map { k =>
@@ -1424,9 +1429,9 @@ object QualityOps {
         v.withColumn("rep", mergePass(col("rep"), m.getString(1), m.getString(2)))
       }
       .select(col("word"), col("cnt"), split(trim(col("rep")), " ").as("pieces"))
-    // unigram-LM: train to final costs, one more Viterbi segmentation
-    // (the d77 path)
-    val (wfU, c1) = unigramTrain(docs)
+    // unigram-LM: train to final costs over the SHARED wf, one more
+    // Viterbi segmentation (the d77 path)
+    val (wfU, c1) = unigramTrainWf(wf)
     val uni = viterbiPaths(wfU, c1).select(col("word"), col("cnt"), col("pieces"))
     // WordPiece: the d81 greedy walk under the positional vocabulary
     val wp = greedyPaths(wf, wordpieceVocab(wf))

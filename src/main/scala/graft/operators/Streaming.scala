@@ -1638,9 +1638,17 @@ object Streaming {
     val refDir = new java.io.File(s"$base/ref")
     val lens = batch.select(length(col("text")).cast("long").as("x"))
     if (!new java.io.File(refDir, "_ready").exists) {
-      // FIRST batch = the reference snapshot: freeze bins + histogram
-      val r = lens.agg(min(col("x")), max(col("x"))).head()
-      if (!r.isNullAt(0)) {
+      // BATCH 0 = the reference snapshot BY CONTRACT: freeze bins +
+      // histogram. A later batch must never inherit the reference role
+      // (an empty batch 0 means the reference corpus was empty — no
+      // model ever freezes and no PSI is ever emitted, which is also
+      // what the oracle's empty reference slice yields; letting the
+      // first NON-empty batch freeze instead would silently score the
+      // remaining batches against a drifted baseline the oracle
+      // doesn't model).
+      val r = if (batchId == 0L) lens.agg(min(col("x")), max(col("x"))).head()
+        else null
+      if (r != null && !r.isNullAt(0)) {
         val lo = r.getLong(0)
         val rng = math.max(r.getLong(1) - lo + 1, 1L)
         val hist = s.range(nBins).select(col("id").as("bucket"))
@@ -1782,10 +1790,13 @@ object Streaming {
         struct(lit(n).as("feature"), c.as("x")) }: _*)).as("f"))
       .select(col("f.feature").as("feature"), col("f.x").as("x"))
     if (!new java.io.File(refDir, "_ready").exists) {
-      // FIRST batch = the reference snapshot: freeze per-feature bins
+      // BATCH 0 = the reference snapshot BY CONTRACT (the s24 rule —
+      // see driftMonitorSink: a later batch must never inherit the
+      // reference role; an empty reference corpus freezes nothing and
+      // the monitor emits nothing, matching the oracle's empty slice)
       val gr = feats.groupBy("feature").agg(min(col("x")).as("lo"),
         greatest(max(col("x")) - min(col("x")) + 1, lit(1L)).as("rng"))
-      if (!gr.isEmpty) {
+      if (batchId == 0L && !gr.isEmpty) {
         val spine = DriftFeatures.map(_._1).toDF("feature")
           .crossJoin(s.range(nBins).select(col("id").as("bucket")))
         val counts = feats.join(gr, "feature")

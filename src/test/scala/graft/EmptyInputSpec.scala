@@ -182,7 +182,7 @@ class EmptyInputSpec extends SparkSpec {
       "runningTotals" -> (Streaming.runningTotalsBatch _),
       "timerSessionsBatch" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Streaming.timerSessionsBatch(s, d)),
       "trendingTopK" -> (Streaming.trendingTopKBatch _),
-      // s17: three empty batches publish empty docs/pairs stores
+      // s17: both empty batches publish empty docs/pairs stores
       "pairMaintFeed" -> (Streaming.pairMaintFeed _),
       "driftMonitorFeed" -> (Streaming.driftMonitorFeed _),
       "driftMultiFeed" -> (Streaming.driftMultiFeed _),

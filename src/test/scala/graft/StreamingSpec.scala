@@ -1024,7 +1024,6 @@ class StreamingSpec extends SparkSpec {
     assert(ref.select("feature", "lo", "rng").distinct().count() === 2L,
       "each feature must freeze its own extrema")
     // every PSI term ≥ 0 in every feature
-    psi().foreach(_ => ())
     spark.read.parquet(s"$base/psi/batch=1", s"$base/psi/batch=2")
       .select("psi").as[Double].collect()
       .foreach(v => assert(v >= 0.0, s"negative PSI term $v"))
@@ -1043,6 +1042,31 @@ class StreamingSpec extends SparkSpec {
     FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
     Streaming.driftMultiSink(base)(batches(2).toDF(), 2L)
     assert(psi() === streamed, "crash re-apply changed the PSI rows")
+  }
+
+  test("s24/s25: batch 0 is the reference BY CONTRACT — an empty reference " +
+    "corpus freezes nothing and later batches never inherit the role") {
+    // the oracle derives the reference from the doc_id%4<2 slice; if a
+    // later non-empty batch could freeze instead, monitored batches
+    // would score against a baseline the oracle doesn't model (found
+    // in round-17 review — pin it)
+    val nonEmpty = Seq(NewDoc(2L, "aa bb cc"), NewDoc(3L, "dd ee ff gg"))
+    Seq[(String, String => (org.apache.spark.sql.DataFrame, Long) => Unit)](
+      "s24" -> (b => Streaming.driftMonitorSink(b)),
+      "s25" -> (b => Streaming.driftMultiSink(b))).foreach { case (tag, mk) =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-$tag-e").toString
+      val sink = mk(base)
+      sink(Seq.empty[NewDoc].toDF(), 0L)
+      sink(Seq(nonEmpty.head).toDF(), 1L)
+      sink(Seq(nonEmpty(1)).toDF(), 2L)
+      assert(!new java.io.File(s"$base/ref").exists,
+        s"$tag: a non-reference batch froze a model")
+      assert(!new java.io.File(s"$base/psi").exists,
+        s"$tag: PSI emitted with no frozen reference")
+      (0L to 2L).foreach(i => assert(
+        new java.io.File(s"$base/_applied/$i").exists,
+        s"$tag: batch $i not marked applied"))
+    }
   }
 
   test("upsert crash recovery: every on-disk crash state restores (killed-JVM shapes)") {
