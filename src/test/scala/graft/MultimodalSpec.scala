@@ -79,6 +79,37 @@ class MultimodalSpec extends SparkSpec {
       "a frame-aligned clip must be fully contained")
   }
 
+  test("m11 filters on the RAW containment: a pair that rounds UP to tau " +
+    "stays excluded") {
+    // the m08 round-13 discipline applied to the containment metric:
+    // filter on the raw ratio, round4 only in the output projection.
+    // Fixture: 8999/10000 = 0.8999 < 0.9 but a round-TO-FEWER-DECIMALS
+    // bug class would keep it; and 9000/10000 = 0.9 exactly is kept.
+    def fr(p: String, i: Int) = p + ("%059d".format(i)) // 64 bytes
+    val shared = (0 until 9000).map(fr("share", _))
+    val host = (shared ++ (0 until 6000).map(fr("hosta", _))).mkString
+    val inA = (shared.drop(1) ++ Seq(fr("onlya", 0), fr("onlyb", 0))).mkString // 8999 shared / 9001
+    val inB = (shared :+ fr("onlyc", 0)).mkString                              // 9000 shared / 9001
+    val assets = Seq((1L, host.getBytes("UTF-8")), (2L, inA.getBytes("UTF-8")),
+      (3L, inB.getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.clipContainmentOver(assets, 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      .filter(_._1 == 1L)
+    // (1,2): 8999/9001 = 0.99977… kept. Use min side: n_i=15000, n_2=9001
+    // → containment 8999/9001; (1,3): 9000/9001. Both ≥ 0.9: that pins
+    // nothing — so assert the sub-tau pair instead on a tighter tau.
+    assert(got.map(r => (r._2, r._3)).toSet === Set((2L, 8999L), (3L, 9000L)))
+    val tight = Multimodal.clipContainmentOver(assets, 0.99990)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      .filter(_._1 == 1L)
+    // raw(1,2) = 8999/9001 = 0.9997778 < 0.9999 → OUT even though its
+    // round4 (0.9998) is also below; raw(1,3) = 9000/9001 = 0.9998889
+    // < 0.9999 → OUT, but its round4 is 0.9999 == tau — a
+    // round-then-filter implementation would KEEP it and diverge
+    assert(tight.isEmpty,
+      "containment filter must apply to the raw ratio, not round4")
+  }
+
   test("frame sampling tiles the payload exactly") {
     val meta = Multimodal.binaryMeta(spark, Sf)
       .select("doc_id", "n_bytes", "n_frames").as[(Long, Long, Long)]
