@@ -100,6 +100,7 @@ object SparkEntry {
     "d80_knn_graph" -> ((s, d) => EmbeddingOps.knnGraph(s, d)),
     "d80b_knn_graph_cells" -> ((s, d) => EmbeddingOps.knnGraphCells(s, d)),
     "d82_knn_graph_dedup" -> ((s, d) => EmbeddingOps.knnGraphDedup(s, d)),
+    "d84_graph_dedup_delta" -> ((s, d) => EmbeddingOps.knnGraphDedupDelta(s, d)),
     "d07_tfidf" -> (QualityOps.tfidf _),
     "d08_text_stats" -> (QualityOps.textStats _),
     "d09_lang_profile" -> (QualityOps.langProfile _),
@@ -1055,6 +1056,46 @@ object SparkEntry {
          |SELECT jn.vec_id, jn.family_id, jn.family_size, jn.quality_score,
          |  kb.keep_id, jn.vec_id = kb.keep_id AS kept
          |FROM jn JOIN kb USING (family_id) ORDER BY jn.vec_id""".stripMargin
+    },
+    "d84_graph_dedup_delta" -> {
+      // d82's chain restricted to the EXISTING corpus (vec_id%10<8),
+      // then per NEW vector the argmax existing neighbor within its
+      // own (full-corpus-deterministic) cell and the join/new decision
+      val (ctes, fin) = ivfCellCtes
+      s"""WITH RECURSIVE $ctes,
+         |g AS (SELECT e.vec_id, a.cid, e.v
+         |      FROM e JOIN $fin a ON e.vec_id = a.vec_id),
+         |ex AS (SELECT * FROM g WHERE vec_id % 10 < 8),
+         |nb AS (SELECT * FROM g WHERE vec_id % 10 >= 8),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |        ${round4(cosSql("a.v", "b.v"))} AS sim
+         |      FROM ex a JOIN ex b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY i ORDER BY sim DESC, j) AS knn_rank FROM p),
+         |eg AS (SELECT i, j FROM r WHERE knn_rank <= 3 AND sim >= 0.40
+         |       UNION ALL
+         |       SELECT j, i FROM r WHERE knn_rank <= 3 AND sim >= 0.40),
+         |reach(src, node) AS (
+         |  SELECT DISTINCT i, i FROM eg
+         |  UNION
+         |  SELECT rc.src, e2.j FROM reach rc JOIN eg e2 ON e2.i = rc.node),
+         |lbl AS (SELECT src AS eid, min(node) AS fid
+         |        FROM reach GROUP BY src),
+         |fam AS (SELECT ex.vec_id AS eid, coalesce(l.fid, ex.vec_id) AS fid
+         |        FROM ex LEFT JOIN lbl l ON l.eid = ex.vec_id),
+         |cnd AS (SELECT nb.vec_id, ex.vec_id AS cand_id,
+         |          ${round4(cosSql("nb.v", "ex.v"))} AS csim
+         |        FROM nb JOIN ex ON ex.cid = nb.cid),
+         |bst AS (SELECT vec_id, cand_id AS best_id, csim AS sim FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY csim DESC, cand_id) AS rn FROM cnd) WHERE rn = 1)
+         |SELECT nb.vec_id,
+         |  CASE WHEN b.sim >= 0.40 THEN 'join' ELSE 'new' END AS decision,
+         |  CASE WHEN b.sim >= 0.40 THEN f.fid ELSE nb.vec_id END AS family_id,
+         |  b.best_id, b.sim
+         |FROM nb LEFT JOIN bst b ON b.vec_id = nb.vec_id
+         |LEFT JOIN fam f ON f.eid = b.best_id
+         |ORDER BY nb.vec_id""".stripMargin
     },
     "s23_index_deletes" ->
       // streaming ≡ batch: three streamed tombstone batches land the

@@ -1127,6 +1127,68 @@ object EmbeddingOps {
   }
 
 
+  /** d84 — INCREMENTAL graph dedup: the d30 question ("is this NEW
+    * batch a duplicate of the existing corpus?") answered at embedding
+    * grain — d82's admission twin. A production pipeline does not
+    * re-cluster the corpus per batch; it holds the d82 families for
+    * the EXISTING corpus and asks, per new vector, whether it JOINS a
+    * family or FOUNDS one:
+    *
+    *  - existing = `vec_id % 10 < 8` (the d30 batch convention), its
+    *    families = the d82 chain over the existing-only subgraph
+    *    (cells-blocked k-NN at sim ≥ τ → d19 CC);
+    *  - per new vector, candidates are the existing members of ITS
+    *    OWN frozen coarse cell (the published d74 assignment — the
+    *    s19 frozen-model discipline), best neighbor via one `max_by`
+    *    aggregate — O(Δ · cell-width) work, never corpus × Δ;
+    *  - decision: sim ≥ τ → `join` best's family; otherwise (or cell
+    *    empty of existing members) → `new`, founding family = own id.
+    *
+    * Output per new vector: (vec_id, decision, family_id, best_id,
+    * sim) — the admission row a dedup gate acts on, with the evidence
+    * columns nullable when the cell held no existing member. At
+    * 100 TB the existing-side families come from the published d82
+    * labels (not recomputed — the registry twin re-derives them the
+    * way d30 re-derives d02's pairs; d30b's store-fed shape is the
+    * production swap) and the probe is one cells-bucketed equi-join. */
+  def knnGraphDedupDelta(s: SparkSession, d: String, k: Int = 3,
+      tau: Double = KnnDedupTau): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val (cells, _, _, _) = VectorIndexStore.relations(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(cells.select(col("vec_id"), col("cid").as("block")), "vec_id")
+    // persisted: the adjacency self-join, the CC edge derivation and
+    // the probe join all consume the existing side
+    val exist = persistCorpus(e.filter(pmod(col("vec_id"), lit(10L)) < 8))
+    val batch = e.filter(pmod(col("vec_id"), lit(10L)) >= 8)
+    val edges = knnGraphOver(exist, k)
+      .filter(col("sim") >= tau).select(col("i"), col("j"))
+    val labels = ConnectedComponents.largeSmallStar(edges)
+    val fam = exist.select(col("vec_id").as("eid"))
+      .join(labels, col("eid") === col("node"), "left")
+      .select(col("eid"), coalesce(col("component"), col("eid")).as("fid"))
+    val best = batch.as("b").join(exist.as("a"),
+        col("b.block") === col("a.block"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("cand_id"),
+        round4(cosine(col("b.v"), col("a.v"))).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cand_id"), col("csim")),
+        struct(col("csim"), -col("cand_id"))).as("w"))
+      .select(col("vec_id"), col("w.cand_id").as("best_id"),
+        col("w.csim").as("sim"))
+    batch.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .join(fam, col("best_id") === col("eid"), "left")
+      .select(col("vec_id"),
+        when(col("sim") >= tau, lit("join")).otherwise(lit("new"))
+          .as("decision"),
+        when(col("sim") >= tau, col("fid")).otherwise(col("vec_id"))
+          .as("family_id"),
+        col("best_id"), col("sim"))
+      .orderBy("vec_id")
+  }
+
   /** d35 — SemDeDup (Abbas et al., 2023) shaped semantic dedup: bucket
     * the embedding space, compare pairs only WITHIN a bucket, and drop
     * every vector that has ANY more-senior (smaller-id) neighbor above

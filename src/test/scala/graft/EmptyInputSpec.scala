@@ -69,6 +69,9 @@ class EmptyInputSpec extends SparkSpec {
       // d82: empty adjacency → empty CC → no vectors to label
       "knnGraphDedup" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         EmbeddingOps.knnGraphDedup(s, d)),
+      // d84: empty batch AND empty existing side → no admission rows
+      "knnGraphDedupDelta" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        EmbeddingOps.knnGraphDedupDelta(s, d)),
       "filterAgreement" -> (QualityOps.filterAgreement _),
       "contamination" -> (PairGraph.contamination _),
       "seqPacking" -> (SamplingOps.seqPacking _),

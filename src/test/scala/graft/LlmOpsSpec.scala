@@ -1527,6 +1527,72 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 1L), "vacuous fixture: no τ-edge survived")
   }
 
+  test("d84 admission delta ≡ in-memory reference: existing-subgraph " +
+    "families + per-new-vector cell argmax; decisions partition the batch") {
+    val tau = EmbeddingOps.KnnDedupTau
+    val cells = operators.VectorIndexStore.relations(spark, Sf)._1
+      .as[(Long, Int)].collect().toMap
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val (exist, batch) = vecs.partition(_._1 % 10 < 8)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // existing-side families: top-3 within-cell adjacency at sim ≥ τ,
+    // union-find closure (the d82 reference restricted to `exist`)
+    val byCell = exist.groupBy(v => cells(v._1))
+    val edges = exist.flatMap { case (i, vi) =>
+      byCell(cells(i)).filter(_._1 != i)
+        .map { case (j, vj) => (j, r4(cos(vi, vj))) }
+        .sortBy { case (j, s) => (-s, j) }.take(3)
+        .collect { case (j, s) if s >= tau => (i, j) }
+    }
+    val parent = scala.collection.mutable.Map(exist.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { val lo = math.min(ri, rj); parent(math.max(ri, rj)) = lo }
+    }
+    val fam = exist.map(v => v._1 -> find(v._1)).toMap
+    // per new vector: argmax existing neighbor within its own cell
+    val existByCell = exist.groupBy(v => cells(v._1))
+    val expect = batch.map { case (b, vb) =>
+      val cand = existByCell
+        .getOrElse(cells(b), Array.empty[(Long, Seq[Double])])
+        .map { case (a, va) => (a, r4(cos(vb, va))) }
+      if (cand.isEmpty) (b, "new", b, None: Option[Long], None: Option[Double])
+      else {
+        val (bid, s) = cand.minBy { case (a, s) => (-s, a) }
+        if (s >= tau) (b, "join", fam(bid), Some(bid), Some(s))
+        else (b, "new", b, Some(bid), Some(s))
+      }
+    }.sortBy(_._1).toSeq
+    val got = EmbeddingOps.knnGraphDedupDelta(spark, Sf)
+      .as[(Long, String, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got === expect, "d84 drifted from the in-memory reference")
+    // structural: every batch vector decided exactly once; a `join`
+    // lands in a REAL existing family; `new` founds its own id
+    assert(got.map(_._1) === batch.map(_._1).sorted.toSeq)
+    val famIds = fam.values.toSet
+    got.foreach {
+      case (_, "join", f, Some(_), Some(s)) =>
+        assert(s >= tau && famIds.contains(f))
+      case (b, "new", f, _, simOpt) =>
+        assert(f == b && simOpt.forall(_ < tau))
+      case other => fail(s"malformed decision row: $other")
+    }
+    assert(got.exists(_._2 == "join") && got.exists(_._2 == "new"),
+      "vacuous fixture: both decisions must occur at this sf")
+  }
+
   test("sequence packing tiles each shard's stream exactly, bins from pure arithmetic") {
     val rows = SamplingOps.seqPacking(spark, Sf)
       .select("doc_id", "shard", "n_tokens", "start_off", "first_bin", "last_bin")
