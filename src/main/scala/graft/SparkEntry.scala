@@ -250,6 +250,7 @@ object SparkEntry {
     "s23_index_deletes" -> (Streaming.indexDeleteFeed _),
     "s24_drift_monitor" -> (Streaming.driftMonitorFeed _),
     "s25_drift_multi" -> (Streaming.driftMultiFeed _),
+    "s26_family_maintenance" -> (Streaming.familyMaintFeed _),
     "s20_cdc_replication" -> (Streaming.cdcReplicationFeed _),
     // PSI drift detection between reference/current corpus slices
     "p05_psi_drift" -> ((s, d) => Profiling.psiDrift(s, d)),
@@ -1148,6 +1149,10 @@ object SparkEntry {
          |  ${round4("(p - q) * CAST(CAST(ln(p / q) AS DECIMAL(30,6)) AS DOUBLE)")}
          |    AS psi
          |FROM w ORDER BY batch_id, bucket""".stripMargin,
+    "s26_family_maintenance" ->
+      // the reference-slice d82 chain + two unrolled d84 admission
+      // rounds — sequential store evolution, see s26Sql
+      s26Sql,
     "s25_drift_multi" ->
       // s24's PSI construction at (feature, bin) grain: the same
       // frozen-reference bins / clamped counts / smoothed shares /
@@ -4470,6 +4475,83 @@ object SparkEntry {
        |    ${round4("CAST(pd.n_tokens AS DOUBLE) / pd.n_chars")} END AS compression
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The s26 oracle: the reference-slice (vec_id % 10 < 8) IVF chain
+    * (seeds = slice ∩ vec_id < 10, two decimal-canonical Lloyd rounds,
+    * final assignment — `ivfCellsOver` trained on batch 0, mirrored),
+    * the d82 family chain over that slice's cells-blocked adjacency,
+    * then TWO unrolled admission rounds of the d84 rule: the 8-bucket
+    * batch probes the reference members, the 9-bucket batch probes
+    * reference ∪ batch-1 (with batch-1's decided families) — the
+    * sequential store evolution the twin's three batches perform. */
+  private def s26Sql: String = {
+    def assign(name: String, src: String, cents: String) =
+      s"""$name AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(name: String, asg: String) =
+      s"""$name AS (SELECT cid, list(cm ORDER BY dim) AS cv FROM (
+         |    SELECT a.cid, ed.dim,
+         |      CAST(SUM(CAST(ed.x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(ed.x) AS cm
+         |    FROM ed JOIN $asg a ON ed.vec_id = a.vec_id
+         |    GROUP BY a.cid, ed.dim) GROUP BY cid)""".stripMargin
+    def admit(n: Int, slice: Int, members: String, fams: String) =
+      s"""n$n AS (SELECT * FROM e WHERE vec_id % 10 = $slice),
+         |${assign(s"an$n", s"n$n", "c2")},
+         |g$n AS (SELECT n.vec_id, a.cid, n.v
+         |      FROM n$n n JOIN an$n a ON n.vec_id = a.vec_id),
+         |cnd$n AS (SELECT g.vec_id, m.vec_id AS cand_id,
+         |        ${round4(cosSql("g.v", "m.v"))} AS csim
+         |      FROM g$n g JOIN $members m ON m.cid = g.cid),
+         |bst$n AS (SELECT vec_id, cand_id AS best_id, csim AS sim FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, cand_id) AS rn FROM cnd$n) WHERE rn = 1),
+         |d$n AS (SELECT g.vec_id,
+         |        CASE WHEN b.sim >= 0.40 THEN f.family_id
+         |             ELSE g.vec_id END AS family_id, g.cid, g.v
+         |      FROM g$n g LEFT JOIN bst$n b ON b.vec_id = g.vec_id
+         |      LEFT JOIN $fams f ON f.vec_id = b.best_id)""".stripMargin
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |    FROM embeddings),
+       |b0 AS (SELECT * FROM e WHERE vec_id % 10 < 8),
+       |ed AS (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+       |         unnest(v) AS x FROM b0),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM b0 WHERE vec_id < 10),
+       |${assign("a1", "b0", "c0")},
+       |${update("c1", "a1")},
+       |${assign("a2", "b0", "c1")},
+       |${update("c2", "a2")},
+       |${assign("a3", "b0", "c2")},
+       |g0 AS (SELECT b.vec_id, a.cid, b.v
+       |      FROM b0 b JOIN a3 a ON b.vec_id = a.vec_id),
+       |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+       |        ${round4(cosSql("a.v", "b.v"))} AS sim
+       |      FROM g0 a JOIN g0 b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY i ORDER BY sim DESC, j) AS knn_rank FROM p),
+       |eg AS (SELECT i, j FROM r WHERE knn_rank <= 3 AND sim >= 0.40
+       |       UNION ALL
+       |       SELECT j, i FROM r WHERE knn_rank <= 3 AND sim >= 0.40),
+       |reach(src, node) AS (
+       |  SELECT DISTINCT i, i FROM eg
+       |  UNION
+       |  SELECT rc.src, e2.j FROM reach rc JOIN eg e2 ON e2.i = rc.node),
+       |lbl AS (SELECT src AS vec_id, min(node) AS fid
+       |        FROM reach GROUP BY src),
+       |f0 AS (SELECT g0.vec_id, coalesce(l.fid, g0.vec_id) AS family_id
+       |       FROM g0 LEFT JOIN lbl l ON l.vec_id = g0.vec_id),
+       |${admit(1, 8, "g0", "f0")},
+       |mem AS (SELECT vec_id, cid, v FROM g0
+       |        UNION ALL SELECT vec_id, cid, v FROM d1),
+       |fam1 AS (SELECT vec_id, family_id FROM f0
+       |         UNION ALL SELECT vec_id, family_id FROM d1),
+       |${admit(2, 9, "mem", "fam1")}
+       |SELECT vec_id, family_id FROM f0
+       |UNION ALL SELECT vec_id, family_id FROM d1
+       |UNION ALL SELECT vec_id, family_id FROM d2
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** The d83 oracle: the three trained families' chains composed under

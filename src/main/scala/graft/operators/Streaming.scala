@@ -1393,6 +1393,167 @@ object Streaming {
       .orderBy("vec_id")
   }
 
+  private val FamVecSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, cid INT, v ARRAY<DOUBLE>")
+  private val FamSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, family_id BIGINT")
+
+  /** s26 — STREAMING family-store maintenance: the maintained-store
+    * QUARTET's fourth member (s17 pairs, s18 labels, s19 the ANN
+    * index, s26 the d82 GRAPH FAMILIES) — d84's admission decision
+    * turned into a published, incrementally-maintained store. The
+    * cadence is the s18/s19 one: the FIRST batch (the reference
+    * corpus) trains the coarse cells (`ivfCellsOver` — frozen
+    * thereafter), derives the d82 families over its own cells-blocked
+    * k-NN adjacency, and publishes THREE tables — `centroids` (k·dim
+    * model, whole-table promote), `vecs` (vec_id, cid, v) bucketed by
+    * CELL (the probe's access path), `families` (vec_id, family_id)
+    * bucketed by vec_id; every later batch is admitted by the d84
+    * rule: assign to the frozen cells (one broadcast argmax), probe
+    * ONLY the touched cells' member buckets for the best existing
+    * neighbor (O(Δ · cellBytes) read — never the corpus), join the
+    * best's family at sim ≥ τ or found a new one, and upsert both
+    * data tables insert-only.
+    *
+    * Admission is against the PRE-batch store by contract (two
+    * mutual near-dups arriving in ONE batch each found their own
+    * family unless either matches the store) — the within-batch merge
+    * is the weekly d82 retrain's job, the retrain-rarely discipline
+    * s18 documents for centroids applied to families. This is what
+    * keeps each batch's effect a pure function of (frozen models,
+    * pre-batch store, batch) — the crash/redelivery currency.
+    *
+    * Crash discipline: families promote FIRST, then vecs, model last
+    * (batch 0 only). Deltas carry the WHOLE batch (the s18 shape):
+    * insert-only merges keep the stored row for any re-sent id, and a
+    * redelivered delta re-touches every bucket its ids route to — a
+    * lost per-bucket marker re-promotes from a CONTENT-identical
+    * merge even when the probe ran against a half-applied store
+    * (recomputed rows only differ for ids the store already holds,
+    * and those lose to the stored rows). Self-pairs are excluded at
+    * the probe join; a redelivered REFERENCE batch re-enters the
+    * training branch (the centroid table's own `_batch_0` marker —
+    * recompute-identical, bucket markers skip the promoted halves). */
+  def familyMaintSink(base: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$base/_applied/$batchId")
+    if (marker.exists()) return // redelivered batch: effectively once
+    val s = batch.sparkSession
+    graft.functions.CosineSimilarity.ensureRegistered(s)
+    val famB = s"$base/families"
+    val vecB = s"$base/vecs"
+    val centB = s"$base/centroids"
+    def tableDone(tb: String): Boolean =
+      new java.io.File(s"$tb/published/_batch_$batchId").exists
+    def checkAudit(tb: String, audit: DataFrame): Unit = {
+      val failed = audit.filter(!col("ok"))
+        .select("check_name", "observed").collect()
+      if (failed.nonEmpty)
+        throw new IllegalStateException(
+          s"familyMaintSink audit failed for batch $batchId at $tb: " +
+            failed.mkString(", "))
+    }
+    val e = LlmOps.persistCorpus(batch.dropDuplicates("vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val centPublished = new java.io.File(s"$centB/published")
+    val isTraining = !centPublished.exists || tableDone(centB)
+    if (isTraining) {
+      // reference batch (or its redelivery — recompute-identical):
+      // train cells, derive the d82 families over the reference corpus
+      val (cells, cent) = EmbeddingOps.ivfCellsOver(e)
+      val edges = EmbeddingOps.knnGraphOver(
+          cells.select(col("vec_id"), col("cid").as("block"), col("v")), 3)
+        .filter(col("sim") >= EmbeddingOps.KnnDedupTau)
+        .select(col("i"), col("j"))
+      val labels = ConnectedComponents.largeSmallStar(edges)
+      val fams = cells.select(col("vec_id"))
+        .join(labels, col("vec_id") === col("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("family_id"))
+      checkAudit(famB, Sources.bucketedUpsertStaged(s, fams, famB,
+        Seq("vec_id"), stagedMarker = s"_batch_$batchId"))
+      checkAudit(vecB, Sources.bucketedUpsertStaged(s,
+        cells.select(col("vec_id"), col("cid"), col("v")), vecB,
+        Seq("cid", "vec_id"), stagedMarker = s"_batch_$batchId",
+        bucketCols = Seq("cid")))
+      if (!tableDone(centB))
+        checkAudit(centB, Sources.writeAuditPublishStaged(s, cent,
+          cent.count(), centB, keyCols = Seq("cid"),
+          stagedMarker = Some(s"_batch_$batchId")))
+    } else {
+      val cent = s.read.parquet(centPublished.toString)
+      // decisions are derived for the WHOLE batch (the s18 delta
+      // shape): the insert-only upsert keeps the STORED row for any
+      // re-sent id, and — load-bearing for crash recovery — a
+      // redelivered delta re-touches every bucket its ids route to,
+      // so a lost per-bucket marker re-promotes from a merge whose
+      // CONTENT is identical (existing rows win; the only rows a
+      // half-applied redelivery recomputes differently are for ids
+      // the store already holds). Self-pairs are excluded at the
+      // probe so a redelivered vector never matches itself.
+      val assigned = LlmOps.persistCorpus(
+        EmbeddingOps.assignCellsOver(e, cent))
+      val members = Sources.readBucketedStoreBuckets(s, vecB,
+        FamVecSchema, Sources.touchedBucketIds(assigned, Seq("cid")))
+      val best = assigned.as("b").join(members.as("a"),
+          col("a.cid") === col("b.cid") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          col("a.vec_id").as("cand_id"),
+          round4(EmbeddingOps.cosine(col("b.v"), col("a.v"))).as("csim"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cand_id"), col("csim")),
+          struct(col("csim"), -col("cand_id"))).as("w"))
+        .select(col("vec_id"), col("w.cand_id").as("best_id"),
+          col("w.csim").as("sim"))
+      val famOfBest = Sources.readBucketedStoreBuckets(s, famB, FamSchema,
+          Sources.touchedBucketIds(
+            best.select(col("best_id").as("vec_id")), Seq("vec_id")))
+        .select(col("vec_id").as("best_id"), col("family_id").as("fid"))
+      val fams = assigned.select(col("vec_id"))
+        .join(best, Seq("vec_id"), "left")
+        .join(famOfBest, Seq("best_id"), "left")
+        .select(col("vec_id"),
+          when(col("sim") >= EmbeddingOps.KnnDedupTau, col("fid"))
+            .otherwise(col("vec_id")).as("family_id"))
+      checkAudit(famB, Sources.bucketedUpsertStaged(s, fams, famB,
+        Seq("vec_id"), stagedMarker = s"_batch_$batchId"))
+      checkAudit(vecB, Sources.bucketedUpsertStaged(s,
+        assigned.select(col("vec_id"), col("cid"), col("v")), vecB,
+        Seq("cid", "vec_id"), stagedMarker = s"_batch_$batchId",
+        bucketCols = Seq("cid")))
+    }
+    markApplied(marker)
+  }
+
+  /** The s26 registry twin: the embeddings corpus arrives as the
+    * `vec_id % 10 < 8` reference batch (trains cells, derives and
+    * publishes the d82 families) and the 8- and 9-bucket deltas —
+    * THREE batches here, unlike the two-batch s17/s18/s19 twins,
+    * because sequential admission IS the registry-level semantics: a
+    * 9-bucket vector can join a family a 8-bucket vector FOUNDED, and
+    * only a second delta exercises that store evolution. Output = the
+    * final family store re-read from DISK, every vector labeled.
+    * Oracle: the reference-slice d82 chain + two unrolled admission
+    * rounds (the d84 CASE, round 2 probing reference ∪ batch-1). */
+  def familyMaintFeed(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft-fammaint").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+    Seq(emb.filter(pmod(col("vec_id"), lit(10L)) < 8),
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 8),
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 9))
+      .zipWithIndex.foreach { case (b, i) =>
+        familyMaintSink(base.toString)(b, i.toLong)
+      }
+    // empty corpus → no vec_id ever routed → the bucketed family store
+    // was never created; the right answer is the empty label set
+    if (!new java.io.File(s"$base/families/published").exists)
+      emb.limit(0).select(col("vec_id"), col("vec_id").as("family_id"))
+    else s.read.parquet(s"$base/families/published")
+      .select(col("vec_id"), col("family_id"))
+      .orderBy("vec_id")
+  }
+
   /** s20 — CDC REPLICATION: the change feed consumed AS a stream. f15
     * recovers the minimal keyed diff between two retained versions and
     * s16 writes versions FROM a stream; this closes the remaining

@@ -191,6 +191,8 @@ class EmptyInputSpec extends SparkSpec {
       "driftMultiFeed" -> (Streaming.driftMultiFeed _),
       // s18: empty reference batch → empty centroids/labels stores
       "labelMaintFeed" -> (Streaming.labelMaintFeed _),
+      // s26: empty reference → empty cells/families; deltas empty too
+      "familyMaintFeed" -> (Streaming.familyMaintFeed _),
       // f24: empty snapshot branches/merges fine → zero bucket rows
       "branchMerge" -> (operators.Sources.branchMerge _),
       // f25: empty deltas never create the store → nothing to rescale

@@ -1044,6 +1044,74 @@ class StreamingSpec extends SparkSpec {
     assert(psi() === streamed, "crash re-apply changed the PSI rows")
   }
 
+  test("s26: streamed family maintenance ≡ batch twin; deltas never move " +
+    "reference families; admissions actually join; redelivery and crash markers") {
+    import org.apache.commons.io.FileUtils
+    val vecs = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+      .as[NewVec].collect().toSeq
+    val batches = Seq(vecs.filter(_.vec_id % 10 < 8),
+      vecs.filter(_.vec_id % 10 == 8), vecs.filter(_.vec_id % 10 == 9))
+    val base = java.nio.file.Files.createTempDirectory("graft-s26").toString
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[NewVec]
+    val q = src.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Streaming.familyMaintSink(base)(df, id)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    def store(): Seq[(Long, Long)] =
+      spark.read.parquet(s"$base/families/published")
+        .select("vec_id", "family_id").as[(Long, Long)].collect().toSeq.sorted
+    var refSnap: Seq[(Long, Long)] = Nil
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        src.addData(b); q.processAllAvailable()
+        if (i == 0) refSnap = store()
+        else assert(store().filter(_._1 % 10 < 8) === refSnap,
+          s"delta batch $i moved a reference family")
+      }
+    } finally q.stop()
+    val streamed = store()
+    // streamed-on-disk ≡ the registry batch twin, every vector labeled
+    assert(streamed === Streaming.familyMaintFeed(spark, Sf)
+      .as[(Long, Long)].collect().toSeq.sorted)
+    assert(streamed.map(_._1) === vecs.map(_.vec_id).sorted)
+    // non-vacuous admission: some delta vector JOINED an earlier family
+    // (the d84 spec pins both decisions occur on this corpus)
+    val famOf = streamed.toMap
+    assert(streamed.exists { case (v, f) => v % 10 >= 8 && f != v },
+      "vacuous fixture: no delta vector joined a family")
+    // a join's family id must belong to some earlier-admitted vector
+    streamed.filter { case (v, f) => v % 10 >= 8 && f != v }.foreach {
+      case (v, f) => assert(famOf.exists { case (o, of) => o != v && of == f },
+        s"admitted $v joined family $f that no other member carries")
+    }
+    // redelivered batch id (different data): marker makes it a no-op
+    Streaming.familyMaintSink(base)(
+      Seq(NewVec(424242L, Seq.fill(64)(0.5f))).toDF(), 1L)
+    assert(store() === streamed, "redelivery mutated the family store")
+    // crash between the families promote and the side marker: lose the
+    // side marker AND one families BUCKET's batch marker — redelivery
+    // re-publishes only that bucket from the identical recompute
+    FileUtils.deleteQuietly(new java.io.File(s"$base/_applied/2"))
+    val victim = new java.io.File(s"$base/families/published").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .find(d => new java.io.File(d, "_batch_2").exists)
+      .getOrElse(fail("no families bucket carries batch 2's marker"))
+    FileUtils.deleteQuietly(new java.io.File(victim, "_batch_2"))
+    Streaming.familyMaintSink(base)(batches(2).toDF(), 2L)
+    assert(new java.io.File(s"$base/_applied/2").exists, "marker backfilled")
+    assert(new java.io.File(victim, "_batch_2").exists,
+      "redelivery must re-promote the marker-less bucket")
+    assert(store() === streamed)
+    // frozen model: the centroid table carries batch 0's marker only
+    assert(new java.io.File(s"$base/centroids/published/_batch_0").exists)
+    assert(!new java.io.File(s"$base/centroids/published/_batch_1").exists &&
+      !new java.io.File(s"$base/centroids/published/_batch_2").exists,
+      "a delta batch republished the frozen centroids")
+  }
+
   test("s24/s25: batch 0 is the reference BY CONTRACT — an empty reference " +
     "corpus freezes nothing and later batches never inherit the role") {
     // the oracle derives the reference from the doc_id%4<2 slice; if a
