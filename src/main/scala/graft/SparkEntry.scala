@@ -319,6 +319,9 @@ object SparkEntry {
     "d77_unigram_encode" -> (QualityOps.unigramEncode _),
     "d81_wordpiece_encode" -> (QualityOps.wordpieceEncode _),
     "d83_tokenizer_profile" -> (QualityOps.tokenizerProfile _),
+    // tokenizer-model store publisher: train all three families once,
+    // WAP-publish wf/merges/costs/vocab (the d74 discipline)
+    "d85_tokenizer_store" -> (TokenizerStore.publish _),
     // BPE encode: apply the learned merges, per-doc token counts
     "d68_bpe_encode" -> (QualityOps.bpeEncode _),
     // threshold sweep: model-vs-rule PR curve at 11 logit cutoffs
@@ -3099,6 +3102,9 @@ object SparkEntry {
       // the three families' training/segmentation chains composed under
       // one tok/wf + per-family vocabulary-grain stats (see d83Sql)
       d83Sql,
+    "d85_tokenizer_store" ->
+      // the four store tables' WAP manifests by invariant (see d85Sql)
+      d85Sql,
     "d68_bpe_encode" ->
       // the same 3 training rounds, then the THIRD rule applied (r3 —
       // training materializes only r2), symbol counts on the vocab,
@@ -4604,6 +4610,33 @@ object SparkEntry {
        |    AS single_share
        |FROM prof ORDER BY family""".stripMargin
   }
+
+  /** The d85 oracle: the four tokenizer-store tables' WAP manifests by
+    * invariant (the d74 oracle shape) — word_freq = |wf|, bpe_merges =
+    * iters = 3 (iff every round finds an adjacent pair — a fixture
+    * property TokenizerStoreSpec pins per sf; an empty corpus publishes
+    * 0 merges), uni_costs = |final piece costs| (the d76 chain's v1c),
+    * wp_vocab = |positional seed vocabulary| (the d81 chain's wv0 via
+    * [[wpGreedyCtes]]'s "w" prefix — the unused greedy-walk CTEs are
+    * pruned by the engine). */
+  private def d85Sql: String =
+    s"""WITH $d76TrainCtes,
+       |${wpGreedyCtes("w")},
+       |n AS (SELECT count(*) AS cnt FROM documents),
+       |rows4 AS (
+       |  SELECT 'bpe_merges' AS tbl,
+       |    CASE WHEN (SELECT cnt FROM n) = 0 THEN 0 ELSE 3 END AS exp
+       |  UNION ALL SELECT 'uni_costs', (SELECT count(*) FROM v1c)
+       |  UNION ALL SELECT 'word_freq', (SELECT count(*) FROM wf)
+       |  UNION ALL SELECT 'wp_vocab', (SELECT count(*) FROM wv0))
+       |SELECT tbl, check_name, observed, ok FROM (
+       |  SELECT tbl, 'rows_match_expected' AS check_name,
+       |         CAST(exp AS BIGINT) AS observed, true AS ok FROM rows4
+       |  UNION ALL SELECT tbl, 'null_keys', 0, true FROM rows4
+       |  UNION ALL SELECT tbl, 'dup_keys', 0, true FROM rows4
+       |  UNION ALL SELECT tbl, 'published_rows', CAST(exp AS BIGINT), true
+       |  FROM rows4)
+       |ORDER BY tbl, check_name""".stripMargin
 
   /** bpeCtes split (round 17): the shared tok/wf head and the three
     * merge rounds separate, so [[d83Sql]] can compose the rounds with

@@ -435,7 +435,17 @@ object EmbeddingOps {
       centroids.unpersist(blocking = false)
       centroids = next
     }
-    (persistCorpus(assignCellsOver(e, centroids)), centroids)
+    // final round: LOCALIZE the k-row centroid table (planner-sized —
+    // the d65 one-row-per-round collect discipline) and release its
+    // cache entry. The cached table was the one storage entry no
+    // caller ever unpersisted (round-17 ADVICE — a small per-invocation
+    // leak in long-lived JVMs); consumers broadcast the local relation
+    // with identical values, and the final assignment is built against
+    // the LOCAL copy so nothing downstream re-triggers the Lloyd chain.
+    val local = centroids.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centroids.collect(): _*), centroids.schema)
+    centroids.unpersist(blocking = false)
+    (persistCorpus(assignCellsOver(e, local)), local)
   }
 
   /** Cell assignment of a (vec_id, v) frame to broadcast (cid, cv)
@@ -838,35 +848,38 @@ object EmbeddingOps {
       nprobe = 2, perCellCut = true)
   }
 
-  // tombstoned cells clones, ONE per (tag, corpus) per JVM (the
-  // VectorIndexStore TrieMap pattern): the d79/s23 registry twins need
-  // a private mutable copy of the shared store's immutable cells
-  // relation, and a fresh exit-cleaned temp clone per INVOCATION
+  // tombstoned cells clones, ONE per (tag, corpus, store-version) per
+  // JVM (the VectorIndexStore TrieMap pattern): the d79/s23 registry
+  // twins need a private mutable copy of the shared store's immutable
+  // cells relation, and a fresh exit-cleaned temp clone per INVOCATION
   // accumulates one full cells copy per bench pass for the process
   // lifetime. The mutation is deterministic per corpus, so reuse is
   // sound; production has no clone at all (the sidecar lives beside
   // the store's own cells table).
-  // ASSUMPTION (shared with VectorIndexStore.built, which feeds this
-  // clone): one corpus per path per JVM. The cache key is the corpus
-  // PATH, so fixture data regenerated at the same path mid-JVM — or
-  // two corpora sharing a path — would silently serve a clone built
-  // from the old contents. The test/bench harnesses never mutate a
-  // corpus dir in-process (the driver regenerates fixtures between
-  // JVMs), and a production store keys its snapshots by immutable
-  // version, not by mutable path.
+  // KEYING (round 18, the round-17 ADVICE fix): the cache key carries
+  // the store's PUBLISH VERSION, not just (tag, path) — a forced
+  // store rebuild (spark.graft.forceRebuildStores, or any future
+  // re-publish of the same path) mints a new version and this cache
+  // misses, so a regenerated fixture can never be served a clone of
+  // the superseded store's cells. Superseded clones stay on disk
+  // until JVM exit (forceDeleteOnExit) — version churn is a test/bench
+  // concern, bounded by the rebuilds actually forced.
   private val cellClones = scala.collection.concurrent.TrieMap.empty[String, String]
   private val cellCloneLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Clone the published cells relation of corpus `d` into a cached
-    * per-(tag, corpus) base and apply `mutate` to it exactly once;
-    * later calls reuse the mutated clone. */
+    * per-(tag, corpus, store-version) base and apply `mutate` to it
+    * exactly once; later calls against the same store publish reuse
+    * the mutated clone. */
   private[operators] def clonedCells(s: SparkSession, d: String, tag: String)(
       mutate: String => Unit): String = {
-    val key = s"$tag:$d"
+    // resolve the store FIRST (publish-if-absent), so the version the
+    // key carries is the publish this clone will actually read
+    val (cells, _, _, _) = VectorIndexStore.relations(s, d)
+    val key = s"$tag:$d:v${VectorIndexStore.version(d)}"
     val lock = cellCloneLocks.getOrElseUpdate(key, new Object)
     cellClones.getOrElse(key, lock.synchronized {
       cellClones.getOrElse(key, {
-        val (cells, _, _, _) = VectorIndexStore.relations(s, d)
         val base = java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
         org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
         requireCleanPublish(

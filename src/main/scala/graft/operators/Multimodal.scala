@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
 object Multimodal {
   val FrameBytes = 64
 
+  /** m11's derived-clip id namespace starts here (doc_id + offset; the
+    * oracle mirrors the constant). [[clipContainment]] REFUSES a corpus
+    * whose doc_ids reach the offset — a collision would conflate a
+    * real asset with a derived clip. */
+  val ClipIdOffset = 300000L
+
   /** documents with an opaque binary payload column, as a media table
     * would look: (id, payload BINARY, media metadata). */
   def mediaTable(s: SparkSession, d: String): DataFrame =
@@ -511,9 +517,20 @@ object Multimodal {
     * Jaccard is ~3/n (the gap the operator exists for; spec pins it). */
   def clipContainment(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
     val base = mediaTable(s, d).select(col("doc_id"), col("payload"))
+    // the derived-clip id namespace is doc_id + ClipIdOffset (the
+    // oracle mirrors the same offset): a corpus whose doc_ids reach the
+    // offset would conflate a real asset with a derived clip, so refuse
+    // loudly (the UniMaxWord discipline) instead of silently colliding —
+    // one planner-sized guard aggregate over the asset table
+    val maxId = Option(base.agg(max(col("doc_id"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    require(maxId < ClipIdOffset,
+      s"clipContainment: corpus doc_id $maxId reaches the derived-clip " +
+        s"id offset $ClipIdOffset — raise ClipIdOffset (and the oracle's " +
+        "mirrored constant) for such corpora")
     val clips = base.filter(pmod(col("doc_id"), lit(20L)) === 5 &&
         length(col("payload")) > FrameBytes * 4)
-      .select((col("doc_id") + 300000L).as("doc_id"),
+      .select((col("doc_id") + ClipIdOffset).as("doc_id"),
         expr(s"substring(payload, ${2 * FrameBytes + 1}, ${3 * FrameBytes})")
           .as("payload"))
     clipContainmentOver(base.unionByName(clips), tau)

@@ -872,15 +872,31 @@ object QualityOps {
     * checkpoint needed). Counts are integer sums — exact cross-engine;
     * fixed `iters` so the oracle unrolls the same rounds as CTEs. */
   def bpeMerges(s: SparkSession, d: String): DataFrame =
-    bpeMergesOver(s, Tables.documents(s, d), iters = 3)
+    // production read path (round 18): the merge table trains ONCE per
+    // corpus snapshot through the d85 store and every consumer reads
+    // the published parquet — the shareVectorIndex discipline applied
+    // to tokenizers. Off = the self-contained twin; spec pins byte-≡.
+    if (TokenizerStore.shareOn(s)) {
+      val (_, merges, _, _) = TokenizerStore.relations(s, d)
+      merges.select(col("step"), col("lhs"), col("rhs"), col("pair_count"))
+        .orderBy("step")
+    } else bpeMergesOver(s, Tables.documents(s, d), iters = 3)
 
   private[graft] def bpeMergesOver(s: SparkSession, docs: DataFrame,
-      iters: Int): DataFrame = {
-    import s.implicits._
-    val words = docs
+      iters: Int): DataFrame =
+    bpeMergesWf(s, docs
       .select(explode(toks(normText(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .groupBy("word").agg(count(lit(1)).as("cnt")), iters)
+
+  /** [[bpeMergesOver]] over an already-derived (word, cnt) frame — the
+    * round-18 fix for the d83/store callers that HOLD the shared
+    * [[wordFreq]] (re-deriving it here cost one extra corpus scan per
+    * profile run; the expressions are identical, so the split is
+    * byte-≡ — spec-pinned via the share-knob differential). */
+  private[operators] def bpeMergesWf(s: SparkSession, words: DataFrame,
+      iters: Int): DataFrame = {
+    import s.implicits._
     // " a b c " — chars joined by the guard separator
     var reps = persistCorpus(words.select(col("cnt"),
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("rep")))
@@ -998,16 +1014,29 @@ object QualityOps {
     * learned rules bought; integer counts, one double division,
     * nothing to drift. */
   def bpeEncode(s: SparkSession, d: String): DataFrame =
-    bpeEncodeOver(s, Tables.documents(s, d), iters = 3)
+    if (TokenizerStore.shareOn(s)) {
+      val (wf, mergesDf, _, _) = TokenizerStore.relations(s, d)
+      bpeEncodeApplied(s, Tables.documents(s, d), Some(wf.select("word")),
+        mergesDf.select("step", "lhs", "rhs", "pair_count")
+          .collect().sortBy(_.getLong(0)))
+    } else bpeEncodeOver(s, Tables.documents(s, d), iters = 3)
 
   private[graft] def bpeEncodeOver(s: SparkSession, docs: DataFrame,
-      iters: Int): DataFrame = {
-    val merges = bpeMergesOver(s, docs, iters)
-      .collect().sortBy(_.getLong(0))
+      iters: Int): DataFrame =
+    bpeEncodeApplied(s, docs, None,
+      bpeMergesOver(s, docs, iters).collect().sortBy(_.getLong(0)))
+
+  /** The d68 ENCODE kernel over an explicit merge table (`iters`
+    * driver rows — store-read or just trained) and an optional
+    * pre-derived distinct-word source (the store's word_freq; None =
+    * re-derive from the token stream — identical set, spec-pinned). */
+  private def bpeEncodeApplied(s: SparkSession, docs: DataFrame,
+      vocabWords: Option[DataFrame],
+      merges: Array[org.apache.spark.sql.Row]): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(toks(normText(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
-    val vocab0 = words.select("word").distinct()
+    val vocab0 = vocabWords.getOrElse(words.select("word").distinct())
       .withColumn("rep",
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
     val applied = merges.foldLeft(vocab0) { (v, m) =>
@@ -1081,10 +1110,22 @@ object QualityOps {
     * final (piece, n_used, share). Fixed two rounds so the oracle
     * unrolls them as CTEs (the d59/d65 discipline). */
   def unigramLm(s: SparkSession, d: String): DataFrame =
-    unigramLmOver(s, Tables.documents(s, d))
+    // d85 store read path: the FROZEN final piece costs (the trained
+    // model) come from the published parquet; one vocabulary-grain
+    // Viterbi E-step re-derives usage. Off = self-contained rebuild.
+    if (TokenizerStore.shareOn(s)) {
+      val (wf, _, costs, _) = TokenizerStore.relations(s, d)
+      unigramUsageOut(wf, costs.select(col("piece"), col("c")))
+    } else unigramLmOver(s, Tables.documents(s, d))
 
   private[graft] def unigramLmOver(s: SparkSession, docs: DataFrame): DataFrame = {
     val (wf, c1) = unigramTrain(docs)
+    unigramUsageOut(wf, c1)
+  }
+
+  /** The d76 output tail over the final costs: one Viterbi
+    * segmentation → usage counts → round4 shares. */
+  private def unigramUsageOut(wf: DataFrame, c1: DataFrame): DataFrame = {
     val u2 = pieceUsage(viterbiPaths(wf, c1))
     val tot2 = u2.agg(sum(col("ucnt")).as("t2"))
     u2.crossJoin(broadcast(tot2))
@@ -1102,7 +1143,7 @@ object QualityOps {
   /** The shared word-frequency table + the DP-unroll refusal rule —
     * the ONE corpus scan under d76/d77/d81 (everything downstream runs
     * at vocabulary grain). */
-  private def wordFreq(docs: DataFrame, who: String): DataFrame = {
+  private[operators] def wordFreq(docs: DataFrame, who: String): DataFrame = {
     val wf = persistCorpus(docs
       .select(explode(toks(normText(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
@@ -1123,7 +1164,7 @@ object QualityOps {
   /** [[unigramTrain]] over an already-derived word-frequency table —
     * the d83 profile shares ONE wf across all three families instead
     * of re-deriving it per trainer. */
-  private def unigramTrainWf(wf: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def unigramTrainWf(wf: DataFrame): (DataFrame, DataFrame) = {
     val (lMax, v) = (UniMaxPiece, UniSeedMulti)
     // seed counts: weighted occurrences of every substring of length
     // 1..lMax (the d75 position-explode at word grain, corpus-free)
@@ -1221,10 +1262,20 @@ object QualityOps {
     * per-doc sum — the corpus never carries piece strings (the d68
     * plan shape verbatim). */
   def unigramEncode(s: SparkSession, d: String): DataFrame =
-    unigramEncodeOver(s, Tables.documents(s, d))
+    if (TokenizerStore.shareOn(s)) {
+      val (wf, _, costs, _) = TokenizerStore.relations(s, d)
+      unigramEncodeApplied(s, Tables.documents(s, d), wf,
+        costs.select(col("piece"), col("c")))
+    } else unigramEncodeOver(s, Tables.documents(s, d))
 
   private[graft] def unigramEncodeOver(s: SparkSession, docs: DataFrame): DataFrame = {
     val (wf, c1) = unigramTrain(docs)
+    unigramEncodeApplied(s, docs, wf, c1)
+  }
+
+  /** The d77 ENCODE kernel over explicit (wf, final costs). */
+  private def unigramEncodeApplied(s: SparkSession, docs: DataFrame,
+      wf: DataFrame, c1: DataFrame): DataFrame = {
     val wordTok = viterbiPaths(wf, c1).select(col("word"),
       size(col("pieces")).cast("long").as("n_sym"),
       length(col("word")).cast("long").as("n_chr"))
@@ -1277,13 +1328,24 @@ object QualityOps {
     * oracle unrolls the same greedy steps ([[UniMaxWord]] CTEs) over
     * the same positional pieces — refuse-loudly past the unroll. */
   def wordpieceEncode(s: SparkSession, d: String): DataFrame =
-    wordpieceEncodeOver(s, Tables.documents(s, d))
+    if (TokenizerStore.shareOn(s)) {
+      val (wf, _, _, wpv) = TokenizerStore.relations(s, d)
+      wordpieceEncodeApplied(s, Tables.documents(s, d), wf, wpv)
+    } else wordpieceEncodeOver(s, Tables.documents(s, d))
 
   private[graft] def wordpieceEncodeOver(s: SparkSession,
       docs: DataFrame): DataFrame = {
     val wf = wordFreq(docs, "wordpieceEncode")
     requireNoHash(wf, "wordpieceEncode")
-    val wordTok = greedyPaths(wf, wordpieceVocab(wf)).select(col("word"),
+    wordpieceEncodeApplied(s, docs, wf, wordpieceVocab(wf))
+  }
+
+  /** The d81 ENCODE kernel over an explicit (wf, positional vocab) —
+    * the '#'-refusal precondition is enforced by the trainer (store
+    * publish or the self-contained path above), never skipped. */
+  private def wordpieceEncodeApplied(s: SparkSession, docs: DataFrame,
+      wf: DataFrame, wpv: DataFrame): DataFrame = {
+    val wordTok = greedyPaths(wf, wpv).select(col("word"),
       size(col("pieces")).cast("long").as("n_sym"),
       length(col("word")).cast("long").as("n_chr"))
     val words = docs
@@ -1314,7 +1376,7 @@ object QualityOps {
     * deployments sidestep this at pre-tokenization; this engine
     * REFUSES loudly (the UniMaxWord discipline) instead of letting
     * the hazard surface as an opaque duplicate-key error. */
-  private def requireNoHash(wf: DataFrame, who: String): Unit = {
+  private[operators] def requireNoHash(wf: DataFrame, who: String): Unit = {
     val offender = wf.filter(col("word").contains("#"))
       .select("word").limit(1).collect()
     require(offender.isEmpty,
@@ -1414,27 +1476,48 @@ object QualityOps {
     * producer-shaped row: it pays unigram's EM and BPE's merge rounds
     * by construction, like every training twin. */
   def tokenizerProfile(s: SparkSession, d: String): DataFrame =
-    tokenizerProfileOver(s, Tables.documents(s, d))
+    // d85 store read path: all three FROZEN family models come from
+    // the published parquet, so the profile pays three vocabulary-
+    // grain segmentations + aggregates — an output-sized reader, not
+    // a three-family retrain (the round-17 bench hotspot). Off =
+    // self-contained rebuild, byte-≡ spec-pinned.
+    if (TokenizerStore.shareOn(s)) {
+      val (wf, mergesDf, costs, wpv) = TokenizerStore.relations(s, d)
+      tokenizerProfileApplied(wf,
+        mergesDf.select("step", "lhs", "rhs", "pair_count")
+          .collect().sortBy(_.getLong(0)),
+        costs.select(col("piece"), col("c")), wpv)
+    } else tokenizerProfileOver(s, Tables.documents(s, d))
 
   private[graft] def tokenizerProfileOver(s: SparkSession,
       docs: DataFrame): DataFrame = {
     val wf = wordFreq(docs, "tokenizerProfile")
     requireNoHash(wf, "tokenizerProfile")
+    tokenizerProfileApplied(wf,
+      bpeMergesWf(s, wf, iters = 3).collect().sortBy(_.getLong(0)),
+      unigramTrainWf(wf)._2, wordpieceVocab(wf))
+  }
+
+  /** The d83 profile kernel over explicit frozen family models (the
+    * shared wf, the BPE merge rows, unigram final costs, the
+    * positional WordPiece vocabulary) — three vocabulary-grain
+    * segmentations, three aggregates, one 3-row union. */
+  private def tokenizerProfileApplied(wf: DataFrame,
+      merges: Array[org.apache.spark.sql.Row], c1: DataFrame,
+      wpv: DataFrame): DataFrame = {
     // BPE: the d65 merge table applied to the shared vocabulary (the
     // d68 encode shape, segmentation kept as the piece array)
-    val merges = bpeMergesOver(s, docs, iters = 3).collect().sortBy(_.getLong(0))
     val rep0 = wf.withColumn("rep",
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
     val bpe = merges.foldLeft(rep0) { (v, m) =>
         v.withColumn("rep", mergePass(col("rep"), m.getString(1), m.getString(2)))
       }
       .select(col("word"), col("cnt"), split(trim(col("rep")), " ").as("pieces"))
-    // unigram-LM: train to final costs over the SHARED wf, one more
-    // Viterbi segmentation (the d77 path)
-    val (wfU, c1) = unigramTrainWf(wf)
-    val uni = viterbiPaths(wfU, c1).select(col("word"), col("cnt"), col("pieces"))
+    // unigram-LM: one more Viterbi segmentation under the final costs
+    // (the d77 path)
+    val uni = viterbiPaths(wf, c1).select(col("word"), col("cnt"), col("pieces"))
     // WordPiece: the d81 greedy walk under the positional vocabulary
-    val wp = greedyPaths(wf, wordpieceVocab(wf))
+    val wp = greedyPaths(wf, wpv)
       .select(col("word"), col("cnt"), col("pieces"))
     Seq(("bpe", bpe), ("unigram", uni), ("wordpiece", wp))
       .map { case (fam, seg) => familyProfile(fam, seg) }

@@ -38,6 +38,23 @@ object Streaming {
       java.nio.file.Files.createFile(marker.toPath): Unit
   }
 
+  /** The s24/s25 EMPTY-REFERENCE signal: batch 0 is the reference
+    * snapshot BY CONTRACT, so an empty batch 0 permanently disables
+    * monitoring — no model ever freezes and no PSI is ever emitted.
+    * That is the CORRECT fail-open for an empty reference corpus (the
+    * oracle's empty slice yields the same nothing), but it must never
+    * be a SILENT one: an operator watching the PSI output cannot tell
+    * "no drift" from "never armed". The durable signal is the
+    * `_empty_reference` sentinel beside the (absent) frozen model —
+    * dashboards and the feed can probe it — plus one stderr line for a
+    * human tail. */
+  private def emptyReferenceSignal(base: String, who: String): Unit = {
+    markApplied(new java.io.File(s"$base/_empty_reference"))
+    Console.err.println(s"graft $who: reference batch 0 is EMPTY — " +
+      s"no model frozen, monitoring permanently disabled for $base " +
+      "(sentinel: _empty_reference)")
+  }
+
   // ——————————————— shared event-time transformations ———————————————
 
   /** E16a — tumbling 1-hour windows per event type. */
@@ -1809,6 +1826,8 @@ object Streaming {
       // doesn't model).
       val r = if (batchId == 0L) lens.agg(min(col("x")), max(col("x"))).head()
         else null
+      if (batchId == 0L && (r == null || r.isNullAt(0)))
+        emptyReferenceSignal(base, "driftMonitorSink")
       if (r != null && !r.isNullAt(0)) {
         val lo = r.getLong(0)
         val rng = math.max(r.getLong(1) - lo + 1, 1L)
@@ -1957,7 +1976,9 @@ object Streaming {
       // the monitor emits nothing, matching the oracle's empty slice)
       val gr = feats.groupBy("feature").agg(min(col("x")).as("lo"),
         greatest(max(col("x")) - min(col("x")) + 1, lit(1L)).as("rng"))
-      if (batchId == 0L && !gr.isEmpty) {
+      val grEmpty = batchId == 0L && gr.isEmpty
+      if (grEmpty) emptyReferenceSignal(base, "driftMultiSink")
+      if (batchId == 0L && !grEmpty) {
         val spine = DriftFeatures.map(_._1).toDF("feature")
           .crossJoin(s.range(nBins).select(col("id").as("bucket")))
         val counts = feats.join(gr, "feature")

@@ -42,8 +42,18 @@ object VectorIndexStore {
   private val manifestCache = scala.collection.concurrent.TrieMap
     .empty[String, (org.apache.spark.sql.types.StructType,
       Array[org.apache.spark.sql.Row])]
+  // monotone per-corpus publish version (round 18): bumps on every
+  // completed FRESH publish, so per-JVM caches derived FROM the store
+  // (EmbeddingOps.clonedCells) key on the publish they were built
+  // from instead of the mutable corpus path — a forced rebuild (or a
+  // future path-reuse) invalidates them automatically
+  private val versionsM = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(d: String): Object = locks.getOrElseUpdate(d, new Object)
+
+  /** The current publish version of corpus `d`'s index (0 = never
+    * published this JVM). */
+  private[graft] def version(d: String): Long = versionsM.getOrElse(d, 0L)
 
   // collision-resistant key: a 32-bit hashCode collision between two
   // corpus dirs in one JVM would silently serve one corpus the other's
@@ -79,7 +89,12 @@ object VectorIndexStore {
     // IS the completed publish's audit (byte-identical rows — spec-
     // pinned), so serve it; the one-corpus-per-path-per-JVM assumption
     // is the store-wide one documented at EmbeddingOps.clonedCells.
-    manifestCache.get(d).filter(_ => built.contains(d)) match {
+    // spark.graft.forceRebuildStores (round 18): the cold-build
+    // measurement hook — MiniBench --rebuild sets it so the publish
+    // path (the round-16 hotspot) keeps regression cover even though
+    // the production re-run is a no-op probe
+    val force = s.conf.get("spark.graft.forceRebuildStores", "false").toBoolean
+    manifestCache.get(d).filter(_ => built.contains(d) && !force) match {
       case Some((schema, rows)) =>
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       case None => publishFresh(s, d)
@@ -107,11 +122,20 @@ object VectorIndexStore {
     val rows = manifest.collect()
     val okIdx = manifest.schema.fieldIndex("ok")
     val checkIdx = manifest.schema.fieldIndex("check_name")
-    val allOk = rows.filter(_.getString(checkIdx) == "published_rows")
-      .forall(_.getBoolean(okIdx))
+    // a malformed manifest with NO published_rows rows must never read
+    // as vacuously ok (round-17 ADVICE — the pre-refactor min(ok).head
+    // threw on an empty set; this asserts the stronger invariant:
+    // exactly one read-back proof per published table)
+    val pubRows = rows.filter(_.getString(checkIdx) == "published_rows")
+    require(pubRows.length == IndexTables.size,
+      s"vector-index publish manifest for $d carries ${pubRows.length} " +
+        s"published_rows checks, expected ${IndexTables.size} " +
+        "(one per table) — malformed audit, refusing to mark the store built")
+    val allOk = pubRows.forall(_.getBoolean(okIdx))
     if (allOk) {
       built(d) = baseFor(d)
       manifestCache(d) = (manifest.schema, rows)
+      versionsM(d) = versionsM.getOrElse(d, 0L) + 1
     }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), manifest.schema)
   }

@@ -135,6 +135,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(tp.length === 3 && tp.forall(r =>
         r.getLong(1) == 0L && r.getLong(3) == 0L && r.isNullAt(5)),
       "tokenizerProfile on empty input")
+    // d85 publishes four EMPTY tables on an empty corpus: 16 manifest
+    // rows, every check ok, every published_rows observed 0
+    val ts = operators.TokenizerStore.publish(spark, emptyDir).collect()
+    assert(ts.length === 16 && ts.forall(_.getBoolean(3)),
+      "tokenizerStore manifest on empty input")
+    assert(ts.filter(_.getString(1) == "published_rows")
+        .forall(_.getLong(2) == 0L),
+      "tokenizerStore published_rows on empty input")
     // f08 is a GLOBAL aggregate (one row always); the z-order write must
     // survive null extrema (empty min/max) and report zero matched rows
     val z = operators.Sources.zorderScan(spark, emptyDir).head()
