@@ -95,6 +95,9 @@ object SparkEntry {
     "d06b_ivf_ann" -> ((s, d) => EmbeddingOps.ivfAnn(s, d)),
     "d73_ivfpq_ann" -> ((s, d) => EmbeddingOps.ivfPqAnn(s, d)),
     "d74_index_publish" -> (VectorIndexStore.publish _),
+    // batched multi-query ANN: a query TABLE (vec_id % 25 = 0) against
+    // the published store, top-3 per query
+    "d86_batched_ann" -> ((s, d) => EmbeddingOps.batchedAnn(s, d)),
     "d78_filtered_ann" -> ((s, d) => EmbeddingOps.filteredAnn(s, d)),
     "d79_ann_delete" -> ((s, d) => EmbeddingOps.annDelete(s, d)),
     "d80_knn_graph" -> ((s, d) => EmbeddingOps.knnGraph(s, d)),
@@ -962,6 +965,22 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          |SELECT qid, nid, sim FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "d86_batched_ann" ->
+      // per-query brute-force top-3 over the corpus (the d73 oracle at
+      // batch grain): exact because all cells are probed (the d78
+      // IDSelector mode — this fixture's near-uniform geometry defeats
+      // any fixed small nprobe) and every true top-3 neighbor survives
+      // its own list's per-cell ADC cut at 192 (measured max rank 168;
+      // LlmOpsSpec pins bound + differential at every sf)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+         |s AS (SELECT qid, e.vec_id AS nid,
+         |        ${round4(cosSql("qv", "v"))} AS sim
+         |      FROM q JOIN e ON e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         |SELECT qid, CAST(rn AS BIGINT) AS rnk, nid, sim FROM r
+         |WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin,
     "d78_filtered_ann" ->
       // brute force over the FILTERED corpus: exact because the true
       // filtered NN survives its own inverted list's per-cell ADC cut

@@ -124,6 +124,9 @@ class EmptyInputSpec extends SparkSpec {
       // m11: no assets → no frames → no candidate pairs
       "clipContainment" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         Multimodal.clipContainment(s, d)),
+      // d86: no vectors → empty query batch, empty store → no rows
+      "batchedAnn" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        EmbeddingOps.batchedAnn(s, d)),
       // p11: no vectors → no positions → no profile rows
       "embeddingProfile" -> (operators.Profiling.embeddingProfile _)
     ).foreach { case (name, fn) =>

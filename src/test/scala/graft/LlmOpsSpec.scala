@@ -1255,6 +1255,59 @@ class LlmOpsSpec extends SparkSpec {
     }.toMap
   }
 
+  /** In-memory brute-force top-K over the d86 query batch — the
+    * differential's reference answer on the rounded-sim ordering
+    * (sim desc, nid asc — round BEFORE comparing, as both engines do). */
+  private def bruteTopK(dd: String, k: Int): Seq[(Long, Long, Long, Double)] = {
+    val vecs = Tables.embeddings(spark, dd)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val byId = vecs.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.map(_._1).filter(_ % 25 == 0).sorted.toSeq.flatMap { q =>
+      val qv = byId(q)
+      byId.keys.filter(_ != q).toSeq
+        .map(id => (id, BigDecimal(cos(qv, byId(id))).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), i) => (q, (i + 1).toLong, id, s) }
+    }
+  }
+
+  test("d86 batched ANN ≡ per-query brute-force top-3 at every sf, and " +
+    "the 192 per-list cut is load-bearing (the oracle precondition)") {
+    // this fixture's near-uniform embeddings put a true top-3
+    // neighbor's cell at probe rank 10/10 and its per-list ADC rank at
+    // 168 (measured across sfs), so the registry instance probes every
+    // cell (d78 IDSelector mode) with a 192 per-list cut — the
+    // differential IS the precondition gate: a fixture change that
+    // pushes a neighbor past the cut fails here, not as a driver hash
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(dd => new java.io.File(s"$dd/embeddings.parquet").exists)
+      .foreach { dd =>
+        val expect = bruteTopK(dd, 3)
+        val got = EmbeddingOps.batchedAnn(spark, dd)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        spark.sharedState.cacheManager.clearCache()
+        assert(got === expect, s"$dd: batched search drifted from brute force")
+      }
+    // the load-bearing half: the d73-sized 64 cut drops at least one
+    // query's true top-3 at sf0.1 (per-list rank measured up to 168)
+    val big = "/root/testdata/sf0.1"
+    if (new java.io.File(s"$big/embeddings.parquet").exists) {
+      val got64 = EmbeddingOps.batchedAnn(spark, big, shortlist = 64)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      spark.sharedState.cacheManager.clearCache()
+      assert(got64 != bruteTopK(big, 3),
+        "the 64 per-list cut unexpectedly matched brute force — the " +
+          "192-cut pin has lost its witness; re-measure the fixture")
+    }
+  }
+
   test("d78 filtered ANN ≡ filtered brute force at every sf, and the " +
     "per-list cut is load-bearing (the oracle precondition)") {
     // the d78 oracle is brute force over the label-filtered corpus; it
