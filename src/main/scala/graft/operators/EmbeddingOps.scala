@@ -635,8 +635,14 @@ object EmbeddingOps {
     // sampleMod knob, exact-form spec-pinned; real embedding
     // distributions have the cluster structure that makes it safe, and
     // the recall spec is the gate either way.
-    val codes = pqAssignments(cells, m, sw, kPq, pqIters)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    // persisted: `codes` feeds BOTH returned relations — the packed
+    // codes table and the codebook reconstruction join below — and the
+    // d74/s19 publishers drive each through its own write job; without
+    // the persist the final every-vector PQ assignment (the most
+    // expensive pass of the build) re-ran once per consumer action
+    // (guide §1.2: don't recompute)
+    val codes = persistCorpus(pqAssignments(cells, m, sw, kPq, pqIters)
+      .select(col("vec_id"), col("m"), col("cid").as("code")))
     // codebook reconstruction vectors in long form (m, code, pos, c):
     // decimal-exact means, so ADC inputs are engine-deterministic
     val subLong = (0 until m).map { mi =>
@@ -951,8 +957,8 @@ object EmbeddingOps {
         val base = java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
         org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
         requireCleanPublish(
-          Sources.writeAuditPublishStaged(s, cells, cells.count(), base.toString,
-            keyCols = Seq("vec_id")), s"$tag cells clone")
+          Sources.writeAuditPublishStaged(s, cells, base.toString,
+            Seq("vec_id"), false, None), s"$tag cells clone")
         mutate(base.toString)
         cellClones(key) = base.toString
         base.toString

@@ -52,9 +52,8 @@ object LabelStore {
   def publish(s: SparkSession, d: String): DataFrame = lockFor(d).synchronized {
     import org.apache.spark.sql.functions.col
     val lbl = EmbeddingOps.kmeansLabelsFor(s, d)
-    val expected = lbl.count()
-    val manifest = Sources.writeAuditPublishStaged(s, lbl, expected,
-      baseFor(d), keyCols = Seq("vec_id"))
+    val manifest = Sources.writeAuditPublishStaged(s, lbl,
+      baseFor(d), Seq("vec_id"), false, None)
     val promoted = manifest
       .filter(col("check_name") === "published_rows").head.getBoolean(2)
     if (promoted) built(d) = s"${baseFor(d)}/published"

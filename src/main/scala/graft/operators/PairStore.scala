@@ -67,9 +67,8 @@ object PairStore {
   def publish(s: SparkSession, d: String): DataFrame = lockFor(d).synchronized {
     import org.apache.spark.sql.functions.col
     val pairs = PairGraph.jaccardPairsRaw(s, d, Threshold)
-    val expected = pairs.count()
-    val manifest = Sources.writeAuditPublishStaged(s, pairs, expected,
-      baseFor(d), keyCols = Seq("i", "j"))
+    val manifest = Sources.writeAuditPublishStaged(s, pairs,
+      baseFor(d), Seq("i", "j"), false, None)
     // record the store ONLY when the gate actually promoted: a failed
     // audit leaves nothing at the published path, and pinning it would
     // break every later read in this JVM precisely when the safety

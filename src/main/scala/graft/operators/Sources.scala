@@ -490,13 +490,13 @@ object Sources {
         "\\s+", " "))).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), length(col("norm")).cast("long").as("norm_len"))
-    val expected = survivors.count()
     // register the scratch area for JVM-exit cleanup: a multi-pass bench
     // (warmup + 3 timed passes) would otherwise leak one full parquet
     // copy per invocation
     val base = java.nio.file.Files.createTempDirectory("graft-wap").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    writeAuditPublishStaged(s, survivors, expected, base.toString)
+    writeAuditPublishStaged(s, survivors, base.toString,
+      Seq("doc_id"), false, None)
   }
 
   /** f13 — batch keyed MERGE (SCD Type-1 / CDC upsert-delete): the
@@ -534,14 +534,13 @@ object Sources {
     val merged =
       mergeUpsertOver(target, updates.unionByName(deletes).unionByName(inserts),
         "c_custkey")
-    // eager JOB like f09/f10: count, stage, audit, promote — then the
-    // returned frame scans the PUBLISHED files, so row identity through
-    // storage is part of the oracle check
-    val expected = merged.count()
+    // eager JOB like f09/f10: stage (count observed on the write), audit,
+    // promote — then the returned frame scans the PUBLISHED files, so row
+    // identity through storage is part of the oracle check
     val base = java.nio.file.Files.createTempDirectory("graft-merge").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    writeAuditPublishStaged(s, merged, expected, base.toString,
-      keyCols = Seq("c_custkey"))
+    writeAuditPublishStaged(s, merged, base.toString,
+      Seq("c_custkey"), false, None)
     s.read.parquet(s"$base/published").orderBy("c_custkey")
   }
 
@@ -677,10 +676,10 @@ object Sources {
     val (target, _, merged) = customerLadder(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-asof").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    writeAuditPublishStaged(s, target, target.count(), base.toString,
-      keyCols = Seq("c_custkey"), retainVersions = true)
-    writeAuditPublishStaged(s, merged, merged.count(), base.toString,
-      keyCols = Seq("c_custkey"), retainVersions = true)
+    writeAuditPublishStaged(s, target, base.toString,
+      Seq("c_custkey"), true, None)
+    writeAuditPublishStaged(s, merged, base.toString,
+      Seq("c_custkey"), true, None)
     def byBucket(df: DataFrame, nc: String, bc: String): DataFrame =
       df.groupBy(pmod(col("c_custkey"), lit(10L)).as("bucket"))
         .agg(count(lit(1)).as(nc), dsum(col("c_acctbal")).as(bc))
@@ -744,10 +743,10 @@ object Sources {
     val (target, _, merged) = customerLadder(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft-cdf").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    writeAuditPublishStaged(s, target, target.count(), base.toString,
-      keyCols = Seq("c_custkey"), retainVersions = true)
-    writeAuditPublishStaged(s, merged, merged.count(), base.toString,
-      keyCols = Seq("c_custkey"), retainVersions = true)
+    writeAuditPublishStaged(s, target, base.toString,
+      Seq("c_custkey"), true, None)
+    writeAuditPublishStaged(s, merged, base.toString,
+      Seq("c_custkey"), true, None)
     changesBetween(s, base.toString, 1, 2, "c_custkey")
       .orderBy("c_custkey", "change_type")
   }
@@ -810,8 +809,8 @@ object Sources {
     val base = java.nio.file.Files.createTempDirectory("graft-vacuum").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
     Seq(target, merged, merged2).foreach(df =>
-      writeAuditPublishStaged(s, df, df.count(), base.toString,
-        keyCols = Seq("c_custkey"), retainVersions = true))
+      writeAuditPublishStaged(s, df, base.toString,
+        Seq("c_custkey"), true, None))
     val manifest = purgeVersions(s, base.toString, keepLast = 2)
     val cur = currentVersion(base.toString)
     val reads = (1 to cur).map { v =>
@@ -827,16 +826,78 @@ object Sources {
       expectedRows: Long, base: String,
       keyCols: Seq[String] = Seq("doc_id"),
       retainVersions: Boolean = false,
-      stagedMarker: Option[String] = None): DataFrame = {
+      stagedMarker: Option[String] = None): DataFrame =
+    writeAuditPublishImpl(s, derived, Some(expectedRows), base, keyCols,
+      retainVersions, stagedMarker)
+
+  /** [[writeAuditPublishStaged]] without a caller-supplied expectation:
+    * `expected` is OBSERVED on the staging write itself
+    * (`Dataset.observe` — the count of rows the plan produced into the
+    * sink, collected by the write job at zero extra cost). Before this
+    * overload every same-frame caller ran `df.count()` + the write —
+    * TWO full evaluations of the derivation (for d61 that is two Lloyd
+    * chains, for d85 two unigram-EM trainings). The expected-vs-staged
+    * check keeps its meaning — rows the plan produced vs rows the
+    * parquet read-back returns — it just no longer pays a separate
+    * pass to learn the former (guide §1.2: don't compute things
+    * twice). Callers asserting an EXTERNAL expectation (the poisoned-
+    * stage rejection spec) keep the explicit-count overload. */
+  private[graft] def writeAuditPublishStaged(s: SparkSession, derived: DataFrame,
+      base: String, keyCols: Seq[String],
+      retainVersions: Boolean,
+      stagedMarker: Option[String]): DataFrame =
+    writeAuditPublishImpl(s, derived, None, base, keyCols,
+      retainVersions, stagedMarker)
+
+  /** Run `body` with the thread's job description set to `label`
+    * (guide §1.5 — label your jobs), restoring the caller's label
+    * after: the publish machinery runs many small jobs per call and an
+    * unlabeled job log is unreadable. */
+  private[graft] def labeled[T](s: SparkSession, label: String)(body: => T): T = {
+    val key = "spark.job.description"
+    val prev = s.sparkContext.getLocalProperty(key)
+    s.sparkContext.setLocalProperty(key,
+      if (prev == null) label else s"$prev | $label")
+    try body finally s.sparkContext.setLocalProperty(key, prev)
+  }
+
+  private def writeAuditPublishImpl(s: SparkSession, derived: DataFrame,
+      expectedOpt: Option[Long], base: String,
+      keyCols: Seq[String],
+      retainVersions: Boolean,
+      stagedMarker: Option[String]): DataFrame = {
     import s.implicits._
     val staging = new java.io.File(s"$base/staging")
     val published = new java.io.File(s"$base/published")
-    derived.write.mode("overwrite").parquet(staging.toString)
+    val tbl = base.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+    val obs = new org.apache.spark.sql.Observation()
+    val toStage = expectedOpt match {
+      case Some(_) => derived
+      case None => derived.observe(obs, count(lit(1)).as("n"))
+    }
+    labeled(s, s"wap-stage:$tbl") {
+      toStage.write.mode("overwrite").parquet(staging.toString)
+    }
+    val expectedRows = expectedOpt.getOrElse(obs.get("n").asInstanceOf[Long])
     val staged = s.read.parquet(staging.toString)
-    val nStaged = staged.count()
-    val nNullKey = staged.filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
-    val nDupKey = nStaged -
-      staged.select(keyCols.map(col): _*).distinct().count()
+    // ONE audit pass over the staged bytes (count, null keys, distinct
+    // keys out of a single aggregate) — this gate runs on every
+    // publish of every store, and the three separate count jobs it
+    // used to run were the dominant fixed cost of the model-table
+    // publishes. countDistinct skips any-NULL key rows, so dup_keys is
+    // computed over the null-free rows — identical to the old
+    // distinct() value on any null-free frame, and a frame WITH null
+    // keys already fails the null_keys check.
+    val aRow = labeled(s, s"wap-audit:$tbl") { staged.agg(
+      count(lit(1)).as("n"),
+      sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)).as("nulls"),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("dk"))
+      .head() }
+    def longAt(i: Int): Long = if (aRow.isNullAt(i)) 0L else aRow.getLong(i)
+    val nStaged = longAt(0)
+    val nNullKey = longAt(1)
+    val nDupKey = (nStaged - nNullKey) - longAt(2)
     val checks = Seq(
       ("rows_match_expected", nStaged, nStaged == expectedRows),
       ("null_keys", nNullKey, nNullKey == 0L),
@@ -875,7 +936,8 @@ object Sources {
       NioFiles.move(staging.toPath, published.toPath, StandardCopyOption.ATOMIC_MOVE)
     }
     val nPublished =
-      if (allOk) s.read.parquet(published.toString).count() else 0L
+      if (allOk) labeled(s, s"wap-recount:$tbl") {
+        s.read.parquet(published.toString).count() } else 0L
     (checks :+ (("published_rows", nPublished, allOk)))
       .toDF("check_name", "observed", "ok")
       .orderBy("check_name")
@@ -1055,16 +1117,27 @@ object Sources {
     // by that subset bucket-prunable — readBucketedStoreBuckets reads
     // only the buckets the probe keys route to
     val bCol = bucketOf(nBuckets, if (bucketCols.nonEmpty) bucketCols else keyCols)
+    // persisted: the DELTA plan is evaluated by two actions here — the
+    // touched-bucket collect and the staged write — and a maintenance
+    // sink's delta is often the expensive half of the whole batch
+    // (s17's incremental pair derivation: candidate self-join + exact
+    // verify). Measured on the s17 probe: the pairs upsert spent
+    // 22 s in upsert-touched + 19 s in upsert-stage re-running the
+    // same delta plan before this persist (guide §1.2 / §5: cache a
+    // reused expensive subtree, unpersist when done).
     val deltaB = delta.withColumn("bucket", bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val delB = deleteKeys.map(_.withColumn("bucket", bCol))
+    try {
     // NULL keys are never lost here: Spark's hash expressions are
     // null-safe (a null child leaves the hash at its seed), so a
     // null-key row routes to a REAL bucket and the staged null_keys
     // audit below rejects it — it cannot silently vanish from the write
-    val touched: Seq[Int] =
+    val tbl = base.split('/').filter(_.nonEmpty).takeRight(2).mkString("/")
+    val touched: Seq[Int] = labeled(s, s"upsert-touched:$tbl") {
       (deltaB.select("bucket") +: delB.map(_.select("bucket")).toSeq)
         .reduce(_ unionByName _).distinct()
-        .as[Int].collect().toSeq.sorted
+        .as[Int].collect().toSeq.sorted }
     val pending = touched.filterNot(b =>
       new java.io.File(s"$pubRoot/bucket=$b/$stagedMarker").exists)
     if (pending.isEmpty)
@@ -1100,15 +1173,26 @@ object Sources {
           (a, d) => a.unionByName(d.select(keyCols.map(col): _*))).distinct()
         existing.join(touchedKeys, keyCols, "left_anti").unionByName(deltaP)
       }
-    // the merged frame is read twice (expected count + staged write) —
-    // persist it so the touched-bucket read and the merge joins run
-    // once, not per action
-    merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = merged.count()
+    // `expected` is OBSERVED on the staging write itself (the
+    // writeAuditPublishStaged discipline): the merge joins and the
+    // touched-bucket read run exactly once, in the write job — the old
+    // persist + count + write shape materialized the merge twice and
+    // paid a cache round-trip per publish, and this sink is the inner
+    // loop of every maintenance twin (guide §1.2: remove passes first)
+    val obs = new org.apache.spark.sql.Observation()
     val staging = new java.io.File(s"$base/staging")
     org.apache.commons.io.FileUtils.deleteQuietly(staging)
-    merged.write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
-    merged.unpersist()
+    labeled(s, s"upsert-stage:$tbl") {
+      // ONE file per bucket (guide §6): the design already sizes a
+      // bucket ≈ one ideal file, but the un-repartitioned write emitted
+      // up to shuffle.partitions files per bucket — after two batches a
+      // probe-side scan of the store paid hundreds of tiny parquet
+      // opens. The extra (delta-sized) shuffle buys every later read.
+      merged.repartition(col("bucket"))
+        .observe(obs, count(lit(1)).as("n"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(staging.toString)
+    }
+    val expected = obs.get("n").asInstanceOf[Long]
     // an all-rows-deleted merge stages NOTHING (partitionBy writes no
     // dirs for an empty frame) — the promote loop below still runs the
     // removals, but the audit must not try to infer a schema from air
@@ -1124,12 +1208,12 @@ object Sources {
     // at toy scale). countDistinct skips any-NULL rows, so dup_keys is
     // only exact on a null-free batch — and a batch WITH null keys
     // already fails the null_keys check.
-    val aRow = staged.agg(
+    val aRow = labeled(s, s"upsert-audit:$tbl") { staged.agg(
       count(lit(1)).as("n"),
       sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
         .otherwise(0L)).as("nulls"),
       countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("dk"),
-      sum(when(col("bucket") =!= bCol, 1L).otherwise(0L)).as("mis")).head()
+      sum(when(col("bucket") =!= bCol, 1L).otherwise(0L)).as("mis")).head() }
     def longAt(i: Int): Long = if (aRow.isNullAt(i)) 0L else aRow.getLong(i)
     val nStaged = longAt(0)
     val nNullKey = longAt(1)
@@ -1168,12 +1252,14 @@ object Sources {
         val livePaths = pending.map(b => s"$pubRoot/bucket=$b")
           .filter(p => new java.io.File(p).exists)
         if (livePaths.isEmpty) 0L
-        else s.read.option("basePath", pubRoot.toString)
-          .parquet(livePaths: _*).count()
+        else labeled(s, s"upsert-recount:$tbl") {
+          s.read.option("basePath", pubRoot.toString)
+            .parquet(livePaths: _*).count() }
       } else 0L
     (checks :+ (("published_rows_touched", nTouchedPublished, allOk)))
       .toDF("check_name", "observed", "ok")
       .orderBy("check_name")
+    } finally deltaB.unpersist(blocking = false)
   }
 
   /** f25 — BUCKET-COUNT RESCALING for the O(Δ)-maintained stores: the
@@ -1645,8 +1731,8 @@ object Sources {
   private[graft] def dvCompact(s: SparkSession, base: String,
       keyCols: Seq[String]): DataFrame = {
     val live = readWithDv(s, base)
-    val audit = writeAuditPublishStaged(s, live, live.count(), base,
-      keyCols = keyCols, retainVersions = true)
+    val audit = writeAuditPublishStaged(s, live, base,
+      keyCols, true, None)
     if (audit.filter(!col("ok")).isEmpty) {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$base/dv"))
@@ -1675,8 +1761,8 @@ object Sources {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val base = java.nio.file.Files.createTempDirectory("graft-dv").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
-    writeAuditPublishStaged(s, cust, cust.count(), base.toString,
-      keyCols = Seq("c_custkey"))
+    writeAuditPublishStaged(s, cust, base.toString,
+      Seq("c_custkey"), false, None)
     dvDelete(s, base.toString, pmod(col("c_custkey"), lit(10L)) === 5)
     dvDelete(s, base.toString, pmod(col("c_custkey"), lit(10L)) === 7)
     val bucket = pmod(col("c_custkey"), lit(10L)).as("bucket")
@@ -1746,8 +1832,8 @@ object Sources {
   /** Branch write: full WAP publish into the branch's own base. */
   private[graft] def writeBranch(s: SparkSession, main: String,
       name: String, df: DataFrame, keyCols: Seq[String]): DataFrame =
-    writeAuditPublishStaged(s, df, df.count(), s"$main/branches/$name",
-      keyCols = keyCols, retainVersions = true)
+    writeAuditPublishStaged(s, df, s"$main/branches/$name",
+      keyCols, true, None)
 
   /** Merge-back: fast-forward CAS. True iff main's current version
     * still equals the branch's fork base; a stale branch is rejected
@@ -1759,8 +1845,8 @@ object Sources {
       if (currentVersion(main) != fork) false
       else {
         val content = readBranch(s, main, name)
-        val audit = writeAuditPublishStaged(s, content, content.count(),
-          main, keyCols = keyCols, retainVersions = true)
+        val audit = writeAuditPublishStaged(s, content,
+          main, keyCols, true, None)
         require(audit.filter(!col("ok")).isEmpty,
           s"branch $name failed main's publish audit")
         java.nio.file.Files.writeString(
@@ -1784,8 +1870,8 @@ object Sources {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val main = java.nio.file.Files.createTempDirectory("graft-branch").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(main)
-    writeAuditPublishStaged(s, cust, cust.count(), main.toString,
-      keyCols = Seq("c_custkey"), retainVersions = true)
+    writeAuditPublishStaged(s, cust, main.toString,
+      Seq("c_custkey"), true, None)
     createBranch(s, main.toString, "exp")
     createBranch(s, main.toString, "stale")
     val bumped = readBranch(s, main.toString, "exp")

@@ -868,9 +868,8 @@ object Streaming {
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         payload)
     val merged = Sources.mergeUpsertOver(target, batch, key).drop("action")
-    val audit = Sources.writeAuditPublishStaged(s, merged, merged.count(), base,
-      keyCols = Seq(key), retainVersions = true,
-      stagedMarker = Some(s"_batch_$batchId"))
+    val audit = Sources.writeAuditPublishStaged(s, merged, base,
+      Seq(key), true, Some(s"_batch_$batchId"))
     // marker ONLY after a successful promote: a failed audit leaves no
     // marker AND throws, so the streaming query fails and the engine
     // redelivers the batch — a corrected retry is NOT skipped. (Writing
@@ -984,13 +983,24 @@ object Streaming {
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val shBuckets = shingleStoreMerge(s, base, newDocs, batchId)
-      val (newPairs, cached) = incrementalPairs(s, base, newDocs, shBuckets)
+      // ONE shingle derivation per batch, owned here and shared by both
+      // halves: the merge step's DF delta/posting index AND the probe's
+      // batch-shingle semi-join read this cached stream. The old shape
+      // re-derived docShinglesOver(newDocs) inside incrementalPairs
+      // AFTER the merge step had unpersisted its copy — a second full
+      // normalize+shingle pass per batch (guide §1.2: remove passes).
+      val shB = LlmOps.docShinglesOver(newDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        publishChecked(s, s"$base/pairs", newPairs, Seq("i", "j"), batchId)
-      } finally cached.unpersist()
-      publishChecked(s, s"$base/docs", batchDocs, Seq("doc_id"), batchId)
-      markApplied(marker)
+        val shBuckets = shingleStoreMerge(s, base, newDocs, batchId, Some(shB))
+        val (newPairs, cached) =
+          incrementalPairs(s, base, newDocs, shBuckets, Some(shB))
+        try {
+          publishChecked(s, s"$base/pairs", newPairs, Seq("i", "j"), batchId)
+        } finally cached.unpersist()
+        publishChecked(s, s"$base/docs", batchDocs, Seq("doc_id"), batchId)
+        markApplied(marker)
+      } finally shB.unpersist()
     } finally newDocs.unpersist()
   }
 
@@ -1024,10 +1034,13 @@ object Streaming {
     * [[incrementalPairs]]). Package-visible so StorageSpec can pin the
     * batch plan's input files to the touched buckets. */
   private[graft] def shingleStoreMerge(s: SparkSession, base: String,
-      newDocs: DataFrame, batchId: Long): Seq[Int] = {
+      newDocs: DataFrame, batchId: Long,
+      shB0: Option[DataFrame] = None): Seq[Int] = {
     val cap = PairGraph.MaxShingleDf
-    val shB = LlmOps.docShinglesOver(newDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shB0: the caller-owned shared shingle stream (pairStoreSink);
+    // None = self-contained (the StorageSpec pin's direct call)
+    val shB = shB0.getOrElse(LlmOps.docShinglesOver(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val dfDelta = shB.groupBy("shingle").agg(count(lit(1)).as("df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1058,7 +1071,7 @@ object Streaming {
           deleteKeys = Some(evictKeys))
         shBuckets
       } finally dfDelta.unpersist()
-    } finally shB.unpersist()
+    } finally { if (shB0.isEmpty) shB.unpersist() }
   }
 
   /** s17 steps 3–4: probe the maintained index with the batch, verify
@@ -1071,7 +1084,8 @@ object Streaming {
     * candidate subtree) — the caller unpersists the latter after
     * publishing the former. */
   private[graft] def incrementalPairs(s: SparkSession, base: String,
-      newDocs: DataFrame, shBuckets: Seq[Int]): (DataFrame, DataFrame) = {
+      newDocs: DataFrame, shBuckets: Seq[Int],
+      shB0: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val threshold = PairStore.Threshold
     val cap = PairGraph.MaxShingleDf
     // every posting of a batch shingle, old and new docs alike (the
@@ -1082,7 +1096,8 @@ object Streaming {
           ShDfSchema, shBuckets)
           .filter(col("df") <= cap).select(col("shingle")),
         Seq("shingle"), "left_semi")
-      .join(LlmOps.docShinglesOver(newDocs).select(col("shingle")).distinct(),
+      .join(shB0.getOrElse(LlmOps.docShinglesOver(newDocs))
+          .select(col("shingle")).distinct(),
         Seq("shingle"), "left_semi")
       .join(newDocs.select(col("doc_id"), lit(1L).as("is_new")),
         Seq("doc_id"), "left")
@@ -1093,17 +1108,60 @@ object Streaming {
         col("b.n_sh") * threshold <= col("a.n_sh") &&
         (col("a.is_new").isNotNull || col("b.is_new").isNotNull))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(first(col("a.n_sh")).as("n_i"), first(col("b.n_sh")).as("n_j"))
+      .agg(count(lit(1)).as("n_cr"),
+        first(col("a.n_sh")).as("n_i"), first(col("b.n_sh")).as("n_j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candDocs = cand
+    // ——— the d02 upper-bound prune, recovered for the incremental
+    // setting (round 18): round 16 dropped it because the bound needs
+    // per-doc HOT counts and a STORE doc's hot count is not maintained.
+    // But every candidate pair has a genuinely-NEW side by
+    // construction, and a new doc's shingles are ALL batch shingles —
+    // so (a) `n_cr` counts EVERY common post-merge-rare shingle of the
+    // pair (a rare common shingle is a shingle of the new side, hence
+    // a batch shingle, hence in `post` for both sides: df only grows,
+    // so a still-rare shingle's old postings were inserted and never
+    // evicted), and (b) the NEW side's hot count is computable from
+    // the batch's own shingle stream against the post-merge DF store.
+    // n_common ≤ n_cr + min over the new side(s) of their hot counts
+    // (common hot shingles are shingles of the new side), and
+    // n_common ≤ min(n_i, n_j); jac is monotone in n_common, so a
+    // pair whose bound sits below τ is provably below τ — the verify
+    // (re-shingle candidate docs + array_intersect) now touches only
+    // pairs that can actually pass, exactly like the one-shot d02.
+    // Measured (s17 probe, sf0.1): the unpruned verify was 16.5 s of
+    // the 44 s query. Output unchanged — the exact filter downstream
+    // is identical (PairStoreSpec pins incremental ≡ one-shot).
+    val hotNew = shB0.getOrElse(LlmOps.docShinglesOver(newDocs))
+      .join(Sources.readBucketedStoreBuckets(s, s"$base/shdf",
+          ShDfSchema, shBuckets)
+          .filter(col("df") > cap).select(col("shingle")),
+        Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    val hotOf = newDocs.select(col("doc_id"))
+      .join(hotNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+    val bounded = cand
+      .join(hotOf.select(col("doc_id").as("i"), col("n_hot").as("h_i")),
+        Seq("i"), "left")
+      .join(hotOf.select(col("doc_id").as("j"), col("n_hot").as("h_j")),
+        Seq("j"), "left")
+      .withColumn("ub", least(
+        col("n_cr") + least(coalesce(col("h_i"), lit(Long.MaxValue)),
+          coalesce(col("h_j"), lit(Long.MaxValue))),
+        col("n_i"), col("n_j")))
+      .filter(col("ub").cast("double") /
+        (col("n_i") + col("n_j") - col("ub")) >= threshold)
+      .select("i", "j", "n_i", "n_j")
+    val candDocs = bounded
       .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
     val docTexts = Sources.readBucketedStoreBuckets(s, s"$base/docs",
-        newDocs.schema, Sources.touchedBucketIds(candDocs, Seq("doc_id")))
+        newDocs.schema, Sources.labeled(s, "s17-cand-buckets") {
+          Sources.touchedBucketIds(candDocs, Seq("doc_id")) })
       .unionByName(newDocs)
       .join(candDocs, Seq("doc_id"), "left_semi")
     val docsets = LlmOps.docShinglesOver(docTexts)
       .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
-    val pairs = cand
+    val pairs = bounded
       .join(docsets.select(col("doc_id").as("i"), col("ss").as("ss_i")), "i")
       .join(docsets.select(col("doc_id").as("j"), col("ss").as("ss_j")), "j")
       .withColumn("n_common",
@@ -1224,8 +1282,8 @@ object Streaming {
       Seq("vec_id"), stagedMarker = s"_batch_$batchId"))
     if (isTraining && !tableDone(centBase))
       checkAudit(centBase, Sources.writeAuditPublishStaged(s, cent,
-        cent.count(), centBase, keyCols = Seq("cid", "dim"),
-        stagedMarker = Some(s"_batch_$batchId")))
+        centBase, Seq("cid", "dim"), false,
+        Some(s"_batch_$batchId")))
     doneAll()
   }
 
@@ -1314,8 +1372,8 @@ object Streaming {
             failed.mkString(", "))
     }
     def publish(tb: String, df: DataFrame, keyCols: Seq[String]): Unit =
-      checkAudit(tb, Sources.writeAuditPublishStaged(s, df, df.count(), tb,
-        keyCols = keyCols, stagedMarker = Some(s"_batch_$batchId")))
+      checkAudit(tb, Sources.writeAuditPublishStaged(s, df, tb,
+        keyCols, false, Some(s"_batch_$batchId")))
     val centPublished = new java.io.File(s"${tables("centroids")}/published")
     val isTraining = !centPublished.exists || tableDone(tables("centroids"))
     // persisted: the Lloyd rounds (batch 0) and the two admission paths
@@ -1494,8 +1552,8 @@ object Streaming {
         bucketCols = Seq("cid")))
       if (!tableDone(centB))
         checkAudit(centB, Sources.writeAuditPublishStaged(s, cent,
-          cent.count(), centB, keyCols = Seq("cid"),
-          stagedMarker = Some(s"_batch_$batchId")))
+          centB, Seq("cid"), false,
+          Some(s"_batch_$batchId")))
     } else {
       val cent = s.read.parquet(centPublished.toString)
       // decisions are derived for the WHOLE batch (the s18 delta

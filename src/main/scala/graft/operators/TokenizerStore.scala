@@ -98,8 +98,8 @@ object TokenizerStore {
       "wp_vocab" -> QualityOps.wordpieceVocab(wf))
     val manifests = StoreTables.map { case (name, keyCols) =>
       val df = rels(name)
-      Sources.writeAuditPublishStaged(s, df, df.count(),
-        s"${baseFor(d)}/$name", keyCols = keyCols)
+      Sources.writeAuditPublishStaged(s, df,
+        s"${baseFor(d)}/$name", keyCols, false, None)
         .select(lit(name).as("tbl"), col("check_name"), col("observed"),
           col("ok"))
     }

@@ -111,8 +111,8 @@ object VectorIndexStore {
       "centroids" -> cent)
     val manifests = IndexTables.map { case (name, keyCols) =>
       val df = rels(name)
-      Sources.writeAuditPublishStaged(s, df, df.count(),
-        s"${baseFor(d)}/$name", keyCols = keyCols)
+      Sources.writeAuditPublishStaged(s, df,
+        s"${baseFor(d)}/$name", keyCols, false, None)
         .select(lit(name).as("tbl"), col("check_name"), col("observed"),
           col("ok"))
     }
