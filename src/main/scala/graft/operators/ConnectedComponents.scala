@@ -117,8 +117,9 @@ object ConnectedComponents {
       // fixpoint: the round left the edge set unchanged. Both sides are
       // distinct sets, so symmetric difference = rows seen exactly once
       // in the union — ONE aggregation job, edge-proportional.
-      converged = small.union(edges).groupBy("u", "v")
-        .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
+      converged = Sources.labeled(edges.sparkSession, s"cc-round-$round") {
+        small.union(edges).groupBy("u", "v")
+          .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty }
       dropCheckpoint(edges) // convergence test was the last reader
       edges = small
     }

@@ -431,7 +431,8 @@ object EmbeddingOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
         .cache()
-      next.count() // materialize before releasing the parent round
+      Sources.labeled(e.sparkSession, "ivf-lloyd-round") {
+        next.count() } // materialize before releasing the parent round
       centroids.unpersist(blocking = false)
       centroids = next
     }
@@ -443,7 +444,9 @@ object EmbeddingOps {
     // with identical values, and the final assignment is built against
     // the LOCAL copy so nothing downstream re-triggers the Lloyd chain.
     val local = centroids.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centroids.collect(): _*), centroids.schema)
+      java.util.Arrays.asList(Sources.labeled(
+        centroids.sparkSession, "ivf-centroid-collect") {
+        centroids.collect() }: _*), centroids.schema)
     centroids.unpersist(blocking = false)
     (persistCorpus(assignCellsOver(e, local)), local)
   }
@@ -561,7 +564,8 @@ object EmbeddingOps {
         .groupBy("m", "cid", "dim")
         .agg((dsum(col("v")) / count(lit(1))).as("c"))
         .cache()
-      next.count() // materialize before releasing the parent iteration
+      Sources.labeled(trainPts.sparkSession, "pq-lloyd-round") {
+        next.count() } // materialize before releasing the parent iteration
       cent.unpersist(blocking = false)
       cent = next
     }
@@ -1038,9 +1042,10 @@ object EmbeddingOps {
     * below the guard; the guard is the tripwire for when it fails. */
   private[graft] def knnGraphOver(e: DataFrame, k: Int,
       maxBlock: Long = KnnMaxBlock): DataFrame = {
-    val widest = e.groupBy("block").agg(count(lit(1)).as("n"))
-      .agg(max_by(struct(col("block"), col("n")), col("n")).as("w"))
-      .select(col("w.block"), col("w.n")).collect()
+    val widest = Sources.labeled(e.sparkSession, "knn-block-guard") {
+      e.groupBy("block").agg(count(lit(1)).as("n"))
+        .agg(max_by(struct(col("block"), col("n")), col("n")).as("w"))
+        .select(col("w.block"), col("w.n")).collect() }
     widest.headOption.filter(r => !r.isNullAt(1) && r.getLong(1) > maxBlock)
       .foreach { r =>
         throw new IllegalStateException(

@@ -1534,12 +1534,14 @@ object Streaming {
     if (isTraining) {
       // reference batch (or its redelivery — recompute-identical):
       // train cells, derive the d82 families over the reference corpus
-      val (cells, cent) = EmbeddingOps.ivfCellsOver(e)
+      val (cells, cent) = Sources.labeled(s, "s26-train-cells") {
+        EmbeddingOps.ivfCellsOver(e) }
       val edges = EmbeddingOps.knnGraphOver(
           cells.select(col("vec_id"), col("cid").as("block"), col("v")), 3)
         .filter(col("sim") >= EmbeddingOps.KnnDedupTau)
         .select(col("i"), col("j"))
-      val labels = ConnectedComponents.largeSmallStar(edges)
+      val labels = Sources.labeled(s, "s26-cc") {
+        ConnectedComponents.largeSmallStar(edges) }
       val fams = cells.select(col("vec_id"))
         .join(labels, col("vec_id") === col("node"), "left")
         .select(col("vec_id"),
