@@ -516,15 +516,20 @@ object Streaming {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
-    // six round-robin shards by event_id: each spans the WHOLE corpus
+    // four round-robin shards by event_id: each spans the WHOLE corpus
     // time range, so the one-file-per-trigger replay jumps backwards in
-    // event time on every micro-batch — the disorder under test. The
+    // event time on every micro-batch — the disorder under test (six
+    // shards until round 18: the last two triggers re-exercised nothing
+    // — every backward jump after the second shard hits the same
+    // buffer/flush paths — and each trigger pays a full RocksDB state
+    // commit; the oracle is batch-split-independent by construction).
+    // StreamingSpec's s22 pins run on their own replay fixture. The
     // watermark delay must exceed the corpus span (any smaller delay
     // would legitimately DROP the older shards as late data — the
     // late-data contract, not what this twin measures), so it is sized
     // from the data and the sentinel lands beyond ts_max + delay.
-    (0 until 6).foreach { i =>
-      ev.filter(pmod(col("event_id"), lit(6L)) === i)
+    (0 until 4).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(4L)) === i)
         .coalesce(1).write.parquet(s"$dir/replay/part_$i")
     }
     val spanH = {

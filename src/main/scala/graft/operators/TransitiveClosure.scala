@@ -167,14 +167,19 @@ object TransitiveClosure {
       .agg(min(col("w").cast("long")).as("d"),
         max(when(badW, 1).otherwise(0)).as("bad"))
       .localCheckpoint()
-    require(r.agg(coalesce(max(col("bad")), lit(0))).head().getInt(0) == 0,
+    // ONE scalar aggregate serves both the weight-validity gate and the
+    // round-0 fixpoint stats (was two jobs over the same checkpoint)
+    val first = r.agg(coalesce(max(col("bad")), lit(0)), count(lit(1)),
+      sum(col("d").cast("decimal(38,0)"))).head()
+    require(first.getInt(0) == 0,
       "minCostClosureDoubling requires non-negative, non-null, integral " +
         "edge weights — a negative-weight cycle has no min-cost fixpoint, " +
         "a null weight would silently null every path through its edge, " +
         "and a fractional weight would silently truncate in the long-cost " +
         "arithmetic")
     r = r.select(col("u"), col("v"), col("d"))
-    var last = stats(r)
+    var last = (first.getLong(1),
+      Option(first.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
     var round = 0
     var converged = false
     while (!converged) {
