@@ -1159,12 +1159,22 @@ object Streaming {
       .select("i", "j", "n_i", "n_j")
     val candDocs = bounded
       .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
-    val docTexts = Sources.readBucketedStoreBuckets(s, s"$base/docs",
-        newDocs.schema, Sources.labeled(s, "s17-cand-buckets") {
-          Sources.touchedBucketIds(candDocs, Seq("doc_id")) })
-      .unionByName(newDocs)
+    // candidate shingle sets: BATCH docs come from the cached shared
+    // stream (their shingles were already derived once for the merge
+    // step — at bootstrap, where every candidate is a batch doc, the
+    // old shape re-normalized and re-shingled the entire batch from
+    // text a second time); only STORE docs re-shingle from their
+    // stored text, bucket-pruned to the candidates' buckets. The docs
+    // store cannot hold a batch doc here (docs promote AFTER pairs),
+    // so the union partitions exactly.
+    val storeShingles = LlmOps.docShinglesOver(
+      Sources.readBucketedStoreBuckets(s, s"$base/docs",
+          newDocs.schema, Sources.labeled(s, "s17-cand-buckets") {
+            Sources.touchedBucketIds(candDocs, Seq("doc_id")) })
+        .join(candDocs, Seq("doc_id"), "left_semi"))
+    val batchShingles = shB0.getOrElse(LlmOps.docShinglesOver(newDocs))
       .join(candDocs, Seq("doc_id"), "left_semi")
-    val docsets = LlmOps.docShinglesOver(docTexts)
+    val docsets = storeShingles.unionByName(batchShingles)
       .groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
     val pairs = bounded
       .join(docsets.select(col("doc_id").as("i"), col("ss").as("ss_i")), "i")
