@@ -302,28 +302,62 @@ object DedupOps {
     * posture). The verify runs on candidate pairs only — output-sized,
     * the d45 rule.
     *
-    * NULL keys match nothing (the variant array is null, so the explode
-    * emits no rows) — the same null semantics as the plain equi-join
-    * this operator fuzzes; rows that must not be dropped should be
-    * null-filtered (and audited) upstream. Empty keys are handled: ""
-    * has only itself as a variant (a bare `sequence(1, length)` would
-    * yield the descending [1,0] and fabricate spurious variants). */
+    * NULL keys match nothing (a null key nulls the position sequence,
+    * so the explode emits no rows) — the same null semantics as the
+    * plain equi-join this operator fuzzes; rows that must not be
+    * dropped should be null-filtered (and audited) upstream. Empty keys
+    * are handled: "" has only itself as a variant (the position
+    * encoding guards `sequence(1, 0)`'s descending phantom). */
+  /** The (id, key, v) delete-variant ROWS of a keyed frame, generated
+    * RELATIONALLY (round 19, guide §2/§4): the key itself, its |s|
+    * delete-1 variants, and (maxDeletes = 2) its C(|s|,2) delete-2
+    * variants — one row per DELETED POSITION (PAIR), built with plain
+    * substr/concat expressions under chained codegen'd Generates. The
+    * old form built a per-key VARIANT ARRAY with nested `transform`
+    * lambdas + array_distinct — higher-order functions evaluate
+    * INTERPRETED per element (the cosine-fold trap), ~340 boxed string
+    * closures per 18-char key, and it was the dominant cost of both
+    * fuzzy joins (the join itself broadcasts the batch side). Variant
+    * SETS are unchanged: i<j position pairs enumerate exactly the
+    * distinct delete-2 results the recursive del1∘del1 set reached
+    * (deleting {i,j} in either order is the same string), and dropping
+    * the per-key array_distinct only duplicates candidate rows that
+    * the downstream pair-level `.distinct()` already collapses — the
+    * joined/verified output is identical (LlmOpsSpec's unblocked
+    * differentials pin it). Null keys emit only a null-variant base row
+    * the equi-join drops — the same match-nothing semantics; empty keys
+    * emit just themselves (the length guards keep `sequence(1, 0)`'s
+    * descending phantom out). */
+  private def variantRows(df: DataFrame, idAs: String, keyAs: String,
+      maxDeletes: Int): DataFrame = {
+    // ONE scan, deletion positions encoded (i, j): i = 0, j = 0 → the
+    // key itself; i = 0, j ≥ 1 → delete-1 at j; 1 ≤ i < j → delete-2 at
+    // {i, j}. A null key nulls both sequences, so explode drops the row
+    // (match-nothing, as before); an empty key walks only (0, 0).
+    val renamed = df.select(col("id").as(idAs), col("key").as(keyAs))
+    val k = col(keyAs)
+    val n = length(k)
+    val withI =
+      if (maxDeletes < 2)
+        renamed.select(col(idAs), col(keyAs), lit(0).as("i"))
+      else renamed.select(col(idAs), col(keyAs),
+        explode(sequence(lit(0), greatest(n - 1, lit(0)))).as("i"))
+    withI
+      .select(col(idAs), col(keyAs), col("i"),
+        explode(when(col("i") === 0, sequence(lit(0), n))
+          .otherwise(sequence(col("i") + 1, n))).as("j"))
+      .select(col(idAs), col(keyAs),
+        when(col("j") === 0, k)
+          .when(col("i") === 0,
+            concat(k.substr(lit(1), col("j") - 1), k.substr(col("j") + 1, n)))
+          .otherwise(concat(k.substr(lit(1), col("i") - 1),
+            k.substr(col("i") + 1, col("j") - col("i") - 1),
+            k.substr(col("j") + 1, n))).as("v"))
+  }
+
   private[graft] def fuzzyJoinOver(left: DataFrame, right: DataFrame): DataFrame = {
-    // s plus its |s| delete-1 variants, deduped (adjacent equal chars
-    // make duplicate deletions); the when() guards the empty key, whose
-    // descending sequence(1, 0) would otherwise emit phantom variants
-    def variants(c: Column): Column =
-      when(c.isNotNull, // null key → null array → explode drops the row
-        array_distinct(concat(array(c),
-          when(length(c) > 0,
-            transform(sequence(lit(1), length(c)), p =>
-              concat(c.substr(lit(1), p - lit(1)),
-                c.substr(p + lit(1), length(c)))))
-            .otherwise(array()))))
-    val lv = left.select(col("id").as("l_id"), col("key").as("l_key"),
-      explode(variants(col("key"))).as("v"))
-    val rv = right.select(col("id").as("r_id"), col("key").as("r_key"),
-      explode(variants(col("key"))).as("v"))
+    val lv = variantRows(left.select(col("id"), col("key")), "l_id", "l_key", 1)
+    val rv = variantRows(right.select(col("id"), col("key")), "r_id", "r_key", 1)
     lv.join(rv, "v")
       .select("l_id", "l_key", "r_id", "r_key").distinct()
       .withColumn("lev", levenshtein(col("l_key"), col("r_key")).cast("long"))
@@ -358,8 +392,9 @@ object DedupOps {
 
   /** d58b — the distance-2 tier of [[fuzzyJoinOver]]: SymSpell blocking
     * with the RECURSIVE delete set. Every key emits itself, its |s|
-    * delete-1 variants, and its C(|s|,2) delete-2 variants (delete-1 of
-    * each delete-1, deduped), and two keys within Levenshtein distance
+    * delete-1 variants, and its C(|s|,2) delete-2 variants (= the
+    * delete-1-of-each-delete-1 set, enumerated as i<j position pairs),
+    * and two keys within Levenshtein distance
     * ≤ 2 PROVABLY share a variant: take an optimal alignment with
     * i insertions, e deletions, u substitutions (i+e+u ≤ 2); deleting
     * from each side every character that is inserted, deleted, or
@@ -384,20 +419,8 @@ object DedupOps {
     * row count = batch size regardless of density. */
 
   private[graft] def fuzzyJoin2Over(left: DataFrame, right: DataFrame): DataFrame = {
-    def del1(c: Column): Column =
-      when(length(c) > 0,
-        transform(sequence(lit(1), length(c)), p =>
-          concat(c.substr(lit(1), p - lit(1)),
-            c.substr(p + lit(1), length(c)))))
-        .otherwise(array())
-    def variants2(c: Column): Column =
-      when(c.isNotNull, // null key → null array → explode drops the row
-        array_distinct(concat(array(c), del1(c),
-          flatten(transform(del1(c), v => del1(v))))))
-    val lv = left.select(col("id").as("l_id"), col("key").as("l_key"),
-      explode(variants2(col("key"))).as("v"))
-    val rv = right.select(col("id").as("r_id"), col("key").as("r_key"),
-      explode(variants2(col("key"))).as("v"))
+    val lv = variantRows(left.select(col("id"), col("key")), "l_id", "l_key", 2)
+    val rv = variantRows(right.select(col("id"), col("key")), "r_id", "r_key", 2)
     lv.join(rv, "v")
       .select("l_id", "l_key", "r_id", "r_key").distinct()
       .withColumn("lev", levenshtein(col("l_key"), col("r_key")).cast("long"))

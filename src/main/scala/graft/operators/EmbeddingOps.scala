@@ -1640,16 +1640,37 @@ object EmbeddingOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** row_number over (score desc, doc_id asc) WITHOUT a window: rank =
+    * 1 + |rows strictly ahead in that total order| (doc_id unique ⇒ the
+    * order is strict ⇒ the count form IS row_number — HybridRrfSpec
+    * pins the equivalence, ties included, against an in-memory
+    * row_number). The inputs here are already-REDUCED top-k lists
+    * (GlobalLimit ≤ 20 rows below), so the old global window was
+    * bounded, but it still planned a partition-less WindowExec (one
+    * task, a `No Partition Defined` warning per run); a k×k broadcast
+    * NLJ + count ranks the same list with no single-partition node
+    * (guide §2.4). Scores are non-null by construction (round4 over
+    * total functions of non-null columns), which the strictly-ahead
+    * comparison requires — same contract the desc window ordering had. */
+  private[graft] def rankOfTopList(df: DataFrame, scoreCol: String,
+      rankName: String): DataFrame = {
+    val o = df.select(col("doc_id").as("o_id"), col(scoreCol).as("o_s"))
+    df.join(broadcast(o),
+        col("o_s") > col(scoreCol) ||
+          (col("o_s") === col(scoreCol) && col("o_id") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"), col(scoreCol))
+      .agg((count(col("o_id")) + lit(1L)).as(rankName))
+      .select(col("doc_id"), col(rankName))
+  }
+
   def hybridRrf(s: SparkSession, d: String, kRrf: Int = 60,
       topK: Int = 10): DataFrame = {
-    val lex = bm25(s, d).select(col("doc_id"), col("score"))
-      .withColumn("lex_rank", row_number()
-        .over(Window.orderBy(col("score").desc, col("doc_id").asc))
-        .cast("long"))
-    val sem = cosineTopK(s, d).select(col("vec_id").as("doc_id"), col("sim"))
-      .withColumn("sem_rank", row_number()
-        .over(Window.orderBy(col("sim").desc, col("doc_id").asc))
-        .cast("long"))
+    val lex = rankOfTopList(bm25(s, d).select(col("doc_id"), col("score")),
+      "score", "lex_rank")
+    val sem = rankOfTopList(cosineTopK(s, d)
+        .select(col("vec_id").as("doc_id"), col("sim")),
+      "sim", "sem_rank")
     def part(r: Column) = coalesce(lit(1.0) / (lit(kRrf) + r), lit(0.0))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"),

@@ -141,16 +141,25 @@ object PairGraph {
     // `&& true` folds away).
     val shSizedBase = shFlag.filter(col("is_hot").isNull).drop("is_hot")
       .join(sizes, "doc_id")
+    // candidate keys NARROWED to xxhash64 (round 19, guide §2.3 shuffle
+    // fewer bytes): the self-join below is the corpus-shaped exchange
+    // of this kernel and needs only shingle EQUALITY — an 8-byte hash
+    // replaces the full n-gram string in the persisted/shuffled rows. A
+    // collision can only ADD join rows (equal strings hash equal), so
+    // `n_cr` — which feeds ONLY the upper bound, never the output — can
+    // only rise: the prune weakens, never tightens, and the exact
+    // verify over the TRUE shingle strings below is unchanged.
     val shSized = persistCorpus(probe.fold(shSizedBase)(p =>
       shSizedBase.join(
         p.select(col("doc_id"), lit(1L).as("is_new")).distinct(),
-        Seq("doc_id"), "left")))
+        Seq("doc_id"), "left"))
+      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle"))
     val probeCond =
       if (probe.isDefined)
         col("a.is_new").isNotNull || col("b.is_new").isNotNull
       else lit(true)
     val commonRare = shSized.as("a")
-      .join(shSized.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(shSized.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_sh") * threshold <= col("b.n_sh") &&
         col("b.n_sh") * threshold <= col("a.n_sh") &&
@@ -218,10 +227,14 @@ object PairGraph {
     val sizes = shFlag.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+    // xxhash64 candidate-key narrowing — see [[jaccardPairsOver]]: a
+    // collision only raises n_cr/ub (prune weakens), the exact verify
+    // over true shingle strings is unchanged, output identical.
     val shSized = persistCorpus(shFlag.filter(col("is_hot").isNull).drop("is_hot")
-      .join(sizes, "doc_id"))
+      .join(sizes, "doc_id")
+      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle"))
     val commonRare = shSized.as("a")
-      .join(shSized.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(shSized.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("n_cr"),
@@ -521,10 +534,14 @@ object PairGraph {
     val sizes = shFlag.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+    // xxhash64 candidate-key narrowing — see [[jaccardPairsOver]]: a
+    // collision only raises n_cr/ub (prune weakens), the exact verify
+    // over true shingle strings is unchanged, output identical.
     val shSized = persistCorpus(shFlag.filter(col("is_hot").isNull).drop("is_hot")
-      .join(sizes, "doc_id"))
+      .join(sizes, "doc_id")
+      .withColumn("sh", xxhash64(col("shingle"))).drop("shingle"))
     val commonRare = shSized.as("a")
-      .join(shSized.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(shSized.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("n_cr"),

@@ -1511,11 +1511,27 @@ object Sources {
   private[graft] def stageOptimistic(s: SparkSession, base: String,
       name: String, derived: DataFrame, keyCols: Seq[String]): String = {
     val dir = s"$base/staging_$name"
-    derived.write.mode("overwrite").parquet(dir)
+    labeled(s, s"cas-stage:$name") {
+      derived.write.mode("overwrite").parquet(dir)
+    }
     val staged = s.read.parquet(dir)
-    val n = staged.count()
-    val nNull = staged.filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
-    val nDup = n - staged.select(keyCols.map(col): _*).distinct().count()
+    // ONE audit pass over the staged bytes (round 19 — the r18
+    // single-aggregate wap-audit discipline applied to the optimistic
+    // publishers): null keys and dup keys out of a single aggregate
+    // instead of three count jobs per staging, and f21/f22 each run
+    // several stagings per publish race. countDistinct skips any-NULL
+    // key rows, so nDup is computed over the null-free rows — identical
+    // to the old distinct() value on any null-free frame, and a frame
+    // WITH null keys already fails the null check.
+    val aRow = labeled(s, s"cas-audit:$name") { staged.agg(
+      count(lit(1)).as("n"),
+      sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L)).as("nulls"),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*).as("dk"))
+      .head() }
+    def longAt(i: Int): Long = if (aRow.isNullAt(i)) 0L else aRow.getLong(i)
+    val nNull = longAt(1)
+    val nDup = (longAt(0) - nNull) - longAt(2)
     if (nNull != 0L || nDup != 0L) {
       // discard the staging before refusing — an audit failure must not
       // leak an orphan staging_<name> dir under the table base (the

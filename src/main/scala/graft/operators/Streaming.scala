@@ -1106,8 +1106,21 @@ object Streaming {
         Seq("shingle"), "left_semi")
       .join(newDocs.select(col("doc_id"), lit(1L).as("is_new")),
         Seq("doc_id"), "left")
-    val cand = post.as("a")
-      .join(post.as("b"), col("a.shingle") === col("b.shingle") &&
+    // candidate-side key NARROWING (round 19, guide §2.3 shuffle fewer
+    // bytes): the self-join below is the one corpus-shaped exchange of
+    // the batch, and it only needs shingle EQUALITY, never the shingle
+    // text — so it rides an 8-byte xxhash64 of the shingle instead of
+    // the full n-gram string (the dominant column of the exchange). A
+    // hash collision can only ADD join rows (equal strings always hash
+    // equal), which can only RAISE n_cr, hence the upper bound `ub` —
+    // the prune weakens, never tightens, and the exact verify
+    // downstream (true shingle sets, array_intersect) is unchanged, so
+    // the output is identical (PairStoreSpec pins incremental ≡
+    // one-shot; the s17 oracle is d02's full-corpus derivation).
+    val postH = post.select(xxhash64(col("shingle")).as("sh"),
+      col("doc_id"), col("n_sh"), col("is_new"))
+    val cand = postH.as("a")
+      .join(postH.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id") &&
         col("a.n_sh") * threshold <= col("b.n_sh") &&
         col("b.n_sh") * threshold <= col("a.n_sh") &&
@@ -1150,9 +1163,16 @@ object Streaming {
         Seq("i"), "left")
       .join(hotOf.select(col("doc_id").as("j"), col("n_hot").as("h_j")),
         Seq("j"), "left")
+      // hot term: min of the available hot counts (the candidate join
+      // guarantees ≥ 1 new side, so at least one is non-null). FAIL-SAFE
+      // (round-18 ADVICE): if both were ever null, the term is null,
+      // `n_cr + null` is null, and `least` SKIPS nulls — the bound falls
+      // back to least(n_i, n_j), which is always sound — instead of the
+      // old Long.MaxValue sentinel arithmetic that wrapped negative and
+      // silently dropped the pair before its exact verify.
       .withColumn("ub", least(
-        col("n_cr") + least(coalesce(col("h_i"), lit(Long.MaxValue)),
-          coalesce(col("h_j"), lit(Long.MaxValue))),
+        col("n_cr") + least(coalesce(col("h_i"), col("h_j")),
+          coalesce(col("h_j"), col("h_i"))),
         col("n_i"), col("n_j")))
       .filter(col("ub").cast("double") /
         (col("n_i") + col("n_j") - col("ub")) >= threshold)

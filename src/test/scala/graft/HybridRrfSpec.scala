@@ -43,6 +43,19 @@ class HybridRrfSpec extends SparkSpec {
     assert(got === got.sortBy { case (id, _, _, rrf) => (-rrf, id) })
   }
 
+  test("rankOfTopList ≡ row_number over (score desc, doc_id asc), ties included") {
+    // the round-19 window-free rank rewrite's focused pin: the
+    // predecessor-count form must reproduce row_number exactly on a
+    // tie-heavy list (scores drawn from 3 values over 17 rows)
+    val rows = (1L to 17L).map(id => (id, (id % 3).toDouble))
+    val want = rows.sortBy { case (id, sc) => (-sc, id) }.zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }.sortBy(_._1)
+    val got = operators.EmbeddingOps.rankOfTopList(
+        rows.toDF("doc_id", "score"), "score", "rnk")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
   test("d66b multi-query fusion ≡ per-query in-memory RRF over collected posting lists") {
     import org.apache.spark.sql.functions._
     val pool = Seq("spark", "join", "window")
