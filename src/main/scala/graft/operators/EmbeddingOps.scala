@@ -96,10 +96,137 @@ object EmbeddingOps {
     * [[kmeansOver]] — the labeling surface [[clusterSemdedup]] (d60)
     * composes with; split out so the cluster-scoped consumers share
     * the exact iteration chain the d59 oracle unrolls. */
-  private[graft] def kmeansLabels(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val pts = persistCorpus(emb.select(col("vec_id"),
-      posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"))
-    assignOver(pts, lloydCentroids(emb, pts, k, iters))
+  private[graft] def kmeansLabels(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    if (arrayDistOn(emb)) {
+      val ea = persistCorpus(arraysOf(emb))
+      assignToLits(ea, lloydCentroidArrays(ea, emb, k, iters))
+    } else {
+      val pts = persistCorpus(emb.select(col("vec_id"),
+        posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"))
+      assignOver(pts, lloydCentroids(emb, pts, k, iters))
+    }
+
+  // ——— the ARRAY-DISTANCE Lloyd path (round 19, guide §1.2/§2.4) ———
+  //
+  // The exploded kernel's per-iteration assignment is a broadcast join
+  // on `dim` that materializes n·dim·k rows and shuffles an n·k decimal
+  // aggregate — at sf0.1 that is ~20M joined rows per Lloyd round for
+  // 5 000 vectors. But the centroid table is a k·dim MODEL (≤ 512
+  // doubles): collecting it to the driver (the s26/ivfCells
+  // centroid-collect discipline — "driver collects are centroid-sized")
+  // turns assignment into a PURE MAP: per centroid, dist² is a fixed
+  // dim-term codegen'd expression over literal centroid components, and
+  // the argmin is `least` over k (dist2, cid) structs — ZERO joins,
+  // ZERO shuffles, no interpreted higher-order folds (the minhash
+  // lesson: HOF folds run interpreted). Values are BIT-IDENTICAL to the
+  // exploded chain: each term is the same dec((v_i − c_i)²) decimal,
+  // decimal addition is exact and order-independent (the reduce's left
+  // fold ≡ the aggregate's partial sums), the (38,6) result type
+  // matches Sum's, and `least(struct(dist2, cid)…)` is the same
+  // (dist2, cid) ordering as `min(struct(dist2, cid))`. The per-round
+  // mean recompute keeps the d59 expression shape — sum(dec(x)) /
+  // count per (cid, dim), now as dim parallel aggregate columns over
+  // the array frame with the k-row result collected per round (the
+  // lloydCentroids round-materialization discipline, minus the cache).
+  // `spark.graft.kmeansArrayDist=false` restores the exploded kernel
+  // (LlmOpsSpec pins the planted-cluster fixtures and determinism on
+  // the default path; the d59/d61/s18/d60 oracles gate equivalence).
+
+  private def arrayDistOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.kmeansArrayDist", "true").toBoolean
+
+  private def arraysOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** Assignment of an array frame (vec_id, v) to an in-memory centroid
+    * set: (vec_id, cid, dist2), argmin by (dist2, cid). The k·dim
+    * centroids broadcast as a k-row (cid, carr) local table; dist² is
+    * ONE dim-term decimal expression per (vector, centroid) row —
+    * n·k rows instead of the exploded kernel's n·dim·k joined rows —
+    * and the argmin is [[assignOver]]'s min(struct) aggregate verbatim.
+    * (The first cut inlined all k distance chains into one projection:
+    * k·dim decimal terms blew Janino's 64 KB method limit and the whole
+    * stage fell back to INTERPRETED — d61 +28%, s18 +69%. One chain per
+    * row keeps the generated method compilable.) Empty centroid set ⇒
+    * empty labels (the exploded path's empty-join semantics). */
+  private def assignToLits(ea: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val s = ea.sparkSession
+    import s.implicits._
+    if (cents.isEmpty)
+      return ea.select(col("vec_id"), col("vec_id").as("cid"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)").as("dist2"))
+        .limit(0)
+    val dim = cents.head._2.length
+    val centTbl = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "carr")
+    val d2 = (0 until dim).map { i =>
+      val d = element_at(col("v"), i + 1) - element_at(col("carr"), i + 1)
+      graft.Canon.dec(d * d)
+    }.reduceLeft(_ + _)
+    ea.crossJoin(broadcast(centTbl))
+      .select(col("vec_id"), col("cid"), d2.as("dist2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist2"), col("cid"))).as("w"))
+      .select(col("vec_id"), col("w.cid").as("cid"), col("w.dist2").as("dist2"))
+  }
+
+  /** [[assignToLits]] against a (cid, dim, c) centroid RELATION (the
+    * published-model read path): collects the k·dim model rows. */
+  private[graft] def assignToCentroids(ea: DataFrame, c: DataFrame): DataFrame =
+    assignToLits(ea, collectCentroids(c))
+
+  private def collectCentroids(c: DataFrame): Seq[(Long, Array[Double])] =
+    Sources.labeled(c.sparkSession, "kmeans-centroid-collect") {
+      c.select(col("cid").cast("long"), col("dim").cast("int"),
+          col("c").cast("double")).collect()
+    }.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        val byDim = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        (cid, Array.tabulate(byDim.size)(byDim))
+      }
+
+  /** The Lloyd loop over the array frame: literal-centroid assignment
+    * per round, per-(cid, dim) decimal mean as dim parallel aggregate
+    * columns, k-row collect per round. Returns the final centroids. */
+  private[graft] def lloydCentroidArrays(ea: DataFrame, emb: DataFrame,
+      k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    val plusPlus = ea.sparkSession.conf
+      .get("spark.graft.kmeansPlusPlus", "false").toBoolean
+    val seedRows =
+      if (plusPlus) {
+        val pts = persistCorpus(emb.select(col("vec_id"),
+          posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"))
+        try ea.join(farthestPointSeeds(emb, pts, k), Seq("vec_id"), "left_semi")
+          .collect()
+        finally pts.unpersist(blocking = false)
+      } else ea.orderBy("vec_id").limit(k).collect()
+    var cents = seedRows.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
+    val meanCols = (0 until dim).map(i =>
+      (dsum(element_at(col("v"), i + 1)) / count(lit(1))).as(s"c$i"))
+    for (_ <- 1 to iters) {
+      val asg = assignToLits(ea, cents).select(col("vec_id"), col("cid"))
+      val rows = Sources.labeled(ea.sparkSession, "kmeans-lloyd-round") {
+        ea.join(asg, "vec_id").groupBy("cid")
+          .agg(meanCols.head, meanCols.tail: _*).collect() }
+      cents = rows.toSeq
+        .map(r => (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 1))))
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** The (cid, dim, c) relation of a literal centroid set — what the
+    * model-table publishers (d61 batch-0 centroids, s18) stage. */
+  private def centroidRelation(s: SparkSession,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
+    cents.flatMap { case (cid, cv) =>
+      cv.zipWithIndex.map { case (c, i) => (cid, i, c) }
+    }.toDF("cid", "dim", "c")
   }
 
   /** Assignment of an exploded (vec_id, dim, v) point set to a
@@ -115,9 +242,12 @@ object EmbeddingOps {
       .select(col("vec_id"), col("w.cid").as("cid"), col("w.dist2").as("dist2"))
 
   /** [[assignOver]] from a raw (vec_id, embedding) frame — the s18
-    * read path for a new micro-batch. */
+    * read path for a new micro-batch. Under the array-distance knob the
+    * k·dim centroid RELATION (frozen, published) is collected and the
+    * assignment is the literal-centroid map — same values, no join. */
   private[graft] def assignEmbeddings(emb: DataFrame, c: DataFrame): DataFrame =
-    assignOver(emb.select(col("vec_id"),
+    if (arrayDistOn(emb)) assignToCentroids(arraysOf(emb), c)
+    else assignOver(emb.select(col("vec_id"),
       posexplode(asDouble(col("embedding")))).toDF("vec_id", "dim", "v"), c)
 
   /** The Lloyd-refined centroid table (cid, dim, c) behind
@@ -125,6 +255,16 @@ object EmbeddingOps {
     * slice and freeze. `pts` is the already-exploded form of `emb`. */
   private[graft] def lloydCentroids(emb: DataFrame, pts: DataFrame,
       k: Int, iters: Int): DataFrame = {
+    // array-distance path (round 19): train via literal-centroid maps
+    // and return the SAME (cid, dim, c) relation as a local table —
+    // the s18 publisher stages identical model rows. `pts` is left
+    // unevaluated (it is the exploded form this path exists to avoid).
+    if (arrayDistOn(emb)) {
+      val ea = persistCorpus(arraysOf(emb))
+      try return centroidRelation(emb.sparkSession,
+        lloydCentroidArrays(ea, emb, k, iters))
+      finally ea.unpersist(blocking = false)
+    }
     // seeding: smallest-vec_id seeds by default — arbitrary but
     // oracle-mirrorable (the DuckDB CTEs pin the same k ids). The
     // quality swap is `spark.graft.kmeansPlusPlus` (off by default so
