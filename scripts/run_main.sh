@@ -3,6 +3,10 @@
 # Spark jars (exactly build.sbt's fork config) — lets a MiniBench/Verify
 # run proceed while sbt itself is busy (e.g. a test pass).
 # Usage: scripts/run_main.sh <mainClass> [args...]
+# Repo root derived from this script's location (round-18 ADVICE);
+# SPARK_JARS overrides the Spark jar dir if it is not /opt/spark/jars.
+REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+SPARK_JARS="${SPARK_JARS:-/opt/spark/jars}"
 MAIN="$1"; shift
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
@@ -20,5 +24,5 @@ exec java \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$REPO_ROOT/target/scala-2.13/classes:$SPARK_JARS/*" \
   "$MAIN" "$@"

@@ -365,6 +365,20 @@ object Bench {
     val line = ladder.iterator.map { case (f, g, p) => lineAt(f, g, p) }
       .find(_.length <= 1850)
       .getOrElse(lineAt(fine = false, grouped = true, positional = true))
+    // Round 19 (the r18 verdict's per-query-names ask): NAMED per-query
+    // timings cannot fit the contract line — the driver's tail capture
+    // is exactly 2 000 chars (BENCH_r17/r18 tails measure it) and the
+    // flat named form needs ≥ 2 330 chars at 233 queries even at coarse
+    // precision (id-prefix keys, measured against the real registry;
+    // rounds 1/3 proved an overflowing line parses as null and loses
+    // everything). Best-effort instead: the full-fidelity named record
+    // (the BENCH_FULL.json line) ALSO goes to stdout as a PREFIXED
+    // pre-line, printed BEFORE the contract line so the tail's last
+    // bytes always keep the contract line whole — a consumer with full
+    // stdout gets names; the 2 000-char tail still parses exactly the
+    // line it always did (the prefix keeps the pre-line from ever
+    // being line-parsed as the artifact).
+    println("benchByKey " + fullLine)
     println(line)
     System.out.flush()
   }

@@ -686,6 +686,37 @@ object EmbeddingOps {
     * is a training-set choice, never a kernel fork. */
   private[graft] def pqAssignments(cells: DataFrame, m: Int, sw: Int,
       kPq: Int, iters: Int, sampleMod: Int = 1): DataFrame = {
+    // array-distance path (round 19): the d59 broadcast array kernel
+    // with the sub-space key — the codebook is an m·kPq·sw MODEL
+    // (1 024 doubles at the defaults), collected per round, and dist²
+    // is one sw-term decimal expression per (vector, sub-space, code)
+    // row: n·m·kPq rows instead of the exploded join's n·dim·kPq.
+    // Values bit-identical (same dec terms, exact decimal sums, same
+    // min(struct) argmin); spark.graft.kmeansArrayDist=false restores
+    // the exploded chain (the ≡-kmeansLabels spec pins both).
+    if (arrayDistOn(cells)) {
+      val ea = persistCorpus(cells.select(col("vec_id"), col("v")))
+      val trainE =
+        if (sampleMod <= 1) ea
+        else ea.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+      val seedRows = trainE.orderBy("vec_id").limit(kPq).collect()
+      var cents: Seq[(Int, Long, Array[Double])] = seedRows.toSeq.flatMap { r =>
+        val full = r.getSeq[Double](1).toArray
+        (0 until m).map(mi => (mi, r.getLong(0), full.slice(mi * sw, (mi + 1) * sw)))
+      }.sortBy(c => (c._1, c._2))
+      val meanCols = (0 until sw).map(i =>
+        (dsum(element_at(col("v"), col("m") * sw + i + 1)) / count(lit(1)))
+          .as(s"c$i"))
+      for (_ <- 1 to iters if cents.nonEmpty) {
+        val asg = pqAssignArr(trainE, cents, sw).select("vec_id", "m", "cid")
+        val rows = Sources.labeled(trainE.sparkSession, "pq-lloyd-round") {
+          trainE.join(asg, "vec_id").groupBy("m", "cid")
+            .agg(meanCols.head, meanCols.tail: _*).collect() }
+        cents = rows.toSeq.map(r => (r.getInt(0), r.getLong(1),
+          Array.tabulate(sw)(i => r.getDouble(i + 2)))).sortBy(c => (c._1, c._2))
+      }
+      return pqAssignArr(ea, cents, sw) // the every-vector final pass
+    }
     val pts = persistCorpus(subspacePoints(cells, m, sw))
     val trainPts =
       if (sampleMod <= 1) pts
@@ -711,6 +742,53 @@ object EmbeddingOps {
     }
     pqAssignOver(pts, cent) // the one pass that touches every vector
   }
+
+  /** Sub-space code assignment against an in-memory (m, cid, carr)
+    * codebook — the array-distance form of [[pqAssignOver]]: n·|codebook|
+    * rows, one sw-term decimal dist² expression each (codegen'd; the
+    * d59 64 KB-method lesson bounds terms per row), the same
+    * min(struct(dist2, cid)) argmin per (vec_id, m). */
+  private def pqAssignArr(ea: DataFrame,
+      cents: Seq[(Int, Long, Array[Double])], sw: Int): DataFrame = {
+    val s = ea.sparkSession
+    import s.implicits._
+    if (cents.isEmpty)
+      return ea.select(col("vec_id"), lit(0).as("m"),
+        col("vec_id").as("cid"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)").as("dist2"))
+        .limit(0)
+    val centTbl = cents.map { case (mi, cid, cv) => (mi, cid, cv.toSeq) }
+      .toDF("m", "cid", "carr")
+    val d2 = (0 until sw).map { i =>
+      val d = element_at(col("v"), col("m") * sw + i + 1) -
+        element_at(col("carr"), i + 1)
+      graft.Canon.dec(d * d)
+    }.reduceLeft(_ + _)
+    ea.crossJoin(broadcast(centTbl))
+      .select(col("vec_id"), col("m"), col("cid"), d2.as("dist2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist2"), col("cid"))).as("w"))
+      .select(col("vec_id"), col("m"), col("w.cid").as("cid"),
+        col("w.dist2").as("dist2"))
+  }
+
+  /** [[pqAssignOver]] from a raw (vec_id, v) frame against a codebook
+    * RELATION (m, cid, dim, c) — s19's frozen-codebook admission path;
+    * knob-aware like [[assignEmbeddings]]. */
+  private[graft] def pqAssignEmbeddings(e: DataFrame, c: DataFrame,
+      m: Int, sw: Int): DataFrame =
+    if (arrayDistOn(e)) {
+      val rows = Sources.labeled(c.sparkSession, "pq-codebook-collect") {
+        c.select(col("m").cast("int"), col("cid").cast("long"),
+          col("dim").cast("int"), col("c").cast("double")).collect() }
+      val cents = rows.groupBy(r => (r.getInt(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+        .map { case ((mi, cid), rs) =>
+          val byDim = rs.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+          (mi, cid, Array.tabulate(byDim.size)(byDim))
+        }
+      pqAssignArr(e, cents, sw)
+    } else pqAssignOver(subspacePoints(e, m, sw), c)
 
   /** The sub-space long form (vec_id, m, dim, v) of a (vec_id, v, …)
     * frame: vector position mi·sw+d becomes row (m = mi, dim = d). The

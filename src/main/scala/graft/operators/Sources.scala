@@ -899,6 +899,14 @@ object Sources {
     val nNullKey = longAt(1)
     val nDupKey = (nStaged - nNullKey) - longAt(2)
     val checks = Seq(
+      // NOTE (round-18 ADVICE, documented at the CHECK site): when the
+      // caller used the observe overload, `expectedRows` is the count
+      // the staging write's own plan produced — so this check compares
+      // plan-produced rows vs parquet read-back, and can no longer
+      // distinguish a nondeterministic derivation (or an observe-metric
+      // anomaly, e.g. a stage-retry double count) from real row loss.
+      // Callers asserting an EXTERNAL expectation must pick the
+      // explicit-count overload (the poisoned-stage spec does).
       ("rows_match_expected", nStaged, nStaged == expectedRows),
       ("null_keys", nNullKey, nNullKey == 0L),
       ("dup_keys", nDupKey, nDupKey == 0L))

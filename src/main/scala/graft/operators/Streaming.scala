@@ -1429,10 +1429,9 @@ object Streaming {
         val cb0 = s.read.parquet(s"${tables("codebook")}/published")
         val cells = EmbeddingOps.assignCellsOver(e, cent0)
           .select(col("vec_id"), col("cid"))
-        val codes = EmbeddingOps.pqAssignOver(
-          EmbeddingOps.subspacePoints(e, m, sw),
+        val codes = EmbeddingOps.pqAssignEmbeddings(e,
           cb0.select(col("m"), col("code").as("cid"), col("pos").as("dim"),
-            col("c")))
+            col("c")), m, sw)
           .select(col("vec_id"), col("m"), col("cid").as("code"))
         (cells, packCodes(codes), cb0, cent0)
       }
