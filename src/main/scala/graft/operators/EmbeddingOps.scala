@@ -549,6 +549,43 @@ object EmbeddingOps {
     * the cosine function and persists `e` if it is re-read. */
   private[graft] def ivfCellsOver(e: DataFrame,
       k: Int = 10): (DataFrame, DataFrame) = {
+    // array-distance discipline applied to the coarse quantizer
+    // (round 19): the assignment was already the array-native cosine
+    // argmax against broadcast centroids, but each Lloyd round's MEAN
+    // still exploded the assigned corpus (n·dim rows through two
+    // shuffled aggregates + a cache/count per round). The centroids are
+    // a k·dim model: keep them LOCAL between rounds (the existing
+    // final-round localization, applied per round) and compute the
+    // per-(cid, dim) means as dim parallel aggregate columns with a
+    // k-row collect — same davg = sum(dec(x))/count values per
+    // position, one job per round, no explode, no cache dance.
+    if (arrayDistOn(e)) {
+      val s = e.sparkSession
+      import s.implicits._
+      def localDf(cs: Seq[(Int, Seq[Double])]): DataFrame =
+        cs.toDF("cid", "cv")
+      var cents: Seq[(Int, Seq[Double])] =
+        Sources.labeled(s, "ivf-centroid-collect") {
+          e.filter(col("vec_id") < k)
+            .select(col("vec_id").cast("int").as("cid"), col("v"))
+            .collect()
+        }.toSeq.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      if (cents.nonEmpty) {
+        val dim = cents.head._2.length
+        val meanCols = (0 until dim).map(i =>
+          (dsum(element_at(col("v"), i + 1)) / count(lit(1))).as(s"c$i"))
+        (1 to 2).foreach { _ =>
+          val rows = Sources.labeled(s, "ivf-lloyd-round") {
+            assignCellsOver(e, localDf(cents))
+              .groupBy("cid").agg(meanCols.head, meanCols.tail: _*)
+              .collect() }
+          cents = rows.toSeq.map(r => (r.getInt(0),
+            (0 until dim).map(i => r.getDouble(i + 1)))).sortBy(_._1)
+        }
+      }
+      val local = localDf(cents)
+      return (persistCorpus(assignCellsOver(e, local)), local)
+    }
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
       .cache()
