@@ -142,15 +142,12 @@ object TransitiveClosure {
       maxRounds: Int = 40): DataFrame = {
     // fixpoint probe: (pair count, Σd). r ⊆ next pairwise with
     // d_next ≤ d_r, so equal count means no pair added and equal sum
-    // then forces pointwise-equal distances — one scalar aggregate per
-    // round instead of a join-and-scan. Decimal sum: immune to Σd
-    // overflow at any pair volume.
-    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val row = df.agg(count(lit(1)),
-        sum(col("d").cast("decimal(38,0)"))).head()
-      (row.getLong(0),
-        Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-    }
+    // then forces pointwise-equal distances. Round 19: the probe rides
+    // the checkpoint materialization itself (`observe` on the
+    // localCheckpoint action — the publish-gate observed-count
+    // discipline), so each round runs ONE job instead of checkpoint +
+    // a separate scalar-aggregate pass over the checkpointed pairs.
+    // Decimal sum: immune to Σd overflow at any pair volume.
     // Weight-validity guard FOLDED into the seeding aggregate: invalid
     // weights (negative, null, or non-integral — `d` is long arithmetic,
     // so a fractional weight would otherwise silently truncate, 0.9 → 0,
@@ -162,24 +159,27 @@ object TransitiveClosure {
     // alone would silently skip it).
     val badW = col("w").isNull || col("w") < 0 ||
       col("w") =!= col("w").cast("long")
-    var r = wEdges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+    def sdOf(m: Any): java.math.BigDecimal =
+      Option(m).map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+    // ONE job serves the seeding checkpoint, the weight-validity gate
+    // AND the round-0 fixpoint stats (observed on the materialization)
+    val obs0 = new org.apache.spark.sql.Observation()
+    val r0 = wEdges.select(col("src").as("u"), col("dst").as("v"), col("w"))
       .groupBy("u", "v")
       .agg(min(col("w").cast("long")).as("d"),
         max(when(badW, 1).otherwise(0)).as("bad"))
+      .observe(obs0, coalesce(max(col("bad")), lit(0)).as("bad"),
+        count(lit(1)).as("n"), sum(col("d").cast("decimal(38,0)")).as("sd"))
       .localCheckpoint()
-    // ONE scalar aggregate serves both the weight-validity gate and the
-    // round-0 fixpoint stats (was two jobs over the same checkpoint)
-    val first = r.agg(coalesce(max(col("bad")), lit(0)), count(lit(1)),
-      sum(col("d").cast("decimal(38,0)"))).head()
-    require(first.getInt(0) == 0,
+    require(obs0.get("bad").asInstanceOf[Int] == 0,
       "minCostClosureDoubling requires non-negative, non-null, integral " +
         "edge weights — a negative-weight cycle has no min-cost fixpoint, " +
         "a null weight would silently null every path through its edge, " +
         "and a fractional weight would silently truncate in the long-cost " +
         "arithmetic")
-    r = r.select(col("u"), col("v"), col("d"))
-    var last = (first.getLong(1),
-      Option(first.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
+    var r = r0.select(col("u"), col("v"), col("d"))
+    var last = (obs0.get("n").asInstanceOf[Long], sdOf(obs0.get("sd")))
     var round = 0
     var converged = false
     while (!converged) {
@@ -189,9 +189,13 @@ object TransitiveClosure {
       val comp = r.as("a").join(r.as("b"), col("a.v") === col("b.u"))
         .select(col("a.u").as("u"), col("b.v").as("v"),
           (col("a.d") + col("b.d")).as("d"))
+      val obs = new org.apache.spark.sql.Observation()
       val next = r.unionByName(comp).groupBy("u", "v")
-        .agg(min(col("d")).as("d")).localCheckpoint()
-      val cur = stats(next)
+        .agg(min(col("d")).as("d"))
+        .observe(obs, count(lit(1)).as("n"),
+          sum(col("d").cast("decimal(38,0)")).as("sd"))
+        .localCheckpoint()
+      val cur = (obs.get("n").asInstanceOf[Long], sdOf(obs.get("sd")))
       converged = cur._1 == last._1 && cur._2.compareTo(last._2) == 0
       last = cur
       ConnectedComponents.dropCheckpoint(r)
